@@ -1,0 +1,198 @@
+"""Deduplication operators for document-scale corpora.
+
+Four strategies, cheapest to most robust:
+
+1. exact        — hash-groupBy on md5(text). One shuffle on the hash.
+2. shingle      — n-gram (word) shingle sets + exact Jaccard on candidate
+                  pairs that share >= 1 shingle. Exact but the shingle
+                  self-join is quadratic in shingle frequency: fine to ~1e7
+                  docs, skew-prone beyond (AQE skew-join mitigates).
+3. MinHash+LSH  — the 100 TB path: constant-size signatures (H mins), band
+                  join produces candidates in ~linear time, then exact
+                  Jaccard verification only on candidates.
+4. SimHash      — 64-bit near-dup fingerprint per doc; hamming-close docs
+                  collide on band substrings.
+
+All hashing is md5-based (deterministic, engine-portable) rather than
+``xxhash64``/``hash`` so results are reproducible everywhere and the DuckDB
+oracle can replay them bit-for-bit. At 100 TB swap md5 for ``xxhash64`` (2-3x
+faster, same plan shape) if cross-engine replay is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts: md5 -> (hash, keeper id, multiplicity).
+
+    Keeper = min id (deterministic). One hash-aggregate shuffle; at scale the
+    md5 is computed map-side and only (hash, id) shuffles, not the text.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Docs with < n tokens produce no shingles (and thus can never pair).
+    """
+    toks = F.split(F.col(text_col), " ")
+    parts = ", ".join(f"__toks__[i+{j}]" for j in range(n))
+    shingle = F.expr(
+        f"transform(sequence(0, size(__toks__)-{n}), i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks__"))
+        .filter(F.size("__toks__") >= n)
+        .select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over pairs sharing >= 1 shingle.
+
+    (a_id, b_id, jaccard) with a_id < b_id and jaccard >= threshold.
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) as exact-integer division -> DOUBLE.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    x = shingles.alias("x")
+    y = shingles.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"x.{id_col}").alias("a_id"), F.col(f"y.{id_col}").alias("b_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n", "a_n")
+    sb = sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n", "b_n")
+    jac = F.col("inter").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature: per doc, min over shingles of md5(f"{i}#{shingle}")
+    for each of `num_hashes` seeded hash functions. One aggregate; signature
+    size is constant per doc regardless of doc length."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature (rows=band_size) and emit distinct candidate pairs
+    (a_id, b_id) that collide on >= 1 band. Linear-ish: one explode + one
+    equi-join on (band_idx, band_val); hot bands are true near-dup clusters."""
+    n_bands = num_hashes // band_size
+    stack_args = []
+    for b in range(n_bands):
+        cols = [f"mh{b * band_size + r}" for r in range(band_size)]
+        stack_args.append(f"{b}, concat_ws('|', {', '.join(cols)})")
+    bands = signatures.select(
+        F.col(id_col),
+        F.expr(
+            f"stack({n_bands}, {', '.join(stack_args)}) AS (band_idx, band_val)"
+        ),
+    ).select(id_col, "band_idx", "band_val")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("a_id"), F.col(f"y.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def simhash64(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """64-bit SimHash per document as a 16-char lowercase hex string.
+
+    Unweighted variant over distinct tokens: for each bit position b of
+    md5(token)'s first 64 bits, vote +1/-1; sign of the vote sum is bit b of
+    the signature. Near-duplicate docs land within small hamming distance.
+
+    Plan shape: explode 64 bit positions per (doc, token) -> two hash
+    aggregates (votes per bit, then nibbles per doc). All JVM-side exprs.
+    """
+    h = F.md5(F.col(token_col))
+    pos = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos")
+    base = tokens.select(F.col(id_col), h.alias("h")).select(
+        id_col, "h", pos
+    )
+    # shiftright/shiftleft with a *column* shift amount are only available
+    # through SQL exprs (the python helpers require a literal int).
+    weight = F.expr(
+        "(shiftright(position(substr(h, CAST(pos/4 AS INT)+1, 1) "
+        f"IN '{HEX}') - 1, CAST(pos % 4 AS INT)) & 1) * 2 - 1"
+    )
+    votes = (
+        base.select(F.col(id_col), F.col("pos"), weight.alias("w"))
+        .groupBy(id_col, "pos")
+        .agg(F.sum("w").alias("s"))
+    )
+    nibbles = (
+        votes.select(
+            F.col(id_col),
+            (F.col("pos") / 4).cast("int").alias("nibble_idx"),
+            F.expr(
+                "shiftleft(CASE WHEN s >= 0 THEN 1 ELSE 0 END, "
+                "CAST(pos % 4 AS INT))"
+            ).alias("bitval"),
+        )
+        .groupBy(id_col, "nibble_idx")
+        .agg(F.sum("bitval").alias("nibble"))
+    )
+    digit = F.substring(F.lit(HEX), F.col("nibble").cast("int") + 1, 1)
+    return (
+        nibbles.select(F.col(id_col), F.col("nibble_idx"), digit.alias("digit"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("nibble_idx", "digit"))),
+                    lambda s: s["digit"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )

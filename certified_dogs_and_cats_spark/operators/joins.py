@@ -1,0 +1,100 @@
+"""Join operators the reference exercises (SURVEY.md §2.3).
+
+All shapes are declared with the DataFrame API so Catalyst picks the physical
+join. Scale posture per operator is documented inline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def idempotent_new_rows(
+    batch: DataFrame, existing: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Left-anti join: keep only batch rows whose key is not in `existing`.
+
+    The reference's exactly-once append core (notebooks/bronze.py:111-112,
+    notebooks/silver.py:124-125). At scale: `existing` is projected to the
+    key columns only (column pruning reaches the scan) and the anti join
+    shuffles on the key; AQE converts to broadcast when the existing key set
+    is small (e.g. incremental loads into a fresh partition).
+    """
+    return batch.join(existing.select(*keys), on=list(keys), how="left_anti")
+
+
+def dim_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    value_cols: Sequence[str],
+    fallback: dict[str, Column] | None = None,
+    mapped_flag: str | None = None,
+) -> DataFrame:
+    """Broadcast left-join a small dimension and flag/fallback misses.
+
+    Reference semantics (notebooks/silver.py:53-68): the `mapped` flag must
+    come from the join *hit* (probe a non-null dim column), never from
+    fallback equality (docs/runbook.md:113 trap). The dim is explicitly
+    broadcast — at 100 TB the fact side never shuffles for a ~1e3-row dim.
+    """
+    probe = "__dim_hit__"
+    small = dim.select(key, *value_cols).withColumn(probe, F.lit(True))
+    out = facts.join(F.broadcast(small), on=key, how="left")
+    hit = F.coalesce(F.col(probe), F.lit(False))
+    if mapped_flag:
+        out = out.withColumn(mapped_flag, hit)
+    if fallback:
+        for col_name, fb in fallback.items():
+            out = out.withColumn(col_name, F.when(hit, F.col(col_name)).otherwise(fb))
+    return out.drop(probe)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str],
+) -> DataFrame:
+    """MERGE semantics (matched -> update, not matched -> insert) as a
+    pure-DataFrame rewrite, for when Delta's ``MERGE INTO`` is unavailable
+    (reference sql/breed_mapping.py:596-603; SURVEY.md §7.5 risk 4).
+
+    Implementation: full-outer join on the keys; matched rows take source
+    values, unmatched-target rows keep target values, unmatched-source rows
+    insert. Deterministic and idempotent (re-merging the same source is a
+    no-op). At scale this is one shuffle on the merge keys — identical cost
+    to Delta MERGE's join phase — and should be followed by a partitioned
+    overwrite of only the touched partitions.
+    """
+    keys = list(keys)
+    src = source.select(*keys, *update_cols)
+    t = target.alias("t")
+    s = src.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+    src_hit = F.col(f"s.{keys[0]}").isNotNull()
+    tgt_hit = F.col(f"t.{keys[0]}").isNotNull()
+    cols = []
+    for k in keys:
+        cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k))
+    non_key_target = [c for c in target.columns if c not in keys]
+    for c in non_key_target:
+        if c in update_cols:
+            cols.append(
+                F.when(src_hit, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        else:
+            cols.append(F.col(f"t.{c}").alias(c))
+    for c in update_cols:
+        if c not in non_key_target:
+            cols.append(F.col(f"s.{c}").alias(c))
+    action = (
+        F.when(src_hit & tgt_hit, F.lit("updated"))
+        .when(src_hit, F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(*cols, action.alias("merge_action"))

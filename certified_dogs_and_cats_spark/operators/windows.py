@@ -1,0 +1,70 @@
+"""Window/ranking operators (SURVEY.md §2.5, §2.4 A7).
+
+Deterministic tie-breaks are mandatory: every ordering ends in a unique key
+so results are stable under parallelism (reference pins `cnt DESC, breed ASC`
+— notebooks/gold.py:58,105; README.md:138).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]
+) -> DataFrame:
+    """Latest-record-wins dedup: row_number over (keys, order_by desc), keep
+    rn=1 (reference notebooks/silver.py:81-85).
+
+    Scale: one shuffle on the dedup key. If the key is near-unique (ids),
+    this is the cheapest exact dedup Spark has; for heavy skew, AQE skew
+    handling applies because it is a plain window shuffle.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+    method: str = "row_number",
+) -> DataFrame:
+    """Top-k per group via window rank + filter — never LIMIT-after-sort
+    (reference notebooks/gold.py:56-73). `method` row_number|rank matches the
+    reference's deliberate choice per view (ROW_NUMBER at gold.py:56 vs RANK
+    at gold.py:105 — they differ under ties)."""
+    fn = F.row_number if method == "row_number" else F.rank
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rank_col, fn().over(w)).filter(F.col(rank_col) <= k)
+
+
+def pivot_top_k(
+    ranked: DataFrame,
+    group_cols: Sequence[str],
+    rank_col: str,
+    value_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Wide top-1..top-k columns per group from a ranked long table —
+    the reference's MAX(CASE WHEN rnk=i) pivot (notebooks/gold.py:191-208).
+
+    Expressed as groupBy().agg(max(when(...))) which Catalyst executes as a
+    single hash aggregate (one shuffle); identical shape to SQL MAX-CASE.
+    """
+    aggs = []
+    for i in range(1, k + 1):
+        for v in value_cols:
+            aggs.append(
+                F.max(F.when(F.col(rank_col) == i, F.col(v))).alias(f"top{i}_{v}")
+            )
+    return ranked.groupBy(*group_cols).agg(*aggs)

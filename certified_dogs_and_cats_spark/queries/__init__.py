@@ -1,0 +1,28 @@
+"""Driver-facing query registry.
+
+Every operator from SURVEY.md §2 (plus the training-data-pipeline
+extensions) is registered here as a pair:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- an equivalent ANSI-SQL string DuckDB runs on the same parquet tables
+
+The driver compares both at sf=0.01 (row count + schema + order-insensitive
+value hash), so columns are aliased identically on both sides and all
+engine-variant types are pinned with explicit CASTs (BIGINT counts, INTEGER
+years, DOUBLE ratios). Money sums use the exact DECIMAL-sum-then-DOUBLE
+pattern (see functions.scalar.dsum) so values are bit-identical regardless
+of aggregation order.
+"""
+
+from __future__ import annotations
+
+from .registry import ORACLE, QUERIES, query
+
+# Import for registration side effects.
+from . import core  # noqa: E402,F401
+from . import gold  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,181 @@
+"""Deduplication queries over the `documents` table (north-star extensions).
+
+Oracles replay the exact same md5-based algorithms in DuckDB SQL, so value
+hashes match bit-for-bit (validated: md5 / string-min / integer-division
+parity across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..extensions.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    word_shingles,
+)
+from ..extensions.text import tokens
+from .common import t
+from .registry import query
+
+JACCARD_THRESHOLD = 0.5
+
+# Shared oracle CTE: distinct word-3-gram shingles per doc.
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] AS shingle
+      FROM toks, UNNEST(range(0, len(a) - 2)) AS u(i)
+      WHERE len(a) >= 3
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0#' || shingle)) AS mh0, min(md5('1#' || shingle)) AS mh1,
+             min(md5('2#' || shingle)) AS mh2, min(md5('3#' || shingle)) AS mh3,
+             min(md5('4#' || shingle)) AS mh4, min(md5('5#' || shingle)) AS mh5,
+             min(md5('6#' || shingle)) AS mh6, min(md5('7#' || shingle)) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL
+      SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL
+      SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bands x
+      JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                   AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    verified AS (
+      SELECT c.a_id, c.b_id, count(*) AS inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a_id
+      JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM verified
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
+    # Verify candidates with exact Jaccard (LSH = recall filter, not truth):
+    # join candidate pairs to both shingle sets on the shingle value.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    xs = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    ys = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        cand.join(xs, "a_id")
+        .join(ys, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("b_n"))
+    jac = F.col("inter").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tk AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, tok, md5(tok) AS h, i AS pos
+      FROM tk, UNNEST(range(0, 64)) AS u(i)
+    ),
+    votes AS (
+      SELECT doc_id, pos,
+             sum(((strpos('0123456789abcdef',
+                          substr(h, CAST(floor(pos/4) AS INTEGER) + 1, 1)) - 1
+                   >> (pos % 4)) & 1) * 2 - 1) AS s
+      FROM bits GROUP BY 1, 2
+    ),
+    nibbles AS (
+      SELECT doc_id, CAST(floor(pos/4) AS INTEGER) AS nibble_idx,
+             sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) << (pos % 4)) AS nibble
+      FROM votes GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef', CAST(nibble AS INTEGER) + 1, 1),
+                      '' ORDER BY nibble_idx) AS simhash
+    FROM nibbles GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = tokens(docs, "doc_id", "text").distinct()
+    return simhash64(tk, "doc_id", "tok")

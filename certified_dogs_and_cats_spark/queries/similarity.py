@@ -1,0 +1,101 @@
+"""Similarity-search queries over the `embeddings` table.
+
+Cross-engine determinism: double-precision sequential-fold dot products are
+bit-identical to DuckDB's list_dot_product (validated); scores are rounded
+to 6 digits before ranking with an id tie-break, so the top-k set is unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions.similarity import as_double_vec, cosine_topk, lsh_bucketed_topk
+from .common import t
+from .registry import query
+
+# Every 100th vector is a query point (5 at sf0.01, 50 at sf0.1).
+QUERY_PRED = "vec_id % 100 = 0"
+K = 5
+LSH_BITS = 8
+
+_VEC_CTE = """
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+"""
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", as_double_vec("embedding").alias("e"))
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM v
+          WHERE {QUERY_PRED}),
+    pairs AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.qe, v.e) / (q.qnrm * v.nrm), 6) AS cos_sim
+      FROM q CROSS JOIN v
+      WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC)
+                  AS INTEGER) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {K}
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.expr(QUERY_PRED))
+    return cosine_topk(v, q, k=K)
+
+
+@query(
+    "similarity_lsh_ann",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    b AS (
+      SELECT vec_id, e, nrm,
+             concat(
+               CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, bucket FROM b
+          WHERE {QUERY_PRED}),
+    pairs AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(q.qe, b.e) / (q.qnrm * b.nrm), 6) AS cos_sim
+      FROM q JOIN b USING (bucket)
+      WHERE b.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC)
+                  AS INTEGER) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {K}
+    """,
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.expr(QUERY_PRED))
+    return lsh_bucketed_topk(v, q, k=K, bits=LSH_BITS)

@@ -1,0 +1,139 @@
+"""Text-analysis queries over the `documents` table (north-star extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions.text import (
+    BPE_ISH_PATTERN,
+    min_window_fingerprint,
+    stopword_ratio,
+    token_stats,
+)
+from .common import t
+from .registry import query
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT tok) AS n_distinct,
+             CAST(sum(length(tok)) AS DOUBLE) / count(*) AS avg_token_len
+      FROM tk GROUP BY 1
+    )
+    SELECT agg.doc_id, n_tokens, n_distinct, avg_token_len,
+           CAST(len(regexp_extract_all(d.text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return token_stats(docs, "doc_id", "text")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    r AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS stop_ratio
+      FROM tk GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           r.n_tokens, r.stop_ratio,
+           CASE WHEN r.n_tokens >= 20 AND r.stop_ratio <= 0.2 THEN 'good'
+                WHEN r.n_tokens >= 10 THEN 'fair'
+                ELSE 'low' END AS quality_class
+    FROM documents d JOIN r ON r.doc_id = d.doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    r = stopword_ratio(docs, "doc_id", "text")
+    base = docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    quality = (
+        F.when(
+            (F.col("n_tokens") >= 20) & (F.col("stop_ratio") <= 0.2), "good"
+        )
+        .when(F.col("n_tokens") >= 10, "fair")
+        .otherwise("low")
+    )
+    return base.join(r, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "stop_ratio",
+        quality.alias("quality_class"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS marker_ratio
+      FROM tk GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN r.marker_ratio >= 0.08 THEN 'en'
+                WHEN r.marker_ratio >= 0.04 THEN 'fr'
+                ELSE 'other' END AS lang_pred,
+           (CASE WHEN r.marker_ratio >= 0.08 THEN 'en'
+                 WHEN r.marker_ratio >= 0.04 THEN 'fr'
+                 ELSE 'other' END) = d.lang AS is_match
+    FROM documents d JOIN r ON r.doc_id = d.doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    r = stopword_ratio(docs, "doc_id", "text").withColumnRenamed(
+        "stop_ratio", "marker_ratio"
+    )
+    pred = (
+        F.when(F.col("marker_ratio") >= 0.08, "en")
+        .when(F.col("marker_ratio") >= 0.04, "fr")
+        .otherwise("other")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(r.select("doc_id", "marker_ratio"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            pred.alias("lang_pred"),
+            (pred == F.col("lang")).alias("is_match"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 12)) AS wh
+      FROM documents, UNNEST(range(1, length(text) - 10, 4)) AS u(p)
+    )
+    SELECT doc_id, min(wh) AS fingerprint FROM w GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return min_window_fingerprint(docs, "doc_id", "text", k=12, stride=4)

@@ -1,0 +1,57 @@
+"""SparkSession construction.
+
+Local testing runs a single JVM (``local[N]``); the confs below are chosen to
+also be sane on a real multi-executor cluster:
+
+- AQE on: runtime coalescing, skew-join splitting, dynamic join strategy —
+  the 100 TB safety net for skewed keys and mis-estimated shuffles.
+- ``spark.sql.shuffle.partitions`` sized to the local core count; on a real
+  cluster AQE coalesces from a deliberately high initial number instead.
+- Session timezone pinned to UTC so timestamp-derived columns (year/day
+  truncation) are deterministic and oracle-comparable.
+- Arrow enabled for any pandas interchange (extensions use Pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "certified_dogs_and_cats_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_queries(spark: SparkSession) -> SparkSession:
+    """Make a driver-provided session deterministic for oracle comparison.
+
+    Only touches runtime-mutable confs (safe on an existing session).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
