@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed with a count-style action so the full plan runs but
+results aren't collected to the driver. A warmup pass on sf0.001 triggers
+JVM/codegen warmup so the timings measure the plans, not JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from certified_dogs_and_cats_spark.queries import QUERIES
+from certified_dogs_and_cats_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward shapes that matter
+# at scale (shuffle-heavy aggs, window functions, joins, dedup, similarity).
+BENCH_QUERIES = [
+    "group_count",
+    "conditional_sum",
+    "windowed_share",
+    "window_dedup_latest",
+    "topk_per_group",
+    "anti_join_new_rows",
+    "dim_lookup_fallback",
+    "inner_join_multikey",
+    "merge_upsert_balances",
+    "totals_by_year_type",
+    "yoy_lag_stats",
+    "top3_pivot_by_brand",
+    "daily_totals",
+    "json_extract_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "text_token_stats",
+    "text_fingerprint",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    # Count the rows of the *final* result: every operator in the plan runs,
+    # nothing large is collected.
+    df.count()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    # Warmup at the smallest sf: JVM JIT + codegen caches.
+    for name in BENCH_QUERIES:
+        try:
+            QUERIES[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:  # noqa: BLE001
+            pass
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""Staged lakehouse ETL with the reference pipeline's semantics.
+
+raw CSV drops -> Bronze (standardize + guard + idempotent append)
+             -> Silver (re-standardize, dim join, window dedup, append)
+             -> Gold   (analytics views)
+
+Re-expressed Spark-first (SURVEY.md §3): explicit schemas, single-pass
+aggregated guards (the reference re-scans per guard — we don't), anti-join
+exactly-once appends, broadcast dim lookup, partitioned parquet tables via a
+local catalog (stands in for Unity Catalog + Delta; swap the catalog's
+format for Delta on a real deployment).
+"""
+
+from .catalog import Catalog
+from .runner import PipelineRunner, SkipRun
+
+__all__ = ["Catalog", "PipelineRunner", "SkipRun"]

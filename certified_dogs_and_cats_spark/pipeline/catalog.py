@@ -1,0 +1,108 @@
+"""Local table catalog: name -> (path, format, partition columns).
+
+Stands in for Unity Catalog + Delta in the reference (SURVEY.md §1.1).
+Tables are partitioned parquet directories; `append` writes through
+``DataFrameWriter.partitionBy`` so partition pruning works on read exactly
+as it would on a cluster. On a real deployment, set ``fmt="delta"`` and
+every operation maps 1:1 (plus ACID).
+
+Design notes for 100 TB:
+- partition columns are part of registration, so writers can't silently
+  produce unpartitioned tables;
+- `overwrite` replaces the whole table only for small dims; fact tables are
+  append-only + anti-join idempotency (reference semantics);
+- reads go through one place, so column pruning/pushdown hints and future
+  bucketing are centralized.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass
+class TableSpec:
+    name: str
+    path: str
+    schema: T.StructType
+    partition_by: tuple[str, ...] = ()
+    fmt: str = "parquet"
+
+
+@dataclass
+class Catalog:
+    spark: SparkSession
+    root: str
+    tables: dict[str, TableSpec] = field(default_factory=dict)
+
+    def register(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_by: tuple[str, ...] = (),
+        fmt: str = "parquet",
+    ) -> TableSpec:
+        spec = TableSpec(
+            name=name,
+            path=os.path.join(self.root, name.replace(".", "/")),
+            schema=schema,
+            partition_by=partition_by,
+            fmt=fmt,
+        )
+        self.tables[name] = spec
+        return spec
+
+    def exists(self, name: str) -> bool:
+        spec = self.tables[name]
+        return os.path.isdir(spec.path) and any(
+            not f.startswith((".", "_")) for f in os.listdir(spec.path)
+        )
+
+    def table(self, name: str) -> DataFrame:
+        """Read a table; empty (never-written) tables yield an empty frame
+        with the declared schema, so downstream anti-joins/aggregations work
+        on first run without special-casing."""
+        spec = self.tables[name]
+        if not self.exists(name):
+            return self.spark.createDataFrame([], spec.schema)
+        df = self.spark.read.format(spec.fmt).load(spec.path)
+        # Partition columns come back typed by directory inference; project
+        # to the declared column order and types.
+        cols = [
+            df[f.name].cast(f.dataType).alias(f.name) for f in spec.schema.fields
+        ]
+        return df.select(*cols)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        spec = self.tables[name]
+        writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
+            spec.fmt
+        ).mode("append")
+        if spec.partition_by:
+            writer = writer.partitionBy(*spec.partition_by)
+        writer.save(spec.path)
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Full-table replace (small dims / control tables only)."""
+        spec = self.tables[name]
+        tmp = spec.path + "__staging"
+        writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
+            spec.fmt
+        ).mode("overwrite")
+        if spec.partition_by:
+            writer = writer.partitionBy(*spec.partition_by)
+        writer.save(tmp)
+        if os.path.isdir(spec.path):
+            shutil.rmtree(spec.path)
+        os.replace(tmp, spec.path)
+
+    def compact(self, name: str, target_files_per_partition: int = 1) -> None:
+        """OPTIMIZE-style file compaction (reference docs/runbook.md:55-58):
+        rewrite the table coalesced. Local stand-in for Delta OPTIMIZE."""
+        df = self.table(name).coalesce(target_files_per_partition)
+        self.overwrite(name, df)

@@ -1,0 +1,110 @@
+"""Reference/dimension data: the breed-mapping table + upsert seed flow.
+
+Capability parity with sql/breed_mapping.py (VALUES seed -> normalize ->
+dedup by max(standard) -> MERGE upsert), but the seed itself is generated
+programmatically — standards plus deterministic variant spellings — rather
+than copying the reference's literal list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import normalize_key
+from ..operators.joins import merge_upsert
+from .catalog import Catalog
+from .schemas import BREED_MAPPING_SCHEMA
+
+BREED_STANDARDS = [
+    "GOLDEN RETRIEVER",
+    "LABRADOR RETRIEVER",
+    "GERMAN SHEPHERD",
+    "POODLE",
+    "BULLDOG",
+    "BEAGLE",
+    "CHIHUAHUA",
+    "SHIH TZU",
+    "HUSKY",
+    "TABBY",
+    "SIAMESE",
+    "PERSIAN",
+    "MAINE COON",
+    "BENGAL",
+    "RAGDOLL",
+    "SPHYNX",
+    "BOMBAY",
+    "BURMESE",
+]
+
+
+def _variants(standard: str) -> list[str]:
+    """Deterministic misspelling/abbreviation variants for a standard name.
+    Mirrors the *kind* of variation the reference maps (case, punctuation,
+    word order, truncation) without copying its data."""
+    words = standard.split()
+    out = [standard, standard.lower(), standard.replace(" ", "-")]
+    if len(words) > 1:
+        out.append(" ".join(reversed(words)))  # "RETRIEVER GOLDEN"
+        out.append(words[0] + " " + words[1][:4] + ".")  # "GOLDEN RETR."
+    out.append(standard[:6])
+    return out
+
+
+def seed_rows() -> list[tuple[str, str]]:
+    rows = []
+    for std in BREED_STANDARDS:
+        for v in _variants(std):
+            rows.append((v, std))
+    return rows
+
+
+def build_seed(spark: SparkSession) -> DataFrame:
+    """VALUES-style seed -> normalized keys -> dedup via max(breed_standard)
+    per key (sql/breed_mapping.py:583-592)."""
+    raw = spark.createDataFrame(
+        seed_rows(), "breed_variant STRING, breed_standard STRING"
+    )
+    return (
+        raw.select(
+            normalize_key("breed_variant").alias("breed_variant_key"),
+            "breed_standard",
+        )
+        .filter(F.length("breed_variant_key") > 0)
+        .groupBy("breed_variant_key")
+        .agg(F.max("breed_standard").alias("breed_standard"))
+    )
+
+
+def upsert_mapping(catalog: Catalog, updates: DataFrame) -> dict[str, int]:
+    """MERGE INTO breed_mapping (matched -> update, not matched -> insert),
+    via the join-rewrite merge (no Delta locally). Returns action counts."""
+    name = "ref.breed_mapping"
+    if name not in catalog.tables:
+        catalog.register(name, BREED_MAPPING_SCHEMA)
+    target = catalog.table(name)
+    merged = merge_upsert(
+        target,
+        updates,
+        keys=["breed_variant_key"],
+        update_cols=["breed_standard"],
+    )
+    merged = merged.cache()
+    counts = {
+        r["merge_action"]: r["cnt"]
+        for r in merged.groupBy("merge_action")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    catalog.overwrite(name, merged.select("breed_variant_key", "breed_standard"))
+    merged.unpersist()
+    return counts
+
+
+def ensure_mapping(catalog: Catalog) -> None:
+    """Seed the mapping table if absent (idempotent)."""
+    name = "ref.breed_mapping"
+    if name not in catalog.tables:
+        catalog.register(name, BREED_MAPPING_SCHEMA)
+    if not catalog.exists(name):
+        catalog.overwrite(name, build_seed(catalog.spark))
