@@ -12,6 +12,6 @@ format for Delta on a real deployment).
 """
 
 from .catalog import Catalog
-from .runner import PipelineRunner, SkipRun
+from .runner import PipelineRunner, SkipRun, build_daily_pipeline
 
-__all__ = ["Catalog", "PipelineRunner", "SkipRun"]
+__all__ = ["Catalog", "PipelineRunner", "SkipRun", "build_daily_pipeline"]

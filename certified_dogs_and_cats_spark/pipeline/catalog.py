@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,8 +88,16 @@ class Catalog:
             writer = writer.partitionBy(*spec.partition_by)
         writer.save(spec.path)
 
+    def _trash_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_trash", name.replace(".", "/"))
+
     def overwrite(self, name: str, df: DataFrame) -> None:
-        """Full-table replace (small dims / control tables only)."""
+        """Full-table replace (small dims / control tables only).
+
+        The superseded table version is retired into ``_trash/<table>/<ts>``
+        rather than deleted, mirroring Delta's keep-old-versions-until-VACUUM
+        behavior; :meth:`vacuum` applies the retention policy.
+        """
         spec = self.tables[name]
         tmp = spec.path + "__staging"
         writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
@@ -98,7 +107,10 @@ class Catalog:
             writer = writer.partitionBy(*spec.partition_by)
         writer.save(tmp)
         if os.path.isdir(spec.path):
-            shutil.rmtree(spec.path)
+            trash = os.path.join(self._trash_dir(name), str(time.time_ns()))
+            os.makedirs(os.path.dirname(trash), exist_ok=True)
+            os.replace(spec.path, trash)
+        os.makedirs(os.path.dirname(spec.path), exist_ok=True)
         os.replace(tmp, spec.path)
 
     def compact(self, name: str, target_files_per_partition: int = 1) -> None:
@@ -106,3 +118,23 @@ class Catalog:
         rewrite the table coalesced. Local stand-in for Delta OPTIMIZE."""
         df = self.table(name).coalesce(target_files_per_partition)
         self.overwrite(name, df)
+
+    def vacuum(self, name: str, retain_hours: float = 168.0) -> int:
+        """VACUUM RETAIN <h> HOURS (reference docs/runbook.md:103-104):
+        purge retired table versions older than the retention window.
+        Returns the number of versions deleted."""
+        trash = self._trash_dir(name)
+        if not os.path.isdir(trash):
+            return 0
+        cutoff_ns = time.time_ns() - int(retain_hours * 3600 * 1e9)
+        removed = 0
+        for entry in sorted(os.listdir(trash)):
+            full = os.path.join(trash, entry)
+            try:
+                version_ns = int(entry)
+            except ValueError:
+                continue
+            if version_ns < cutoff_ns:
+                shutil.rmtree(full)
+                removed += 1
+        return removed

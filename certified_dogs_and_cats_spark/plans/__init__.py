@@ -1,0 +1,104 @@
+"""Plan-inspection helpers: make "the plan is the one you'd want at 100x"
+an enforced property instead of a docstring claim.
+
+Used by the pytest suite to pin physical-plan shapes: the breed-mapping dim
+join must be a BroadcastHashJoin, parquet scans must show pushed filters and
+pruned schemas, and nothing may degenerate into a cartesian product. These
+checks read the EXPLAIN output of the final (post-Catalyst, pre-execution)
+plan, so regressions surface before any data runs.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+class PlanAssertionError(AssertionError):
+    """A physical plan does not have the required shape."""
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    """EXPLAIN output as a string (modes: simple|extended|formatted|cost)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def assert_broadcast_join(df: DataFrame) -> str:
+    """The plan must contain a broadcast hash join (small-dim lookup path:
+    the fact side never shuffles)."""
+    plan = plan_text(df)
+    if "BroadcastHashJoin" not in plan:
+        raise PlanAssertionError(
+            "expected a BroadcastHashJoin in the plan:\n" + plan
+        )
+    return plan
+
+
+def assert_no_cartesian(df: DataFrame) -> str:
+    """No CartesianProduct / BroadcastNestedLoopJoin may appear — the
+    O(N*M) shapes that kill a 100 TB run silently."""
+    plan = plan_text(df)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in plan:
+            raise PlanAssertionError(f"forbidden {bad} in the plan:\n" + plan)
+    return plan
+
+
+def assert_pushed_filter(df: DataFrame, *column_names: str) -> str:
+    """Every named column must appear in a scan's PushedFilters list —
+    i.e. the predicate reaches the parquet reader instead of a post-scan
+    Filter over full row groups."""
+    plan = plan_text(df)
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    blob = "\n".join(pushed)
+    missing = [c for c in column_names if c not in blob]
+    if missing:
+        raise PlanAssertionError(
+            f"filters on {missing} not pushed to any scan. "
+            f"PushedFilters lines:\n{blob}\nfull plan:\n{plan}"
+        )
+    return plan
+
+
+def assert_pruned_schema(df: DataFrame, max_columns: int) -> str:
+    """Every parquet scan must read at most `max_columns` columns
+    (column pruning reached the reader)."""
+    plan = plan_text(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            _, _, schema = line.partition("struct<")
+            ncols = len(schema.split(",")) if schema else 0
+            if ncols > max_columns:
+                raise PlanAssertionError(
+                    f"scan reads {ncols} columns (> {max_columns}): {line}"
+                )
+    return plan
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen spans — 0 means the plan fell
+    off the codegen path entirely.
+
+    Under AQE the pre-execution plan carries no codegen markers (subtrees
+    are planned per-stage at runtime), so: execute the frame first (any
+    action on the same DataFrame object) and this reads the final adaptive
+    plan's ``[codegen id : N]`` markers; with AQE off it falls back to the
+    ``codegen`` explain mode's subtree count.
+    """
+    plan = plan_text(df, mode="formatted")
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    if ids:
+        return len(ids)
+    m = re.search(
+        r"Found (\d+) WholeStageCodegen subtrees",
+        plan_text(df, mode="codegen"),
+    )
+    return int(m.group(1)) if m else 0

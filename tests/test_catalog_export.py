@@ -1,0 +1,88 @@
+"""Catalog maintenance (OPTIMIZE/VACUUM, S12) and CSV export sink (S10)."""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from certified_dogs_and_cats_spark.pipeline.export import (
+    export_all,
+    export_view_csv,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ]
+)
+
+
+def test_catalog_append_partitioned_roundtrip(catalog):
+    catalog.register("t.part", SCHEMA, partition_by=("k",))
+    df = catalog.spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA)
+    catalog.append("t.part", df)
+    # Partition directories exist on disk (Hive layout).
+    spec = catalog.tables["t.part"]
+    assert any(d.startswith("k=") for d in os.listdir(spec.path))
+    got = {r["k"]: r["v"] for r in catalog.table("t.part").collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_compact_preserves_data(catalog):
+    catalog.register("t.c", SCHEMA)
+    for i in range(3):
+        catalog.append(
+            "t.c", catalog.spark.createDataFrame([(f"k{i}", i)], SCHEMA)
+        )
+    catalog.compact("t.c")
+    got = {r["k"]: r["v"] for r in catalog.table("t.c").collect()}
+    assert got == {"k0": 0, "k1": 1, "k2": 2}
+
+
+def test_vacuum_retention(catalog):
+    catalog.register("t.v", SCHEMA)
+    df1 = catalog.spark.createDataFrame([("a", 1)], SCHEMA)
+    df2 = catalog.spark.createDataFrame([("b", 2)], SCHEMA)
+    catalog.overwrite("t.v", df1)
+    catalog.overwrite("t.v", df2)  # retires version 1 into _trash
+    trash = catalog._trash_dir("t.v")
+    assert len(os.listdir(trash)) == 1
+    # Inside the retention window: nothing purged.
+    assert catalog.vacuum("t.v", retain_hours=168) == 0
+    assert len(os.listdir(trash)) == 1
+    # RETAIN 0 HOURS purges the retired version; live data untouched.
+    assert catalog.vacuum("t.v", retain_hours=0) == 1
+    assert os.listdir(trash) == []
+    assert [r["k"] for r in catalog.table("t.v").collect()] == ["b"]
+
+
+def test_csv_export_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None)], SCHEMA
+    )
+    out = export_view_csv(df, str(tmp_path / "exports"), "v_demo", date(2026, 1, 2))
+    assert out.endswith("v_demo/export_date=2026-01-02")
+    back = (
+        spark.read.schema(SCHEMA).option("header", True).csv(out)
+    )
+    got = {r["k"]: r["v"] for r in back.collect()}
+    assert got == {"a": 1, "b": None}
+    # Header really present in the part file.
+    part = [f for f in os.listdir(out) if f.startswith("part-")][0]
+    with open(os.path.join(out, part)) as f:
+        assert f.readline().strip() == "k,v"
+
+
+def test_export_all_idempotent_rerun(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], SCHEMA)
+    root = str(tmp_path / "exports")
+    d = date(2026, 1, 2)
+    export_all({"v1": df, "v2": df}, root, d)
+    paths = export_all({"v1": df, "v2": df}, root, d)  # re-run replaces
+    assert set(paths) == {"v1", "v2"}
+    back = spark.read.schema(SCHEMA).option("header", True).csv(paths["v1"])
+    assert back.count() == 1

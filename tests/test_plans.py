@@ -1,0 +1,66 @@
+"""Plan-shape regression tests: enforce the physical plans we want at 100 TB
+(broadcast dim joins, pushed-down scans, no cartesian blowups)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from certified_dogs_and_cats_spark.operators.joins import dim_lookup
+from certified_dogs_and_cats_spark.plans import (
+    PlanAssertionError,
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pruned_schema,
+    assert_pushed_filter,
+    plan_text,
+    wholestage_codegen_count,
+)
+
+
+@pytest.fixture
+def parquet_table(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_dim_lookup_is_broadcast_hash_join(spark, parquet_table):
+    dim = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(10)], "k LONG, name STRING"
+    )
+    out = dim_lookup(parquet_table, dim, key="k", value_cols=["name"])
+    assert_broadcast_join(out)
+    assert_no_cartesian(out)
+
+
+def test_filter_pushdown_reaches_parquet_scan(parquet_table):
+    q = parquet_table.filter(F.col("k") == 3).select("id")
+    assert_pushed_filter(q, "k")
+    # Column pruning: only (id, k) should be read, not v.
+    assert_pruned_schema(q, max_columns=2)
+
+
+def test_pushdown_assertion_fails_when_not_pushed(spark):
+    # An in-memory relation has no parquet scan, so nothing is pushed.
+    df = spark.range(10).filter(F.col("id") > 3)
+    with pytest.raises(PlanAssertionError):
+        assert_pushed_filter(df, "id")
+
+
+def test_no_cartesian_detects_cross_join(spark):
+    a = spark.range(5)
+    b = spark.range(5).withColumnRenamed("id", "id2")
+    with pytest.raises(PlanAssertionError):
+        assert_no_cartesian(a.crossJoin(b))
+
+
+def test_aggregation_stays_in_codegen(parquet_table):
+    agg = parquet_table.groupBy("k").agg(F.sum("v").alias("s"))
+    agg.collect()  # finalize the adaptive plan so codegen ids are visible
+    assert wholestage_codegen_count(agg) >= 1
+    assert "isFinalPlan=true" in plan_text(agg)
