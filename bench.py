@@ -50,9 +50,10 @@ BENCH_QUERIES = [
 def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)
-    # Count the rows of the *final* result: every operator in the plan runs,
-    # nothing large is collected.
-    df.count()
+    # noop-format write: executes the FULL plan (count() would let Catalyst
+    # prune projected expressions that don't affect the row count) without
+    # collecting anything to the driver.
+    df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
@@ -63,7 +64,9 @@ def main() -> None:
     # Warmup at the smallest sf: JVM JIT + codegen caches.
     for name in BENCH_QUERIES:
         try:
-            QUERIES[name](spark, "/root/testdata/sf0.001").count()
+            QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
     timings: dict[str, float] = {}

@@ -64,13 +64,34 @@ def word_shingles(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str, threshold: float
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over pairs sharing >= 1 shingle.
 
     (a_id, b_id, jaccard) with a_id < b_id and jaccard >= threshold.
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) as exact-integer division -> DOUBLE.
+
+    Scale gate: the shingle self-join is quadratic in per-shingle document
+    frequency — one shingle shared by d docs emits d(d-1)/2 pairs, so a
+    stop-word trigram at corpus scale is a skew bomb. ``max_shingle_df``
+    drops shingles whose document frequency exceeds the cap from the
+    *universe* (sizes and intersections both computed post-cap, so Jaccard
+    stays internally consistent); such shingles carry no dedup signal
+    anyway. Pair count is then bounded by sum_s df_s^2 <= cap * |shingles|.
+    None disables the gate (exact textbook Jaccard).
     """
+    if max_shingle_df is not None:
+        df_counts = shingles.groupBy("shingle").agg(
+            F.count("*").alias("__df__")
+        )
+        shingles = (
+            shingles.join(df_counts, "shingle")
+            .filter(F.col("__df__") <= max_shingle_df)
+            .drop("__df__")
+        )
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     x = shingles.alias("x")
     y = shingles.alias("y")
@@ -99,11 +120,19 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, num_hashes: int = 8
+    shingles: DataFrame, id_col: str, num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signature: per doc, min over shingles of md5(f"{i}#{shingle}")
     for each of `num_hashes` seeded hash functions. One aggregate; signature
-    size is constant per doc regardless of doc length."""
+    size is constant per doc regardless of doc length.
+
+    Defaults (32 hashes, banded 8 bands x 4 rows by
+    :func:`lsh_candidate_pairs`) give a production S-curve: candidate
+    probability 1-(1-s^4)^8 is ~0.99 at Jaccard 0.8, ~0.89 at 0.7, and only
+    ~0.06 at 0.3 — near-complete recall for true near-dups with far fewer
+    low-similarity false candidates to verify than the 4x2 banding (which
+    admits ~31% of 0.3-similar pairs). The oracle-checked query pins 8/2
+    explicitly for cheap exact replay in DuckDB."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -112,7 +141,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+    signatures: DataFrame, id_col: str, num_hashes: int = 32, band_size: int = 4
 ) -> DataFrame:
     """Band the signature (rows=band_size) and emit distinct candidate pairs
     (a_id, b_id) that collide on >= 1 band. Linear-ish: one explode + one

@@ -55,13 +55,22 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "e",
     round_digits: int = 6,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cos_sim, rnk). Scores are rounded before
     ranking and ties broken by neighbor id, so the result set is unique.
     `queries` is broadcast: the big corpus never shuffles for the join.
+
+    Scale contract: this is the |Q|-small exactness baseline — compute is
+    O(|Q| * N * d) and the query set is broadcast, so |Q| must stay bounded
+    (hundreds, not a fraction of the corpus). Pass ``max_queries`` to enforce
+    the bound (deterministic lowest-id subset); route bulk ANN through
+    :func:`lsh_bucketed_topk`, whose cost per query is N/2^bits.
     """
+    if max_queries is not None:
+        queries = queries.orderBy(F.col(id_col).asc()).limit(max_queries)
     q = with_norm(queries, vec_col, "qnrm").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qe"),
@@ -100,8 +109,14 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: search only the query's sign-LSH bucket.
 
-    Same output shape as cosine_topk; the join key is (bucket), so at scale
-    this is a partitioned equi-join instead of a broadcast fan-out.
+    Same output shape as cosine_topk; the join key is (bucket) and the join
+    is deliberately NOT broadcast-hinted: both sides shuffle on `bucket`, so
+    the query side may grow with the corpus without blowing up driver or
+    executor memory, and AQE may still choose broadcast when the query side
+    happens to be small. Recall/cost is tuned by `bits`: per-query work is
+    ~N/2^bits, so scale bits with log2(N) (8 bits ~ 256 buckets fits the
+    sf0.1 testdata; a 1e9-vector corpus wants 16-20 bits or IVF centroids
+    via a custom `bucket` expression).
     """
     q = with_norm(queries, vec_col, "qnrm").select(
         F.col(id_col).alias("query_id"),
@@ -115,7 +130,7 @@ def lsh_bucketed_topk(
         "nnrm",
         sign_bucket(vec_col, bits).alias("bucket"),
     )
-    pairs = c.join(F.broadcast(q), "bucket").filter(
+    pairs = c.join(q, "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     cos = F.round(

@@ -86,12 +86,18 @@ def silver_stage(
         & F.col("ANIMAL_TYPE").isin(*ANIMAL_TYPES)
         & F.col("breed_raw").isNotNull()
     )
+    # Final tie-break: a stable hash over the full row makes the ordering
+    # total, so which duplicate survives is deterministic even when
+    # (ingestion_ts, Year) tie — required for reproducible re-runs on a
+    # cluster (partition order varies run to run).
+    row_hash = F.xxhash64(*[F.col(c) for c in valid.columns])
     deduped = latest_per_key(
         valid,
         keys=["_id"],
         order_by=[
             F.col("ingestion_ts").desc(),
             F.col("Year").desc_nulls_last(),
+            row_hash.asc(),
         ],
     )
     silver_batch = deduped.withColumn(

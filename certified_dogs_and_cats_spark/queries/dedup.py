@@ -48,14 +48,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs, "doc_id", "text")
 
 
+# Shingles with document frequency above this cap are dropped from the
+# Jaccard universe (skew gate — see extensions/dedup.py:jaccard_pairs).
+# 1000 is far above any sf0.01/sf0.1 shingle frequency, so small-scale
+# results are identical to the uncapped computation; at corpus scale the cap
+# bounds the self-join fan-out.
+MAX_SHINGLE_DF = 1000
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    shc AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN freq USING (shingle)
+      WHERE freq.df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
     pairs AS (
       SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
-      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     )
     SELECT a_id, b_id,
@@ -69,7 +83,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=3)
-    return jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
+    return jaccard_pairs(
+        sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
+    )
 
 
 @query(

@@ -14,8 +14,10 @@ from ..extensions.similarity import as_double_vec, cosine_topk, lsh_bucketed_top
 from .common import t
 from .registry import query
 
-# Every 100th vector is a query point (5 at sf0.01, 50 at sf0.1).
-QUERY_PRED = "vec_id % 100 = 0"
+# Every 100th vector is a query point, capped at 50 queries total so |Q|
+# stays bounded at ANY corpus size (5 at sf0.01, 50 at sf0.1 and beyond) —
+# the brute-force path broadcasts Q, so Q must not grow with N.
+QUERY_PRED = "vec_id % 100 = 0 AND vec_id < 5000"
 K = 5
 LSH_BITS = 8
 

@@ -38,13 +38,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown testdata table {name!r}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's schema
-        # converter rejects. Read nanos as raw INT64 and truncate to
-        # microseconds with exact integer division — matches DuckDB's
-        # CAST(ts AS TIMESTAMP) bit-for-bit (validated).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # converter rejects. Read nanos as raw INT64 (legacy conf scoped to
+        # this read — the conf is captured when the DataFrame is created, so
+        # restoring it immediately is safe; validated) and floor-divide to
+        # microseconds in exact integer arithmetic. Floor (not
+        # truncate-toward-zero) so hypothetical pre-epoch timestamps land on
+        # the earlier microsecond, matching time-truncation semantics;
+        # for the non-negative testdata both agree, and DuckDB's
+        # CAST(ts AS TIMESTAMP) matches bit-for-bit (validated).
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        floor_div = "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
         return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            "ts", F.expr(f"timestamp_micros(CAST({floor_div} AS BIGINT))")
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -59,6 +59,35 @@ def test_no_cartesian_detects_cross_join(spark):
         assert_no_cartesian(a.crossJoin(b))
 
 
+def test_lsh_ann_join_not_forced_broadcast(spark):
+    """The bucketed ANN path must leave the join strategy to the planner:
+    with a large query side (auto-broadcast disabled to simulate it), the
+    plan must fall back to a shuffled join on `bucket` rather than a
+    hard-coded broadcast of the query set (the 100 TB OOM scenario)."""
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7 - 3).cast("double"),
+            (F.col("id") % 5 - 2).cast("double"),
+            (F.col("id") % 3 - 1).cast("double"),
+        ).alias("e"),
+    )
+    q = vecs.filter(F.col("vec_id") % 10 == 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = lsh_bucketed_topk(vecs, q, k=3, bits=3)
+        plan = plan_text(out, "simple")
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_aggregation_stays_in_codegen(parquet_table):
     agg = parquet_table.groupBy("k").agg(F.sum("v").alias("s"))
     agg.collect()  # finalize the adaptive plan so codegen ids are visible
