@@ -1,0 +1,103 @@
+"""Multimodal extension: binary payload packing, metadata schema,
+mapInPandas decode boundary (batch shape + partition preservation), magic-
+byte sniffing, and the honest stubs for codec-requiring paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from certified_dogs_and_cats_spark.extensions.multimodal import (
+    FEATURE_SCHEMA,
+    decode_features,
+    decode_image,
+    frame_sample,
+    metadata_stats,
+    pack_payload,
+    sniff_format,
+)
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "delta epsilon"),
+        (2, "zeta"),
+        (3, "eta theta iota kappa"),
+        (4, ""),
+        (5, "lambda mu"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_payload_schema_and_determinism(docs):
+    packed = pack_payload(docs)
+    assert dict(packed.dtypes)["payload"] == "binary"
+    media = packed.schema["media"].dataType
+    assert isinstance(media, T.StructType)
+    assert [f.name for f in media.fields] == [
+        "format", "size_bytes", "width", "height", "sample_rate",
+    ]
+    rows = {r.doc_id: r.media for r in packed.collect()}
+    assert rows[0].format == "image/png" and rows[0].sample_rate is None
+    assert rows[1].format == "image/jpeg" and rows[1].width == 16 + 1 * 4
+    assert rows[2].format == "audio/wav" and rows[2].width is None
+    assert rows[2].sample_rate == 16000
+    assert rows[3].size_bytes == len("eta theta iota kappa")
+
+
+def test_decode_features_values_and_schema(docs):
+    feats = decode_features(pack_payload(docs))
+    assert feats.schema == FEATURE_SCHEMA
+    by_id = {r.doc_id: r for r in feats.collect()}
+    assert by_id[0].byte_len == 16
+    assert by_id[0].first_byte == ord("a")
+    assert by_id[0].space_count == 2
+    assert by_id[4].byte_len == 0
+    assert by_id[4].first_byte == -1  # empty payload sentinel
+
+
+def test_decode_preserves_partitioning(docs):
+    packed = pack_payload(docs).repartition(3)
+    feats = decode_features(packed)
+    # mapInPandas is narrow: no exchange is introduced, partitions survive.
+    assert feats.rdd.getNumPartitions() == 3
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    # The only exchanges in the plan are the explicit repartition itself.
+    assert plan.count("Exchange") == plan.count("Exchange RoundRobinPartitioning")
+
+
+def test_sniff_format_magic_bytes(spark):
+    payloads = [
+        (1, bytearray(b"\x89PNG\r\n\x1a\n....")),
+        (2, bytearray(b"\xff\xd8\xff\xe0JFIF")),
+        (3, bytearray(b"RIFF\x24\x00\x00\x00WAVE")),
+        (4, bytearray(b"plain text")),
+    ]
+    df = spark.createDataFrame(payloads, "id long, payload binary")
+    got = {
+        r.id: r.fmt
+        for r in df.select("id", sniff_format(F.col("payload")).alias("fmt")).collect()
+    }
+    assert got == {
+        1: "image/png",
+        2: "image/jpeg",
+        3: "audio/wav",
+        4: "application/octet-stream",
+    }
+
+
+def test_metadata_stats_rollup(docs):
+    stats = {r.format: r for r in metadata_stats(pack_payload(docs)).collect()}
+    assert stats["image/png"].n_assets == 2  # doc_id 0, 3
+    assert stats["image/png"].total_bytes == 16 + 20
+    assert stats["audio/wav"].max_width is None
+
+
+def test_codec_stubs_raise(docs):
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(pack_payload(docs))
+    with pytest.raises(NotImplementedError, match="codec"):
+        frame_sample(pack_payload(docs))
