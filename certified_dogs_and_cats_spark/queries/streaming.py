@@ -1,0 +1,128 @@
+"""Structured Streaming queries over the `events` table.
+
+Each query drains a bounded AvailableNow run into a memory sink and
+returns the result table, so the driver can verify streaming semantics
+against a plain batch SQL oracle: with all data present and a fresh
+checkpoint, watermarked streaming aggregation == batch aggregation.
+
+events.ts is parquet TIMESTAMP(NANOS); like sources.testdata.load_table,
+the stream reads it as raw INT64 (legacy conf scoped to the bounded run)
+and floor-divides to microseconds, which matches DuckDB's
+CAST(ts AS TIMESTAMP) truncation for the non-negative testdata.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import configure_for_queries
+from ..streaming import (
+    dedup_stream,
+    read_file_stream,
+    run_available_now_memory,
+    windowed_counts,
+)
+from .registry import query
+
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = read_file_stream(
+        spark,
+        sf_dir,
+        _EVENTS_NANOS_SCHEMA,
+        fmt="parquet",
+        path_glob="events.parquet",
+    )
+    floor_div = "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+    return raw.withColumn(
+        "ts", F.expr(f"timestamp_micros(CAST({floor_div} AS BIGINT))")
+    )
+
+
+def _with_nanos_conf(spark: SparkSession, fn):
+    """Run fn with the nanos-as-long legacy conf set, restoring it after.
+
+    Safe for bounded AvailableNow runs: the conf is read when the stream
+    starts, and run_available_now_memory blocks until it finishes.
+    """
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return fn()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup, drained with AvailableNow.
+
+    Complete output mode: every window is emitted at end of run, so the
+    bounded streaming result equals the batch group-by — which is exactly
+    the invariant worth pinning (late-data drop only kicks in on data
+    later than the watermark, and a bounded replay has none).
+    """
+    configure_for_queries(spark)
+
+    def run() -> DataFrame:
+        agg = windowed_counts(
+            _events_stream(spark, sf_dir),
+            "ts",
+            window_duration="1 hour",
+            watermark_delay="1 hour",
+            group_cols=["event_type"],
+        )
+        return run_available_now_memory(
+            agg, tempfile.mkdtemp(prefix="ck_win_"), output_mode="complete"
+        )
+
+    return _with_nanos_conf(spark, run)
+
+
+@query(
+    "streaming_dedup_ids",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates — exactly-once row delivery per
+    key (the streaming analog of bronze's _id anti-join)."""
+    configure_for_queries(spark)
+
+    def run() -> DataFrame:
+        ids = dedup_stream(
+            _events_stream(spark, sf_dir).select("user_id"), ["user_id"]
+        )
+        return run_available_now_memory(
+            ids, tempfile.mkdtemp(prefix="ck_dedup_"), output_mode="append"
+        )
+
+    return _with_nanos_conf(spark, run)

@@ -1,0 +1,146 @@
+"""Structured Streaming equivalents of the reference's incremental batch.
+
+The reference (SURVEY §2.9) is daily batch with streaming-shaped
+guarantees; this module expresses each of them natively:
+
+- at-most-once per ``ingestion_date`` via control-table check
+  (reference ``notebooks/bronze.py:49-56``) → file-source **checkpoint
+  offsets**: a re-run with the same checkpoint processes zero new files
+  (:func:`available_now_ingest`).
+- exactly-once row delivery via ``_id`` anti-join
+  (``notebooks/bronze.py:111-115``) → **stateful streaming
+  ``dropDuplicates``** keyed on the id (:func:`dedup_stream`).
+- latest-wins in-batch dedup (``notebooks/silver.py:81-85``) →
+  ``dropDuplicatesWithinWatermark`` semantics (:func:`dedup_stream` with
+  a watermark bound so state is reclaimable).
+- event-time rollups → watermarked tumbling-window aggregation
+  (:func:`windowed_counts`), the streaming face of the gold daily-totals
+  view.
+
+Everything runs under ``Trigger.AvailableNow`` — bounded catch-up runs
+that drain whatever files exist and stop, which is exactly the
+reference's daily-cron shape and also how a 100 TB backfill would be
+driven (checkpointed, restartable, no reprocessing). State stores are
+per-key and bounded (watermarks bound dedup/window state), so the same
+topology runs continuous at scale by swapping the trigger.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    fmt: str = "csv",
+    max_files_per_trigger: int | None = None,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """File-source stream with an explicit schema (never inferred —
+    reference reads CSV with a declared StructType, bronze.py:11-19)."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.format(fmt).load(source_dir)
+
+
+def run_available_now(
+    df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    fmt: str = "parquet",
+) -> None:
+    """Drain the stream once (Trigger.AvailableNow) into a file sink.
+
+    The checkpoint carries source offsets, so calling this again with the
+    same ``checkpoint_dir`` after new files land processes ONLY the new
+    files — the streaming analog of the reference's control-table
+    at-most-once guard.
+    """
+    q = (
+        df.writeStream.format(fmt)
+        .outputMode(output_mode)
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_memory(
+    df: DataFrame, checkpoint_dir: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream into an in-memory table and return it as a
+    DataFrame (bounded result surface for verification/queries)."""
+    name = "s_" + uuid.uuid4().hex
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    event_time_col: str | None = None,
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Exactly-once row delivery: stateful dropDuplicates on the key.
+
+    Streaming analog of the reference's ``_id`` anti-join
+    (notebooks/bronze.py:111-115). With ``event_time_col`` set, the
+    watermark bounds how long a key is remembered
+    (``dropDuplicatesWithinWatermark``), keeping state finite on an
+    unbounded stream — the scale-safe default. Without it, state grows
+    with distinct keys (fine for bounded AvailableNow catch-up runs).
+    """
+    if event_time_col is not None:
+        return df.withWatermark(event_time_col, watermark_delay) \
+            .dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def windowed_counts(
+    df: DataFrame,
+    event_time_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over event time.
+
+    Late data beyond ``watermark_delay`` is dropped and per-window state
+    is finalized — bounded state on an unbounded stream. Counts and a
+    DECIMAL-summed value (order-independent, engine-portable totals).
+    """
+    keys = [
+        F.window(F.col(event_time_col), window_duration).start.alias("window_start")
+    ] + [F.col(c) for c in (group_cols or [])]
+    return (
+        df.withWatermark(event_time_col, watermark_delay)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

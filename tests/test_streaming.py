@@ -1,0 +1,114 @@
+"""Streaming module: checkpointed exactly-once ingest (at-most-once per
+drop, the control-table analog), stateful dedup across micro-batches, and
+watermarked windowed aggregation == batch aggregation on bounded input."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from certified_dogs_and_cats_spark.streaming import (
+    dedup_stream,
+    read_file_stream,
+    run_available_now,
+    run_available_now_memory,
+    windowed_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def write_csv(src_dir: str, fname: str, rows: list[tuple]) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, fname), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["_id", "ts", "kind", "value"])
+        w.writerows(rows)
+
+
+ROWS1 = [
+    (1, "2026-01-01 10:00:00", "a", 1.0),
+    (2, "2026-01-01 10:30:00", "b", 2.0),
+    (3, "2026-01-01 11:15:00", "a", 3.0),
+]
+ROWS2 = [
+    (3, "2026-01-01 11:15:00", "a", 3.0),  # duplicate _id from drop 1
+    (4, "2026-01-01 12:05:00", "b", 4.0),
+]
+
+
+def test_available_now_ingest_is_exactly_once_per_file(spark, tmp_path):
+    src, sink, ck = (str(tmp_path / d) for d in ("src", "sink", "ck"))
+    write_csv(src, "d1.csv", ROWS1)
+
+    stream = lambda: read_file_stream(spark, src, SCHEMA, fmt="csv")  # noqa: E731
+    run_available_now(stream(), sink, ck)
+    assert spark.read.parquet(sink).count() == 3
+
+    # Re-run with the same checkpoint and no new files: nothing reprocessed.
+    run_available_now(stream(), sink, ck)
+    assert spark.read.parquet(sink).count() == 3
+
+    # A new drop is picked up incrementally — only the new file's rows land.
+    write_csv(src, "d2.csv", ROWS2)
+    run_available_now(stream(), sink, ck)
+    out = spark.read.parquet(sink)
+    assert out.count() == 5
+    assert out.filter(F.col("_id") == 3).count() == 2  # sink saw the dup row
+
+
+def test_dedup_stream_is_stateful_across_microbatches(spark, tmp_path):
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    write_csv(src, "d1.csv", ROWS1)
+    write_csv(src, "d2.csv", ROWS2)
+
+    # One file per micro-batch forces the duplicate _id=3 into a LATER
+    # batch than its first sighting — only cross-batch state can drop it.
+    stream = read_file_stream(
+        spark, src, SCHEMA, fmt="csv", max_files_per_trigger=1
+    )
+    out = run_available_now_memory(
+        dedup_stream(stream.select("_id"), ["_id"]), ck, output_mode="append"
+    )
+    assert sorted(r._id for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_dedup_stream_with_watermark_bounds_state(spark, tmp_path):
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    write_csv(src, "d1.csv", ROWS1 + ROWS2)
+    stream = read_file_stream(spark, src, SCHEMA, fmt="csv")
+    out = run_available_now_memory(
+        dedup_stream(stream, ["_id"], event_time_col="ts", watermark_delay="1 hour"),
+        ck,
+        output_mode="append",
+    )
+    assert sorted(r._id for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_windowed_counts_equal_batch_groupby(spark, tmp_path):
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    write_csv(src, "d1.csv", ROWS1 + [r for r in ROWS2 if r[0] != 3])
+    stream = read_file_stream(spark, src, SCHEMA, fmt="csv")
+    agg = windowed_counts(
+        stream, "ts", window_duration="1 hour", group_cols=["kind"]
+    )
+    got = {
+        (str(r.window_start), r.kind): (r.cnt, r.total_value)
+        for r in run_available_now_memory(agg, ck, output_mode="complete").collect()
+    }
+    assert got == {
+        ("2026-01-01 10:00:00", "a"): (1, 1.0),
+        ("2026-01-01 10:00:00", "b"): (1, 2.0),
+        ("2026-01-01 11:00:00", "a"): (1, 3.0),
+        ("2026-01-01 12:00:00", "b"): (1, 4.0),
+    }
