@@ -225,3 +225,59 @@ def simhash64(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
             ).alias("simhash")
         )
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    bits: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (strategy 5: semantic dedup).
+
+    Candidate generation is sign-LSH bucketing (similarity.sign_bucket):
+    only vectors sharing a bucket are compared, via a bucket-keyed
+    self-join — never an all-pairs cross join. Exact cosine then verifies
+    each candidate against ``threshold``. Returns (id_a, id_b, cos_sim)
+    with id_a < id_b, deduplicated by construction.
+
+    Scale contract: the self-join shuffles on `bucket` (no broadcast), so
+    work per bucket is ~(N/2^bits)^2/2 — scale `bits` with log2(N) just
+    like lsh_bucketed_topk, or substitute IVF centroid ids for the bucket
+    expression. Recall is governed by bits (a near-dup pair straddling a
+    sign boundary is missed); production near-dup passes OR several
+    bit-selections together, each a cheap re-bucketing of the same
+    signatures.
+    """
+    from .similarity import dot, sign_bucket, with_norm
+
+    b = with_norm(embeddings, vec_col, "nrm").select(
+        F.col(id_col),
+        F.col(vec_col),
+        "nrm",
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+    left = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    right = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b")),
+        round_digits,
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -195,3 +195,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     tk = tokens(docs, "doc_id", "text").distinct()
     return simhash64(tk, "doc_id", "tok")
+
+
+# --- strategy 5: embedding-cosine near-dup (semantic dedup) -----------------
+# The synthetic embeddings have no true duplicates, so the threshold is set
+# where LSH-bucketed candidates exist (bits=4, t=0.3 -> 135 pairs at sf0.01);
+# the point pinned here is the algorithm: bucket-join candidates + exact
+# cosine verify, never all-pairs.
+NEAR_DUP_BITS = 4
+NEAR_DUP_THRESHOLD = 0.3
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e, nrm,
+             concat(
+               CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM v
+    )
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6) AS cos_sim
+    FROM b a JOIN b bb USING (bucket)
+    WHERE a.vec_id < bb.vec_id
+      AND round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6)
+          >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import embedding_near_dup_pairs
+    from ..extensions.similarity import as_double_vec
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    return embedding_near_dup_pairs(
+        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS
+    )

@@ -93,3 +93,29 @@ def test_aggregation_stays_in_codegen(parquet_table):
     agg.collect()  # finalize the adaptive plan so codegen ids are visible
     assert wholestage_codegen_count(agg) >= 1
     assert "isFinalPlan=true" in plan_text(agg)
+
+
+def test_embedding_near_dup_join_is_bucket_keyed(spark):
+    """The near-dup self-join must key on `bucket` (equi-join), never a
+    cartesian product — with broadcast disabled it shuffles on bucket."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7 - 3).cast("double"),
+            (F.col("id") % 5 - 2).cast("double"),
+            (F.col("id") % 3 - 1).cast("double"),
+        ).alias("e"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = embedding_near_dup_pairs(vecs, 0.5, bits=2)
+        assert_no_cartesian(out)
+        plan = plan_text(out, "simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
