@@ -12,6 +12,14 @@ format for Delta on a real deployment).
 """
 
 from .catalog import Catalog
+from .ddl import DdlError, DdlSession
 from .runner import PipelineRunner, SkipRun, build_daily_pipeline
 
-__all__ = ["Catalog", "PipelineRunner", "SkipRun", "build_daily_pipeline"]
+__all__ = [
+    "Catalog",
+    "DdlError",
+    "DdlSession",
+    "PipelineRunner",
+    "SkipRun",
+    "build_daily_pipeline",
+]

@@ -88,6 +88,15 @@ class Catalog:
             writer = writer.partitionBy(*spec.partition_by)
         writer.save(spec.path)
 
+    def drop(self, name: str) -> None:
+        """DROP TABLE: deregister and retire the data into _trash (recoverable
+        until :meth:`vacuum` purges it — Delta-style DROP semantics)."""
+        spec = self.tables.pop(name)
+        if os.path.isdir(spec.path):
+            trash = os.path.join(self._trash_dir(name), str(time.time_ns()))
+            os.makedirs(os.path.dirname(trash), exist_ok=True)
+            os.replace(spec.path, trash)
+
     def _trash_dir(self, name: str) -> str:
         return os.path.join(self.root, "_trash", name.replace(".", "/"))
 
