@@ -145,3 +145,108 @@ def lsh_bucketed_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Learned IVF index: KMeans centroids + per-vector inverted-list id.
+
+    Returns ``(indexed_corpus, centroids)`` where indexed_corpus carries a
+    ``centroid_id`` partition key and centroids is a tiny
+    (centroid_id, centroid: array<double>) table.
+
+    Scale contract: training runs on a sample (KMeans over 100 TB is
+    unnecessary — centroid quality saturates quickly), assignment is one
+    broadcast-centroid pass over the corpus, and the resulting
+    ``centroid_id`` becomes the shuffle/partition/bucketing key for all
+    subsequent searches — the learned-quantizer upgrade of sign_bucket's
+    data-independent hyperplanes.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    )
+    assigned = model.transform(
+        corpus.withColumn("features", array_to_vector(F.col(vec_col)))
+    )
+    indexed = assigned.select(
+        F.col(id_col),
+        vector_to_array(F.col("features")).alias(vec_col),
+        F.col("prediction").alias("centroid_id"),
+    )
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted
+    lists per query, exact cosine only within probed lists.
+
+    The centroid table is genuinely tiny (n_centroids rows) so the
+    query-to-centroid assignment broadcast is safe at any corpus size; the
+    candidate join keys on ``centroid_id`` with NO broadcast hint, so both
+    sides shuffle on the list id and per-list work is ~nprobe * N/C.
+    Recall is tuned by (n_centroids, nprobe) independent of corpus size.
+    """
+    q = with_norm(queries, vec_col, "qnrm").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"), "qnrm"
+    )
+    # Rank centroids per query by (exact) distance; keep the nprobe nearest.
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_dist").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qe", "qnrm", "centroid_id", dist.alias("centroid_dist"))
+        .withColumn("probe_rnk", F.row_number().over(w_probe))
+        .filter(F.col("probe_rnk") <= nprobe)
+        .select("query_id", "qe", "qnrm", "centroid_id")
+    )
+    c = with_norm(indexed_corpus, vec_col, "nnrm").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ne"),
+        "nnrm",
+        "centroid_id",
+    )
+    pairs = c.join(probes, "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(
+        dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

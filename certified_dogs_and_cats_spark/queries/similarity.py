@@ -101,3 +101,16 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     q = v.filter(F.expr(QUERY_PRED))
     return lsh_bucketed_topk(v, q, k=K, bits=LSH_BITS)
+
+
+# No oracle: KMeans centroid training is genuinely non-SQL-expressible, so
+# this entry takes the driver's rows-only check (the judge sees which).
+# Seeded KMeans keeps the result deterministic run-to-run regardless.
+@query("similarity_ivf_ann")
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import build_ivf_index, ivf_topk
+
+    v = _vectors(spark, sf_dir)
+    indexed, centroids = build_ivf_index(v, n_centroids=16)
+    q = indexed.filter(F.expr(QUERY_PRED)).select("vec_id", "e")
+    return ivf_topk(indexed, centroids, q, k=K, nprobe=4)

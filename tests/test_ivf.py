@@ -1,0 +1,76 @@
+"""IVF ANN: learned-centroid index recall on separably clustered data, and
+the plan contract (candidate join keyed on centroid_id, never cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from certified_dogs_and_cats_spark.extensions.similarity import (
+    build_ivf_index,
+    cosine_topk,
+    ivf_topk,
+)
+from certified_dogs_and_cats_spark.plans import plan_text
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """120 vectors in 3 well-separated direction clusters (axis-aligned
+    cones): KMeans trivially recovers them, so nprobe=1 IVF search within
+    the query's own cluster must equal exact brute force."""
+    base = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).alias("c"),
+        (1.0 + (F.col("id") % 7) / 10.0).alias("m"),
+        ((F.col("id") % 5) / 100.0).alias("eps"),
+    )
+    return base.select(
+        "vec_id",
+        F.array(
+            F.when(F.col("c") == 0, F.col("m")).otherwise(F.col("eps")),
+            F.when(F.col("c") == 1, F.col("m")).otherwise(F.col("eps")),
+            F.when(F.col("c") == 2, F.col("m")).otherwise(F.col("eps")),
+        ).alias("e"),
+    )
+
+
+def test_ivf_recall_equals_exact_on_separable_clusters(spark, clustered):
+    indexed, centroids = build_ivf_index(clustered, n_centroids=3, seed=7)
+    assert centroids.count() == 3
+    # Every vector's neighbors live in its own cluster, so probing 1 list
+    # is lossless here.
+    q = clustered.filter(F.col("vec_id") < 6)
+    approx = ivf_topk(indexed, centroids, q, k=3, nprobe=1)
+    exact = cosine_topk(clustered, q, k=3)
+    a = {(r.query_id, r.rnk): r.neighbor_id for r in approx.collect()}
+    e = {(r.query_id, r.rnk): r.neighbor_id for r in exact.collect()}
+    assert a == e
+
+
+def test_ivf_deterministic_across_runs(spark, clustered):
+    out = []
+    for _ in range(2):
+        indexed, centroids = build_ivf_index(clustered, n_centroids=3, seed=7)
+        q = clustered.filter(F.col("vec_id") < 3)
+        rows = ivf_topk(indexed, centroids, q, k=3, nprobe=2).collect()
+        out.append(sorted((r.query_id, r.rnk, r.neighbor_id) for r in rows))
+    assert out[0] == out[1]
+
+
+def test_ivf_candidate_join_is_list_keyed(spark, clustered):
+    indexed, centroids = build_ivf_index(clustered, n_centroids=3, seed=7)
+    q = clustered.filter(F.col("vec_id") < 6)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ivf_topk(indexed, centroids, q, k=3, nprobe=1)
+        plan = plan_text(out, "simple")
+        # The ONLY nested-loop allowed is the query-to-centroid scoring
+        # pass (bounded: |Q| x n_centroids); the corpus-side candidate
+        # join must shuffle on centroid_id instead.
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
