@@ -42,8 +42,12 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_lsh_ann",
+    "similarity_ivf_ann",
+    "dedup_embedding_cosine",
     "text_token_stats",
     "text_fingerprint",
+    "multimodal_decode_features",
+    "streaming_windowed_counts",
 ]
 
 

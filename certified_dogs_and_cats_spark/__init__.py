@@ -8,7 +8,6 @@ extensions (dedup, similarity search, text analysis, multimodal columns).
 Layout
 ------
 - ``session``      SparkSession builder (local testing; cluster-safe confs)
-- ``schemas``      explicit StructTypes for every table (schema-on-write)
 - ``sources``      readers/writers: CSV with declared schema, parquet tables,
                    partitioned sinks, the driver testdata catalog
 - ``functions``    scalar-function library (key normalization, validation,
@@ -18,11 +17,14 @@ Layout
                    window dedup, top-k rank, pivot top-k, merge upsert
 - ``plans``        plan-inspection helpers (assert broadcast, assert pushdown)
 - ``pipeline``     bronze -> silver -> gold staged ETL with guards, control
-                   table, retries (reference Workflow semantics)
+                   table, retries (reference Workflow semantics), SQL DDL
+                   front door, CSV export, OPTIMIZE/VACUUM maintenance;
+                   explicit StructTypes live in ``pipeline.schemas``
 - ``streaming``    Structured Streaming equivalents (Trigger.AvailableNow
-                   incremental ingest, stateful dedup)
-- ``extensions``   dedup (exact/minhash/simhash/jaccard), similarity search
-                   (cosine top-k, LSH buckets), text analysis, multimodal
+                   incremental ingest, stateful dedup, watermarked windows)
+- ``extensions``   dedup (exact/minhash/simhash/jaccard/embedding-cosine),
+                   similarity search (cosine top-k, sign-LSH, learned IVF),
+                   text analysis, multimodal binary columns
 - ``queries``      the driver-facing query registry: every operator from
                    SURVEY.md §2 as a (Spark callable, DuckDB oracle SQL) pair
 """

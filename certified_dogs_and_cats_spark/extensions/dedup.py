@@ -180,51 +180,58 @@ def simhash64(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
     md5(token)'s first 64 bits, vote +1/-1; sign of the vote sum is bit b of
     the signature. Near-duplicate docs land within small hamming distance.
 
-    Plan shape: explode 64 bit positions per (doc, token) -> two hash
-    aggregates (votes per bit, then nibbles per doc). All JVM-side exprs.
+    Plan shape: NO row explosion — the 64 bit votes are 64 aggregate
+    expressions over (doc, token) rows, so the whole computation is one
+    groupBy(doc) with map-side partial aggregation (one shuffle of 64 longs
+    per doc per partition), then a single projection folds the 64 vote
+    signs back into hex. All JVM-side exprs, whole-stage codegen.
     """
     h = F.md5(F.col(token_col))
-    pos = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos")
-    base = tokens.select(F.col(id_col), h.alias("h")).select(
-        id_col, "h", pos
+    # 16 nibble values covering md5's first 64 bits (hex chars 1..16).
+    nibs = tokens.select(
+        F.col(id_col), h.alias("h")
+    ).select(
+        id_col,
+        *[
+            F.expr(f"position(substr(h, {i + 1}, 1) IN '{HEX}') - 1").alias(
+                f"n{i}"
+            )
+            for i in range(16)
+        ],
     )
-    # shiftright/shiftleft with a *column* shift amount are only available
-    # through SQL exprs (the python helpers require a literal int).
-    weight = F.expr(
-        "(shiftright(position(substr(h, CAST(pos/4 AS INT)+1, 1) "
-        f"IN '{HEX}') - 1, CAST(pos % 4 AS INT)) & 1) * 2 - 1"
+    # Bit b lives in nibble b//4 at in-nibble offset b%4 (LSB-first).
+    votes = nibs.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
     )
-    votes = (
-        base.select(F.col(id_col), F.col("pos"), weight.alias("w"))
-        .groupBy(id_col, "pos")
-        .agg(F.sum("w").alias("s"))
-    )
-    nibbles = (
-        votes.select(
-            F.col(id_col),
-            (F.col("pos") / 4).cast("int").alias("nibble_idx"),
-            F.expr(
-                "shiftleft(CASE WHEN s >= 0 THEN 1 ELSE 0 END, "
-                "CAST(pos % 4 AS INT))"
-            ).alias("bitval"),
-        )
-        .groupBy(id_col, "nibble_idx")
-        .agg(F.sum("bitval").alias("nibble"))
-    )
-    digit = F.substring(F.lit(HEX), F.col("nibble").cast("int") + 1, 1)
-    return (
-        nibbles.select(F.col(id_col), F.col("nibble_idx"), digit.alias("digit"))
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("nibble_idx", "digit"))),
-                    lambda s: s["digit"],
+    digits = [
+        F.substring(
+            F.lit(HEX),
+            sum(
+                (
+                    F.when(F.col(f"s{4 * i + j}") >= 0, F.lit(1 << j)).otherwise(
+                        F.lit(0)
+                    )
+                    for j in range(4)
                 ),
-                "",
-            ).alias("simhash")
+                start=F.lit(0),
+            )
+            + 1,
+            1,
         )
-    )
+        for i in range(16)
+    ]
+    return votes.select(F.col(id_col), F.concat(*digits).alias("simhash"))
 
 
 def embedding_near_dup_pairs(

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -98,3 +98,62 @@ def merge_upsert(
         .otherwise(F.lit("kept"))
     )
     return joined.select(*cols, action.alias("merge_action"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: attach, to every left row, the latest right
+    row with ``right_ts <= left_ts`` for the same key (left-join semantics:
+    unmatched left rows keep nulls).
+
+    Spark has no native ASOF JOIN; the naive rewrite is a range join
+    (quadratic per key). This implementation is the scale-correct shape:
+    tag and union both sides, then one window pass per key ordered by
+    (time, side) carrying the last non-null right value forward — a single
+    shuffle on the key, linear scan per partition, no range explosion.
+    Right rows at exactly left_ts sort before left rows, so the match is
+    inclusive (>= semantics), matching DuckDB's ``ASOF LEFT JOIN`` on
+    ``l.ts >= r.ts``.
+
+    Determinism: callers must ensure the right side has at most one row per
+    (key, right_ts) — dedup first (e.g. window_dedup latest-wins) — else
+    which same-timestamp row wins is tie-broken by nothing.
+    """
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on + [right_ts]]
+    l2 = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias(f"__r_{right_ts}"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.col(f"__r_{c}"), ignorenulls=True)
+        .over(w)
+        .alias(f"{c}{suffix}")
+        for c in [right_ts, *value_cols]
+    ]
+    return (
+        u.select("*", *carried)
+        .filter(F.col("__is_left") == 1)
+        .drop("__t", "__is_left", f"__r_{right_ts}",
+              *[f"__r_{c}" for c in value_cols])
+    )

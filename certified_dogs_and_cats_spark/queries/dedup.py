@@ -82,7 +82,11 @@ MAX_SHINGLE_DF = 1000
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
+    # The shingle set is branched 4 ways downstream (freq gate, sizes, both
+    # join sides); Spark does not reuse common subplans, so persist it —
+    # at corpus scale you'd materialize the shingle table once instead of
+    # paying the tokenize+explode 4x.
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
     return jaccard_pairs(
         sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -135,7 +139,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
+    # Branched 4 ways (signatures, sizes, both verify sides) — persist, as
+    # Spark does not dedupe common subplans (see dedup_ngram_jaccard).
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, "doc_id", num_hashes=8)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
     # Verify candidates with exact Jaccard (LSH = recall filter, not truth):
