@@ -288,3 +288,67 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def simhash_near_dup_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs from 64-bit SimHash signatures via band-join.
+
+    Pigeonhole guarantee: a pair within ``max_hamming`` bit flips shares at
+    least one identical band whenever ``max_hamming < n_bands``, so banding
+    loses NO true pairs at the default (3, 4). Candidates equi-join on
+    (band_idx, band_val) — shuffle-keyed, ~N/2^16 per 16-bit band value —
+    then exact hamming (16 nibble XOR popcounts, all JVM exprs) verifies.
+    Returns (a_id, b_id, hamming) with a_id < b_id.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    band_w = 16 // n_bands
+    stack_args = ", ".join(
+        f"{b}, substr(simhash, {b * band_w + 1}, {band_w})"
+        for b in range(n_bands)
+    )
+    bands = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)"),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("a_id"),
+            F.col(f"y.{id_col}").alias("b_id"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    nib = (
+        "(position(substr({s}, {i}, 1) IN '" + HEX + "') - 1)"
+    )
+    hamming = " + ".join(
+        f"bit_count({nib.format(s='sa', i=i)} ^ {nib.format(s='sb', i=i)})"
+        for i in range(1, 17)
+    )
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            F.expr(f"CAST({hamming} AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -465,3 +465,40 @@ def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark compiles orderBy+limit to TakeOrderedAndProject: per-partition
     # top-20 then a single-driver merge — no global sort at any scale.
     return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(20)
+
+
+# --- custom operator: backward as-of join (operators/joins.py:asof_join) ----
+@query(
+    "asof_join_last_view",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.ts AS ts_asof, v.value AS value_asof
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the latest view at-or-before it per user —
+    union + one window pass per key (no range join), vs DuckDB ASOF JOIN.
+    Timestamps are micro-truncated on BOTH sides before the comparison so
+    the >= boundary agrees across engines."""
+    from ..operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, views, on=["user_id"], value_cols=["value"]
+    )

@@ -248,3 +248,74 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS
     )
+
+
+# --- SimHash hamming-banded near-dup search ---------------------------------
+# Pigeonhole-complete at (max_hamming=3, n_bands=4): any pair within 3 bit
+# flips shares at least one 16-bit band. 1026 pairs at sf0.01.
+SIMHASH_MAX_HAMMING = 3
+
+_SIMHASH_SIG_CTE = """
+    tk AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, tok, md5(tok) AS h, i AS pos
+      FROM tk, UNNEST(range(0, 64)) AS u(i)
+    ),
+    votes AS (
+      SELECT doc_id, pos,
+             sum(((strpos('0123456789abcdef',
+                          substr(h, CAST(floor(pos/4) AS INTEGER) + 1, 1)) - 1
+                   >> (pos % 4)) & 1) * 2 - 1) AS s
+      FROM bits GROUP BY 1, 2
+    ),
+    nibbles AS (
+      SELECT doc_id, CAST(floor(pos/4) AS INTEGER) AS nibble_idx,
+             sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) << (pos % 4)) AS nibble
+      FROM votes GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             string_agg(substr('0123456789abcdef', CAST(nibble AS INTEGER) + 1, 1),
+                        '' ORDER BY nibble_idx) AS simhash
+      FROM nibbles GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTE},
+    bands AS (
+      SELECT doc_id, b AS band_idx, substr(simhash, b*4 + 1, 4) AS band_val,
+             simhash
+      FROM sig, UNNEST(range(0, 4)) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+             x.simhash AS sa, y.simhash AS sb
+      FROM bands x
+      JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                   AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id, hamming FROM (
+      SELECT a_id, b_id,
+             CAST((SELECT sum(bit_count(xor(
+                     strpos('0123456789abcdef', substr(sa, i, 1)) - 1,
+                     strpos('0123456789abcdef', substr(sb, i, 1)) - 1)))
+                   FROM UNNEST(range(1, 17)) AS u(i)) AS INTEGER) AS hamming
+      FROM cand
+    ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import simhash_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    sig = simhash64(tokens(docs, "doc_id", "text").distinct(), "doc_id", "tok")
+    return simhash_near_dup_pairs(
+        sig, "doc_id", max_hamming=SIMHASH_MAX_HAMMING, n_bands=4
+    )

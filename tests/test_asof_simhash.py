@@ -1,0 +1,89 @@
+"""as-of join semantics (backward, inclusive, left-join, per-key) and
+SimHash banded near-dup search (pigeonhole guarantee, hamming verify)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from certified_dogs_and_cats_spark.extensions.dedup import (
+    simhash_near_dup_pairs,
+)
+from certified_dogs_and_cats_spark.operators.joins import asof_join
+
+
+def ts(h, m=0):
+    return datetime(2026, 1, 1, h, m)
+
+
+@pytest.fixture
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts(10)),   # matches right @9:00
+            (2, 100, ts(12)),   # matches right @12:00 (inclusive boundary)
+            (3, 200, ts(9)),    # no right row at-or-before -> nulls
+            (4, 300, ts(15)),   # key absent from right entirely -> nulls
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, ts(9), 1.0),
+            (100, ts(12), 2.0),
+            (100, ts(14), 3.0),  # after every left row for key 100
+            (200, ts(11), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_left(sides):
+    left, right = sides
+    out = {
+        r.event_id: (r.ts_asof, r.value_asof)
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out[1] == (ts(9), 1.0)    # latest at-or-before 10:00
+    assert out[2] == (ts(12), 2.0)   # equal timestamps match (inclusive)
+    assert out[3] == (None, None)    # right rows all later
+    assert out[4] == (None, None)    # unmatched key survives (left join)
+    assert len(out) == 4
+
+
+def test_asof_single_shuffle_no_range_join(spark, sides):
+    left, right = sides
+    plan = asof_join(left, right, on=["user_id"])._jdf.queryExecution()
+    text = plan.executedPlan().toString()
+    # union + window: there must be NO join operator at all in the plan.
+    assert "Join" not in text
+    assert "Window" in text
+
+
+def test_simhash_pairs_pigeonhole_and_verify(spark):
+    # 3-bit-apart pair MUST be found (guarantee), 8-bit-apart pair (still
+    # band-colliding on band 0) must be verified away, disjoint pair absent.
+    sig = spark.createDataFrame(
+        [
+            (1, "0000000000000000"),
+            (2, "000000000000000b"),  # hamming 3 from doc 1
+            (3, "00000000000000ff"),  # hamming 8 from doc 1: candidate, fails verify
+            (4, "ffffffffffffffff"),
+        ],
+        "doc_id long, simhash string",
+    )
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_near_dup_pairs(sig, "doc_id", max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert (1, 3) not in got and (1, 4) not in got
+
+
+def test_simhash_pairs_rejects_broken_guarantee(spark):
+    sig = spark.createDataFrame([(1, "0" * 16)], "doc_id long, simhash string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(sig, "doc_id", max_hamming=4, n_bands=4)
