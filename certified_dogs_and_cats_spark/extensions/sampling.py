@@ -1,0 +1,66 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Every operation keys on a content hash (md5) rather than RNG state, so the
+assignment of any row is a pure function of its id: reproducible across
+runs, engines, partitionings, and cluster sizes — the property a 100 TB
+training pipeline needs so that re-runs, backfills, and incremental loads
+never reshuffle examples between train and holdout splits.
+
+All expressions are JVM-side built-ins (md5/conv/pmod/window): no RNG, no
+UDFs, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str, n_buckets: int = 100) -> F.Column:
+    """Stable bucket in [0, n_buckets): first 32 md5 bits of the id."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id-hash percentile.
+
+    ``weights`` maps split name -> percent (must sum to 100); default
+    80/10/10. A row's split never changes as the corpus grows — unlike
+    randomSplit, whose assignment depends on partitioning and seed plumbing.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    bucket = hash_bucket(id_col, 100)
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = bucket < lo + pct
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn("split", expr)
+
+
+def per_group_sample(
+    df: DataFrame, group_cols: Sequence[str], id_col: str, n: int
+) -> DataFrame:
+    """Deterministic n-per-group subsample: rank by (md5(id), id) within
+    each group and keep the first n. Hash order is uniform but fixed, so
+    the sample is unbiased yet fully reproducible; one window shuffle on
+    the group key (no global sort, no RNG)."""
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -68,3 +68,33 @@ def pivot_top_k(
                 F.max(F.when(F.col(rank_col) == i, F.col(v))).alias(f"top{i}_{v}")
             )
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event for the same key exceeds ``gap``.
+
+    Adds ``session_idx`` (1-based per key, chronological). One window pass
+    per key — a single shuffle on the key, linear per partition, the batch
+    twin of Structured Streaming's session_window. Callers needing a global
+    id concatenate (keys..., session_idx).
+
+    Determinism: requires a unique (keys, ts_col) — append a tie-break to
+    ``ts_col`` ordering upstream if event times can collide.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap}")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_idx", F.sum(is_new).over(run))

@@ -502,3 +502,49 @@ def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, views, on=["user_id"], value_cols=["value"]
     )
+
+
+# --- custom operator: gap sessionization (operators/windows.py:sessionize) --
+@query(
+    "sessionize_stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    flag AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM flag
+    )
+    SELECT user_id, session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, session) rollup under a 4-hour inactivity gap — the batch
+    twin of streaming session windows; one window pass + one aggregation,
+    both shuffling on user_id only."""
+    from ..operators.windows import sessionize
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s = sessionize(ev, ["user_id"], "ts", gap="4 hours")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
