@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "multimodal_decode_features",
     "streaming_windowed_counts",
+    "asof_join_last_view",
+    "sessionize_stats",
 ]
 
 

@@ -102,3 +102,20 @@ def wholestage_codegen_count(df: DataFrame) -> int:
         plan_text(df, mode="codegen"),
     )
     return int(m.group(1)) if m else 0
+
+
+def assert_partition_pruned(df: DataFrame, *column_names: str) -> str:
+    """Every named column must appear in a scan's PartitionFilters — i.e.
+    the predicate prunes whole partition directories instead of scanning
+    and filtering rows. The difference between reading one Year=2024
+    directory and reading 100 TB."""
+    plan = plan_text(df)
+    m = re.search(r"PartitionFilters: \[(?P<f>[^\]]*)\]", plan)
+    filters = m.group("f") if m else ""
+    for col in column_names:
+        if col not in filters:
+            raise PlanAssertionError(
+                f"no partition filter on {col!r} "
+                f"(PartitionFilters: [{filters}]):\n" + plan
+            )
+    return plan

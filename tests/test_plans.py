@@ -119,3 +119,31 @@ def test_embedding_near_dup_join_is_bucket_keyed(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_catalog_partition_pruning(spark, catalog):
+    """Filters on the catalog's partition columns must prune directories
+    (PartitionFilters), not scan-and-filter — the property that makes
+    Year/ANIMAL_TYPE partitioning worth anything at 100 TB."""
+    from pyspark.sql import types as T
+
+    from certified_dogs_and_cats_spark.plans import assert_partition_pruned
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.IntegerType()),
+            T.StructField("Year", T.IntegerType()),
+            T.StructField("ANIMAL_TYPE", T.StringType()),
+        ]
+    )
+    catalog.register("core.p", schema, partition_by=("Year", "ANIMAL_TYPE"))
+    catalog.append(
+        "core.p",
+        spark.createDataFrame(
+            [(1, 2024, "DOG"), (2, 2024, "CAT"), (3, 2025, "DOG")], schema
+        ),
+    )
+    q = catalog.table("core.p").filter(
+        (F.col("Year") == 2024) & (F.col("ANIMAL_TYPE") == "DOG")
+    )
+    assert_partition_pruned(q, "Year", "ANIMAL_TYPE")
