@@ -157,3 +157,30 @@ def asof_join(
         .drop("__t", "__is_left", f"__r_{right_ts}",
               *[f"__r_{c}" for c in value_cols])
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spread equi-join: identical result to ``big.join(small, key)``,
+    but a hot key's rows land in ``n_salts`` partitions instead of one.
+
+    The big side gets a deterministic salt in [0, n_salts) hashed from its
+    whole row; the small side is replicated n_salts times (explode of a
+    sequence — cost n_salts * |small|). The join keys on (key, salt), so
+    the shuffle spreads each hot key across n_salts reducers. Use when the
+    small side is too big to broadcast AND the key distribution is skewed
+    beyond what AQE's skew-join splitting handles (AQE splits oversized
+    partitions of sort-merge joins, but can't split a single giant key
+    group mid-aggregation).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), n_salts)
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return b.join(s, on=[key, "__salt"], how=how).drop("__salt")

@@ -147,3 +147,55 @@ def test_catalog_partition_pruning(spark, catalog):
         (F.col("Year") == 2024) & (F.col("ANIMAL_TYPE") == "DOG")
     )
     assert_partition_pruned(q, "Year", "ANIMAL_TYPE")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from certified_dogs_and_cats_spark.operators.joins import salted_join
+
+    big = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k LONG, name STRING"
+    )
+    got = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(big, small, "k", n_salts=8).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.name) for r in big.join(small, "k").collect()
+    )
+    assert got == want
+    # The join must key on (k, salt) so hot keys spread across reducers.
+    plan = plan_text(salted_join(big, small, "k", n_salts=8), "simple")
+    assert "__salt" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed identically on the join key must sort-merge join
+    with ZERO Exchange operators — the shuffle was paid at write time."""
+    from certified_dogs_and_cats_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    a = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("va")
+    )
+    b = spark.range(500).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bkt_a", ["k"], 4, sort_cols=["k"])
+    write_bucketed(b, "bkt_b", ["k"], 4, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_table(spark, "bkt_a").join(read_table(spark, "bkt_b"), "k")
+        assert j.count() == 10000  # 20 * 10 per key * 50 keys
+        plan = plan_text(j, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
