@@ -60,3 +60,63 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_sample(
         docs, ["source"], "doc_id", n=SAMPLE_PER_SOURCE
     )
+
+
+@query(
+    "corpus_prep_summary",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    r AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY 1),
+    keep AS (
+      SELECT d.doc_id, d.text, d.source, d.n_chars
+      FROM documents d JOIN r USING (doc_id)
+      WHERE r.n_tokens >= 10
+    ),
+    ded AS (
+      SELECT * FROM (
+        SELECT keep.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM keep
+      ) WHERE doc_id = keep_id
+    )
+    SELECT CASE WHEN {_BUCKET} < 80 THEN 'train'
+                WHEN {_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM ded
+    GROUP BY 1
+    """,
+)
+def corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep: quality filter (min token count) ->
+    exact dedup (earliest doc per text hash wins) -> deterministic
+    train/val/test split -> per-split rollup. The composition every 100 TB
+    pipeline runs nightly; all stages are the same operators verified
+    individually, chained in one declarative plan (Catalyst fuses the
+    filters/projections; two shuffles total — the dedup window and the
+    final aggregation — plus the token-count aggregation)."""
+    from pyspark.sql import Window
+
+    from ..extensions.text import stopword_ratio
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    ntok = stopword_ratio(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    keep = docs.join(ntok, "doc_id").filter(F.col("n_tokens") >= 10)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    ded = keep.withColumn("keep_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    return (
+        hash_split(ded, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )

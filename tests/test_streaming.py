@@ -112,3 +112,25 @@ def test_windowed_counts_equal_batch_groupby(spark, tmp_path):
         ("2026-01-01 11:00:00", "a"): (1, 3.0),
         ("2026-01-01 12:00:00", "b"): (1, 4.0),
     }
+
+
+def test_running_totals_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-key state must accumulate ACROSS
+    micro-batches (one file per trigger), and the last emission per key
+    must equal the batch-world aggregate."""
+    from certified_dogs_and_cats_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    write_csv(src, "d1.csv", ROWS1)                       # keys 1,2,3
+    write_csv(src, "d2.csv", [r for r in ROWS2 if r[0] == 4] * 2)  # key 4 twice
+    stream = read_file_stream(
+        spark, src, SCHEMA, fmt="csv", max_files_per_trigger=1
+    ).select(F.col("_id").cast("long").alias("_id"), "value")
+    out = run_available_now_memory(
+        running_totals(stream, "_id", "value"), ck, output_mode="update"
+    )
+    rows = {r._id: (r.n, r.total) for r in out.collect()}
+    assert rows[1] == (1, 1.0)
+    assert rows[4] == (2, 8.0)  # two rows folded into one key's state
