@@ -1,17 +1,21 @@
 """Deduplication operators for document-scale corpora.
 
-Four strategies, cheapest to most robust:
+Five strategies, cheapest to most robust:
 
 1. exact        — hash-groupBy on md5(text). One shuffle on the hash.
 2. shingle      — n-gram (word) shingle sets + exact Jaccard on candidate
-                  pairs that share >= 1 shingle. Exact but the shingle
-                  self-join is quadratic in shingle frequency: fine to ~1e7
-                  docs, skew-prone beyond (AQE skew-join mitigates).
+                  pairs that share >= 1 shingle, gated by a document-
+                  frequency cap on shingles (ungated, the self-join is
+                  quadratic in shingle frequency — a skew bomb at scale).
 3. MinHash+LSH  — the 100 TB path: constant-size signatures (H mins), band
                   join produces candidates in ~linear time, then exact
                   Jaccard verification only on candidates.
-4. SimHash      — 64-bit near-dup fingerprint per doc; hamming-close docs
-                  collide on band substrings.
+4. SimHash      — 64-bit near-dup fingerprint per doc
+                  (:func:`simhash64`), plus banded hamming search
+                  (:func:`simhash_near_dup_pairs`, pigeonhole-complete
+                  below ``n_bands`` bit flips).
+5. embedding    — semantic near-dup via sign-LSH bucketed candidates +
+                  exact cosine verify (:func:`embedding_near_dup_pairs`).
 
 All hashing is md5-based (deterministic, engine-portable) rather than
 ``xxhash64``/``hash`` so results are reproducible everywhere and the DuckDB

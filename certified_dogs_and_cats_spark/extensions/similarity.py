@@ -154,6 +154,7 @@ def build_ivf_index(
     vec_col: str = "e",
     seed: int = 42,
     max_iter: int = 20,
+    train_fraction: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Learned IVF index: KMeans centroids + per-vector inverted-list id.
 
@@ -172,6 +173,8 @@ def build_ivf_index(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(

@@ -111,6 +111,8 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import build_ivf_index, ivf_topk
 
     v = _vectors(spark, sf_dir)
-    indexed, centroids = build_ivf_index(v, n_centroids=16)
+    indexed, centroids = build_ivf_index(
+        v, n_centroids=16, max_iter=8, train_fraction=0.25
+    )
     q = indexed.filter(F.expr(QUERY_PRED)).select("vec_id", "e")
     return ivf_topk(indexed, centroids, q, k=K, nprobe=4)

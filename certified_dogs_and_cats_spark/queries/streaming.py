@@ -13,6 +13,7 @@ CAST(ts AS TIMESTAMP) truncation for the non-negative testdata.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +28,14 @@ from ..streaming import (
     windowed_counts,
 )
 from .registry import query
+
+# Checkpoints are throwaway (fresh per call); tmpfs when available keeps
+# the WAL/offset fsyncs off disk.
+_CK_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _ckdir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=_CK_ROOT)
 
 _EVENTS_NANOS_SCHEMA = T.StructType(
     [
@@ -102,7 +111,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             group_cols=["event_type"],
         )
         return run_available_now_memory(
-            agg, tempfile.mkdtemp(prefix="ck_win_"), output_mode="complete"
+            agg, _ckdir("ck_win_"), output_mode="complete"
         )
 
     return _with_nanos_conf(spark, run)
@@ -122,7 +131,7 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             _events_stream(spark, sf_dir).select("user_id"), ["user_id"]
         )
         return run_available_now_memory(
-            ids, tempfile.mkdtemp(prefix="ck_dedup_"), output_mode="append"
+            ids, _ckdir("ck_dedup_"), output_mode="append"
         )
 
     return _with_nanos_conf(spark, run)
