@@ -1,6 +1,6 @@
 """Embedding similarity search over ``array<float>`` columns.
 
-Two strategies:
+Three strategies:
 
 - brute-force cosine top-k: the exactness baseline. Query set is broadcast;
   the corpus streams once; per-pair cost is one fused zip_with/aggregate
@@ -11,7 +11,11 @@ Two strategies:
   hyperplanes — deterministic, no fitted state); search only inside the
   query's bucket. At 100 TB: buckets become the shuffle/partition key, each
   bucket is searched independently, and recall/cost is tuned by the number
-  of sign bits. Swap in learned IVF centroids by replacing `bucket_expr`.
+  of sign bits.
+- learned IVF: KMeans centroids as inverted-list ids
+  (:func:`build_ivf_index`), nprobe-nearest lists searched per query
+  (:func:`ivf_topk`) — the data-adaptive upgrade of the sign buckets;
+  cost per query is ~nprobe * N / n_centroids.
 
 All arithmetic is double-precision with a fixed fold order, so scores are
 bit-reproducible across runs, partitionings, and engines (validated against

@@ -1,11 +1,20 @@
-from .joins import dim_lookup, idempotent_new_rows, merge_upsert
-from .windows import latest_per_key, pivot_top_k, top_k_per_group
+from .joins import (
+    asof_join,
+    dim_lookup,
+    idempotent_new_rows,
+    merge_upsert,
+    salted_join,
+)
+from .windows import latest_per_key, pivot_top_k, sessionize, top_k_per_group
 
 __all__ = [
+    "asof_join",
     "dim_lookup",
     "idempotent_new_rows",
     "merge_upsert",
+    "salted_join",
     "latest_per_key",
     "pivot_top_k",
+    "sessionize",
     "top_k_per_group",
 ]

@@ -548,3 +548,27 @@ def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --- sketches: mergeable HLL distinct-count (DataSketches) ------------------
+# Rows-only check: DuckDB's HLL implementation differs, so estimates can't
+# hash-match across engines. Determinism within Spark is exact (the sketch
+# is a pure function of the value set); tests/test_sketches.py pins accuracy
+# vs exact countDistinct and sketch mergeability.
+@query("sketch_distinct_users")
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type approximate distinct users via HLL sketches. The sketch
+    column is the point at 100 TB: per-partition sketches merge (one tiny
+    shuffle) and pre-aggregated sketches can be stored per day/partition
+    and re-merged for any rollup without touching raw data."""
+    e = t(spark, sf_dir, "events").select("event_type", "user_id")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"))
+            ).alias("approx_users"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+        .select("event_type", "approx_users", "exact_users")
+    )

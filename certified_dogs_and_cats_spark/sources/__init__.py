@@ -1,3 +1,10 @@
+from .bucketed import read_table, write_bucketed
 from .testdata import TESTDATA_TABLES, load_table, register_views
 
-__all__ = ["TESTDATA_TABLES", "load_table", "register_views"]
+__all__ = [
+    "TESTDATA_TABLES",
+    "load_table",
+    "register_views",
+    "read_table",
+    "write_bucketed",
+]
