@@ -1,0 +1,57 @@
+"""Interval (range) join via time-binning.
+
+Spark turns a bare ``p.ts BETWEEN i.lo AND i.hi`` join into a nested-loop
+over every (point, interval) pair — O(N*M), the classic range-join trap.
+The scale-correct rewrite: quantize time into fixed-width bins, explode
+each interval to the bins it overlaps, bin each point (exactly one bin),
+and equi-join on the bin before verifying the exact predicate.
+
+Cost: |intervals| * (span/bin_width) exploded rows + one shuffle keyed on
+the bin; each (point, interval) pair meets in exactly the point's bin, so
+no post-join dedup is needed. Pick ``bin_width`` on the order of the
+typical interval span: too small explodes intervals, too large degrades
+back toward all-pairs within a bin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo_ts: str,
+    hi_ts: str,
+    bin_width: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row containing it
+    (``lo_ts <= point_ts <= hi_ts``), bin-partitioned as described above.
+
+    Column names must be disjoint between the two inputs (rename first).
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"overlapping column names: {sorted(overlap)}")
+    # Interval width in microseconds, derived JVM-side (epoch + interval).
+    width_us = F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp")
+        + F.expr(f"INTERVAL {bin_width}")
+    )
+    p_bin = F.floor(F.unix_micros(F.col(point_ts)) / width_us)
+    lo_bin = F.floor(F.unix_micros(F.col(lo_ts)) / width_us)
+    hi_bin = F.floor(F.unix_micros(F.col(hi_ts)) / width_us)
+    p = points.withColumn("__bin", p_bin)
+    i = intervals.withColumn(
+        "__bin", F.explode(F.sequence(lo_bin, hi_bin))
+    )
+    return (
+        p.join(i, "__bin", how)
+        .filter(
+            F.col(point_ts).between(F.col(lo_ts), F.col(hi_ts))
+        )
+        .drop("__bin")
+    )

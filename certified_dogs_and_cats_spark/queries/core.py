@@ -572,3 +572,43 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "approx_users", "exact_users")
     )
+
+
+# --- custom operator: interval join via binning (operators/range_join.py) ---
+@query(
+    "interval_join_windows",
+    oracle="""
+    WITH w AS (
+      SELECT event_id AS anchor_id,
+             CAST(ts AS TIMESTAMP) - INTERVAL 10 MINUTE AS lo,
+             CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS hi
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY value DESC, event_id ASC LIMIT 20
+    )
+    SELECT w.anchor_id, p.event_id, p.event_type
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events) p
+    JOIN w ON p.ts BETWEEN w.lo AND w.hi
+    """,
+)
+def interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All events inside +/-10-minute windows around the top-20 purchases:
+    bin-quantized equi-join + exact BETWEEN verify — never the O(N*M)
+    nested loop a naive range predicate compiles to."""
+    from ..operators.range_join import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+        )
+    )
+    points = ev.select("event_id", "ts", "event_type")
+    return interval_join(
+        points, windows, "ts", "lo", "hi", bin_width="20 minutes"
+    ).select("anchor_id", "event_id", "event_type")

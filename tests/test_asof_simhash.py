@@ -87,3 +87,48 @@ def test_simhash_pairs_rejects_broken_guarantee(spark):
     sig = spark.createDataFrame([(1, "0" * 16)], "doc_id long, simhash string")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(sig, "doc_id", max_hamming=4, n_bands=4)
+
+
+def test_interval_join_binning_correct_and_no_nested_loop(spark):
+    from certified_dogs_and_cats_spark.operators.range_join import (
+        interval_join,
+    )
+    from certified_dogs_and_cats_spark.plans import plan_text
+
+    points = spark.createDataFrame(
+        [(i, ts(9 + i % 8, 7 * (i % 9))) for i in range(40)],
+        "pid long, pts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, ts(10), ts(11, 30)), (200, ts(11), ts(11, 10)),
+         (300, ts(20), ts(21))],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "pts", "lo", "hi", bin_width="45 minutes"
+        ).collect()
+    )
+    want = sorted(
+        (p.pid, i.iid)
+        for p in points.collect()
+        for i in intervals.collect()
+        if i.lo <= p.pts <= i.hi
+    )
+    assert got == want and len(want) > 5
+    plan = plan_text(
+        interval_join(points, intervals, "pts", "lo", "hi"), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_rejects_column_overlap(spark):
+    from certified_dogs_and_cats_spark.operators.range_join import (
+        interval_join,
+    )
+
+    a = spark.createDataFrame([(1, ts(1))], "x long, ts timestamp")
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join(a, a, "ts", "ts", "ts")
