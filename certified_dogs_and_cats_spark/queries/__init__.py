@@ -27,5 +27,6 @@ from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import olap  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
