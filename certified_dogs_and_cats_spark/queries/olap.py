@@ -182,3 +182,30 @@ def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = pos.intersect(ordered).withColumn("bucket", F.lit("both"))
     none = pos.subtract(ordered).withColumn("bucket", F.lit("no_orders"))
     return both.unionAll(none)
+
+
+@query(
+    "pivot_status_matrix",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot with the value list pinned (no discovery pass over the
+    data — an unpinned pivot runs an extra distinct job AND makes the
+    output schema data-dependent, both wrong at scale)."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    p = o.groupBy("o_orderpriority").pivot(
+        "o_orderstatus", ["F", "O", "P"]
+    ).count()
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )

@@ -115,3 +115,21 @@ def test_flag_consistency_guard(spark):
     )
     with pytest.raises(GuardError, match="flag consistency"):
         assert_flag_consistency(bad, "v", "f")
+
+
+def test_malformed_csv_rows_are_caught_by_guards(catalog, raw_root):
+    """PERMISSIVE CSV parsing turns unparseable fields into nulls; the
+    null-_id guard then fails the batch rather than silently loading
+    garbage — the safety net for corrupt drops."""
+    import os
+
+    from certified_dogs_and_cats_spark.pipeline.ingest import bronze_stage
+
+    drop = os.path.join(raw_root, f"ingestion_date={D1.isoformat()}")
+    os.makedirs(drop, exist_ok=True)
+    with open(os.path.join(drop, "data.csv"), "w") as f:
+        f.write("_id,Year,FSA,ANIMAL_TYPE,PRIMARY_BREED\n")
+        f.write("1,2024,M1A,DOG,POODLE\n")
+        f.write("not_a_number,garbage,,,\n")  # unparseable _id -> null
+    with pytest.raises(GuardError, match="NULL values in _id"):
+        bronze_stage(catalog, raw_root, D1, clock=CLOCK1)
