@@ -199,3 +199,19 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_rollup_and_pivot_single_shuffle(spark, parquet_table):
+    """Grouping-set expansion and pinned-list pivot must each stay one
+    Exchange — the map-side expand / conditional-agg shapes, not one
+    shuffle per grouping set or pivot value."""
+    def final_plan(df):
+        # AQE's simple mode prints Final and Initial sections; count nodes
+        # only in the final (executed) plan.
+        df.collect()
+        return plan_text(df, "simple").split("== Initial Plan ==")[0]
+
+    rolled = parquet_table.rollup("k").agg(F.count("*").alias("c"))
+    assert final_plan(rolled).count("Exchange") == 1
+    piv = parquet_table.groupBy("k").pivot("k", list(range(3))).count()
+    assert final_plan(piv).count("Exchange") == 1
