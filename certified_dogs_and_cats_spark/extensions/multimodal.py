@@ -172,10 +172,58 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     raise NotImplementedError("real image decode not wired in this build")
 
 
-def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Sample every-nth video frame. Requires a video codec (av/ffmpeg)."""
-    raise NotImplementedError(
-        "frame_sample requires a video codec library (PyAV/ffmpeg) that is "
-        "not installed in this container; the batch plumbing mirrors "
-        "decode_features (mapInPandas, one row out per sampled frame)."
-    )
+#: Output schema of :func:`frame_sample` (one row per sampled frame).
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+        T.StructField("frame_len", T.IntegerType(), False),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 16,
+    every_n: int = 4,
+) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size frame from each payload.
+
+    The row-expanding decode shape: one input row fans out to
+    ceil(len/frame_bytes)/every_n output rows inside the same Arrow batch
+    (``mapInPandas`` generators may yield more rows than they consume —
+    no explode/join needed, partitioning preserved). The "codec" here is a
+    deterministic fixed-width chunker standing in for a real frame
+    decoder; a PyAV/ffmpeg demuxer slots into ``frames()`` with the same
+    one-row-in/k-rows-out contract (real codecs are not in this
+    container — see :func:`decode_image`).
+    """
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), "payload")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # executor-side import
+
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    chunks.append(
+                        bytes(payload[i * frame_bytes:(i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(chunks, dtype=object),
+                    "frame_len": pd.Series(
+                        [len(c) for c in chunks], dtype="int32"
+                    ),
+                }
+            )
+
+    return src.mapInPandas(frames, schema=FRAME_SCHEMA)

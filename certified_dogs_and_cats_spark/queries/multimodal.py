@@ -10,6 +10,7 @@ length for every row), making byte-level features equal to char-level SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..extensions.multimodal import decode_features, metadata_stats, pack_payload
 from .common import t
@@ -53,3 +54,33 @@ def multimodal_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return decode_features(pack_payload(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           substring(text, CAST(i * 16 + 1 AS INTEGER), 16) AS frame_text,
+           CAST(length(substring(text, CAST(i * 16 + 1 AS INTEGER), 16))
+                AS INTEGER) AS frame_len
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 4))
+           AS u(i)
+    WHERE length(text) > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 16-byte frame of each payload via the row-expanding
+    mapInPandas decode path; frames decoded back to UTF-8 so DuckDB can
+    replay with substring (ASCII corpus: byte slicing == char slicing)."""
+    from ..extensions.multimodal import frame_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = frame_sample(pack_payload(docs), frame_bytes=16, every_n=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.decode(F.col("frame"), "UTF-8").alias("frame_text"),
+        "frame_len",
+    )

@@ -96,8 +96,25 @@ def test_metadata_stats_rollup(docs):
     assert stats["audio/wav"].max_width is None
 
 
-def test_codec_stubs_raise(docs):
+def test_codec_stub_raises(docs):
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(pack_payload(docs))
-    with pytest.raises(NotImplementedError, match="codec"):
-        frame_sample(pack_payload(docs))
+
+
+def test_frame_sample_row_expansion(docs):
+    """One payload row fans out to one row per sampled fixed-width frame
+    (frame 0, 4, 8, ... of 4-byte frames), empty payloads to zero rows."""
+    out = frame_sample(
+        pack_payload(docs), frame_bytes=4, every_n=2
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: "alpha beta gamma" = 16 bytes -> frames 0..3, sampled 0 and 2.
+    f0 = sorted(by_doc[0], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in f0] == [0, 2]
+    assert bytes(f0[0].frame) == b"alph"
+    assert bytes(f0[1].frame) == b"ta g"  # bytes 8..11 of the payload
+    # doc 2: "zeta" = 4 bytes -> exactly one frame.
+    assert [r.frame_idx for r in by_doc[2]] == [0]
+    assert 4 not in by_doc  # empty payload -> no frames
