@@ -257,3 +257,31 @@ def ivf_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "e", out_col: str = "q", scale_col: str = "scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). 4x smaller than float32 (16x vs float64) —
+    at 100 TB of embeddings this is the difference between caching the
+    corpus in executor memory and re-reading it per query. Pure JVM array
+    exprs; zero vectors keep scale 0 and quantize to all-zero.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(
+        F.col(scale_col) > 0,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "q", scale_col: str = "scale", out_col: str = "e_hat"
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8` (lossy: max abs error scale/2)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

@@ -116,3 +116,45 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = indexed.filter(F.expr(QUERY_PRED)).select("vec_id", "e")
     return ivf_topk(indexed, centroids, q, k=K, nprobe=4)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id, round(scale, 9) AS scale_r,
+           CASE WHEN scale > 0
+                THEN list_transform(e, x -> CAST(round(x / scale) AS INTEGER))
+                ELSE list_transform(e, x -> 0) END AS q,
+           CAST(list_max(list_transform(
+                 list_zip(e, CASE WHEN scale > 0
+                   THEN list_transform(e, x -> round(x / scale) * scale)
+                   ELSE list_transform(e, x -> 0.0) END),
+                 p -> abs(p[1] - p[2]))) <= scale / 2 + 1e-12 AS BOOLEAN)
+             AS within_error_bound
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantize + dequantize round trip with the per-vector error
+    bound (<= scale/2) verified in the result itself."""
+    from ..extensions.similarity import dequantize_int8, quantize_int8
+
+    v = _vectors(spark, sf_dir)
+    q = dequantize_int8(quantize_int8(v))
+    err = F.array_max(
+        F.zip_with(F.col("e"), F.col("e_hat"), lambda a, b: F.abs(a - b))
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        "q",
+        (err <= F.col("scale") / 2 + F.lit(1e-12)).alias("within_error_bound"),
+    )
