@@ -1,0 +1,58 @@
+"""Plan-shape checks on REAL registry queries at sf0.001: scans must be
+pruned/pushed (the properties that decide whether 100 TB is read or
+skipped), and join-strategy hints must be honored."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from certified_dogs_and_cats_spark.plans import plan_text
+from certified_dogs_and_cats_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def read_schema_cols(plan: str, table: str) -> list[str]:
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+        return cols
+    raise AssertionError(f"no parquet scan found in plan:\n{plan}")
+
+
+def test_group_count_prunes_scan(spark):
+    plan = plan_text(QUERIES["group_count"](spark, SF))
+    # groupBy(returnflag, linestatus).count() must not read the other
+    # 10+ lineitem columns.
+    assert len(read_schema_cols(plan, "lineitem")) <= 2
+
+
+def test_multimodal_metadata_prunes_scan(spark):
+    plan = plan_text(QUERIES["multimodal_metadata_agg"](spark, SF))
+    assert set(read_schema_cols(plan, "documents")) <= {"doc_id", "text"}
+
+
+def test_semi_join_pushes_price_filter(spark):
+    import re
+
+    plan = plan_text(QUERIES["semi_join_active_customers"](spark, SF))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("GreaterThan(o_totalprice,100000" in p for p in pushed), pushed
+
+
+def test_join_hints_are_honored(spark):
+    big = spark.range(2000).select((F.col("id") % 7).alias("k"), "id")
+    small = spark.range(7).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        smj = big.join(small.hint("merge"), "k")
+        assert "SortMergeJoin" in plan_text(smj, "simple")
+        shj = big.join(small.hint("shuffle_hash"), "k")
+        assert "ShuffledHashJoin" in plan_text(shj, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bhj = big.join(small.hint("broadcast"), "k")
+    assert "BroadcastHashJoin" in plan_text(bhj, "simple")
