@@ -227,3 +227,67 @@ def frame_sample(
             )
 
     return src.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+#: Output schema of :func:`resize_nearest`.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_nearest(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbor resize of grayscale images to (out_w, out_h).
+
+    Input rows carry ``payload`` (raw bytes) and ``media.width/height``;
+    the payload is truncated/zero-padded to width*height bytes — the
+    deterministic stand-in for a real pixel decode. The kernel is numpy
+    fancy-indexing per Arrow batch (index grids computed once per distinct
+    shape), the same mapInPandas boundary as :func:`decode_features`; a
+    real image backend swaps the np.frombuffer line for a decoded array.
+    """
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        "payload",
+        F.col("media.width").alias("w"),
+        F.col("media.height").alias("h"),
+    ).filter(F.col("w").isNotNull())
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd  # executor-side imports
+
+        grids: dict[tuple[int, int], tuple] = {}
+        for pdf in batches:
+            out = []
+            for payload, w, h in zip(pdf["payload"], pdf["w"], pdf["h"]):
+                w, h = int(w), int(h)
+                buf = np.zeros(w * h, dtype=np.uint8)
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)[: w * h]
+                buf[: len(raw)] = raw
+                img = buf.reshape(h, w)
+                if (w, h) not in grids:
+                    rows = (np.arange(out_h) * h) // out_h
+                    cols = (np.arange(out_w) * w) // out_w
+                    grids[(w, h)] = (rows[:, None], cols[None, :])
+                r, c = grids[(w, h)]
+                out.append(img[r, c].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([out_w] * len(out), dtype="int32"),
+                    "height": pd.Series([out_h] * len(out), dtype="int32"),
+                    "pixels": pd.Series(out, dtype=object),
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=RESIZED_SCHEMA)

@@ -118,3 +118,32 @@ def test_frame_sample_row_expansion(docs):
     # doc 2: "zeta" = 4 bytes -> exactly one frame.
     assert [r.frame_idx for r in by_doc[2]] == [0]
     assert 4 not in by_doc  # empty payload -> no frames
+
+
+def test_resize_nearest_kernel(spark):
+    """4x4 image of bytes 0..15 resized to 2x2 nearest-neighbor must pick
+    pixels (0,0),(0,2),(2,0),(2,2) = 0,2,8,10; short payloads zero-pad."""
+    from certified_dogs_and_cats_spark.extensions.multimodal import (
+        RESIZED_SCHEMA,
+        resize_nearest,
+    )
+
+    rows = [
+        (0, bytearray(range(16)), (4, 4)),
+        (1, bytearray(range(6)), (4, 4)),  # padded with zeros
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, p, {"format": "image/png", "size_bytes": len(p),
+                    "width": wh[0], "height": wh[1], "sample_rate": None})
+            for i, p, wh in rows
+        ],
+        "doc_id long, payload binary, media struct<format:string,"
+        "size_bytes:bigint,width:int,height:int,sample_rate:int>",
+    )
+    out = resize_nearest(df, 2, 2)
+    assert out.schema == RESIZED_SCHEMA
+    got = {r.doc_id: bytes(r.pixels) for r in out.collect()}
+    assert got[0] == bytes([0, 2, 8, 10])
+    assert got[1] == bytes([0, 2, 0, 0])  # rows 2+ were padding
+    assert out.collect()[0].width == 2
