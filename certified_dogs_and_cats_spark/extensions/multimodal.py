@@ -15,12 +15,14 @@ Design for 100 TB:
   shuffle — it is a narrow transformation).
 - Feature extraction projects the payload away immediately, so the wide
   binary column does not survive past the decode stage.
-- Real media decoding needs codec libraries that are not in this
-  container; those paths are stubbed behind an import-try and raise
-  ``NotImplementedError`` with the dependency spelled out. The Spark-side
-  plumbing (schema, batch shape, partition preservation) is real and
-  tested either way — swapping the stub for Pillow/librosa is a pure
-  Python change inside one generator function.
+- The Spark-side plumbing is real and tested for all four decode shapes:
+  per-payload features (:func:`decode_features`, 1 row -> 1 row),
+  frame sampling (:func:`frame_sample`, 1 row -> k rows), resize
+  (:func:`resize_nearest`, numpy kernel per Arrow batch), and metadata
+  rollups. Only the codec itself is faked deterministically (this
+  container has no image/audio libraries): :func:`decode_image` raises
+  with the dependency spelled out, and swapping any fake for
+  Pillow/PyAV/librosa is a pure Python change inside one generator.
 """
 
 from __future__ import annotations
