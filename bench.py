@@ -79,6 +79,19 @@ def main() -> None:
     for name in BENCH_QUERIES:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
     total = round(sum(timings.values()), 3)
+    # The BENCH_r01 roster (the BASELINE.md envelope is defined over these
+    # 21 queries; later-round additions are broken out so totals stay
+    # comparable across rounds).
+    r01 = {
+        "group_count", "conditional_sum", "windowed_share",
+        "window_dedup_latest", "topk_per_group", "anti_join_new_rows",
+        "dim_lookup_fallback", "inner_join_multikey",
+        "merge_upsert_balances", "totals_by_year_type", "yoy_lag_stats",
+        "top3_pivot_by_brand", "daily_totals", "json_extract_agg",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "similarity_cosine_topk", "similarity_lsh_ann",
+        "text_token_stats", "text_fingerprint",
+    }
     print(
         json.dumps(
             {
@@ -87,6 +100,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "r01_comparable_subtotal": round(
+                    sum(v for k, v in timings.items() if k in r01), 3
+                ),
             }
         )
     )

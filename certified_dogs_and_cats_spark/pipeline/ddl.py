@@ -129,6 +129,20 @@ class DdlSession:
             return self.catalog.spark.createDataFrame(
                 rows or [], "schema_name string, table_name string, format string"
             )
+        if u.startswith("SELECT ") or u.startswith("WITH "):
+            return self.catalog.spark.sql(self._resolve_refs(stmt))
+        if u.startswith("EXPLAIN "):
+            plan = (
+                self.catalog.spark.sql(self._resolve_refs(stmt[len("EXPLAIN "):]))
+                ._jdf.queryExecution()
+                .explainString(
+                    self.catalog.spark._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted")
+                )
+            )
+            return self.catalog.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan string"
+            )
         if u.startswith("DESCRIBE"):
             name = self.resolve(s.split()[-1])
             spec = self.catalog.tables.get(name)
@@ -211,10 +225,16 @@ class DdlSession:
         name = self.resolve(m.group("name"))
         if name in self.views and not m.group(1):
             raise DdlError(f"view exists: {name}")
-        body = m.group("body")
-        # Resolve fully-qualified table/view references against the catalog:
-        # expose each referenced table as a sanitized temp view and rewrite
-        # the reference in the SELECT body.
+        body = self._resolve_refs(m.group("body"))
+        df = self.catalog.spark.sql(body)
+        df.createOrReplaceTempView(_view_alias(name))
+        self.views[name] = body
+        return df
+
+    def _resolve_refs(self, body: str) -> str:
+        """Resolve fully-qualified table/view references in a SELECT body
+        against the catalog: expose each referenced table as a sanitized
+        temp view and rewrite the reference."""
         for tbl in sorted(self.catalog.tables, key=len, reverse=True):
             for prefix in (f"{self.current_catalog}.{tbl}", tbl):
                 if re.search(rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", body):
@@ -230,10 +250,7 @@ class DdlSession:
                     _view_alias(view),
                     body,
                 )
-        df = self.catalog.spark.sql(body)
-        df.createOrReplaceTempView(_view_alias(name))
-        self.views[name] = body
-        return df
+        return body
 
     def _drop(self, s: str) -> None:
         m = re.match(

@@ -124,3 +124,30 @@ def test_errors(ddl):
     ddl.execute("CREATE TABLE t (x INT)")
     with pytest.raises(DdlError, match="exists"):
         ddl.execute("CREATE TABLE t (x INT)")
+
+
+def test_select_and_explain_passthrough(ddl, catalog, spark):
+    """DdlSession is a full SQL front door: SELECTs over qualified catalog
+    names run directly, EXPLAIN returns the physical plan."""
+    ddl.execute(BRONZE_DDL)
+    ddl_schema = catalog.tables["core.licensed_pets_bronze"].schema
+    from datetime import date, datetime
+
+    catalog.append(
+        "core.licensed_pets_bronze",
+        spark.createDataFrame(
+            [(1, 2024, "M1A", True, "DOG", "POODLE",
+              datetime(2026, 1, 1), date(2026, 1, 1))],
+            ddl_schema,
+        ),
+    )
+    [df] = ddl.execute(
+        "SELECT Year, count(*) AS cnt FROM pets.core.licensed_pets_bronze "
+        "GROUP BY Year"
+    )
+    assert df.collect()[0].cnt == 1
+    [plan] = ddl.execute(
+        "EXPLAIN SELECT * FROM pets.core.licensed_pets_bronze WHERE Year = 2024"
+    )
+    text = "\n".join(r.plan for r in plan.collect())
+    assert "Scan parquet" in text or "Scan " in text
