@@ -74,6 +74,11 @@ class StageRun:
 @dataclass
 class PipelineRunner:
     stages: list[Stage] = field(default_factory=list)
+    #: Called once per failed stage with (stage_name, StageRun) — the local
+    #: analog of the reference Workflow's on_failure email notification
+    #: (Daily_Licensed_Pets.yaml:55-58). Exceptions from the hook are
+    #: swallowed: notification failure must not mask the stage failure.
+    on_failure: Callable[[str, StageRun], None] | None = None
 
     def add(
         self,
@@ -127,7 +132,13 @@ class PipelineRunner:
             upstream = {
                 d: runs[d].result for d in stage.depends_on if runs[d].result
             }
-            runs[stage.name] = self._run_stage(stage, params, upstream)
+            run = self._run_stage(stage, params, upstream)
+            runs[stage.name] = run
+            if run.state == "failed" and self.on_failure is not None:
+                try:
+                    self.on_failure(stage.name, run)
+                except Exception:  # noqa: BLE001, S110
+                    pass
         return runs
 
     @staticmethod

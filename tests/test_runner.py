@@ -147,3 +147,24 @@ def test_daily_pipeline_no_files_skips_cleanly(catalog, raw_root):
     assert runs["bronze"].result.status == "skipped_no_files"
     assert runs["silver"].result.status == "skipped_no_files"
     assert runs["gold"].state == "succeeded"
+
+
+def test_on_failure_hook_fires_once_per_failed_stage():
+    seen = []
+    r = PipelineRunner(on_failure=lambda name, run: seen.append((name, run.state)))
+    r.add("a", lambda upstream: 1, max_retries=0)
+    r.add("b", lambda upstream: 1 / 0, max_retries=1)
+    r.add("c", lambda upstream: 1, depends_on=("b",))
+    runs = r.run()
+    assert runs["b"].state == "failed" and runs["b"].attempts == 2
+    assert runs["c"].state == "upstream_failed"
+    assert seen == [("b", "failed")]  # not for upstream_failed cascades
+
+
+def test_on_failure_hook_errors_do_not_mask_failure():
+    def bad_hook(name, run):
+        raise RuntimeError("notifier down")
+
+    r = PipelineRunner(on_failure=bad_hook)
+    r.add("a", lambda upstream: 1 / 0, max_retries=0)
+    assert r.run()["a"].state == "failed"
