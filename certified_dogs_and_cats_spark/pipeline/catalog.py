@@ -88,6 +88,43 @@ class Catalog:
             writer = writer.partitionBy(*spec.partition_by)
         writer.save(spec.path)
 
+    def overwrite_partitions(self, name: str, df: DataFrame) -> int:
+        """Dynamic partition overwrite: replace ONLY the partitions present
+        in ``df``, leaving all others untouched (Spark's
+        ``partitionOverwriteMode=dynamic`` / Delta ``replaceWhere``).
+
+        The incremental-refresh primitive: a daily gold rebuild overwrites
+        the touched (Year, ANIMAL_TYPE) directories instead of the whole
+        table — at 100 TB that is the difference between rewriting
+        gigabytes and rewriting everything. Replaced partition versions are
+        retired to _trash (vacuum applies retention). Returns the number of
+        partitions replaced.
+        """
+        spec = self.tables[name]
+        if not spec.partition_by:
+            raise ValueError(
+                f"{name} is unpartitioned — use overwrite() instead"
+            )
+        touched = [
+            tuple(r)
+            for r in df.select(*spec.partition_by).distinct().collect()
+        ]
+        stamp = str(time.time_ns())
+        for values in touched:
+            part_dir = os.path.join(
+                spec.path,
+                *[f"{c}={v}" for c, v in zip(spec.partition_by, values)],
+            )
+            if os.path.isdir(part_dir):
+                trash = os.path.join(
+                    self._trash_dir(name), stamp,
+                    *[f"{c}={v}" for c, v in zip(spec.partition_by, values)],
+                )
+                os.makedirs(os.path.dirname(trash), exist_ok=True)
+                os.replace(part_dir, trash)
+        self.append(name, df)
+        return len(touched)
+
     def drop(self, name: str) -> None:
         """DROP TABLE: deregister and retire the data into _trash (recoverable
         until :meth:`vacuum` purges it — Delta-style DROP semantics)."""

@@ -86,3 +86,27 @@ def test_export_all_idempotent_rerun(spark, tmp_path):
     assert set(paths) == {"v1", "v2"}
     back = spark.read.schema(SCHEMA).option("header", True).csv(paths["v1"])
     assert back.count() == 1
+
+
+def test_overwrite_partitions_replaces_only_touched(catalog):
+    catalog.register("t.dyn", SCHEMA, partition_by=("k",))
+    catalog.append(
+        "t.dyn",
+        catalog.spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], SCHEMA),
+    )
+    # Refresh ONLY partition a with new content.
+    n = catalog.overwrite_partitions(
+        "t.dyn", catalog.spark.createDataFrame([("a", 99)], SCHEMA)
+    )
+    assert n == 1
+    rows = sorted(tuple(r) for r in catalog.table("t.dyn").collect())
+    assert rows == [("a", 99), ("b", 3)]  # b untouched, a fully replaced
+    # The retired version of partition a is recoverable until vacuum.
+    assert catalog.vacuum("t.dyn", retain_hours=0) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="unpartitioned"):
+        catalog.register("t.flat", SCHEMA)
+        catalog.overwrite_partitions(
+            "t.flat", catalog.spark.createDataFrame([("a", 1)], SCHEMA)
+        )
