@@ -53,14 +53,22 @@ BENCH_QUERIES = [
 ]
 
 
+REPEATS = 2
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
-    t0 = time.time()
-    df = QUERIES[name](spark, sf_dir)
-    # noop-format write: executes the FULL plan (count() would let Catalyst
-    # prune projected expressions that don't affect the row count) without
-    # collecting anything to the driver.
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    """Best-of-N wall time. Each attempt executes the FULL plan via a
+    noop-format write (count() would let Catalyst prune projected
+    expressions that don't affect the row count) without collecting
+    anything to the driver; the min removes one-off machine noise (GC,
+    page-cache churn from whatever ran before the bench)."""
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> None:
