@@ -551,26 +551,40 @@ def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- sketches: mergeable HLL distinct-count (DataSketches) ------------------
-# Rows-only check: DuckDB's HLL implementation differs, so estimates can't
-# hash-match across engines. Determinism within Spark is exact (the sketch
-# is a pure function of the value set); tests/test_sketches.py pins accuracy
-# vs exact countDistinct and sketch mergeability.
-@query("sketch_distinct_users")
+# DuckDB's HLL implementation differs, so the raw estimate can't hash-match
+# across engines. Instead the query verifies ITSELF: it emits the exact
+# count plus a boolean asserting the sketch estimate lands within 5%
+# relative error (HLL lgK=12 is ~1.6% typical), and the oracle reproduces
+# the exact count with a literal TRUE — a real hash-compared row, not a
+# rows-only check. tests/test_sketches.py additionally pins accuracy and
+# sketch mergeability inside Spark.
+@query(
+    "sketch_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rel_err
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type approximate distinct users via HLL sketches. The sketch
     column is the point at 100 TB: per-partition sketches merge (one tiny
     shuffle) and pre-aggregated sketches can be stored per day/partition
     and re-merged for any rollup without touching raw data."""
     e = t(spark, sf_dir, "events").select("event_type", "user_id")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_sketch_agg(F.col("user_id"))
-            ).alias("approx_users"),
-            F.count_distinct(F.col("user_id")).alias("exact_users"),
-        )
-        .select("event_type", "approx_users", "exact_users")
+    agg = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"))).alias(
+            "approx_users"
+        ),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return agg.select(
+        "event_type", "exact_users", (rel_err <= F.lit(0.05)).alias("within_rel_err")
     )
 
 
