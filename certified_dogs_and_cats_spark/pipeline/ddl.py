@@ -20,12 +20,24 @@ Supported statements (the reference's full DDL surface):
 - ``CREATE [OR REPLACE] VIEW name AS <select>`` — the SELECT may
   reference fully-qualified table names; they are resolved against the
   catalog and the view is registered for ``spark.sql`` use.
+- ``INSERT INTO name [(cols)] VALUES (...), ... | <select>`` — the
+  reference's control-record spelling (notebooks/bronze.py:119-122);
+  maps onto :meth:`Catalog.append` with positional cast to the declared
+  schema.
+- ``[WITH ctes] MERGE INTO target [AS] t USING source [AS] s ON cond
+  WHEN MATCHED THEN UPDATE SET ... [WHEN NOT MATCHED THEN INSERT (...)
+  VALUES (...)]`` — the reference's upsert spelling
+  (sql/breed_mapping.py:596-618); executed as a full-outer-join rewrite
+  (one shuffle on the merge keys, same cost shape as Delta MERGE's join
+  phase) followed by a table overwrite.
 - ``DROP TABLE|VIEW [IF EXISTS] name``
 - ``SHOW SCHEMAS`` / ``SHOW TABLES`` / ``DESCRIBE [TABLE] name``
 
-Statements are ``;``-separated; ``--`` comments are stripped. This is a
-deliberate small-surface parser, not a SQL engine — anything SELECT-
-shaped is delegated to Spark SQL untouched.
+Statements are ``;``-separated and ``--`` comments are stripped — both
+quote-aware, so literals containing ``;`` or ``--`` survive, and name
+resolution never rewrites table references inside string literals. This
+is a deliberate small-surface parser, not a SQL engine — anything
+SELECT-shaped is delegated to Spark SQL untouched.
 """
 
 from __future__ import annotations
@@ -34,6 +46,7 @@ import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import Catalog
@@ -56,8 +69,64 @@ class DdlError(ValueError):
     pass
 
 
-def _strip_comments(sql: str) -> str:
-    return re.sub(r"--[^\n]*", "", sql)
+def _split_statements(sql: str) -> list[str]:
+    """Split a script on ``;`` and drop ``--`` comments, tracking
+    single-quote string state so neither applies inside a literal
+    (``''`` is the SQL escape for a quote within a literal)."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(sql: str) -> str:
+    """Replace string-literal contents with spaces (same length, quotes
+    kept) so positional regex matches never land inside a literal."""
+    return _STR_LIT.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql)
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on `sep` at paren depth 0, outside string literals."""
+    masked = _mask_literals(s)
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return parts
 
 
 def _view_alias(name: str) -> str:
@@ -94,15 +163,22 @@ class DdlSession:
         """Run a ;-separated DDL script; returns one result per statement
         (DataFrames for SHOW/DESCRIBE/VIEW-select, else None)."""
         out: list[DataFrame | None] = []
-        for stmt in _strip_comments(sql).split(";"):
-            stmt = stmt.strip()
-            if stmt:
-                out.append(self._execute_one(stmt))
+        for stmt in _split_statements(sql):
+            out.append(self._execute_one(stmt))
         return out
 
     def _execute_one(self, stmt: str) -> DataFrame | None:
         s = re.sub(r"\s+", " ", stmt).strip()
         u = s.upper()
+        masked_u = _mask_literals(s).upper()
+        if masked_u.startswith("INSERT INTO "):
+            return self._insert_into(stmt)
+        # MERGE, possibly prefixed by a WITH-CTE block (the reference's
+        # seed-upsert shape, sql/breed_mapping.py:560-618).
+        if re.search(r"\bMERGE INTO\b", masked_u) and (
+            masked_u.startswith("MERGE INTO ") or masked_u.startswith("WITH ")
+        ):
+            return self._merge_into(stmt)
         if u.startswith("USE CATALOG "):
             self.current_catalog = s.split()[2]
             return None
@@ -234,23 +310,198 @@ class DdlSession:
     def _resolve_refs(self, body: str) -> str:
         """Resolve fully-qualified table/view references in a SELECT body
         against the catalog: expose each referenced table as a sanitized
-        temp view and rewrite the reference."""
-        for tbl in sorted(self.catalog.tables, key=len, reverse=True):
-            for prefix in (f"{self.current_catalog}.{tbl}", tbl):
-                if re.search(rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", body):
-                    alias = _view_alias(tbl)
-                    self.catalog.table(tbl).createOrReplaceTempView(alias)
-                    body = re.sub(
-                        rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", alias, body
+        temp view and rewrite the reference. Rewrites are applied segment-
+        wise outside string literals only, so a table name mentioned inside
+        a quoted string survives untouched."""
+        segments: list[tuple[bool, str]] = []  # (is_literal, text)
+        last = 0
+        for m in _STR_LIT.finditer(body):
+            segments.append((False, body[last : m.start()]))
+            segments.append((True, m.group(0)))
+            last = m.end()
+        segments.append((False, body[last:]))
+
+        def rewrite(code: str) -> str:
+            for tbl in sorted(self.catalog.tables, key=len, reverse=True):
+                for prefix in (f"{self.current_catalog}.{tbl}", tbl):
+                    if re.search(rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", code):
+                        alias = _view_alias(tbl)
+                        self.catalog.table(tbl).createOrReplaceTempView(alias)
+                        code = re.sub(
+                            rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", alias, code
+                        )
+            for view in sorted(self.views, key=len, reverse=True):
+                for prefix in (f"{self.current_catalog}.{view}", view):
+                    code = re.sub(
+                        rf"(?<![\w.]){re.escape(prefix)}(?![\w.])",
+                        _view_alias(view),
+                        code,
                     )
-        for view in sorted(self.views, key=len, reverse=True):
-            for prefix in (f"{self.current_catalog}.{view}", view):
-                body = re.sub(
-                    rf"(?<![\w.]){re.escape(prefix)}(?![\w.])",
-                    _view_alias(view),
-                    body,
-                )
-        return body
+            return code
+
+        return "".join(
+            text if is_lit else rewrite(text) for is_lit, text in segments
+        )
+
+    # -- DML: INSERT INTO ------------------------------------------------------
+    def _insert_into(self, stmt: str) -> None:
+        """``INSERT INTO name [(cols)] VALUES ... | <select>`` → catalog
+        append. Values/select columns bind positionally and are cast to the
+        declared types (reference control-record insert,
+        notebooks/bronze.py:119-122)."""
+        s = re.sub(r"\s+", " ", stmt).strip()
+        m = re.match(
+            r"INSERT INTO (?P<name>[\w.]+)\s*"
+            r"(?:\((?P<cols>[^)]*)\)\s*)?"
+            r"(?P<body>VALUES .*|SELECT .*|WITH .*)$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise DdlError(f"bad INSERT INTO: {s[:120]}")
+        name = self.resolve(m.group("name"))
+        spec = self.catalog.tables.get(name)
+        if spec is None:
+            raise DdlError(f"table not found: {name}")
+        body = m.group("body")
+        if body.upper().startswith("VALUES"):
+            src = self.catalog.spark.sql(f"SELECT * FROM {body}")
+        else:
+            src = self.catalog.spark.sql(self._resolve_refs(body))
+        target_cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else [f.name for f in spec.schema.fields]
+        )
+        if len(src.columns) != len(target_cols):
+            raise DdlError(
+                f"INSERT INTO {name}: {len(src.columns)} values for "
+                f"{len(target_cols)} columns"
+            )
+        by_name = {f.name: f for f in spec.schema.fields}
+        unknown = [c for c in target_cols if c not in by_name]
+        if unknown:
+            raise DdlError(f"INSERT INTO {name}: unknown columns {unknown}")
+        aligned = src.select(
+            *[
+                F.col(src_c).cast(by_name[tgt_c].dataType).alias(tgt_c)
+                for src_c, tgt_c in zip(src.columns, target_cols)
+            ]
+        )
+        full = aligned
+        for f in spec.schema.fields:
+            if f.name not in target_cols:
+                full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
+        self.catalog.append(name, full)
+        return None
+
+    # -- DML: MERGE INTO -------------------------------------------------------
+    def _merge_into(self, stmt: str) -> None:
+        """``[WITH ctes] MERGE INTO target [AS] t USING source [AS] s ON
+        cond WHEN MATCHED THEN UPDATE SET ... [WHEN NOT MATCHED THEN
+        INSERT (...) VALUES (...)]`` executed as a full-outer-join rewrite
+        (operators/joins.py merge_upsert shape) + table overwrite.
+
+        Replays the reference's upsert statements near-verbatim
+        (sql/breed_mapping.py:596-618). One shuffle on the merge keys —
+        the same join phase Delta MERGE runs — then an atomic overwrite;
+        on Delta the overwrite becomes a transactional commit.
+        """
+        s = re.sub(r"\s+", " ", stmt).strip()
+        masked = _mask_literals(s)
+        mm = re.search(r"\bMERGE INTO\b", masked, re.I)
+        ctes = s[: mm.start()].strip()  # "" or "WITH ..."
+        merge = s[mm.start() :]
+        masked_merge = _mask_literals(merge)
+        m = re.match(
+            r"MERGE INTO (?P<target>[\w.]+)(?: AS)? (?P<t_alias>\w+) "
+            r"USING (?P<source>\((?:[^()]|\([^()]*\))*\)|[\w.]+)(?: AS)? "
+            r"(?P<s_alias>\w+) ON (?P<cond>.+?) "
+            r"WHEN MATCHED THEN UPDATE SET (?P<sets>.+?)"
+            r"(?: WHEN NOT MATCHED THEN INSERT \((?P<ins_cols>[^)]*)\) "
+            r"VALUES \((?P<ins_vals>.*)\))?\s*$",
+            masked_merge,
+            re.I,
+        )
+        if not m:
+            raise DdlError(f"bad MERGE INTO: {s[:120]}")
+
+        def span(group: str) -> str:
+            return merge[m.start(group) : m.end(group)] if m.group(group) else ""
+
+        target = self.resolve(span("target"))
+        spec = self.catalog.tables.get(target)
+        if spec is None:
+            raise DdlError(f"table not found: {target}")
+        t_alias, s_alias = m.group("t_alias"), m.group("s_alias")
+        if {t_alias.upper(), s_alias.upper()} & {"ON", "WHEN", "USING"}:
+            raise DdlError(f"MERGE INTO requires explicit aliases: {s[:120]}")
+
+        # Source DataFrame: CTE name (re-attach the WITH block), inline
+        # subquery, or catalog table/view.
+        source_txt = span("source")
+        if source_txt.startswith("("):
+            source_df = self.catalog.spark.sql(
+                self._resolve_refs(f"{ctes} SELECT * FROM {source_txt} __src")
+            )
+        elif ctes:
+            source_df = self.catalog.spark.sql(
+                self._resolve_refs(f"{ctes} SELECT * FROM {source_txt}")
+            )
+        else:
+            source_df = self.catalog.spark.sql(
+                self._resolve_refs(f"SELECT * FROM {source_txt}")
+            )
+
+        assignments: dict[str, str] = {}
+        for part in _split_top(span("sets"), ","):
+            lhs, _, rhs = part.partition("=")
+            if not rhs:
+                raise DdlError(f"bad UPDATE SET clause: {part!r}")
+            assignments[lhs.strip().split(".")[-1]] = rhs.strip()
+        insert_map: dict[str, str] = {}
+        has_insert = bool(m.group("ins_cols"))
+        if has_insert:
+            ins_cols = [c.strip().split(".")[-1] for c in span("ins_cols").split(",")]
+            ins_vals = [v.strip() for v in _split_top(span("ins_vals"), ",")]
+            if len(ins_cols) != len(ins_vals):
+                raise DdlError("MERGE INSERT column/value count mismatch")
+            insert_map = dict(zip(ins_cols, ins_vals))
+
+        by_name = {f.name: f for f in spec.schema.fields}
+        for c in list(assignments) + list(insert_map):
+            if c not in by_name:
+                raise DdlError(f"MERGE INTO {target}: unknown column {c!r}")
+
+        t_df = (
+            self.catalog.table(target)
+            .withColumn("__t_hit", F.lit(True))
+            .alias(t_alias)
+        )
+        s_df = source_df.withColumn("__s_hit", F.lit(True)).alias(s_alias)
+        joined = t_df.join(s_df, F.expr(span("cond")), "full_outer")
+        t_hit = F.col(f"{t_alias}.__t_hit").isNotNull()
+        s_hit = F.col(f"{s_alias}.__s_hit").isNotNull()
+        cols = []
+        for f in spec.schema.fields:
+            c = f.name
+            tgt_val = F.col(f"{t_alias}.{c}")
+            matched_val = (
+                F.expr(assignments[c]) if c in assignments else tgt_val
+            )
+            insert_val = (
+                F.expr(insert_map[c]) if c in insert_map else F.lit(None)
+            )
+            cols.append(
+                F.when(t_hit & s_hit, matched_val)
+                .when(t_hit, tgt_val)
+                .otherwise(insert_val)
+                .cast(f.dataType)
+                .alias(c)
+            )
+        out = joined if has_insert else joined.filter(t_hit)
+        self.catalog.overwrite(target, out.select(*cols))
+        return None
 
     def _drop(self, s: str) -> None:
         m = re.match(

@@ -151,3 +151,169 @@ def test_select_and_explain_passthrough(ddl, catalog, spark):
     )
     text = "\n".join(r.plan for r in plan.collect())
     assert "Scan parquet" in text or "Scan " in text
+
+
+# --- DML: the reference's INSERT INTO / MERGE INTO spellings -----------------
+
+LOAD_CONTROL_DDL = """
+CREATE TABLE IF NOT EXISTS pets.core.load_control (
+  dataset STRING,
+  ingestion_date DATE,
+  loaded_ts TIMESTAMP
+) USING DELTA;
+"""
+
+
+def test_insert_into_reference_spelling(ddl, catalog):
+    """notebooks/bronze.py:119-122 verbatim shape."""
+    ddl.execute(LOAD_CONTROL_DDL)
+    ddl.execute("""
+      INSERT INTO pets.core.load_control
+      VALUES ('licensed_pets', DATE('2025-03-01'), current_timestamp())
+    """)
+    rows = catalog.table("core.load_control").collect()
+    assert len(rows) == 1
+    assert rows[0].dataset == "licensed_pets"
+    assert rows[0].ingestion_date.isoformat() == "2025-03-01"
+    assert rows[0].loaded_ts is not None
+    # Second insert appends (INSERT has no idempotency — that's the
+    # anti-join's job, reference architecture.md:16-17).
+    ddl.execute(
+        "INSERT INTO pets.core.load_control "
+        "VALUES ('licensed_pets', DATE('2025-03-02'), current_timestamp())"
+    )
+    assert catalog.table("core.load_control").count() == 2
+
+
+def test_insert_into_column_list_and_select(ddl, catalog):
+    ddl.execute(LOAD_CONTROL_DDL)
+    ddl.execute(
+        "INSERT INTO pets.core.load_control (dataset, ingestion_date) "
+        "VALUES ('partial', DATE('2025-04-01'))"
+    )
+    row = catalog.table("core.load_control").collect()[0]
+    assert row.dataset == "partial" and row.loaded_ts is None
+    ddl.execute(
+        "INSERT INTO pets.core.load_control "
+        "SELECT dataset, ingestion_date, current_timestamp() "
+        "FROM pets.core.load_control"
+    )
+    assert catalog.table("core.load_control").count() == 2
+    with pytest.raises(DdlError, match="values for"):
+        ddl.execute("INSERT INTO pets.core.load_control VALUES ('x')")
+
+
+# sql/breed_mapping.py:560-618 shape: CTE-seeded MERGE with both clauses.
+SEED_MERGE = """
+WITH v(key, val) AS (
+  VALUES
+    ('Golden Retriever', 'GOLDEN RETRIEVER'),
+    ('golden  retriever', 'GOLDEN RETRIEVER'),
+    ('Lab', 'LABRADOR RETRIEVER')
+),
+norm AS (
+  SELECT
+    regexp_replace(upper(trim(key)), '[^A-Z0-9]', '') AS breed_variant_key,
+    val AS breed_standard
+  FROM v
+),
+dedup AS (
+  SELECT breed_variant_key, max(breed_standard) AS breed_standard
+  FROM norm
+  GROUP BY breed_variant_key
+)
+MERGE INTO pets.ref.breed_mapping AS t
+USING dedup AS s
+ON t.breed_variant_key = s.breed_variant_key
+WHEN MATCHED THEN
+  UPDATE SET t.breed_standard = s.breed_standard
+WHEN NOT MATCHED THEN
+  INSERT (breed_variant_key, breed_standard)
+  VALUES (s.breed_variant_key, s.breed_standard);
+"""
+
+
+def test_merge_into_reference_seed_upsert(ddl, catalog):
+    ddl.execute(REF_SCHEMA_DDL)
+    ddl.execute(SEED_MERGE)
+    got = {
+        r.breed_variant_key: r.breed_standard
+        for r in catalog.table("ref.breed_mapping").collect()
+    }
+    assert got == {
+        "GOLDENRETRIEVER": "GOLDEN RETRIEVER",
+        "LAB": "LABRADOR RETRIEVER",
+    }
+    # Re-running the same MERGE is idempotent (matched rows update to the
+    # same values, nothing inserts).
+    ddl.execute(SEED_MERGE)
+    assert catalog.table("ref.breed_mapping").count() == 2
+    # A changed seed updates in place and inserts the new key.
+    ddl.execute(SEED_MERGE.replace(
+        "('Lab', 'LABRADOR RETRIEVER')",
+        "('Lab', 'LAB RETRIEVER'), ('Pug!', 'PUG')",
+    ))
+    got = {
+        r.breed_variant_key: r.breed_standard
+        for r in catalog.table("ref.breed_mapping").collect()
+    }
+    assert got == {
+        "GOLDENRETRIEVER": "GOLDEN RETRIEVER",
+        "LAB": "LAB RETRIEVER",
+        "PUG": "PUG",
+    }
+
+
+def test_merge_into_update_only_with_subquery_source(ddl, catalog, spark):
+    """sql/breed_mapping.py:608-618 shape: USING (subquery), UPDATE SET with
+    a literal, no NOT MATCHED clause — unmatched target rows must survive
+    unchanged and unmatched source rows must NOT insert."""
+    ddl.execute(REF_SCHEMA_DDL)
+    ddl.execute("""
+      CREATE TABLE pets.core.silver_mini (
+        _id INT, breed_variant_key STRING,
+        breed_standard STRING, breed_mapped BOOLEAN
+      ) USING DELTA;
+      INSERT INTO pets.core.silver_mini VALUES
+        (1, 'LAB', 'LAB', false),
+        (2, 'UNKNOWNBREED', 'UNKNOWNBREED', false);
+      INSERT INTO pets.ref.breed_mapping VALUES
+        ('LAB', 'LABRADOR RETRIEVER'), ('PUG', 'PUG');
+    """)
+    ddl.execute("""
+      MERGE INTO pets.core.silver_mini s
+      USING (
+        SELECT breed_variant_key, max(breed_standard) AS breed_standard
+        FROM pets.ref.breed_mapping
+        GROUP BY breed_variant_key
+      ) m
+      ON s.breed_variant_key = m.breed_variant_key
+      WHEN MATCHED THEN UPDATE SET
+        s.breed_standard = m.breed_standard,
+        s.breed_mapped   = TRUE;
+    """)
+    rows = {r._id: r for r in catalog.table("core.silver_mini").collect()}
+    assert len(rows) == 2  # PUG did not insert
+    assert rows[1].breed_standard == "LABRADOR RETRIEVER"
+    assert rows[1].breed_mapped is True
+    assert rows[2].breed_standard == "UNKNOWNBREED"
+    assert rows[2].breed_mapped is False
+
+
+def test_quote_aware_split_comments_and_resolution(ddl, catalog):
+    """';' and '--' inside string literals must not split/truncate the
+    statement, and a table name inside a literal must not be rewritten."""
+    ddl.execute("CREATE TABLE pets.core.notes (k STRING, v STRING)")
+    ddl.execute(
+        "INSERT INTO pets.core.notes VALUES "
+        "('semi;colon', 'a--b'), ('ref', 'see pets.core.notes; -- really')"
+    )
+    got = {r.k: r.v for r in catalog.table("core.notes").collect()}
+    assert got == {
+        "semi;colon": "a--b",
+        "ref": "see pets.core.notes; -- really",
+    }
+    [df] = ddl.execute(
+        "SELECT v FROM pets.core.notes WHERE k = 'ref' -- trailing comment"
+    )
+    assert df.collect()[0].v == "see pets.core.notes; -- really"
