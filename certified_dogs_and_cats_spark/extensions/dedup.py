@@ -243,32 +243,40 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "e",
-    bits: int = 4,
+    bits: int = 8,
+    n_probes: int = 1,
     round_digits: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (strategy 5: semantic dedup).
 
-    Candidate generation is sign-LSH bucketing (similarity.sign_bucket):
-    only vectors sharing a bucket are compared, via a bucket-keyed
-    self-join — never an all-pairs cross join. Exact cosine then verifies
-    each candidate against ``threshold``. Returns (id_a, id_b, cos_sim)
-    with id_a < id_b, deduplicated by construction.
+    Candidate generation is multi-probe sign-LSH bucketing: probe ``p``
+    buckets every vector by the signs of dims ``[p*bits, (p+1)*bits)``
+    (independent re-bucketings of the same vectors), vectors sharing ANY
+    probe's bucket become candidates (union across probes), and exact
+    cosine verifies each candidate once against ``threshold`` — never an
+    all-pairs cross join. Returns distinct (id_a, id_b, cos_sim) with
+    id_a < id_b.
 
-    Scale contract: the self-join shuffles on `bucket` (no broadcast), so
-    work per bucket is ~(N/2^bits)^2/2 — scale `bits` with log2(N) just
-    like lsh_bucketed_topk, or substitute IVF centroid ids for the bucket
-    expression. Recall is governed by bits (a near-dup pair straddling a
-    sign boundary is missed); production near-dup passes OR several
-    bit-selections together, each a cheap re-bucketing of the same
-    signatures.
+    Scale contract: the self-join shuffles on (probe, bucket) — no
+    broadcast — so work per bucket is ~(N/2^bits)^2/2 per probe; scale
+    `bits` with log2(N) and recover the recall lost to more/finer
+    boundaries by raising ``n_probes`` (each probe is a cheap re-keying,
+    cost is linear in probes while recall loss decays exponentially: a
+    near-dup pair is missed only if it straddles a sign boundary in EVERY
+    probe's bit-selection). Requires ``n_probes * bits`` <= vector dim.
     """
     from .similarity import dot, sign_bucket, with_norm
 
+    probes = F.explode(
+        F.array(
+            *[
+                F.concat(F.lit(f"{p}:"), sign_bucket(vec_col, bits, offset=p * bits))
+                for p in range(n_probes)
+            ]
+        )
+    )
     b = with_norm(embeddings, vec_col, "nrm").select(
-        F.col(id_col),
-        F.col(vec_col),
-        "nrm",
-        sign_bucket(vec_col, bits).alias("bucket"),
+        F.col(id_col), F.col(vec_col), "nrm", probes.alias("bucket")
     )
     left = b.select(
         F.col("bucket"),
@@ -286,11 +294,14 @@ def embedding_near_dup_pairs(
         dot(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b")),
         round_digits,
     )
+    # distinct() collapses pairs surfaced by more than one probe: cos_sim is
+    # a deterministic fold of the same two vectors, so duplicates are exact.
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 

@@ -45,10 +45,15 @@ def with_norm(df: DataFrame, vec_col: str = "e", norm_col: str = "nrm") -> DataF
     return df.withColumn(norm_col, F.sqrt(dot(v, v)))
 
 
-def sign_bucket(vec_col: str | Column, bits: int = 8) -> Column:
-    """Deterministic LSH bucket: '1'/'0' per sign of the first `bits` dims."""
+def sign_bucket(vec_col: str | Column, bits: int = 8, offset: int = 0) -> Column:
+    """Deterministic LSH bucket: '1'/'0' per sign of `bits` dims starting
+    at `offset` — distinct offsets give independent re-bucketings of the
+    same vectors (multi-probe OR candidates, see dedup)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    parts = [F.when(c[i] >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+    parts = [
+        F.when(c[offset + i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
     return F.concat(*parts)
 
 

@@ -209,6 +209,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the point pinned here is the algorithm: bucket-join candidates + exact
 # cosine verify, never all-pairs.
 NEAR_DUP_BITS = 4
+NEAR_DUP_PROBES = 2  # probe 0: dims 1-4, probe 1: dims 5-8
 NEAR_DUP_THRESHOLD = 0.3
 
 
@@ -227,18 +228,33 @@ NEAR_DUP_THRESHOLD = 0.3
                CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END,
                CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END,
                CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+               CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS b0,
+             concat(
+               CASE WHEN e[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[8] >= 0 THEN '1' ELSE '0' END) AS b1
       FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+             round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6) AS cos_sim
+      FROM b a JOIN b bb ON a.b0 = bb.b0
+      WHERE a.vec_id < bb.vec_id
+      UNION
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+             round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6) AS cos_sim
+      FROM b a JOIN b bb ON a.b1 = bb.b1
+      WHERE a.vec_id < bb.vec_id
     )
-    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
-           round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6) AS cos_sim
-    FROM b a JOIN b bb USING (bucket)
-    WHERE a.vec_id < bb.vec_id
-      AND round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6)
-          >= {NEAR_DUP_THRESHOLD}
+    SELECT id_a, id_b, cos_sim FROM pairs
+    WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe (OR of 2 independent sign-bucketings) near-dup pairs:
+    candidates missed by a sign boundary in probe 0 are recovered when
+    probe 1's bit-selection agrees; exact cosine verifies once."""
     from ..extensions.dedup import embedding_near_dup_pairs
     from ..extensions.similarity import as_double_vec
 
@@ -246,7 +262,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_vec("embedding").alias("e")
     )
     return embedding_near_dup_pairs(
-        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS
+        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
     )
 
 
