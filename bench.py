@@ -50,6 +50,15 @@ BENCH_QUERIES = [
     "streaming_windowed_counts",
     "asof_join_last_view",
     "sessionize_stats",
+    # OLAP-breadth set (queries/olap.py): RANGE frames, ROLLUP, exact
+    # percentiles, ordered listagg, EXISTS semi-join, set ops, pinned pivot.
+    "trailing_range_avg",
+    "rollup_order_counts",
+    "percentile_by_group",
+    "string_agg_by_group",
+    "semi_join_active_customers",
+    "set_ops_customer_keys",
+    "pivot_status_matrix",
 ]
 
 
@@ -68,6 +77,10 @@ def run_query(spark, name: str, sf_dir: str) -> float:
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
+        # Queries may persist() branched frames (e.g. the dedup shingle
+        # tables); release them so a multi-query sweep doesn't accumulate
+        # executor-memory cache, and so each attempt pays its own persist.
+        spark.catalog.clearCache()
     return best
 
 
@@ -83,6 +96,7 @@ def main() -> None:
             ).mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(run_query(spark, name, sf_dir), 3)

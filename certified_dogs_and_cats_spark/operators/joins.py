@@ -177,7 +177,17 @@ def salted_join(
     beyond what AQE's skew-join splitting handles (AQE splits oversized
     partitions of sort-merge joins, but can't split a single giant key
     group mid-aggregation).
+
+    Only big-side-preserving joins are valid: the small side is replicated
+    n_salts ways, so right/full/outer would emit every unmatched small row
+    n_salts times — those `how` values raise.
     """
+    if how not in {"inner", "left", "left_outer", "left_semi", "semi",
+                   "left_anti", "anti"}:
+        raise ValueError(
+            "salted_join replicates the small side n_salts times; only "
+            f"big-side-preserving joins (inner/left/semi/anti) are exact, got {how!r}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), n_salts)
     b = big.withColumn("__salt", salt)
     s = small.withColumn(

@@ -19,6 +19,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Join types whose semantics survive the interval explosion: the points
+# side is never replicated (each point lands in exactly one bin), so
+# point-preserving joins are exact. right/full would emit one unmatched
+# copy of an interval PER exploded bin — silently wrong — so they raise.
+_VALID_HOW = {"inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"}
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -31,8 +38,21 @@ def interval_join(
     """Join each point row to every interval row containing it
     (``lo_ts <= point_ts <= hi_ts``), bin-partitioned as described above.
 
+    ``how`` may be any point-preserving join: inner, left (unmatched
+    points survive null-extended), left_semi (points inside any interval),
+    left_anti (points inside none). The exact BETWEEN predicate is part of
+    the join condition — not a post-filter — so outer null-extended rows
+    survive. Interval-preserving joins (right/full) are rejected: the
+    explosion replicates intervals across bins, which would duplicate
+    their unmatched rows.
+
     Column names must be disjoint between the two inputs (rename first).
     """
+    if how not in _VALID_HOW:
+        raise ValueError(
+            f"interval_join supports point-preserving joins {sorted(_VALID_HOW)}, "
+            f"got {how!r}"
+        )
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"overlapping column names: {sorted(overlap)}")
@@ -48,10 +68,7 @@ def interval_join(
     i = intervals.withColumn(
         "__bin", F.explode(F.sequence(lo_bin, hi_bin))
     )
-    return (
-        p.join(i, "__bin", how)
-        .filter(
-            F.col(point_ts).between(F.col(lo_ts), F.col(hi_ts))
-        )
-        .drop("__bin")
+    cond = (p["__bin"] == i["__bin"]) & F.col(point_ts).between(
+        F.col(lo_ts), F.col(hi_ts)
     )
+    return p.join(i, cond, how).drop("__bin")

@@ -105,25 +105,49 @@ class Catalog:
             raise ValueError(
                 f"{name} is unpartitioned — use overwrite() instead"
             )
-        touched = [
-            tuple(r)
-            for r in df.select(*spec.partition_by).distinct().collect()
-        ]
+        # Stage the write first: Spark itself generates the partition
+        # directory names (Hive-style escaping, __HIVE_DEFAULT_PARTITION__
+        # for NULL, lowercase booleans, date/ts formatting), so the set of
+        # directories retired below is BY CONSTRUCTION the set the write
+        # produced — no Python re-derivation of the encoding, and df is
+        # evaluated exactly once (a nondeterministic df can't write
+        # partitions that were never retired).
+        tmp = spec.path + "__inc_staging"
+        shutil.rmtree(tmp, ignore_errors=True)
+        writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
+            spec.fmt
+        ).mode("overwrite").partitionBy(*spec.partition_by)
+        writer.save(tmp)
         stamp = str(time.time_ns())
-        for values in touched:
-            part_dir = os.path.join(
-                spec.path,
-                *[f"{c}={v}" for c, v in zip(spec.partition_by, values)],
-            )
-            if os.path.isdir(part_dir):
-                trash = os.path.join(
-                    self._trash_dir(name), stamp,
-                    *[f"{c}={v}" for c, v in zip(spec.partition_by, values)],
-                )
+        moved = 0
+        for rel in self._staged_partition_dirs(tmp, len(spec.partition_by)):
+            dst = os.path.join(spec.path, rel)
+            if os.path.isdir(dst):
+                trash = os.path.join(self._trash_dir(name), stamp, rel)
                 os.makedirs(os.path.dirname(trash), exist_ok=True)
-                os.replace(part_dir, trash)
-        self.append(name, df)
-        return len(touched)
+                os.replace(dst, trash)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(tmp, rel), dst)
+            moved += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        return moved
+
+    @staticmethod
+    def _staged_partition_dirs(root: str, depth: int) -> list[str]:
+        """Relative ``col=value/...`` leaf partition dirs of a staged
+        partitioned write, exactly as Spark named them."""
+        rels = [""]
+        for _ in range(depth):
+            nxt = []
+            for rel in rels:
+                base = os.path.join(root, rel)
+                for entry in sorted(os.listdir(base)):
+                    if entry.startswith((".", "_")):
+                        continue
+                    if os.path.isdir(os.path.join(base, entry)) and "=" in entry:
+                        nxt.append(os.path.join(rel, entry) if rel else entry)
+            rels = nxt
+        return rels
 
     def drop(self, name: str) -> None:
         """DROP TABLE: deregister and retire the data into _trash (recoverable

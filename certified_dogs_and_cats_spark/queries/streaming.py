@@ -14,6 +14,7 @@ CAST(ts AS TIMESTAMP) truncation for the non-negative testdata.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,8 +35,17 @@ from .registry import query
 _CK_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
-def _ckdir(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=prefix, dir=_CK_ROOT)
+def _drain(stream_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Run a bounded AvailableNow drain on a throwaway checkpoint and
+    remove the checkpoint afterwards (the memory-sink result is held in
+    memory, not the checkpoint, so cleanup is safe once the run blocks to
+    completion) — repeated bench/correctness sweeps must not accumulate
+    tmpfs checkpoints."""
+    ck = tempfile.mkdtemp(prefix=prefix, dir=_CK_ROOT)
+    try:
+        return run_available_now_memory(stream_df, ck, output_mode=output_mode)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
 
 _EVENTS_NANOS_SCHEMA = T.StructType(
     [
@@ -110,9 +120,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark_delay="1 hour",
             group_cols=["event_type"],
         )
-        return run_available_now_memory(
-            agg, _ckdir("ck_win_"), output_mode="complete"
-        )
+        return _drain(agg, "ck_win_", "complete")
 
     return _with_nanos_conf(spark, run)
 
@@ -130,8 +138,6 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = dedup_stream(
             _events_stream(spark, sf_dir).select("user_id"), ["user_id"]
         )
-        return run_available_now_memory(
-            ids, _ckdir("ck_dedup_"), output_mode="append"
-        )
+        return _drain(ids, "ck_dedup_", "append")
 
     return _with_nanos_conf(spark, run)

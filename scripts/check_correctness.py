@@ -55,6 +55,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # Release any frames the query persist()ed (dedup shingles):
+            # a 57-query sweep must not accumulate executor cache.
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")

@@ -132,3 +132,48 @@ def test_interval_join_rejects_column_overlap(spark):
     a = spark.createDataFrame([(1, ts(1))], "x long, ts timestamp")
     with pytest.raises(ValueError, match="overlapping"):
         interval_join(a, a, "ts", "ts", "ts")
+
+
+def test_interval_join_left_and_semi_anti_semantics(spark):
+    """left keeps unmatched points null-extended (the BETWEEN is part of
+    the join condition, not a post-filter); semi/anti partition the point
+    set; interval-preserving joins raise."""
+    from certified_dogs_and_cats_spark.operators.range_join import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, ts(10, 30)), (2, ts(12)), (3, ts(23))],
+        "pid long, pts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, ts(10), ts(11))], "iid long, lo timestamp, hi timestamp"
+    )
+    left = interval_join(
+        points, intervals, "pts", "lo", "hi", bin_width="1 hour", how="left"
+    )
+    got = sorted((r.pid, r.iid) for r in left.collect())
+    assert got == [(1, 100), (2, None), (3, None)]
+    semi = interval_join(
+        points, intervals, "pts", "lo", "hi", bin_width="1 hour",
+        how="left_semi",
+    )
+    assert [r.pid for r in semi.collect()] == [1]
+    anti = interval_join(
+        points, intervals, "pts", "lo", "hi", bin_width="1 hour",
+        how="left_anti",
+    )
+    assert sorted(r.pid for r in anti.collect()) == [2, 3]
+    with pytest.raises(ValueError, match="point-preserving"):
+        interval_join(points, intervals, "pts", "lo", "hi", how="full")
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    from certified_dogs_and_cats_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "y")], "k long, b string")
+    with pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(big, small, "k", how="full")
+    # left is exact under salt replication.
+    assert salted_join(big, small, "k", how="left").count() == 1

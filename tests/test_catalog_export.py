@@ -110,3 +110,64 @@ def test_overwrite_partitions_replaces_only_touched(catalog):
         catalog.overwrite_partitions(
             "t.flat", catalog.spark.createDataFrame([("a", 1)], SCHEMA)
         )
+
+
+def test_overwrite_partitions_hive_encoded_values(catalog, spark):
+    """Partition values whose directory encoding differs from Python's
+    str() — NULL (__HIVE_DEFAULT_PARTITION__), escaped special characters
+    (':'), booleans (true/false) — must still replace, not duplicate:
+    the retired-dir set comes from Spark's own staged write."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    catalog.register("t.enc", schema, partition_by=("k", "flag"))
+    rows1 = [(None, True, 1), ("a:b", False, 2), ("plain", True, 3)]
+    catalog.append("t.enc", spark.createDataFrame(rows1, schema))
+    # Overwrite the NULL and escaped partitions with fresh values.
+    n = catalog.overwrite_partitions(
+        "t.enc",
+        spark.createDataFrame([(None, True, 10), ("a:b", False, 20)], schema),
+    )
+    assert n == 2
+    got = sorted(
+        ((r.k, r.flag, r.v) for r in catalog.table("t.enc").collect()),
+        key=lambda t: (t[0] is not None, t),
+    )
+    # No duplicates: the old (None, True, 1) and ('a:b', False, 2) rows are
+    # gone, 'plain' untouched.
+    assert got == [(None, True, 10), ("a:b", False, 20), ("plain", True, 3)]
+
+
+def test_overwrite_partitions_nondeterministic_df_single_eval(catalog, spark):
+    """df is evaluated exactly once (staged write); the replaced set always
+    matches what landed on disk even for a nondeterministic frame."""
+    from pyspark.sql import functions as F
+
+    schema = catalog.spark.createDataFrame([("a", 1)], "k string, v int").schema
+    catalog.register("t.rand", schema, partition_by=("k",))
+    catalog.append(
+        "t.rand", spark.createDataFrame([("a", 1), ("b", 2)], schema)
+    )
+    # Partition key derived from rand(): two evaluations would disagree.
+    nondet = (
+        spark.range(4)
+        .select(
+            F.when(F.rand(seed=None) < 0.5, "a").otherwise("b").alias("k"),
+            F.lit(100).alias("v"),
+        )
+    )
+    catalog.overwrite_partitions("t.rand", nondet)
+    rows = catalog.table("t.rand").collect()
+    # Every k=100-partition that exists was fully replaced; no stale rows
+    # (v in {1,2}) survive inside any partition that also has v=100 rows.
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, set()).add(r.v)
+    for k, vs in by_k.items():
+        assert vs == {100} or vs in ({1}, {2}), (k, vs)
