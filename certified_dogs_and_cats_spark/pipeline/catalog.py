@@ -183,10 +183,28 @@ class Catalog:
         os.makedirs(os.path.dirname(spec.path), exist_ok=True)
         os.replace(tmp, spec.path)
 
-    def compact(self, name: str, target_files_per_partition: int = 1) -> None:
+    def compact(
+        self,
+        name: str,
+        target_files_per_partition: int = 1,
+        cluster_by: tuple[str, ...] = (),
+    ) -> None:
         """OPTIMIZE-style file compaction (reference docs/runbook.md:55-58):
-        rewrite the table coalesced. Local stand-in for Delta OPTIMIZE."""
+        rewrite the table coalesced; with ``cluster_by``, additionally sort
+        within write tasks on those columns — the local analog of
+        ``OPTIMIZE ... ZORDER BY (cols)``. Clustered data gives parquet
+        row-group min/max skipping on pushed filters over those columns
+        (lexicographic sort, strongest for the leading column; true Z-order
+        bit-interleaving matters only for multi-column box queries).
+
+        Partition columns are prepended to the sort so the partitioned
+        writer's required ordering is already satisfied and the cluster
+        order survives the write unchanged.
+        """
+        spec = self.tables[name]
         df = self.table(name).coalesce(target_files_per_partition)
+        if cluster_by:
+            df = df.sortWithinPartitions(*spec.partition_by, *cluster_by)
         self.overwrite(name, df)
 
     def vacuum(self, name: str, retain_hours: float = 168.0) -> int:

@@ -31,6 +31,10 @@ Supported statements (the reference's full DDL surface):
   (one shuffle on the merge keys, same cost shape as Delta MERGE's join
   phase) followed by a table overwrite.
 - ``DROP TABLE|VIEW [IF EXISTS] name``
+- ``OPTIMIZE name [ZORDER BY (cols)]`` / ``VACUUM name [RETAIN n
+  HOURS]`` — the reference's maintenance spellings
+  (docs/runbook.md:55-58,103-104), mapped to :meth:`Catalog.compact`
+  (coalesce + cluster sort) and :meth:`Catalog.vacuum`.
 - ``SHOW SCHEMAS`` / ``SHOW TABLES`` / ``DESCRIBE [TABLE] name``
 
 Statements are ``;``-separated and ``--`` comments are stripped — both
@@ -193,6 +197,39 @@ class DdlSession:
             return self._create_view(stmt)
         if u.startswith("DROP TABLE") or u.startswith("DROP VIEW"):
             return self._drop(s)
+        if u.startswith("OPTIMIZE "):
+            m = re.match(
+                r"OPTIMIZE (?P<name>[\w.]+)"
+                r"(?: ZORDER BY \((?P<cols>[^)]*)\))?\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise DdlError(f"bad OPTIMIZE: {s[:120]}")
+            name = self.resolve(m.group("name"))
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            cluster = tuple(
+                c.strip() for c in (m.group("cols") or "").split(",") if c.strip()
+            )
+            self.catalog.compact(name, cluster_by=cluster)
+            return None
+        if u.startswith("VACUUM "):
+            m = re.match(
+                r"VACUUM (?P<name>[\w.]+)"
+                r"(?: RETAIN (?P<hours>\d+(?:\.\d+)?) HOURS)?\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise DdlError(f"bad VACUUM: {s[:120]}")
+            name = self.resolve(m.group("name"))
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            self.catalog.vacuum(
+                name, retain_hours=float(m.group("hours") or 168.0)
+            )
+            return None
         if u == "SHOW SCHEMAS":
             return self.catalog.spark.createDataFrame(
                 [(x,) for x in sorted(self.schemas)], "schema_name string"

@@ -171,3 +171,73 @@ def test_overwrite_partitions_nondeterministic_df_single_eval(catalog, spark):
         by_k.setdefault(r.k, set()).add(r.v)
     for k, vs in by_k.items():
         assert vs == {100} or vs in ({1}, {2}), (k, vs)
+
+
+def test_compact_cluster_by_sorts_rows_for_rowgroup_skipping(catalog, spark):
+    """OPTIMIZE ZORDER analog: after compact(cluster_by=('_id',)) each
+    partition's file holds _id in sorted order with non-overlapping
+    row-group min/max ranges — the property parquet row-group skipping
+    needs for pushed filters on _id."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("_id", T.IntegerType()),
+            T.StructField("pad", T.StringType()),
+        ]
+    )
+    catalog.register("t.opt", schema, partition_by=("k",))
+    # Shuffled ids with padding so multiple row groups form under a tiny
+    # block size.
+    df = (
+        spark.range(2000)
+        .select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("k"),
+            F.col("id").cast("int").alias("_id"),
+            F.repeat(F.lit("x"), 64).alias("pad"),
+        )
+        .orderBy(F.md5(F.col("id").cast("string")))  # scramble order
+        .repartition(4)
+    )
+    catalog.append("t.opt", df)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "8192")
+    try:
+        catalog.compact("t.opt", cluster_by=("_id",))
+    finally:
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+    spec = catalog.tables["t.opt"]
+    import os as _os
+
+    checked_files = 0
+    multi_rg = False
+    for part in sorted(_os.listdir(spec.path)):
+        if not part.startswith("k="):
+            continue
+        files = [
+            f
+            for f in _os.listdir(_os.path.join(spec.path, part))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1  # compacted
+        pf = pq.ParquetFile(_os.path.join(spec.path, part, files[0]))
+        ids = pf.read(columns=["_id"])["_id"].to_pylist()
+        assert ids == sorted(ids)
+        if pf.metadata.num_row_groups > 1:
+            multi_rg = True
+            stats = [
+                pf.metadata.row_group(i).column(0).statistics
+                for i in range(pf.metadata.num_row_groups)
+            ]
+            for a, b in zip(stats, stats[1:]):
+                assert a.max <= b.min  # disjoint ranges => skipping works
+        checked_files += 1
+    assert checked_files == 2
+    assert multi_rg, "block size too large to form multiple row groups"

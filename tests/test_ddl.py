@@ -317,3 +317,30 @@ def test_quote_aware_split_comments_and_resolution(ddl, catalog):
         "SELECT v FROM pets.core.notes WHERE k = 'ref' -- trailing comment"
     )
     assert df.collect()[0].v == "see pets.core.notes; -- really"
+
+
+def test_optimize_vacuum_reference_spellings(ddl, catalog, spark):
+    """docs/runbook.md:55-58,103-104 verbatim maintenance statements."""
+    ddl.execute(BRONZE_DDL)
+    ddl_schema = catalog.tables["core.licensed_pets_bronze"].schema
+    from datetime import date, datetime
+
+    rows = [
+        (i, 2024, "M1A", True, "DOG", "POODLE",
+         datetime(2026, 1, 1), date(2026, 1, 1))
+        for i in range(20)
+    ]
+    catalog.append(
+        "core.licensed_pets_bronze",
+        spark.createDataFrame(rows, ddl_schema).repartition(4),
+    )
+    ddl.execute("""
+      OPTIMIZE pets.core.licensed_pets_bronze;
+      OPTIMIZE pets.core.licensed_pets_bronze ZORDER BY (_id, FSA);
+      VACUUM pets.core.licensed_pets_bronze RETAIN 168 HOURS;
+    """)
+    assert catalog.table("core.licensed_pets_bronze").count() == 20
+    # RETAIN 0 purges the versions the two OPTIMIZE rewrites retired.
+    ddl.execute("VACUUM pets.core.licensed_pets_bronze RETAIN 0 HOURS")
+    with pytest.raises(DdlError, match="not found"):
+        ddl.execute("OPTIMIZE pets.core.nope")
