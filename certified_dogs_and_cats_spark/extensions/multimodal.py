@@ -19,10 +19,10 @@ Design for 100 TB:
   per-payload features (:func:`decode_features`, 1 row -> 1 row),
   frame sampling (:func:`frame_sample`, 1 row -> k rows), resize
   (:func:`resize_nearest`, numpy kernel per Arrow batch), and metadata
-  rollups. Only the codec itself is faked deterministically (this
-  container has no image/audio libraries): :func:`decode_image` raises
-  with the dependency spelled out, and swapping any fake for
-  Pillow/PyAV/librosa is a pure Python change inside one generator.
+  rollups. The real codec path (:func:`decode_image`) is gated on an
+  optional Pillow dependency: with Pillow present it decodes through the
+  same Arrow boundary (poison-safe, per-batch); without it, it raises
+  with the dependency spelled out rather than pretending.
 """
 
 from __future__ import annotations
@@ -158,12 +158,29 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+#: Output schema of :func:`decode_image` (real codec path, Pillow-gated).
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode image payloads to (width, height, mode) via Pillow.
 
-    Pillow is not available in this container, so this raises at plan
-    time with the dependency spelled out; the ``mapInPandas`` wiring it
-    would use is the same as :func:`decode_features`.
+    Optional-dependency path: raises at plan time with the dependency
+    spelled out when Pillow is absent (this container has no image
+    codecs); where Pillow IS present, the decode runs through the same
+    Arrow-batched ``mapInPandas`` boundary as :func:`decode_features` —
+    one Python crossing per batch, payload projected away, partitioning
+    preserved. Undecodable payloads yield ``decode_ok=false`` nulls
+    instead of failing the task (at corpus scale a poisoned byte string
+    must never kill the job).
     """
     if not _HAS_PIL:
         raise NotImplementedError(
@@ -171,7 +188,39 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "container has no image codecs. Use decode_features for the "
             "codec-free feature path."
         )
-    raise NotImplementedError("real image decode not wired in this build")
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), "payload")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pandas as pd  # executor-side import
+        from PIL import Image
+
+        for pdf in batches:
+            widths, heights, modes, oks = [], [], [], []
+            for raw in pdf["payload"]:
+                try:
+                    with Image.open(io.BytesIO(bytes(raw))) as im:
+                        widths.append(im.width)
+                        heights.append(im.height)
+                        modes.append(im.mode)
+                        oks.append(True)
+                except Exception:  # noqa: BLE001 — poisoned payload
+                    widths.append(None)
+                    heights.append(None)
+                    modes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "mode": modes,
+                    "decode_ok": oks,
+                }
+            )
+
+    return src.mapInPandas(decode, schema=IMAGE_SCHEMA)
 
 
 #: Output schema of :func:`frame_sample` (one row per sampled frame).

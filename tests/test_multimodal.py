@@ -96,9 +96,33 @@ def test_metadata_stats_rollup(docs):
     assert stats["audio/wav"].max_width is None
 
 
-def test_codec_stub_raises(docs):
+def test_codec_gate_raises_without_pillow(docs):
+    from certified_dogs_and_cats_spark.extensions import multimodal
+
+    if multimodal._HAS_PIL:
+        pytest.skip("Pillow present; real decode path tested below")
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(pack_payload(docs))
+
+
+def test_decode_image_real_codec_path(spark):
+    """Where Pillow exists, decode_image reads real image bytes through the
+    Arrow boundary and survives poisoned payloads."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image(df).collect()}
+    assert (rows[0].width, rows[0].height, rows[0].decode_ok) == (7, 5, True)
+    assert rows[1].decode_ok is False and rows[1].width is None
 
 
 def test_frame_sample_row_expansion(docs):
