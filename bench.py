@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "semi_join_active_customers",
     "set_ops_customer_keys",
     "pivot_status_matrix",
+    "cube_order_stats",
+    "window_rank_family",
+    "approx_percentile_check",
+    "asof_join_next_purchase",
 ]
 
 

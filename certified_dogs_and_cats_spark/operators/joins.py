@@ -108,10 +108,13 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: attach, to every left row, the latest right
-    row with ``right_ts <= left_ts`` for the same key (left-join semantics:
-    unmatched left rows keep nulls).
+    """As-of join: attach, to every left row, the nearest right row for
+    the same key — ``direction='backward'`` (default) takes the latest
+    right with ``right_ts <= left_ts``, ``direction='forward'`` the
+    earliest right with ``right_ts >= left_ts``. Left-join semantics:
+    unmatched left rows keep nulls.
 
     Spark has no native ASOF JOIN; the naive rewrite is a range join
     (quadratic per key). This implementation is the scale-correct shape:
@@ -119,13 +122,16 @@ def asof_join(
     (time, side) carrying the last non-null right value forward — a single
     shuffle on the key, linear scan per partition, no range explosion.
     Right rows at exactly left_ts sort before left rows, so the match is
-    inclusive (>= semantics), matching DuckDB's ``ASOF LEFT JOIN`` on
-    ``l.ts >= r.ts``.
+    inclusive (>= / <= semantics), matching DuckDB's ``ASOF LEFT JOIN``
+    on ``l.ts >= r.ts`` (backward) / ``l.ts <= r.ts`` (forward; the
+    forward pass is the same scan over reversed time order).
 
     Determinism: callers must ensure the right side has at most one row per
     (key, right_ts) — dedup first (e.g. window_dedup latest-wins) — else
     which same-timestamp row wins is tie-broken by nothing.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on + [right_ts]]
@@ -140,9 +146,12 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
+    t_order = (
+        F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(t_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [

@@ -626,3 +626,47 @@ def interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         points, windows, "ts", "lo", "hi", bin_width="20 minutes"
     ).select("anchor_id", "event_id", "event_type")
+
+
+# --- forward as-of join (operators/joins.py:asof_join, direction=forward) ---
+@query(
+    "asof_join_next_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(value) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT v.event_id, v.user_id, v.ts,
+           p.ts AS ts_asof, p.value AS value_asof
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every view, the NEXT purchase at-or-after it per user (forward
+    as-of) — the same single-shuffle union+window scan as the backward
+    join, over reversed time order; vs DuckDB ASOF LEFT JOIN on <=.
+    Purchases are deduped to one row per (user, ts) first: as-of match on
+    a timestamp with multiple rows is tie-broken by nothing in either
+    engine."""
+    from ..operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        views, purchases, on=["user_id"], value_cols=["value"],
+        direction="forward",
+    )

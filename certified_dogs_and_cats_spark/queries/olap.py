@@ -209,3 +209,110 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
     )
+
+
+@query(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(GROUPING(o_orderstatus, CAST(year(o_orderdate) AS INTEGER))
+                AS INTEGER) AS grouping_lvl
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, CAST(year(o_orderdate) AS INTEGER))
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 combinations of (status, year) in one
+    pass — like rollup, Spark expands the sets map-side with partial
+    aggregation, so the shuffle carries |groups| * 4 rows, not the table.
+    Money summed exactly (DECIMAL) then presented as DOUBLE."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_totalprice",
+    )
+    return o.cube("o_orderstatus", "yr").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.grouping_id().cast("int").alias("grouping_lvl"),
+    )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(dense_rank() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(floor(o_totalprice / 50000) AS INTEGER) DESC
+           ) AS INTEGER) AS price_band_rank,
+           CAST(ntile(4) OVER wu AS INTEGER) AS quartile,
+           first_value(o_orderkey) OVER wu AS top_key
+    FROM orders
+    WINDOW wu AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / first_value in one pass over two windows on
+    the SAME partition key (one shuffle, two sorts): dense_rank ranks
+    coarse price bands (ties share, no gaps — deterministic under ties by
+    construction), while ntile and first_value need a TOTAL order, so
+    their window tie-breaks on the unique key (an ordering with ties
+    makes ntile's row assignment partition-order-dependent — silent
+    nondeterminism at scale)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    band = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    w_band = Window.partitionBy("o_orderpriority").orderBy(band.desc())
+    wu = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w_band).cast("int").alias("price_band_rank"),
+        F.ntile(4).over(wu).cast("int").alias("quartile"),
+        F.first("o_orderkey").over(wu).alias("top_key"),
+    )
+
+
+@query(
+    "approx_percentile_check",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           TRUE AS approx_within_pct
+    FROM orders GROUP BY 1
+    """,
+)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for percentile_by_group: approx_percentile is a
+    mergeable sketch (KLL-style) — constant memory per group, one shuffle
+    of sketches, vs exact percentile's per-group collect+sort. Verified
+    in-result: the approximate p50 must land within 1% of the exact one
+    (the oracle reproduces the exact value and a literal TRUE), the same
+    self-verification pattern as similarity_ivf_ann."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_raw"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+        .cast("double")
+        .alias("approx_raw"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round(F.col("exact_raw"), 4).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_raw") - F.col("exact_raw"))
+            / F.col("exact_raw")
+            <= F.lit(0.01)
+        ).alias("approx_within_pct"),
+    )

@@ -177,3 +177,27 @@ def test_salted_join_rejects_small_side_preserving_how(spark):
         salted_join(big, small, "k", how="full")
     # left is exact under salt replication.
     assert salted_join(big, small, "k", how="left").count() == 1
+
+
+def test_asof_join_forward_direction(spark):
+    from certified_dogs_and_cats_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(12)), (2, ts(10))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), "early"), (1, ts(11), "mid"), (1, ts(12), "exact")],
+        "k long, ts timestamp, v string",
+    )
+    fwd = {
+        (r.k, r.ts): r.v_asof
+        for r in asof_join(
+            left, right, on=["k"], value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    # Earliest right at-or-after; inclusive on equality; unmatched -> null.
+    assert fwd[(1, ts(10))] == "mid"
+    assert fwd[(1, ts(12))] == "exact"
+    assert fwd[(2, ts(10))] is None
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on=["k"], direction="nearest")
