@@ -316,3 +316,123 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.01)
         ).alias("approx_within_pct"),
     )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    WITH u AS (
+      SELECT 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+      FROM part
+      UNION ALL
+      SELECT 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    )
+    SELECT metric, count(*) AS cnt,
+           round(avg(val), 6) AS avg_val,
+           round(max(val), 6) AS max_val
+    FROM u GROUP BY metric
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt) then aggregate per metric — the
+    DataFrame.unpivot path: one narrow pass, rows fan out x|metrics|
+    map-side with no shuffle until the aggregate."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    u = p.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return u.groupBy("metric").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )
+
+
+@query(
+    "lateral_explode_positions",
+    oracle="""
+    WITH toks AS (
+      SELECT d.doc_id, CAST(i AS INTEGER) AS pos,
+             list_extract(d.tk, CAST(i + 1 AS INTEGER)) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+           UNNEST(range(0, len(d.tk))) AS u(i)
+    )
+    SELECT pos, count(*) AS cnt,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+           round(avg(length(tok)), 6) AS avg_len
+    FROM toks WHERE pos < 5
+    GROUP BY pos
+    """,
+)
+def lateral_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (LATERAL VIEW with ordinality): token-position stats for
+    the first 5 positions of every document. The position filter lands
+    BEFORE the aggregate, so the shuffle carries 5 positions' worth of
+    rows, not the whole explode."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    ).filter(F.col("pos") < 5)
+    return toks.groupBy("pos").agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct("tok").alias("n_distinct"),
+        F.round(F.avg(F.length("tok")), 6).alias("avg_len"),
+    )
+
+
+@query(
+    "stats_agg_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def stats_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / stddev_samp / avg) per group — all
+    single-pass mergeable moments (sum, sum-of-squares, cross-products),
+    so the shuffle carries O(groups) partial states. Rounded to absorb
+    cross-engine accumulation-order float drift."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+@query(
+    "histogram_value_buckets",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS INTEGER) AS bucket,
+           count(*) AS cnt,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (the data-profiling primitive):
+    bucket id computed map-side, one shuffle of O(buckets) groups."""
+    e = t(spark, sf_dir, "events").select("value")
+    bucket = F.floor(F.col("value") / 50).cast("int")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

@@ -17,7 +17,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -139,5 +139,51 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             _events_stream(spark, sf_dir).select("user_id"), ["user_id"]
         )
         return _drain(ids, "ck_dedup_", "append")
+
+    return _with_nanos_conf(spark, run)
+
+
+@query(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) oracle-checked:
+    per-user running (count, total) folded in per-key state across
+    micro-batches; the final emission per key must equal the batch
+    aggregate. Values are fixed-pointed to integer cents BEFORE the fold
+    so the running float sum is a sum of integers — exact, associative,
+    and bit-identical to DuckDB's BIGINT sum regardless of fold order
+    (raw float accumulation order differs between engines).
+    tests/test_streaming.py covers the multi-batch state-carry path; this
+    entry pins end-result correctness."""
+    from ..streaming.stateful import running_totals
+
+    configure_for_queries(spark)
+
+    def run() -> DataFrame:
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id", F.round(F.col("value") * 100).alias("value")
+        )
+        totals = running_totals(ev, "user_id", "value")
+        drained = _drain(totals, "ck_tot_", "update")
+        # Update mode emits one row per key per batch it appears in; the
+        # final state per key is the row with the largest n (monotone).
+        w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+        return (
+            drained.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("n").alias("n_events"),
+                F.col("total").cast("bigint").alias("total_cents"),
+            )
+        )
 
     return _with_nanos_conf(spark, run)
