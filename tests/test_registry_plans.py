@@ -56,3 +56,35 @@ def test_join_hints_are_honored(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     bhj = big.join(small.hint("broadcast"), "k")
     assert "BroadcastHashJoin" in plan_text(bhj, "simple")
+
+
+def test_lateral_explode_prunes_to_text_only(spark):
+    # doc_id is projected then never used: column pruning must reach the
+    # scan (only `text` read), or the explode drags the whole row along.
+    plan = plan_text(QUERIES["lateral_explode_positions"](spark, SF))
+    assert read_schema_cols(plan, "documents") == ["text"]
+
+
+def test_unpivot_prunes_scan(spark):
+    plan = plan_text(QUERIES["unpivot_part_metrics"](spark, SF))
+    assert set(read_schema_cols(plan, "part")) <= {
+        "p_partkey", "p_retailprice", "p_size",
+    }
+
+
+def test_cube_expands_grouping_sets(spark):
+    plan = plan_text(QUERIES["cube_order_stats"](spark, SF))
+    # CUBE compiles to Expand (map-side grouping-set multiplication), one
+    # aggregate exchange — not 4 separate scans unioned.
+    assert "Expand" in plan
+    assert set(read_schema_cols(plan, "orders")) <= {
+        "o_orderstatus", "o_orderdate", "o_totalprice",
+    }
+
+
+def test_window_rank_family_single_shuffle(spark):
+    # Both windows partition by o_orderpriority: Spark must plan ONE
+    # hash-partitioning exchange (two sorts over it), not one per window.
+    df = QUERIES["window_rank_family"](spark, SF)
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
