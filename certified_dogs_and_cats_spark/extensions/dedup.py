@@ -275,8 +275,13 @@ def embedding_near_dup_pairs(
             ]
         )
     )
-    b = with_norm(embeddings, vec_col, "nrm").select(
-        F.col(id_col), F.col(vec_col), "nrm", probes.alias("bucket")
+    # Both join sides read this frame; persist so the scan+norm+explode
+    # runs once, not once per side (callers/bench clearCache() after
+    # consuming the plan).
+    b = (
+        with_norm(embeddings, vec_col, "nrm")
+        .select(F.col(id_col), F.col(vec_col), "nrm", probes.alias("bucket"))
+        .persist()
     )
     left = b.select(
         F.col("bucket"),

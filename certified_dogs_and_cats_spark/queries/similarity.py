@@ -128,9 +128,13 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed, centroids = build_ivf_index(
         v, n_centroids=16, max_iter=8, train_fraction=0.25
     )
+    # The assigned corpus feeds four branches (query subset, IVF search,
+    # exact search, recall join): persist so the parquet scan + KMeans
+    # assignment runs once (consumers clearCache after the plan runs).
+    indexed = indexed.persist()
     q = indexed.filter(F.expr(QUERY_PRED)).select("vec_id", "e")
     approx = ivf_topk(indexed, centroids, q, k=K, nprobe=4)
-    exact = cosine_topk(v, q, k=K)
+    exact = cosine_topk(indexed.select("vec_id", "e"), q, k=K)
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
