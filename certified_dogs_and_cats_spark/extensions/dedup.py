@@ -372,3 +372,63 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair list via min-label propagation —
+    the pairs -> clusters step of every dedup pipeline (near-dup PAIRS are
+    not deduplicable until transitively closed into components, from which
+    one canonical doc per component survives).
+
+    Returns (node, component) for every node appearing in an edge, where
+    component is the minimum node id reachable — deterministic.
+
+    Scale contract: each iteration is one join + one min-aggregate, both
+    shuffled on the node id; iterations needed = graph diameter (near-dup
+    graphs are shallow: mostly small cliques and short chains, so a
+    handful of rounds). Lineage is truncated every round with an eager
+    localCheckpoint — without it the plan doubles per iteration and the
+    driver OOMs planning round ~20. The convergence probe is a
+    changed-rows check, not a full collect. For adversarial power-law
+    graphs, upgrade to alternating large-star/small-star (same join
+    primitives, provably O(log^2 N) rounds).
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -335,3 +335,75 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         sig, "doc_id", max_hamming=SIMHASH_MAX_HAMMING, n_bands=4
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e, nrm,
+             concat(
+               CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS b0,
+             concat(
+               CASE WHEN e[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[8] >= 0 THEN '1' ELSE '0' END) AS b1
+      FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM b a JOIN b bb ON a.b0 = bb.b0
+      WHERE a.vec_id < bb.vec_id
+        AND round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6)
+            >= {NEAR_DUP_THRESHOLD}
+      UNION
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM b a JOIN b bb ON a.b1 = bb.b1
+      WHERE a.vec_id < bb.vec_id
+        AND round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6)
+            >= {NEAR_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: transitively close the multi-probe near-dup
+    pair list into connected components (min reachable id = component id,
+    deterministic) via iterative min-label propagation — the step that
+    turns pairwise similarity into actual dedup decisions (keep one doc
+    per component). Verified against a DuckDB recursive-CTE transitive
+    closure over the identical edge set."""
+    from ..extensions.dedup import (
+        connected_components,
+        embedding_near_dup_pairs,
+    )
+    from ..extensions.similarity import as_double_vec
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    pairs = embedding_near_dup_pairs(
+        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
+    )
+    return connected_components(pairs)

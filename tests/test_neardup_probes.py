@@ -88,3 +88,31 @@ def test_multi_probe_pairs_are_distinct(vectors):
     )
     n = out.count()
     assert out.select("id_a", "id_b").distinct().count() == n
+
+
+def test_connected_components_shapes(spark):
+    """Chain (transitivity), clique, and a disjoint pair must each collapse
+    to min-id components; nodes not in any edge are absent."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # chain 1-2-3-4 (no direct 1-4 edge)
+            (1, 2), (2, 3), (3, 4),
+            # clique 10-11-12
+            (10, 11), (11, 12), (10, 12),
+            # disjoint pair
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
