@@ -207,3 +207,56 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_csv"),
         (err <= F.col("scale") / 2 + F.lit(1e-12)).alias("within_error_bound"),
     )
+
+
+@query(
+    "similarity_quantized_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    r AS (
+      SELECT vec_id,
+             CASE WHEN scale > 0
+                  THEN list_transform(e, x -> round(x / scale) * scale)
+                  ELSE list_transform(e, x -> 0.0) END AS eh
+      FROM s
+    ),
+    n AS (SELECT vec_id, eh, sqrt(list_dot_product(eh, eh)) AS nrm FROM r),
+    q AS (SELECT vec_id AS query_id, eh AS qe, nrm AS qnrm FROM n
+          WHERE {QUERY_PRED}),
+    pairs AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             round(list_dot_product(q.qe, n.eh) / (q.qnrm * n.nrm), 6)
+               AS cos_sim
+      FROM q CROSS JOIN n
+      WHERE n.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC)
+                  AS INTEGER) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {K}
+    """,
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over int8-QUANTIZED vectors (quantize -> dequantize ->
+    exact cosine): the storage-optimized path — 4x smaller corpus resident
+    in memory, search plan identical to the float baseline. Reconstruction
+    is round(x/scale)*scale in pure IEEE double ops, so scores are
+    bit-identical across engines; the oracle replays the same pipeline."""
+    from ..extensions.similarity import dequantize_int8, quantize_int8
+
+    v = _vectors(spark, sf_dir)
+    rec = dequantize_int8(quantize_int8(v)).select(
+        "vec_id", F.col("e_hat").alias("e")
+    )
+    q = rec.filter(F.expr(QUERY_PRED))
+    return cosine_topk(rec, q, k=K)
