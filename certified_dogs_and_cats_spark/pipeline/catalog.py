@@ -67,17 +67,40 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         """Read a table; empty (never-written) tables yield an empty frame
         with the declared schema, so downstream anti-joins/aggregations work
-        on first run without special-casing."""
+        on first run without special-casing.
+
+        The declared schema is passed to the reader, so files written
+        before a column was added (:meth:`add_column`) read back with
+        nulls for it — parquet schema evolution without rewriting data.
+        """
         spec = self.tables[name]
         if not self.exists(name):
             return self.spark.createDataFrame([], spec.schema)
-        df = self.spark.read.format(spec.fmt).load(spec.path)
+        df = self.spark.read.format(spec.fmt).schema(spec.schema).load(spec.path)
         # Partition columns come back typed by directory inference; project
         # to the declared column order and types.
         cols = [
             df[f.name].cast(f.dataType).alias(f.name) for f in spec.schema.fields
         ]
         return df.select(*cols)
+
+    def add_column(self, name: str, field: T.StructField) -> None:
+        """ALTER TABLE ADD COLUMN: extend the declared schema in place.
+
+        The new column must be nullable (existing files don't carry it and
+        read back as NULL) and must not be a partition column. No data is
+        rewritten — at 100 TB that's the entire point: schema evolution is
+        a metadata operation, old files stay valid.
+        """
+        spec = self.tables[name]
+        if not field.nullable:
+            raise ValueError(
+                f"added column {field.name!r} must be nullable: existing "
+                "files read it back as NULL"
+            )
+        if any(f.name == field.name for f in spec.schema.fields):
+            raise ValueError(f"column exists: {field.name}")
+        spec.schema = T.StructType([*spec.schema.fields, field])
 
     def append(self, name: str, df: DataFrame) -> None:
         spec = self.tables[name]

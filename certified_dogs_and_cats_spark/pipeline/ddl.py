@@ -31,6 +31,8 @@ Supported statements (the reference's full DDL surface):
   (one shuffle on the merge keys, same cost shape as Delta MERGE's join
   phase) followed by a table overwrite.
 - ``DROP TABLE|VIEW [IF EXISTS] name``
+- ``ALTER TABLE name ADD COLUMN col TYPE`` — metadata-only schema
+  evolution (old files read the new column as NULL).
 - ``OPTIMIZE name [ZORDER BY (cols)]`` / ``VACUUM name [RETAIN n
   HOURS]`` — the reference's maintenance spellings
   (docs/runbook.md:55-58,103-104), mapped to :meth:`Catalog.compact`
@@ -197,6 +199,25 @@ class DdlSession:
             return self._create_view(stmt)
         if u.startswith("DROP TABLE") or u.startswith("DROP VIEW"):
             return self._drop(s)
+        if u.startswith("ALTER TABLE "):
+            m = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) ADD COLUMNS? ?\(?"
+                r"(?P<col>\w+) (?P<type>\w+)\)?\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise DdlError(f"unsupported ALTER TABLE: {s[:120]}")
+            name = self.resolve(m.group("name"))
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            ctype = m.group("type").upper()
+            if ctype not in _TYPE_MAP:
+                raise DdlError(f"unsupported type {ctype!r}")
+            self.catalog.add_column(
+                name, T.StructField(m.group("col"), _TYPE_MAP[ctype], True)
+            )
+            return None
         if u.startswith("OPTIMIZE "):
             m = re.match(
                 r"OPTIMIZE (?P<name>[\w.]+)"

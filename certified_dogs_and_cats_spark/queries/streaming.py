@@ -187,3 +187,52 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_nanos_conf(spark, run)
+
+
+@query(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS cnt,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer dim
+    (stateless — the static side is re-read per micro-batch and broadcast,
+    no streaming state), then aggregate per segment in complete mode.
+    The canonical shape for dimension lookup on a live stream; fixed-point
+    cents keep the total engine-portable."""
+    from .common import t as load_table
+
+    configure_for_queries(spark)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), "c_mktsegment"
+    )
+
+    def run() -> DataFrame:
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id", F.round(F.col("value") * 100).alias("cents")
+        )
+        enriched = ev.join(
+            F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "inner"
+        )
+        # Exact count_distinct is unsupported in streaming aggregation, so
+        # pre-aggregate per (segment, user) in the stream and finish the
+        # distinct count over the drained (tiny) result.
+        pre = enriched.groupBy("c_mktsegment", "user_id").agg(
+            F.count("*").alias("cnt"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        drained = _drain(pre, "ck_enrich_", "complete")
+        return drained.groupBy("c_mktsegment").agg(
+            F.sum("cnt").alias("cnt"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    return _with_nanos_conf(spark, run)

@@ -120,10 +120,30 @@ def test_errors(ddl):
     with pytest.raises(DdlError, match="unsupported type"):
         ddl.execute("CREATE TABLE t (x BLOB)")
     with pytest.raises(DdlError, match="unsupported statement"):
-        ddl.execute("ALTER TABLE t ADD COLUMN y INT")
+        ddl.execute("GRANT SELECT ON t TO somebody")
     ddl.execute("CREATE TABLE t (x INT)")
     with pytest.raises(DdlError, match="exists"):
         ddl.execute("CREATE TABLE t (x INT)")
+
+
+def test_alter_table_add_column_schema_evolution(ddl, catalog, spark):
+    """ALTER TABLE ADD COLUMN is metadata-only: files written before the
+    column was added read back with NULLs, new appends carry values."""
+    ddl.execute("CREATE TABLE t.ev (k STRING, v INT)")
+    catalog.append("t.ev", spark.createDataFrame([("a", 1)], "k string, v int"))
+    ddl.execute("ALTER TABLE t.ev ADD COLUMN score DOUBLE")
+    catalog.append(
+        "t.ev",
+        spark.createDataFrame(
+            [("b", 2, 0.5)], "k string, v int, score double"
+        ),
+    )
+    got = {r.k: (r.v, r.score) for r in catalog.table("t.ev").collect()}
+    assert got == {"a": (1, None), "b": (2, 0.5)}
+    [desc] = ddl.execute("DESCRIBE t.ev")
+    assert [r.col_name for r in desc.collect()] == ["k", "v", "score"]
+    with pytest.raises(DdlError, match="unsupported ALTER"):
+        ddl.execute("ALTER TABLE t.ev DROP COLUMN v")
 
 
 def test_select_and_explain_passthrough(ddl, catalog, spark):
