@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "window_rank_family",
     "approx_percentile_check",
     "asof_join_next_purchase",
+    "regional_revenue_5way",
+    "streaming_running_totals",
 ]
 
 

@@ -670,3 +670,56 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, purchases, on=["user_id"], value_cols=["value"],
         direction="forward",
     )
+
+
+# --- 5-table join pipeline (TPC-H Q5 shape): the join-reorder showcase ------
+@query(
+    "regional_revenue_5way",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+    """,
+)
+def regional_revenue_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (region, nation) through a 5-table join chain — the
+    TPC-H Q5 shape. Scale posture: the status filter lands on the orders
+    scan (pushed); lineitem joins orders on a shuffle key; customer ALSO
+    scales with the data (100M rows at warehouse scale) so it gets NO
+    broadcast hint — AQE broadcasts it when it happens to fit, shuffles
+    otherwise; only the genuinely constant-size dims (nation: 25 rows,
+    region: 5) are hinted. Money summed exactly in DECIMAL, presented as
+    DOUBLE."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+        )
+    )
