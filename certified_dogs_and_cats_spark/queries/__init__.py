@@ -19,14 +19,22 @@ from __future__ import annotations
 from .registry import ORACLE, QUERIES, query
 
 # Import for registration side effects.
+#
+# ORDER MATTERS for driver evidence: the driver's correctness run checks the
+# first 50 registry entries in insertion order. Modules whose queries have
+# not yet received a driver CORRECTNESS row (and modules holding this
+# round's new queries) register FIRST; the displaced tail (gold, dedup,
+# similarity, text, multimodal) is already proven by r03 driver rows and
+# stays pinned by scripts/check_correctness.py + pytest, which always cover
+# all entries.
+from . import olap  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401
+from . import streaming  # noqa: E402,F401
 from . import core  # noqa: E402,F401
 from . import gold  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
-from . import streaming  # noqa: E402,F401
-from . import sampling  # noqa: E402,F401
-from . import olap  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -295,25 +295,43 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for percentile_by_group: approx_percentile is a
-    mergeable sketch (KLL-style) — constant memory per group, one shuffle
-    of sketches, vs exact percentile's per-group collect+sort. Verified
-    in-result: the approximate p50 must land within 1% of the exact one
-    (the oracle reproduces the exact value and a literal TRUE), the same
-    self-verification pattern as similarity_ivf_ann."""
+    mergeable sketch (GK-style) — constant memory per group, one shuffle
+    of sketches, vs exact percentile's per-group collect+sort.
+
+    Self-verification is RANK-based, not value-based: approx_percentile
+    returns a real element of the group, so for small groups its value can
+    legitimately differ from the interpolated exact median by more than any
+    fixed relative-error bound (value error is unbounded when the two middle
+    elements are far apart). What the sketch actually guarantees is rank
+    error <= n/accuracy, so we assert exactly that: the fraction of group
+    rows <= the approx value must sit within (1/accuracy + 2/n) of 0.5
+    (rank guarantee + discretization of a size-n group). The 5-row stats
+    frame broadcasts back onto the scan, so the re-rank pass is
+    shuffle-light at any scale. Oracle reproduces the exact continuous
+    median and a literal TRUE."""
     o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    agg = o.groupBy("o_orderpriority").agg(
+    stats = o.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_raw"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
         .cast("double")
         .alias("approx_raw"),
+        F.count(F.lit(1)).alias("n"),
     )
-    return agg.select(
+    ranked = o.join(F.broadcast(stats), "o_orderpriority").groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.first("exact_raw").alias("exact_raw"),
+        F.first("n").alias("n"),
+        F.avg(
+            (F.col("o_totalprice") <= F.col("approx_raw")).cast("double")
+        ).alias("frac_le"),
+    )
+    return ranked.select(
         "o_orderpriority",
         F.round(F.col("exact_raw"), 4).alias("exact_p50"),
         (
-            F.abs(F.col("approx_raw") - F.col("exact_raw"))
-            / F.col("exact_raw")
-            <= F.lit(0.01)
+            F.abs(F.col("frac_le") - F.lit(0.5))
+            <= F.lit(1.0 / 10000.0) + F.lit(2.0) / F.col("n")
         ).alias("approx_within_pct"),
     )
 
