@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from certified_dogs_and_cats_spark.cache import release_cached
 from certified_dogs_and_cats_spark.queries import QUERIES
 from certified_dogs_and_cats_spark.session import get_spark
 
@@ -86,6 +87,7 @@ def run_query(spark, name: str, sf_dir: str) -> float:
         # Queries may persist() branched frames (e.g. the dedup shingle
         # tables); release them so a multi-query sweep doesn't accumulate
         # executor-memory cache, and so each attempt pays its own persist.
+        release_cached()
         spark.catalog.clearCache()
     return best
 

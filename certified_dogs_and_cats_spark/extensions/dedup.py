@@ -263,25 +263,52 @@ def embedding_near_dup_pairs(
     boundaries by raising ``n_probes`` (each probe is a cheap re-keying,
     cost is linear in probes while recall loss decays exponentially: a
     near-dup pair is missed only if it straddles a sign boundary in EVERY
-    probe's bit-selection). Requires ``n_probes * bits`` <= vector dim.
+    probe's bit-selection). Requires ``n_probes * bits`` <= vector dim —
+    enforced at execution time with a per-row ``raise_error`` guard
+    (an out-of-range component would otherwise read NULL and silently
+    collapse later probes into near-constant buckets: quadratic candidate
+    blowup with zero recall gain).
+
+    Caching contract: the bucketed frame feeds both join sides and is
+    persisted via :func:`~certified_dogs_and_cats_spark.cache.tracked_persist`;
+    long-lived callers should call
+    :func:`certified_dogs_and_cats_spark.cache.release_cached` (or
+    ``spark.catalog.clearCache()``) after consuming the result.
     """
+    from ..cache import tracked_persist
     from .similarity import dot, sign_bucket, with_norm
 
+    needed = n_probes * bits
+    vec = F.col(vec_col)
     probes = F.explode(
         F.array(
             *[
-                F.concat(F.lit(f"{p}:"), sign_bucket(vec_col, bits, offset=p * bits))
+                F.when(
+                    F.size(vec) < needed,
+                    F.raise_error(
+                        F.format_string(
+                            f"embedding_near_dup_pairs: n_probes*bits={needed}"
+                            f" (n_probes={n_probes}, bits={bits}) exceeds"
+                            " vector dim %s",
+                            F.size(vec),
+                        )
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit(f"{p}:"), sign_bucket(vec_col, bits, offset=p * bits)
+                    )
+                )
                 for p in range(n_probes)
             ]
         )
     )
     # Both join sides read this frame; persist so the scan+norm+explode
-    # runs once, not once per side (callers/bench clearCache() after
-    # consuming the plan).
-    b = (
-        with_norm(embeddings, vec_col, "nrm")
-        .select(F.col(id_col), F.col(vec_col), "nrm", probes.alias("bucket"))
-        .persist()
+    # runs once, not once per side.
+    b = tracked_persist(
+        with_norm(embeddings, vec_col, "nrm").select(
+            F.col(id_col), F.col(vec_col), "nrm", probes.alias("bucket")
+        )
     )
     left = b.select(
         F.col("bucket"),
@@ -410,6 +437,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("label")
@@ -429,6 +457,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}"
+            " rounds (graph diameter exceeds the budget); raise max_iter or"
+            " use alternating_components for high-diameter graphs"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))

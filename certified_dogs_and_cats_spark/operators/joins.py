@@ -69,6 +69,13 @@ def merge_upsert(
     no-op). At scale this is one shuffle on the merge keys — identical cost
     to Delta MERGE's join phase — and should be followed by a partitioned
     overwrite of only the touched partitions.
+
+    Divergence from Delta MERGE: if the SOURCE carries duplicate keys, each
+    duplicate matches the same target row and the output keeps one row per
+    (target, source) match, where Delta raises on the ambiguity. Callers
+    needing Delta's contract should dedupe the source on the merge keys
+    first (``window_dedup_latest``) or use the SQL front door
+    (``DdlSession`` MERGE INTO), which enforces the raise.
     """
     keys = list(keys)
     src = source.select(*keys, *update_cols)

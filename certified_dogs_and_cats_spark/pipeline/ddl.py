@@ -537,6 +537,27 @@ class DdlSession:
             .alias(t_alias)
         )
         s_df = source_df.withColumn("__s_hit", F.lit(True)).alias(s_alias)
+        # Delta MERGE raises when several source rows match one target row
+        # (the update would be ambiguous and the full-outer rewrite would
+        # silently duplicate the target row). Reproduce that contract with
+        # an eager probe: tag target rows, inner-join on the merge
+        # condition, and fail if any tag matches more than once.
+        ambiguous = (
+            self.catalog.table(target)
+            .withColumn("__t_row", F.monotonically_increasing_id())
+            .alias(t_alias)
+            .join(s_df, F.expr(span("cond")), "inner")
+            .groupBy("__t_row")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if ambiguous:
+            raise DdlError(
+                f"MERGE INTO {target}: multiple source rows match a single"
+                " target row; deduplicate the source on the merge keys first"
+            )
         joined = t_df.join(s_df, F.expr(span("cond")), "full_outer")
         t_hit = F.col(f"{t_alias}.__t_hit").isNotNull()
         s_hit = F.col(f"{s_alias}.__s_hit").isNotNull()

@@ -17,6 +17,7 @@ from ..extensions.dedup import (
     simhash64,
     word_shingles,
 )
+from ..cache import tracked_persist
 from ..extensions.text import tokens
 from .common import t
 from .registry import query
@@ -86,7 +87,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides); Spark does not reuse common subplans, so persist it —
     # at corpus scale you'd materialize the shingle table once instead of
     # paying the tokenize+explode 4x.
-    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
+    sh = tracked_persist(word_shingles(docs, "doc_id", "text", n=3))
     return jaccard_pairs(
         sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -141,7 +142,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # Branched 4 ways (signatures, sizes, both verify sides) — persist, as
     # Spark does not dedupe common subplans (see dedup_ngram_jaccard).
-    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
+    sh = tracked_persist(word_shingles(docs, "doc_id", "text", n=3))
     sig = minhash_signatures(sh, "doc_id", num_hashes=8)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
     # Verify candidates with exact Jaccard (LSH = recall filter, not truth):

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..extensions.similarity import as_double_vec, cosine_topk, lsh_bucketed_topk
 from .common import t
+from ..cache import tracked_persist
 from .registry import query
 
 # Every 100th vector is a query point, capped at 50 queries total so |Q|
@@ -131,7 +132,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The assigned corpus feeds four branches (query subset, IVF search,
     # exact search, recall join): persist so the parquet scan + KMeans
     # assignment runs once (consumers clearCache after the plan runs).
-    indexed = indexed.persist()
+    indexed = tracked_persist(indexed)
     q = indexed.filter(F.expr(QUERY_PRED)).select("vec_id", "e")
     approx = ivf_topk(indexed, centroids, q, k=K, nprobe=4)
     exact = cosine_topk(indexed.select("vec_id", "e"), q, k=K)
@@ -255,8 +256,12 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import dequantize_int8, quantize_int8
 
     v = _vectors(spark, sf_dir)
-    rec = dequantize_int8(quantize_int8(v)).select(
-        "vec_id", F.col("e_hat").alias("e")
+    # Corpus and query branches both read the reconstructed frame; persist
+    # so quantize->dequantize runs once (same pattern as similarity_ivf_ann).
+    rec = tracked_persist(
+        dequantize_int8(quantize_int8(v)).select(
+            "vec_id", F.col("e_hat").alias("e")
+        )
     )
     q = rec.filter(F.expr(QUERY_PRED))
     return cosine_topk(rec, q, k=K)

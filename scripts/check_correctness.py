@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from certified_dogs_and_cats_spark.cache import release_cached
 from certified_dogs_and_cats_spark.queries import ORACLE, QUERIES
 from certified_dogs_and_cats_spark.session import get_spark
 from certified_dogs_and_cats_spark.sources.testdata import TESTDATA_TABLES
@@ -56,7 +57,8 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             # Release any frames the query persist()ed (dedup shingles):
-            # a 57-query sweep must not accumulate executor cache.
+            # a full-registry sweep must not accumulate executor cache.
+            release_cached()
             spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append(name)

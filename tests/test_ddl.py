@@ -364,3 +364,27 @@ def test_optimize_vacuum_reference_spellings(ddl, catalog, spark):
     ddl.execute("VACUUM pets.core.licensed_pets_bronze RETAIN 0 HOURS")
     with pytest.raises(DdlError, match="not found"):
         ddl.execute("OPTIMIZE pets.core.nope")
+
+
+def test_merge_ambiguous_source_match_raises(ddl, catalog):
+    """Delta MERGE contract: several source rows matching one target row is
+    an error, not a silent row duplication (the full-outer rewrite would
+    otherwise grow the table)."""
+    ddl.execute(REF_SCHEMA_DDL)
+    ddl.execute(SEED_MERGE)
+    before = catalog.table("ref.breed_mapping").count()
+    dup_merge = """
+    WITH v(breed_variant_key, breed_standard) AS (
+      VALUES ('LAB', 'LABRADOR RETRIEVER'), ('LAB', 'LAB RETRIEVER')
+    )
+    MERGE INTO pets.ref.breed_mapping AS t
+    USING v AS s
+    ON t.breed_variant_key = s.breed_variant_key
+    WHEN MATCHED THEN UPDATE SET t.breed_standard = s.breed_standard
+    WHEN NOT MATCHED THEN
+      INSERT (breed_variant_key, breed_standard)
+      VALUES (s.breed_variant_key, s.breed_standard);
+    """
+    with pytest.raises(DdlError, match="multiple source rows"):
+        ddl.execute(dup_merge)
+    assert catalog.table("ref.breed_mapping").count() == before

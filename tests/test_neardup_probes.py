@@ -116,3 +116,24 @@ def test_connected_components_shapes(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_probe_bits_beyond_dim_raise(vectors):
+    """n_probes*bits > vector dim must fail loudly at execution — silent
+    NULL components would collapse later probes into near-constant buckets
+    (quadratic candidates, zero recall gain)."""
+    out = embedding_near_dup_pairs(vectors, THRESHOLD, bits=16, n_probes=5)
+    with pytest.raises(Exception, match="exceeds vector dim"):
+        out.count()
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
