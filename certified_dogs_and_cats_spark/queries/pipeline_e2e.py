@@ -1,0 +1,167 @@
+"""Driver-checked end-to-end run of the reference ETL pipeline.
+
+Every other registry entry exercises one operator; this one exercises the
+whole bronze -> silver -> gold chain (reference notebooks/bronze.py:75-123,
+silver.py:33-135, gold.py:32-73 and Workflow/Daily_Licensed_Pets.yaml) under
+the DuckDB oracle: a deterministic two-day raw CSV fixture is written to a
+temp dir, the daily DAG runs for both days plus an idempotency re-run, and
+the resulting ``v_totals_by_year_type`` gold view is returned. The oracle
+replays the same rows through the same semantics in pure SQL: upper/trim
+standardization, silver validity filter, cross-day exactly-once on _id, gold's Year filter, and the
+share/rank window math.
+
+The fixture bakes in every edge the pipeline guards against: mixed
+case/whitespace, an invalid FSA (value nulled, row kept), an unmapped breed
+(fallback, row kept), a null Year (kept in silver, excluded from gold), and a day-2
+duplicate _id (anti-joined away). The run itself asserts stage states —
+day-2 re-run must skip via the bronze control table, not double-load — so a
+green hash row certifies orchestration, guards, and idempotency together.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+import tempfile
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query
+
+_HEADER = ["_id", "Year", "FSA", "ANIMAL_TYPE", "PRIMARY_BREED"]
+
+# (_id, Year, FSA, ANIMAL_TYPE, PRIMARY_BREED); Year "" reads as NULL int.
+_DAY1 = [
+    (1, 2023, "M1A", " dog ", "golden retriever"),
+    (2, 2023, "M2B", "DOG", "Labrador"),
+    (3, 2023, "M3C", "cat", "Siamese"),
+    (4, 2023, "bad", "CAT", "Persian"),
+    (5, 2024, "M5E", "Dog", "POODLE"),
+    (6, 2024, "M6F", "DOG", "beagle"),
+    (7, 2024, "M7G", "DOG", "pug"),
+    (8, 2024, "M8H", "CAT", "UNICORN CAT"),
+    (9, 2025, "M9I", "cat", "tabby"),
+    (10, 2025, "M1B", "CAT", "calico"),
+    (12, "", "M2C", "DOG", "mixed"),
+]
+_DAY2 = [
+    (12, "", "M2C", "DOG", "mixed"),  # duplicate _id: anti-joined away
+    (13, 2025, "M3D", "DOG", "husky"),
+    (14, 2025, "M4E", "dog", "corgi"),
+    (15, 2025, "M5F", "CAT", "sphynx"),
+    (16, 2024, "M6G", "CAT", "manx"),
+]
+
+_D1 = date(2026, 1, 1)
+_D2 = date(2026, 1, 2)
+_CLOCK1 = datetime(2026, 1, 1, 10, 0, 0)
+_CLOCK2 = datetime(2026, 1, 2, 10, 0, 0)
+
+
+def _values_sql() -> str:
+    rows = []
+    for _id, yr, _fsa, animal, _breed in _DAY1 + _DAY2:
+        y = "NULL" if yr == "" else str(yr)
+        rows.append(f"({_id}, {y}, '{animal}')")
+    return ",\n      ".join(rows)
+
+
+def _write_drop(raw_root: str, d: date, rows: list[tuple]) -> None:
+    drop = os.path.join(raw_root, f"ingestion_date={d.isoformat()}")
+    os.makedirs(drop, exist_ok=True)
+    with open(os.path.join(drop, "data.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(_HEADER)
+        w.writerows(rows)
+
+
+@query(
+    "pipeline_totals_end_to_end",
+    oracle=f"""
+    WITH raw(_id, yr, animal_type) AS (
+      VALUES
+      {_values_sql()}
+    ),
+    -- silver standardize + cross-day exactly-once on _id: the day-2
+    -- duplicate row is identical, so DISTINCT reproduces the anti-join
+    std AS (
+      SELECT DISTINCT _id, yr, upper(trim(animal_type)) AS animal_type
+      FROM raw
+    ),
+    -- silver validity filter + gold's usable-Year filter
+    src AS (
+      SELECT yr, animal_type FROM std
+      WHERE animal_type IN ('DOG', 'CAT') AND yr IS NOT NULL
+    ),
+    cnts AS (
+      SELECT CAST(yr AS INTEGER) AS "Year", animal_type AS "ANIMAL_TYPE",
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM src GROUP BY 1, 2
+    )
+    SELECT "Year", "ANIMAL_TYPE", cnt,
+           round(100.0 * cnt / sum(cnt) OVER (PARTITION BY "Year"), 2)
+             AS share_pct,
+           CAST(row_number() OVER (
+                  PARTITION BY "Year"
+                  ORDER BY cnt DESC, "ANIMAL_TYPE" ASC
+                ) AS INTEGER) AS rnk
+    FROM cnts
+    """,
+)
+def pipeline_totals_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import Catalog, build_daily_pipeline
+
+    root = tempfile.mkdtemp(prefix="cdc_pipeline_e2e_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        raw_root = os.path.join(root, "raw", "licensed_pets")
+
+        _write_drop(raw_root, _D1, _DAY1)
+        runs1 = build_daily_pipeline(catalog, raw_root, clock=_CLOCK1).run(
+            ingestion_date=_D1
+        )
+        _expect(runs1, "bronze", "loaded", rows=11)
+        _expect(runs1, "silver", "loaded", rows=11)
+
+        _write_drop(raw_root, _D2, _DAY2)
+        runs2 = build_daily_pipeline(catalog, raw_root, clock=_CLOCK2).run(
+            ingestion_date=_D2
+        )
+        _expect(runs2, "bronze", "loaded", rows=4)  # dup _id anti-joined
+        _expect(runs2, "silver", "loaded", rows=4)
+
+        # Idempotency: re-running day 2 must skip via the control table.
+        runs3 = build_daily_pipeline(catalog, raw_root, clock=_CLOCK2).run(
+            ingestion_date=_D2
+        )
+        _expect(runs3, "bronze", "skipped_already_loaded")
+        if runs3["gold"].state != "succeeded":
+            raise RuntimeError("gold must rebuild views on a skipped re-run")
+
+        totals = spark.sql(
+            "SELECT Year, ANIMAL_TYPE, cnt, share_pct, rnk "
+            "FROM pets_gold_v_totals_by_year_type"
+        )
+        # The gold view reads the temp warehouse, which is deleted below —
+        # pin the (6-row) result before the files disappear. This is a
+        # presentation-sized collect of an aggregate, not a data move.
+        return spark.createDataFrame(totals.collect(), totals.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _expect(runs, stage: str, status: str, rows: int | None = None) -> None:
+    run = runs[stage]
+    if run.state != "succeeded" or run.result.status != status:
+        raise RuntimeError(
+            f"pipeline stage {stage}: expected {status}, got "
+            f"state={run.state} status={getattr(run.result, 'status', None)} "
+            f"error={run.error}"
+        )
+    if rows is not None and run.result.rows != rows:
+        raise RuntimeError(
+            f"pipeline stage {stage}: expected {rows} rows, got "
+            f"{run.result.rows}"
+        )
