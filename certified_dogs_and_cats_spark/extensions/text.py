@@ -72,3 +72,87 @@ def min_window_fingerprint(
         F.md5(F.expr(f"substr({text_col}, p, {k})")).alias("wh"),
     )
     return windows.groupBy(id_col).agg(F.min("wh").alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """True winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    k-gram, slide a window of ``w`` consecutive k-gram hashes, keep the
+    minimum of EACH window, return the distinct (id, fingerprint) set.
+
+    Unlike :func:`min_window_fingerprint` (one global min per doc — cheap
+    but only detects near-identical docs), the per-window minima carry the
+    winnowing guarantee: any substring match of length >= w + k - 1 between
+    two documents produces at least one SHARED fingerprint, so local
+    overlaps (quotes, boilerplate, partial copies) are detectable, not just
+    whole-doc duplicates.
+
+    Plan shape: one explode to k-gram rows (|text| rows per doc — winnowing
+    is inherently per-position), one shuffle partitioning by doc for the
+    sliding-window min, one distinct. The md5 k-gram hashing stays in
+    whole-stage codegen. Docs shorter than w + k - 1 chars yield no
+    fingerprints (no full window exists).
+    """
+    from pyspark.sql import Window
+
+    pos = F.explode(
+        F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
+    ).alias("p")
+    kgrams = df.select(F.col(id_col), F.col(text_col), pos).select(
+        F.col(id_col),
+        F.col("p"),
+        F.md5(F.expr(f"substr({text_col}, p, {k})")).alias("h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
+    return (
+        kgrams.select(
+            F.col(id_col),
+            F.col("p"),
+            F.min("h").over(win).alias("fingerprint"),
+        )
+        .filter(F.col("p") >= w)  # only full windows
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    the pair-generation step of a copy/boilerplate detector.
+
+    Scale contract (same shape as jaccard_pairs): fingerprints occurring in
+    more than ``max_fp_df`` docs are dropped before the self-join — a
+    corpus-wide boilerplate fingerprint would otherwise fan out
+    quadratically; dropping it loses pairs only for overlaps ALSO covered
+    by rarer fingerprints, and caps per-key join width at max_fp_df. The
+    join shuffles on the fingerprint value; output is (id_a, id_b,
+    n_shared) with id_a < id_b.
+    """
+    from ..cache import tracked_persist
+
+    fp = tracked_persist(winnow_fingerprints(df, id_col, text_col, k=k, w=w))
+    rare = fp.join(
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("fingerprint"),
+        "fingerprint",
+    )
+    left = rare.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
+    right = rare.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
