@@ -401,52 +401,84 @@ def simhash_near_dup_pairs(
     )
 
 
+def _checkpointer(spark, reliable_checkpoint_dir: str | None):
+    """Round-boundary lineage truncation. localCheckpoint is executor-local
+    RDD storage: fast, but an executor loss mid-iteration loses blocks and
+    kills the job — fine on local[n], lossy on a real cluster. Passing
+    ``reliable_checkpoint_dir`` switches to HDFS/object-store checkpoints
+    that survive executor failure (the durability option a 1000-executor
+    run needs)."""
+    if reliable_checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "alternating",
+    reliable_checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components over a pair list via min-label propagation —
-    the pairs -> clusters step of every dedup pipeline (near-dup PAIRS are
-    not deduplicable until transitively closed into components, from which
-    one canonical doc per component survives).
+    """Connected components over a pair list — the pairs -> clusters step of
+    every dedup pipeline (near-dup PAIRS are not deduplicable until
+    transitively closed into components, from which one canonical doc per
+    component survives).
 
     Returns (node, component) for every node appearing in an edge, where
     component is the minimum node id reachable — deterministic.
 
-    Scale contract: each iteration is one join + one min-aggregate, both
-    shuffled on the node id; iterations needed = graph diameter (near-dup
-    graphs are shallow: mostly small cliques and short chains, so a
-    handful of rounds). Lineage is truncated every round with an eager
-    localCheckpoint — without it the plan doubles per iteration and the
-    driver OOMs planning round ~20. The convergence probe is a
-    changed-rows check, not a full collect. For adversarial power-law
-    graphs, upgrade to alternating large-star/small-star (same join
-    primitives, provably O(log^2 N) rounds).
+    ``algorithm``:
+
+    - ``"alternating"`` (default): large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+      in O(log^2 n) rounds on ANY graph shape, including the power-law /
+      long-chain graphs where label propagation needs diameter rounds.
+    - ``"minlabel"``: one-hop min-label propagation — one join + one
+      min-aggregate per round, rounds = graph diameter. Fine for shallow
+      near-dup graphs (small cliques, short chains); kept for comparison
+      and for its marginally cheaper per-round plan.
+
+    ``reliable_checkpoint_dir`` switches round checkpoints from
+    executor-local blocks to a durable store (see :func:`_checkpointer`).
+    ``stats``, if given, receives {"rounds": n} for round-count assertions.
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence.
     """
+    if algorithm == "alternating":
+        return alternating_components(
+            edges,
+            src=src,
+            dst=dst,
+            max_iter=max_iter,
+            reliable_checkpoint_dir=reliable_checkpoint_dir,
+            stats=stats,
+        )
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    ckpt = _checkpointer(edges.sparkSession, reliable_checkpoint_dir)
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = ckpt(
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         prop = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("label")
         )
-        new_labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        new_labels = ckpt(
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
         )
         changed = (
             new_labels.alias("n")
@@ -460,10 +492,115 @@ def connected_components(
             converged = True
             break
     sym.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter}"
             " rounds (graph diameter exceeds the budget); raise max_iter or"
-            " use alternating_components for high-diameter graphs"
+            " use the alternating algorithm for high-diameter graphs"
         )
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def alternating_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    reliable_checkpoint_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., SoCC'14): provably O(log^2 n) rounds on any graph, vs diameter
+    rounds for label propagation — the difference between 5 and 500 rounds
+    on the long chains and power-law tangles real near-dup graphs contain.
+
+    Each round rewires the edge set toward per-component stars whose center
+    is the component's minimum node id:
+
+    - large-star: every node u connects its LARGER neighbors to
+      m(u) = min(neighbors(u) + [u]) — emits (v, m(u)) for v > u;
+    - small-star: on the (larger -> smaller)-directed result, every node u
+      connects its smaller neighbors AND ITSELF to its minimum neighbor.
+
+    Both steps are one groupBy-min plus one join, shuffled on the node id —
+    the same primitives as label propagation, just a rewiring rule that
+    halves star depth geometrically instead of peeling one hop per round.
+    Convergence = edge-set fixpoint, detected with a (count, bit_xor-of-xxhash64)
+    checksum per round and CONFIRMED with an exact set-difference probe
+    before exiting (the checksum alone admits a theoretical collision).
+    Lineage is truncated each round (see :func:`_checkpointer`;
+    ``reliable_checkpoint_dir`` makes rounds survive executor loss).
+
+    Returns (node, component); ``stats`` receives {"rounds": n}. Raises
+    RuntimeError on max_iter exhaustion.
+    """
+    ckpt = _checkpointer(edges.sparkSession, reliable_checkpoint_dir)
+    raw = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    nodes = (
+        raw.select(F.col("s").alias("node"))
+        .union(raw.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    e = ckpt(raw.filter(F.col("s") != F.col("d")).distinct())
+
+    def _checksum(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(s, d))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # Large-star: symmetrize, find m(u) per node, point larger
+        # neighbors at it. Result edges always run larger -> smaller.
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        mins = sym.groupBy("s").agg(F.min("d").alias("mn"))
+        large = (
+            sym.join(mins, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(
+                F.col("d").alias("s"),
+                F.least(F.col("s"), F.col("mn")).alias("d"),
+            )
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        # Small-star: per larger-endpoint group, point every smaller
+        # neighbor and the node itself at the minimum neighbor.
+        mins2 = large.groupBy("s").agg(F.min("d").alias("mn"))
+        e_next = ckpt(
+            large.join(mins2, "s")
+            .select(F.col("d").alias("s"), F.col("mn").alias("d"))
+            .union(mins2.select(F.col("s"), F.col("mn").alias("d")))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        cur = _checksum(e_next)
+        if cur == prev and e_next.exceptAll(e).limit(1).count() == 0:
+            e = e_next
+            converged = True
+            break
+        prev = cur
+        e = e_next
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}"
+            " rounds; raise max_iter"
+        )
+    # Fixpoint edges are (node, component-min) stars; nodes never on the
+    # larger side (component minima, self-paired inputs) label themselves.
+    labels = e.select(F.col("s").alias("node"), F.col("d").alias("component"))
+    roots = nodes.join(
+        e.select(F.col("s").alias("node")), "node", "left_anti"
+    ).select(F.col("node"), F.col("node").alias("component"))
+    return labels.union(roots)

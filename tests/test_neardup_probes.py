@@ -137,3 +137,81 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_alternating_beats_minlabel_rounds_on_chain(spark):
+    """Label propagation needs ~diameter rounds on a path; the alternating
+    large-star/small-star algorithm collapses it in O(log^2 n) — the round-4
+    upgrade for power-law / long-chain dedup graphs."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    path = [(i, i + 1) for i in range(16)]  # diameter 16
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+
+    alt_stats, ml_stats = {}, {}
+    alt = {
+        r.node: r.component
+        for r in connected_components(
+            df, algorithm="alternating", stats=alt_stats
+        ).collect()
+    }
+    ml = {
+        r.node: r.component
+        for r in connected_components(
+            df, algorithm="minlabel", max_iter=50, stats=ml_stats
+        ).collect()
+    }
+    expected = dict.fromkeys(range(17), 0)
+    assert alt == expected and ml == expected
+    assert alt_stats["rounds"] < ml_stats["rounds"], (alt_stats, ml_stats)
+
+
+def test_alternating_powerlaw_graph_and_reliable_checkpoint(spark, tmp_path):
+    """Preferential-attachment-ish tangle (hubs + chains + cliques): result
+    must match a union-find oracle; reliable checkpointing must not change
+    the answer (durability option for executor-loss survival)."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    edges = []
+    # hub 0 with spokes, chained sub-hubs, a clique, and a disjoint chain
+    edges += [(0, i) for i in range(1, 12)]
+    edges += [(3, 20 + i) for i in range(6)]
+    edges += [(25, 40), (40, 41), (41, 42)]
+    edges += [(100, 101), (100, 102), (101, 102), (102, 103)]
+    edges += [(200, 201), (201, 202), (202, 203), (203, 204)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    expected = _union_find_components(edges)
+
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+    ckpt = {
+        r.node: r.component
+        for r in connected_components(
+            df, reliable_checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert ckpt == expected
