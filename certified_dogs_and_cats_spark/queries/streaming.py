@@ -236,3 +236,67 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_nanos_conf(spark, run)
+
+
+@query(
+    "streaming_session_stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    flag AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flag
+    )
+    SELECT user_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (``F.session_window``, 4-hour inactivity
+    gap) — the streaming twin of the batch ``sessionize`` operator and the
+    one stateful shape the surface lacked: state is a per-key set of open
+    sessions that MERGE when a late event bridges two of them, not a fixed
+    keyed accumulator. Drained with AvailableNow in complete mode so the
+    bounded run must reproduce the batch gap-sessionization exactly; the
+    oracle replays it with the same lag/cumsum SQL as `sessionize_stats`.
+    Spark's session_window end is last-event-time + gap, so session_end is
+    window.end - gap (== max event ts), keeping both engines aligned."""
+    configure_for_queries(spark)
+
+    def run() -> DataFrame:
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id", "ts", "value"
+        ).withWatermark("ts", "4 hours")
+        agg = ev.groupBy(
+            F.session_window("ts", "4 hours"), F.col("user_id")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        drained = _drain(agg, "ck_sess_", "complete")
+        return drained.select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.end") - F.expr("INTERVAL 4 HOURS")
+            ).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+
+    return _with_nanos_conf(spark, run)
