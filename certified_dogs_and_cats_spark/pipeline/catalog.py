@@ -6,6 +6,18 @@ Tables are partitioned parquet directories; `append` writes through
 as it would on a cluster. On a real deployment, set ``fmt="delta"`` and
 every operation maps 1:1 (plus ACID).
 
+Versioning (Delta time-travel parity, reference sql/register_bronze.sql:2-4
+semantics): every committed write appends an entry to a per-table manifest
+(``_meta/<table>/manifest.json``) recording the version number, action, and
+the RELATIVE data-file list that constitutes the table at that version —
+the same liveness-by-log idea as Delta's transaction log. ``table(name,
+version=N)`` reconstructs snapshot N by resolving those files against the
+live directory and the ``_trash`` stamps where overwrites retired them;
+``vacuum`` purging a stamp is what finally makes old versions unreadable
+(retention ties to time travel exactly as in Delta). Single-writer local
+catalog: version handles resolve file locations at call time, so obtain
+the versioned frame AFTER the writes you want to ignore.
+
 Design notes for 100 TB:
 - partition columns are part of registration, so writers can't silently
   produce unpartitioned tables;
@@ -17,6 +29,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -64,16 +77,25 @@ class Catalog:
             not f.startswith((".", "_")) for f in os.listdir(spec.path)
         )
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, version: int | None = None) -> DataFrame:
         """Read a table; empty (never-written) tables yield an empty frame
         with the declared schema, so downstream anti-joins/aggregations work
         on first run without special-casing.
+
+        ``version=N`` time-travels to committed version N (1-based; see
+        :meth:`history`): the manifest's file list for N is resolved
+        against the live directory and the ``_trash`` stamps where later
+        overwrites retired those files, and read with per-root ``basePath``
+        so partition-column inference still works. Raises if the version
+        was vacuumed away or never existed.
 
         The declared schema is passed to the reader, so files written
         before a column was added (:meth:`add_column`) read back with
         nulls for it — parquet schema evolution without rewriting data.
         """
         spec = self.tables[name]
+        if version is not None:
+            return self._read_version(spec, version)
         if not self.exists(name):
             return self.spark.createDataFrame([], spec.schema)
         df = self.spark.read.format(spec.fmt).schema(spec.schema).load(spec.path)
@@ -83,6 +105,132 @@ class Catalog:
             df[f.name].cast(f.dataType).alias(f.name) for f in spec.schema.fields
         ]
         return df.select(*cols)
+
+    # --- versioning (Delta time-travel parity) ---------------------------
+
+    def _meta_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_meta", name.replace(".", "/"))
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "manifest.json")
+
+    def _load_manifest(self, name: str) -> list[dict]:
+        path = self._manifest_path(name)
+        if not os.path.isfile(path):
+            return []
+        with open(path) as f:
+            return json.load(f)
+
+    def _data_files(self, root: str) -> list[str]:
+        """Relative paths of data files under ``root`` (hidden/_SUCCESS
+        markers excluded) — the file set that IS a table version."""
+        out = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            for fn in filenames:
+                if fn.startswith((".", "_")):
+                    continue
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, fn), root)
+                )
+        return sorted(out)
+
+    def _commit(self, name: str, action: str) -> int:
+        """Append a manifest entry snapshotting the table's current file
+        list; returns the new version number. The manifest is the analog of
+        Delta's transaction log: liveness is defined by the log, not by
+        which directory a file happens to sit in."""
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        version = (manifest[-1]["version"] + 1) if manifest else 1
+        manifest.append(
+            {
+                "version": version,
+                "action": action,
+                "ts_ns": time.time_ns(),
+                "files": self._data_files(spec.path)
+                if os.path.isdir(spec.path)
+                else [],
+            }
+        )
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(name))
+        return version
+
+    def history(self, name: str) -> list[dict]:
+        """DESCRIBE HISTORY analog: (version, action, ts_ns, n_files) per
+        committed write, oldest first."""
+        return [
+            {
+                "version": e["version"],
+                "action": e["action"],
+                "ts_ns": e["ts_ns"],
+                "n_files": len(e["files"]),
+            }
+            for e in self._load_manifest(name)
+        ]
+
+    def current_version(self, name: str) -> int:
+        manifest = self._load_manifest(name)
+        return manifest[-1]["version"] if manifest else 0
+
+    def _read_version(self, spec: TableSpec, version: int) -> DataFrame:
+        manifest = self._load_manifest(spec.name)
+        entry = next((e for e in manifest if e["version"] == version), None)
+        if entry is None:
+            raise ValueError(
+                f"{spec.name}: version {version} does not exist "
+                f"(history: 1..{manifest[-1]['version'] if manifest else 0})"
+            )
+        if not entry["files"]:
+            return self.spark.createDataFrame([], spec.schema)
+        # Resolve each relative file: still live, or retired under a trash
+        # stamp by a later overwrite (newest stamp wins — the file content
+        # for a given rel path never changes once written, but resolution
+        # order keeps semantics obvious).
+        trash = self._trash_dir(spec.name)
+        stamps = []
+        if os.path.isdir(trash):
+            stamps = sorted(os.listdir(trash), reverse=True)
+        by_root: dict[str, list[str]] = {}
+        for rel in entry["files"]:
+            if os.path.isfile(os.path.join(spec.path, rel)):
+                by_root.setdefault(spec.path, []).append(rel)
+                continue
+            for stamp in stamps:
+                root = os.path.join(trash, stamp)
+                if os.path.isfile(os.path.join(root, rel)):
+                    by_root.setdefault(root, []).append(rel)
+                    break
+            else:
+                raise ValueError(
+                    f"{spec.name}: version {version} is no longer "
+                    f"readable — file {rel!r} was vacuumed (retention "
+                    "window passed)"
+                )
+        # One read per root so basePath-driven partition inference works,
+        # then union; all parts are projected to the declared schema.
+        parts = []
+        for root, rels in by_root.items():
+            reader = self.spark.read.format(spec.fmt).schema(spec.schema)
+            if spec.partition_by:
+                reader = reader.option("basePath", root)
+            df = reader.load([os.path.join(root, r) for r in rels])
+            parts.append(
+                df.select(
+                    *[
+                        df[f.name].cast(f.dataType).alias(f.name)
+                        for f in spec.schema.fields
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def add_column(self, name: str, field: T.StructField) -> None:
         """ALTER TABLE ADD COLUMN: extend the declared schema in place.
@@ -110,6 +258,7 @@ class Catalog:
         if spec.partition_by:
             writer = writer.partitionBy(*spec.partition_by)
         writer.save(spec.path)
+        self._commit(name, "append")
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> int:
         """Dynamic partition overwrite: replace ONLY the partitions present
@@ -153,6 +302,7 @@ class Catalog:
             os.replace(os.path.join(tmp, rel), dst)
             moved += 1
         shutil.rmtree(tmp, ignore_errors=True)
+        self._commit(name, "overwrite_partitions")
         return moved
 
     @staticmethod
@@ -175,11 +325,13 @@ class Catalog:
     def drop(self, name: str) -> None:
         """DROP TABLE: deregister and retire the data into _trash (recoverable
         until :meth:`vacuum` purges it — Delta-style DROP semantics)."""
-        spec = self.tables.pop(name)
+        spec = self.tables[name]
         if os.path.isdir(spec.path):
             trash = os.path.join(self._trash_dir(name), str(time.time_ns()))
             os.makedirs(os.path.dirname(trash), exist_ok=True)
             os.replace(spec.path, trash)
+        self._commit(name, "drop")  # empty file list: the dropped state
+        del self.tables[name]
 
     def _trash_dir(self, name: str) -> str:
         return os.path.join(self.root, "_trash", name.replace(".", "/"))
@@ -205,6 +357,7 @@ class Catalog:
             os.replace(spec.path, trash)
         os.makedirs(os.path.dirname(spec.path), exist_ok=True)
         os.replace(tmp, spec.path)
+        self._commit(name, "overwrite")
 
     def compact(
         self,

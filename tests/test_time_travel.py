@@ -1,0 +1,110 @@
+"""Catalog versioned reads: manifest versions, snapshot isolation across
+overwrites, append history, partitioned time travel, and vacuum retention
+making old versions unreadable (Delta time-travel parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+PART_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("part", T.StringType()),
+    ]
+)
+
+
+def _rows(catalog, name, version=None):
+    return sorted(
+        (r.k, r.v) for r in catalog.table(name, version=version).collect()
+    )
+
+
+def test_version_counter_and_history(catalog, spark):
+    catalog.register("t.versions", SCHEMA)
+    assert catalog.current_version("t.versions") == 0
+    catalog.append("t.versions", spark.createDataFrame([(1, "a")], SCHEMA))
+    catalog.overwrite("t.versions", spark.createDataFrame([(2, "b")], SCHEMA))
+    hist = catalog.history("t.versions")
+    assert [(h["version"], h["action"]) for h in hist] == [
+        (1, "append"),
+        (2, "overwrite"),
+    ]
+    assert catalog.current_version("t.versions") == 2
+
+
+def test_snapshot_isolation_across_overwrite(catalog, spark):
+    """Reading v1 AFTER an overwrite produced v2 must return v1's rows —
+    the overwritten files are resolved from _trash, exactly like Delta
+    reading pre-compaction files that VACUUM has not yet removed."""
+    catalog.register("t.snap", SCHEMA)
+    catalog.append("t.snap", spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    catalog.overwrite("t.snap", spark.createDataFrame([(3, "c")], SCHEMA))
+
+    assert _rows(catalog, "t.snap") == [(3, "c")]
+    assert _rows(catalog, "t.snap", version=1) == [(1, "a"), (2, "b")]
+    assert _rows(catalog, "t.snap", version=2) == [(3, "c")]
+
+
+def test_append_history_reads_exact_file_sets(catalog, spark):
+    """Version N of an append-only table excludes files appended after N,
+    even though they share the live directory."""
+    catalog.register("t.appends", SCHEMA)
+    catalog.append("t.appends", spark.createDataFrame([(1, "a")], SCHEMA))
+    catalog.append("t.appends", spark.createDataFrame([(2, "b")], SCHEMA))
+    catalog.append("t.appends", spark.createDataFrame([(3, "c")], SCHEMA))
+    assert _rows(catalog, "t.appends", version=1) == [(1, "a")]
+    assert _rows(catalog, "t.appends", version=2) == [(1, "a"), (2, "b")]
+    assert _rows(catalog, "t.appends") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_partitioned_time_travel_keeps_partition_columns(catalog, spark):
+    """basePath-grouped resolution must reconstruct partition-column values
+    for snapshots spanning live and trashed files."""
+    catalog.register("t.part", PART_SCHEMA, partition_by=("part",))
+    catalog.append(
+        "t.part",
+        spark.createDataFrame([(1, "a", "p1"), (2, "b", "p2")], PART_SCHEMA),
+    )
+    # Replace only p2; v1 must still see the old p2 rows with part='p2'.
+    catalog.overwrite_partitions(
+        "t.part", spark.createDataFrame([(9, "z", "p2")], PART_SCHEMA)
+    )
+    v1 = sorted(
+        (r.k, r.v, r.part)
+        for r in catalog.table("t.part", version=1).collect()
+    )
+    assert v1 == [(1, "a", "p1"), (2, "b", "p2")]
+    live = sorted(
+        (r.k, r.v, r.part) for r in catalog.table("t.part").collect()
+    )
+    assert live == [(1, "a", "p1"), (9, "z", "p2")]
+
+
+def test_vacuum_expires_time_travel(catalog, spark):
+    """vacuum(retain=0) purges retired versions; reading them must fail
+    loudly with the retention explanation, and the live table is intact."""
+    catalog.register("t.vac", SCHEMA)
+    catalog.append("t.vac", spark.createDataFrame([(1, "a")], SCHEMA))
+    catalog.overwrite("t.vac", spark.createDataFrame([(2, "b")], SCHEMA))
+    assert _rows(catalog, "t.vac", version=1) == [(1, "a")]
+    assert catalog.vacuum("t.vac", retain_hours=0) == 1
+    with pytest.raises(ValueError, match="vacuumed"):
+        catalog.table("t.vac", version=1).collect()
+    assert _rows(catalog, "t.vac") == [(2, "b")]
+
+
+def test_unknown_version_raises(catalog, spark):
+    catalog.register("t.unknown", SCHEMA)
+    catalog.append("t.unknown", spark.createDataFrame([(1, "a")], SCHEMA))
+    with pytest.raises(ValueError, match="does not exist"):
+        catalog.table("t.unknown", version=7)
