@@ -66,30 +66,31 @@ BENCH_QUERIES = [
     "asof_join_next_purchase",
     "regional_revenue_5way",
     "streaming_running_totals",
+    # Round-4 additions: true winnowing fingerprints (explode + sliding
+    # window min + df-capped self-join) and streaming session windows.
+    "winnow_fingerprints",
+    "winnow_shared_pairs",
+    "streaming_session_stats",
 ]
 
 
-REPEATS = 2
+REPEATS = 3
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
-    """Best-of-N wall time. Each attempt executes the FULL plan via a
-    noop-format write (count() would let Catalyst prune projected
-    expressions that don't affect the row count) without collecting
-    anything to the driver; the min removes one-off machine noise (GC,
-    page-cache churn from whatever ran before the bench)."""
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-        # Queries may persist() branched frames (e.g. the dedup shingle
-        # tables); release them so a multi-query sweep doesn't accumulate
-        # executor-memory cache, and so each attempt pays its own persist.
-        release_cached()
-        spark.catalog.clearCache()
-    return best
+def run_once(spark, name: str, sf_dir: str) -> float:
+    """One wall-clock execution of the FULL plan via a noop-format write
+    (count() would let Catalyst prune projected expressions that don't
+    affect the row count) without collecting anything to the driver."""
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+    # Queries may persist() branched frames (e.g. the dedup shingle
+    # tables); release them so a multi-query sweep doesn't accumulate
+    # executor-memory cache, and so each attempt pays its own persist.
+    release_cached()
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:
@@ -105,9 +106,18 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
     spark.catalog.clearCache()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    # Interleaved best-of-N: run the WHOLE roster, then repeat it, taking
+    # the per-query min across passes (A,B,C,A,B,C — not A,A,B,B,C,C).
+    # Back-to-back repeats let one GC pause / page-cache eviction poison
+    # both attempts of the same query; interleaving separates attempts by
+    # a full roster pass so transient machine noise lands on different
+    # queries each time (the r03 bench recorded two 3-8x one-off outliers
+    # this way; the interleaved protocol re-measured them at 1x).
+    best: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(REPEATS):
+        for name in BENCH_QUERIES:
+            best[name] = min(best[name], run_once(spark, name, sf_dir))
+    timings = {name: round(v, 3) for name, v in best.items()}
     total = round(sum(timings.values()), 3)
     # The BENCH_r01 roster (the BASELINE.md envelope is defined over these
     # 21 queries; later-round additions are broken out so totals stay
