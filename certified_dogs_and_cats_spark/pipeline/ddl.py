@@ -277,6 +277,18 @@ class DdlSession:
             return self.catalog.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
             )
+        if u.startswith("DESCRIBE HISTORY "):
+            name = self.resolve(s.split()[-1])
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            rows = [
+                (h["version"], h["action"], h["ts_ns"], h["n_files"])
+                for h in reversed(self.catalog.history(name))
+            ]
+            return self.catalog.spark.createDataFrame(
+                rows or [],
+                "version int, action string, ts_ns long, n_files int",
+            )
         if u.startswith("DESCRIBE"):
             name = self.resolve(s.split()[-1])
             spec = self.catalog.tables.get(name)
@@ -380,6 +392,25 @@ class DdlSession:
         segments.append((False, body[last:]))
 
         def rewrite(code: str) -> str:
+            # Time travel first: `tbl VERSION AS OF n` (Delta's SQL
+            # spelling) binds a snapshot view before the bare-name rewrite
+            # could strip the table reference out from under it.
+            for tbl in sorted(self.catalog.tables, key=len, reverse=True):
+                for prefix in (f"{self.current_catalog}.{tbl}", tbl):
+                    pat = (
+                        rf"(?<![\w.]){re.escape(prefix)}"
+                        r"\s+VERSION\s+AS\s+OF\s+(\d+)(?![\w.])"
+                    )
+
+                    def bind(m: re.Match, tbl: str = tbl) -> str:
+                        v = int(m.group(1))
+                        alias = f"{_view_alias(tbl)}__v{v}"
+                        self.catalog.table(
+                            tbl, version=v
+                        ).createOrReplaceTempView(alias)
+                        return alias
+
+                    code = re.sub(pat, bind, code, flags=re.I)
             for tbl in sorted(self.catalog.tables, key=len, reverse=True):
                 for prefix in (f"{self.current_catalog}.{tbl}", tbl):
                     if re.search(rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", code):

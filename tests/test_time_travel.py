@@ -108,3 +108,32 @@ def test_unknown_version_raises(catalog, spark):
     catalog.append("t.unknown", spark.createDataFrame([(1, "a")], SCHEMA))
     with pytest.raises(ValueError, match="does not exist"):
         catalog.table("t.unknown", version=7)
+
+
+def test_ddl_version_as_of_and_history(catalog, spark):
+    """Delta SQL spellings through the front door: SELECT ... VERSION AS OF
+    reads the snapshot, DESCRIBE HISTORY lists the version log."""
+    from certified_dogs_and_cats_spark.pipeline import DdlSession
+
+    ddl = DdlSession(catalog)
+    ddl.execute(
+        """
+        CREATE SCHEMA IF NOT EXISTS tt;
+        CREATE TABLE pets.tt.t (k INT, v STRING);
+        INSERT INTO pets.tt.t VALUES (1, 'a'), (2, 'b');
+        """
+    )
+    catalog.overwrite(
+        "tt.t", spark.createDataFrame([(3, "c")], catalog.tables["tt.t"].schema)
+    )
+    (old,) = ddl.execute(
+        "SELECT count(*) AS n FROM pets.tt.t VERSION AS OF 1;"
+    )
+    assert old.collect()[0]["n"] == 2
+    (live,) = ddl.execute("SELECT count(*) AS n FROM pets.tt.t;")
+    assert live.collect()[0]["n"] == 1
+    (hist,) = ddl.execute("DESCRIBE HISTORY pets.tt.t;")
+    assert [(r.version, r.action) for r in hist.collect()] == [
+        (2, "overwrite"),
+        (1, "append"),
+    ]
