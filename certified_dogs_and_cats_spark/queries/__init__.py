@@ -32,9 +32,9 @@ from . import sampling  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import pipeline_e2e  # noqa: E402,F401
 from . import winnow  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
 from . import core  # noqa: E402,F401
 from . import gold  # noqa: E402,F401
-from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401

@@ -408,3 +408,101 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
     )
     return connected_components(pairs)
+
+
+@query(
+    "dedup_semantic_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e, nrm,
+             concat(
+               CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS b0,
+             concat(
+               CASE WHEN e[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN e[8] >= 0 THEN '1' ELSE '0' END) AS b1
+      FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM b a JOIN b bb ON a.b0 = bb.b0
+      WHERE a.vec_id < bb.vec_id
+        AND round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6)
+            >= {NEAR_DUP_THRESHOLD}
+      UNION
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM b a JOIN b bb ON a.b1 = bb.b1
+      WHERE a.vec_id < bb.vec_id
+        AND round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6)
+            >= {NEAR_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node, min(label) AS component FROM reach GROUP BY node
+    )
+    SELECT component AS keep_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(count(*) - 1 AS BIGINT) AS removed_cnt,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
+             FILTER (WHERE node != component) AS dropped_ids
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, end to end: near-dup pairs -> connected
+    components -> one canonical survivor per cluster (min id) plus the
+    kill list of dropped ids — the artifact a training-data pipeline
+    actually applies to the corpus (anti-join the dropped ids away).
+    Composition of embedding_near_dup_pairs + alternating-star
+    connected_components + one aggregate; the dropped ids are serialized
+    as a sorted CSV string so the whole kill list is hash-compared against
+    the DuckDB replay."""
+    from pyspark.sql import functions as F
+
+    from ..extensions.dedup import (
+        connected_components,
+        embedding_near_dup_pairs,
+    )
+    from ..extensions.similarity import as_double_vec
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    pairs = embedding_near_dup_pairs(
+        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("keep_id")).agg(
+        F.count("*").alias("cluster_size"),
+        (F.count("*") - F.lit(1)).alias("removed_cnt"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("node") != F.col("component"), F.col("node")
+                    )
+                )
+            ),
+        ).alias("dropped_ids"),
+    )
