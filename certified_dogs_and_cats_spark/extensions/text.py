@@ -156,3 +156,31 @@ def winnow_shared_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total word n-grams — the
+    Gopher-style quality gate that catches boilerplate loops, keyboard
+    mash, and template spam (high ratio = the doc repeats itself).
+    Per-doc aggregate over a non-distinct n-gram explode; one shuffle on
+    the doc id, all expressions in codegen. Docs with < n tokens yield no
+    rows (no n-grams to judge)."""
+    toks = F.split(F.col(text_col), " ")
+    parts = ", ".join(f"__toks__[i+{j}]" for j in range(n))
+    grams = F.expr(
+        f"transform(sequence(0, size(__toks__)-{n}), i -> concat_ws(' ', {parts}))"
+    )
+    g = (
+        df.select(F.col(id_col), toks.alias("__toks__"))
+        .filter(F.size("__toks__") >= n)
+        .select(F.col(id_col), F.explode(grams).alias("ng"))
+    )
+    return g.groupBy(id_col).agg(
+        F.count("*").alias("n_ngrams"),
+        F.countDistinct("ng").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("ng") / F.count("*"), 6
+        ).alias("repetition_ratio"),
+    )

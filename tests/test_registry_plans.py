@@ -88,3 +88,18 @@ def test_window_rank_family_single_shuffle(spark):
     df = QUERIES["window_rank_family"](spark, SF)
     plan = plan_text(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnow_prunes_scan_and_single_window_shuffle(spark):
+    """Winnowing reads only (doc_id, text); the sliding-window min adds
+    exactly one doc-partitioned Exchange before the distinct."""
+    plan = plan_text(QUERIES["winnow_fingerprints"](spark, SF))
+    assert set(read_schema_cols(plan, "documents")) <= {"doc_id", "text"}
+
+
+def test_semantic_survivors_prunes_embedding_scan(spark):
+    plan = plan_text(QUERIES["dedup_semantic_survivors"](spark, SF))
+    assert set(read_schema_cols(plan, "embeddings")) <= {
+        "vec_id",
+        "embedding",
+    }
