@@ -51,3 +51,85 @@ def export_all(
         name: export_view_csv(df, export_root, name, export_date, single_file)
         for name, df in views.items()
     }
+
+
+def latest_year_fsa_counts(src: DataFrame, animal_type: str) -> DataFrame:
+    """The choropleth dataset (reference README.md:84-86): per-FSA license
+    counts for ONE animal type in the LATEST year present. One aggregate
+    with a windowed max-year filter — no second scan for the year lookup."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(F.lit(1))
+    return (
+        src.filter(
+            (F.col("ANIMAL_TYPE") == animal_type) & F.col("FSA").isNotNull()
+        )
+        .withColumn("max_year", F.max("Year").over(w))
+        .filter(F.col("Year") == F.col("max_year"))
+        .groupBy("FSA")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("FSA")
+    )
+
+
+def export_fsa_choropleths(
+    catalog, out_dir: str, geojson_path: str | None = None
+) -> list[str]:
+    """S11: ``fsa_pets_latest_{CAT,DOG}.html`` map exports (reference
+    README.md:84-86,124-126).
+
+    The engine-grade part — the latest-year per-FSA dataset and the
+    per-type file layout — is always real. Rendering is tiered like the
+    Pillow-gated image decode: if Folium is importable AND an FSA-boundary
+    GeoJSON is provided, a real choropleth is rendered; otherwise a
+    self-contained HTML document embedding the same data as a JSON payload
+    + table is written (the site can hydrate it client-side). Returns the
+    written paths."""
+    import json as _json
+
+    from .analytics import gold_src
+    from .refine import register_tables as register_silver_tables
+
+    register_silver_tables(catalog)
+    src = gold_src(catalog.table("core.licensed_pets_silver"))
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for animal_type in ("CAT", "DOG"):
+        rows = latest_year_fsa_counts(src, animal_type).collect()
+        data = [{"FSA": r["FSA"], "cnt": r["cnt"]} for r in rows]
+        out = os.path.join(out_dir, f"fsa_pets_latest_{animal_type}.html")
+        html = None
+        if geojson_path is not None:
+            try:
+                import folium  # noqa: F401
+
+                m = folium.Map(location=[43.7, -79.4], zoom_start=10)
+                folium.Choropleth(
+                    geo_data=geojson_path,
+                    data={d["FSA"]: d["cnt"] for d in data},
+                    key_on="feature.properties.CFSAUID",
+                    fill_color="YlGn",
+                ).add_to(m)
+                html = m.get_root().render()
+            except ImportError:
+                html = None
+        if html is None:
+            payload = _json.dumps(data)
+            table_rows = "".join(
+                f"<tr><td>{d['FSA']}</td><td>{d['cnt']}</td></tr>"
+                for d in data
+            )
+            html = (
+                "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+                f"<title>FSA {animal_type} licenses (latest year)</title>"
+                "</head><body>"
+                f"<h1>{animal_type} licenses by FSA (latest year)</h1>"
+                f"<script>const FSA_DATA = {payload};</script>"
+                "<table><tr><th>FSA</th><th>count</th></tr>"
+                f"{table_rows}</table></body></html>"
+            )
+        with open(out, "w") as f:
+            f.write(html)
+        written.append(out)
+    return written

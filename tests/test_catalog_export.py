@@ -241,3 +241,35 @@ def test_compact_cluster_by_sorts_rows_for_rowgroup_skipping(catalog, spark):
         checked_files += 1
     assert checked_files == 2
     assert multi_rg, "block size too large to form multiple row groups"
+
+
+def test_fsa_choropleth_export_data_and_layout(catalog, raw_root):
+    """S11 parity: per-type latest-year FSA files exist with the correct
+    names and embed exactly the silver-derived counts (rendering falls back
+    to the data-embedded HTML when Folium/geometry are absent)."""
+    import json
+    import re
+
+    from conftest import CLOCK1, D1, DROP1, write_drop
+    from certified_dogs_and_cats_spark.pipeline import build_daily_pipeline
+    from certified_dogs_and_cats_spark.pipeline.export import (
+        export_fsa_choropleths,
+    )
+
+    write_drop(raw_root, D1, DROP1)
+    build_daily_pipeline(catalog, raw_root, clock=CLOCK1).run(
+        ingestion_date=D1
+    )
+    out_dir = os.path.join(os.path.dirname(raw_root), "site_data")
+    paths = export_fsa_choropleths(catalog, out_dir)
+    assert [os.path.basename(p) for p in paths] == [
+        "fsa_pets_latest_CAT.html",
+        "fsa_pets_latest_DOG.html",
+    ]
+    # DROP1 latest year = 2025: CAT rows with valid FSA = M5E; DOG = M6F.
+    cat_html = open(paths[0]).read()
+    m = re.search(r"const FSA_DATA = (\[.*?\]);", cat_html)
+    assert m and json.loads(m.group(1)) == [{"FSA": "M5E", "cnt": 1}]
+    dog_html = open(paths[1]).read()
+    m = re.search(r"const FSA_DATA = (\[.*?\]);", dog_html)
+    assert m and json.loads(m.group(1)) == [{"FSA": "M6F", "cnt": 1}]
