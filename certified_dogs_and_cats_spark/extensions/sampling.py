@@ -64,3 +64,41 @@ def per_group_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """EXACT per-stratum train/val/test split: within each stratum, rank
+    rows by (md5(id), id) and cut at the weight percentiles of the stratum
+    size, so every stratum lands within 1 row of the target proportions —
+    vs :func:`hash_split`, whose proportions are only statistical and can
+    starve small strata.
+
+    Cut test is pure integer math ((rn-1)*100 < cut*n — no float
+    percentile edge cases), deterministic, and stable for a FIXED corpus;
+    unlike hash_split, growing a stratum re-ranks it, so use this for
+    frozen snapshots and hash_split for incrementally growing corpora.
+    One window shuffle on the stratum key.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    grp = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*grp).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    wall = Window.partitionBy(*grp)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wall)
+    scaled = (rn - F.lit(1)) * F.lit(100)
+    expr = None
+    hi = 0
+    for name, pct in weights.items():
+        hi += pct
+        cond = scaled < F.lit(hi) * n
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -120,3 +120,44 @@ def corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").cast("bigint").alias("n_sources"),
         )
     )
+
+
+@query(
+    "sample_stratified_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT source, n_chars,
+             CASE WHEN (rn - 1) * 100 < 80 * n THEN 'train'
+                  WHEN (rn - 1) * 100 < 90 * n THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT source, split, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum 80/10/10 (every source within 1 row of target —
+    hash_split's proportions are only statistical and can starve small
+    strata); integer-math percentile cuts replayed identically in SQL."""
+    from ..extensions.sampling import stratified_split
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return stratified_split(docs, ["source"], "doc_id").groupBy(
+        "source", "split"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").alias("total_chars"),
+    )

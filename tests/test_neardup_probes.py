@@ -215,3 +215,17 @@ def test_alternating_powerlaw_graph_and_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert ckpt == expected
+
+
+def test_connected_components_empty_and_selfloop_edges(spark):
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    # Self-loops carry no connectivity but their node must still label
+    # itself (it appeared in the edge list).
+    loops = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(loops).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
