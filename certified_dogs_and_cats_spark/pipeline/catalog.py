@@ -135,30 +135,52 @@ class Catalog:
                 )
         return sorted(out)
 
-    def _commit(self, name: str, action: str) -> int:
+    def _commit(self, name: str, action: str, txn: dict | None = None) -> int:
         """Append a manifest entry snapshotting the table's current file
         list; returns the new version number. The manifest is the analog of
         Delta's transaction log: liveness is defined by the log, not by
-        which directory a file happens to sit in."""
+        which directory a file happens to sit in. ``txn`` attaches an
+        idempotent-writer marker ({stream_id, batch_id} — Delta's `txn`
+        action) checked by :meth:`txn_committed`."""
         spec = self.tables[name]
         manifest = self._load_manifest(name)
         version = (manifest[-1]["version"] + 1) if manifest else 1
-        manifest.append(
-            {
-                "version": version,
-                "action": action,
-                "ts_ns": time.time_ns(),
-                "files": self._data_files(spec.path)
-                if os.path.isdir(spec.path)
-                else [],
-            }
-        )
+        entry = {
+            "version": version,
+            "action": action,
+            "ts_ns": time.time_ns(),
+            "files": self._data_files(spec.path)
+            if os.path.isdir(spec.path)
+            else [],
+        }
+        if txn is not None:
+            entry["txn"] = txn
+        manifest.append(entry)
         os.makedirs(self._meta_dir(name), exist_ok=True)
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(name))
         return version
+
+    def txn_committed(self, name: str, stream_id: str, batch_id: int) -> bool:
+        """True if a commit carrying this (stream_id, batch_id) txn marker
+        exists — the exactly-once check for idempotent streaming writers
+        (Delta's txn/appId+version mechanism)."""
+        return any(
+            e.get("txn") == {"stream_id": stream_id, "batch_id": batch_id}
+            for e in self._load_manifest(name)
+        )
+
+    def append(self, name: str, df: DataFrame, txn: dict | None = None) -> None:
+        spec = self.tables[name]
+        writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
+            spec.fmt
+        ).mode("append")
+        if spec.partition_by:
+            writer = writer.partitionBy(*spec.partition_by)
+        writer.save(spec.path)
+        self._commit(name, "append", txn=txn)
 
     def history(self, name: str) -> list[dict]:
         """DESCRIBE HISTORY analog: (version, action, ts_ns, n_files) per
@@ -249,16 +271,6 @@ class Catalog:
         if any(f.name == field.name for f in spec.schema.fields):
             raise ValueError(f"column exists: {field.name}")
         spec.schema = T.StructType([*spec.schema.fields, field])
-
-    def append(self, name: str, df: DataFrame) -> None:
-        spec = self.tables[name]
-        writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
-            spec.fmt
-        ).mode("append")
-        if spec.partition_by:
-            writer = writer.partitionBy(*spec.partition_by)
-        writer.save(spec.path)
-        self._commit(name, "append")
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> int:
         """Dynamic partition overwrite: replace ONLY the partitions present

@@ -144,3 +144,43 @@ def windowed_counts(
             .alias("total_value"),
         )
     )
+
+
+def stream_append_exactly_once(
+    df: DataFrame,
+    catalog,
+    table: str,
+    checkpoint_dir: str,
+    stream_id: str,
+) -> None:
+    """Drain the stream (AvailableNow) into a catalog table with
+    exactly-once batches: a ``foreachBatch`` writer that skips any batch
+    whose (stream_id, batch_id) txn marker is already in the table's
+    commit manifest — Delta's ``txn``/appId+version idempotent-writer
+    mechanism over this catalog's log. Structured Streaming re-delivers a
+    batch after failure/restart with the SAME batch_id, so the marker
+    check turns at-least-once delivery into exactly-once appends.
+
+    Known divergence from Delta: the data write and the manifest commit
+    are two steps here, not one atomic log entry, so a crash BETWEEN them
+    can duplicate that batch on retry (Delta closes this window by
+    committing data + txn action atomically). The offsets checkpoint
+    additionally guarantees a COMPLETED batch is never re-read.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if catalog.txn_committed(table, stream_id, batch_id):
+            return
+        catalog.append(
+            table,
+            batch_df,
+            txn={"stream_id": stream_id, "batch_id": batch_id},
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -134,3 +134,63 @@ def test_running_totals_state_survives_microbatches(spark, tmp_path):
     rows = {r._id: (r.n, r.total) for r in out.collect()}
     assert rows[1] == (1, 1.0)
     assert rows[4] == (2, 8.0)  # two rows folded into one key's state
+
+
+def test_stream_append_exactly_once_batches(spark, catalog, tmp_path):
+    """foreachBatch + manifest txn markers: a drained batch appends once;
+    re-draining the same checkpoint adds nothing; a re-delivered batch_id
+    (simulated retry) is skipped by the txn check."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from certified_dogs_and_cats_spark.streaming import (
+        read_file_stream,
+        stream_append_exactly_once,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    catalog.register("s.sink", schema)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,a\n2,b\n")
+    ck = str(tmp_path / "ck")
+
+    stream = read_file_stream(spark, str(src), schema)
+    stream_append_exactly_once(stream, catalog, "s.sink", ck, "ingest1")
+    assert catalog.table("s.sink").count() == 2
+
+    # Same checkpoint, no new files: nothing re-processed.
+    stream_append_exactly_once(
+        read_file_stream(spark, str(src), schema),
+        catalog,
+        "s.sink",
+        ck,
+        "ingest1",
+    )
+    assert catalog.table("s.sink").count() == 2
+
+    # Simulated at-least-once retry: batch 0 re-delivered is skipped...
+    assert catalog.txn_committed("s.sink", "ingest1", 0)
+    before = catalog.current_version("s.sink")
+    batch = spark.createDataFrame([(9, "dup")], schema)
+    if not catalog.txn_committed("s.sink", "ingest1", 0):
+        catalog.append("s.sink", batch, txn={"stream_id": "ingest1", "batch_id": 0})
+    assert catalog.table("s.sink").count() == 2
+    assert catalog.current_version("s.sink") == before
+
+    # ...while new files through the same checkpoint append exactly once.
+    (src / "b.csv").write_text("k,v\n3,c\n")
+    stream_append_exactly_once(
+        read_file_stream(spark, str(src), schema),
+        catalog,
+        "s.sink",
+        ck,
+        "ingest1",
+    )
+    assert sorted(r.k for r in catalog.table("s.sink").collect()) == [1, 2, 3]
