@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_shared_pairs",
     "streaming_session_stats",
+    "text_repetition_ratio",
+    "sample_stratified_split",
 ]
 
 
