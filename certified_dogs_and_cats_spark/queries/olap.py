@@ -454,3 +454,120 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+@query(
+    "grouping_sets_order_stats",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS INTEGER) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    per-priority, per-status, and grand-total groups in ONE pass (a single
+    Expand + one shuffle, not three scans unioned), with grouping_id
+    disambiguating which set a row belongs to (NULL group values are
+    ambiguous on their own)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS cnt,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS INT) AS gid
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "window_value_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           lead(o_orderkey, 1, -1) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key,
+           round(percent_rank() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS pr,
+           round(cume_dist() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window family (first/last/nth_value, lead-with-default,
+    percent_rank, cume_dist) over one per-customer sort: every function
+    shares the same window, so the whole family costs ONE shuffle + ONE
+    sort — the plan to check when analysts stack window columns. Frames
+    are pinned to ROWS UNBOUNDED/UNBOUNDED: last_value under the default
+    frame is just the current row (a classic cross-engine footgun)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    full = order_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.lead("o_orderkey", 1, -1).over(order_w).alias("next_key"),
+        F.round(F.percent_rank().over(order_w), 6).alias("pr"),
+        F.round(F.cume_dist().over(order_w), 6).alias("cd"),
+    )
+
+
+@query(
+    "full_outer_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CASE WHEN li.l_partkey IS NULL THEN 'part_only'
+                WHEN p.p_partkey IS NULL THEN 'lineitem_only'
+                ELSE 'matched' END AS side,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(coalesce(sum(li.n_lines), 0) AS BIGINT) AS n_lines
+    FROM part p FULL OUTER JOIN li ON p.p_partkey = li.l_partkey
+    GROUP BY 1
+    """,
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-target reconciliation via FULL OUTER join: which part
+    keys exist only in the dim, only in the fact, or both — the data-audit
+    shape behind every migration signoff. The fact side pre-aggregates to
+    one row per key BEFORE the join, so the full-outer shuffles grouped
+    counts, never raw lines."""
+    p = t(spark, sf_dir, "part").select("p_partkey")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    j = p.join(li, p["p_partkey"] == li["l_partkey"], "full_outer")
+    side = (
+        F.when(F.col("l_partkey").isNull(), "part_only")
+        .when(F.col("p_partkey").isNull(), "lineitem_only")
+        .otherwise("matched")
+    )
+    return j.groupBy(side.alias("side")).agg(
+        F.count("*").alias("n_keys"),
+        F.coalesce(F.sum("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+    )
