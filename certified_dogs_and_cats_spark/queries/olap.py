@@ -571,3 +571,46 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         F.coalesce(F.sum("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
     )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(e) AS INTEGER) AS dim,
+           round(e[1], 6) AS first_dim,
+           round(list_max(e), 6) AS max_dim,
+           round(list_min(e), 6) AS min_dim,
+           round(e[1] + e[2] + e[3], 6) AS head3_sum,
+           round(list_sort(e)[1], 6) AS sorted_first,
+           CAST(list_position(list_sort(e), list_max(e)) AS INTEGER)
+             AS max_rank
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family (size, element_at, array_max/min, explicit
+    element sums, sort_array, array_position) — §2.8's fourth function
+    family, exercised over the embedding column. All expressions stay in
+    codegen; element sums are written as explicit adds so the IEEE fold
+    order is pinned identically in both engines (array-fold builtins do
+    not document order)."""
+    from ..extensions.similarity import as_double_vec
+
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    e = F.col("e")
+    srt = F.array_sort(e)
+    return v.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1), 6).alias("first_dim"),
+        F.round(F.array_max(e), 6).alias("max_dim"),
+        F.round(F.array_min(e), 6).alias("min_dim"),
+        F.round(
+            F.element_at(e, 1) + F.element_at(e, 2) + F.element_at(e, 3), 6
+        ).alias("head3_sum"),
+        F.round(F.element_at(srt, 1), 6).alias("sorted_first"),
+        F.array_position(srt, F.array_max(e)).cast("int").alias("max_rank"),
+    )
