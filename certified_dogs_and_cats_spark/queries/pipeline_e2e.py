@@ -165,3 +165,78 @@ def _expect(runs, stage: str, status: str, rows: int | None = None) -> None:
             f"pipeline stage {stage}: expected {rows} rows, got "
             f"{run.result.rows}"
         )
+
+
+@query(
+    "ddl_lifecycle_end_to_end",
+    oracle="""
+    WITH seed(account, status, amount) AS (
+      VALUES (1, 'open', 100.0), (2, 'open', 250.0),
+             (3, 'closed', 75.0), (4, 'open', 10.0)
+    ),
+    changes(account, status, amount) AS (
+      VALUES (2, 'closed', 260.0), (4, 'open', 55.0), (5, 'open', 900.0)
+    ),
+    merged AS (
+      SELECT s.account,
+             coalesce(c.status, s.status) AS status,
+             coalesce(c.amount, s.amount) AS amount
+      FROM seed s LEFT JOIN changes c USING (account)
+      UNION ALL
+      SELECT account, status, amount FROM changes
+      WHERE account NOT IN (SELECT account FROM seed)
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_accounts,
+           round(sum(amount), 2) AS total_amount
+    FROM merged GROUP BY status
+    """,
+)
+def ddl_lifecycle_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door end to end under the driver: CREATE SCHEMA /
+    CREATE TABLE (S7), INSERT INTO VALUES (S6), MERGE INTO with both
+    clauses (J5), OPTIMIZE + VACUUM RETAIN 0 HOURS (S12), then a SELECT
+    through the same session — every statement the reference's SQL surface
+    uses, in one lifecycle, against a throwaway warehouse. The oracle
+    replays the seed+merge algebra in pure SQL. The maintenance statements
+    must be behavior-preserving: the final aggregate is computed AFTER
+    compaction and a zero-retention vacuum."""
+    from ..pipeline import Catalog, DdlSession
+
+    root = tempfile.mkdtemp(prefix="cdc_ddl_e2e_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        ddl = DdlSession(catalog)
+        ddl.execute(
+            """
+            CREATE SCHEMA IF NOT EXISTS core;
+            CREATE TABLE pets.core.balances (
+              account INT, status STRING, amount DOUBLE
+            ) USING DELTA;
+            INSERT INTO pets.core.balances VALUES
+              (1, 'open', 100.0), (2, 'open', 250.0),
+              (3, 'closed', 75.0), (4, 'open', 10.0);
+            WITH chg(account, status, amount) AS (
+              VALUES (2, 'closed', 260.0), (4, 'open', 55.0),
+                     (5, 'open', 900.0)
+            )
+            MERGE INTO pets.core.balances AS t
+            USING chg AS s
+            ON t.account = s.account
+            WHEN MATCHED THEN
+              UPDATE SET t.status = s.status, t.amount = s.amount
+            WHEN NOT MATCHED THEN
+              INSERT (account, status, amount)
+              VALUES (s.account, s.status, s.amount);
+            OPTIMIZE pets.core.balances;
+            VACUUM pets.core.balances RETAIN 0 HOURS;
+            """
+        )
+        (out,) = ddl.execute(
+            "SELECT status, count(*) AS n_accounts,"
+            " round(sum(amount), 2) AS total_amount"
+            " FROM pets.core.balances GROUP BY status;"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
