@@ -27,7 +27,9 @@ import tempfile
 from datetime import date, datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from .common import t
 from .registry import query
 
 _HEADER = ["_id", "Year", "FSA", "ANIMAL_TYPE", "PRIMARY_BREED"]
@@ -238,5 +240,53 @@ def ddl_lifecycle_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             " FROM pets.core.balances GROUP BY status;"
         )
         return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "export_roundtrip_csv",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(min(n_nationkey) AS INTEGER) AS min_key
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def export_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 under the driver: write a joined view through the CSV export
+    sink (headered, date-partitioned layout), read the export BACK with a
+    declared schema, and aggregate the round-tripped rows — a green row
+    proves the export is lossless for the website-feed shapes the
+    reference ships (README.md:81-82,117-123)."""
+    from pyspark.sql import types as T
+
+    from ..pipeline.export import export_view_csv
+
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    joined = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("r_name", "n_nationkey")
+
+    root = tempfile.mkdtemp(prefix="cdc_export_rt_")
+    try:
+        out = export_view_csv(
+            joined, root, "region_nations", date(2026, 1, 1), single_file=True
+        )
+        back = spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("r_name", T.StringType()),
+                    T.StructField("n_nationkey", T.IntegerType()),
+                ]
+            )
+        ).option("header", True).csv(out)
+        agg = back.groupBy("r_name").agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_nationkey").alias("min_key"),
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

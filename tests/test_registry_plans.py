@@ -103,3 +103,24 @@ def test_semantic_survivors_prunes_embedding_scan(spark):
         "vec_id",
         "embedding",
     }
+
+
+def test_grouping_sets_single_expand_single_exchange(spark):
+    """GROUPING SETS must compile to one Expand + one shuffle, not a union
+    of three scans."""
+    import re
+
+    plan = plan_text(QUERIES["grouping_sets_order_stats"](spark, SF))
+    # formatted plans list each node twice (tree + detail header); count
+    # the numbered detail headers only.
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_window_value_family_single_sort(spark):
+    """Six window columns over the same (partition, order) must share one
+    Window node chain after a single Exchange+Sort — stacking must not
+    multiply shuffles."""
+    plan = plan_text(QUERIES["window_value_family"](spark, SF), "simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1
