@@ -604,3 +604,35 @@ def alternating_components(
         e.select(F.col("s").alias("node")), "node", "left_anti"
     ).select(F.col("node"), F.col("node").alias("component"))
     return labels.union(roots)
+
+
+def incremental_lsh_candidates(
+    corpus_bands: DataFrame,
+    batch_bands: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Incremental dedup candidates: NEW docs vs the EXISTING corpus only.
+
+    The production arrival path — when a batch lands, recomputing the full
+    corpus x corpus pair set is O(N^2)-ish waste; the only new information
+    is batch x corpus (and batch x batch) collisions. Joining the batch's
+    bands against the (precomputed, stored) corpus bands makes incremental
+    dedup cost proportional to the BATCH, not the corpus: the property
+    that lets a 100 TB corpus absorb daily arrivals. Output: distinct
+    (batch_id, corpus_id) candidates to exact-verify downstream.
+
+    Both inputs are (id, band_idx, band_val) frames (see
+    :func:`lsh_candidate_pairs` banding); the corpus side would be a
+    stored table in production, appended as batches are admitted.
+    """
+    b = batch_bands.select(
+        F.col(id_col).alias("batch_id"), "band_idx", "band_val"
+    )
+    c = corpus_bands.select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_val"
+    )
+    return (
+        b.join(c, ["band_idx", "band_val"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )

@@ -190,3 +190,17 @@ def ngram_repetition(
             F.lit(1.0) - F.countDistinct("ng") / F.count("*"), 6
         ).alias("repetition_ratio"),
     )
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical text normalization for dedup keys and matching: lowercase,
+    non-alphanumerics to spaces, whitespace collapsed, trimmed. Simple
+    character classes only, so the regexes behave identically under Java
+    regex (Spark) and RE2 (DuckDB) — the portability constraint for
+    oracle-checked dedup keys."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )

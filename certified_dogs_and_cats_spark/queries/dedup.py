@@ -506,3 +506,67 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dropped_ids"),
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT t1.doc_id,
+             concat_ws(' ', t1.tok, t2.tok, t3.tok) AS shingle
+      FROM tk t1
+      JOIN tk t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+      JOIN tk t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5(concat('{i}#', shingle))) AS mh{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+             CASE b WHEN 0 THEN concat_ws('|', mh0, mh1)
+                    WHEN 1 THEN concat_ws('|', mh2, mh3)
+                    WHEN 2 THEN concat_ws('|', mh4, mh5)
+                    ELSE concat_ws('|', mh6, mh7) END AS band_val
+      FROM sig, UNNEST(range(0, 4)) AS u(b)
+    )
+    SELECT nb.doc_id AS batch_id, cb.doc_id AS corpus_id
+    FROM (SELECT * FROM bands WHERE doc_id >= 400) nb
+    JOIN (SELECT * FROM bands WHERE doc_id < 400) cb
+      ON nb.band_idx = cb.band_idx AND nb.band_val = cb.band_val
+    GROUP BY 1, 2
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental arrival-path dedup: docs with id >= 400 play the new
+    batch, the rest the stored corpus; candidates come from joining ONLY
+    the batch's MinHash bands against the corpus bands — cost proportional
+    to the batch, never corpus x corpus (the property that lets a 100 TB
+    corpus absorb daily arrivals). 8-hash / 4-band signatures replayed
+    exactly in SQL."""
+    from pyspark.sql import functions as F
+
+    from ..extensions.dedup import incremental_lsh_candidates
+
+    docs = t(spark, sf_dir, "documents")
+    sh = tracked_persist(word_shingles(docs, "doc_id", "text", n=3))
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    stack_args = []
+    for b in range(4):
+        cols = [f"mh{b * 2 + r}" for r in range(2)]
+        stack_args.append(f"{b}, concat_ws('|', {', '.join(cols)})")
+    bands = tracked_persist(
+        sig.select(
+            "doc_id",
+            F.expr(f"stack(4, {', '.join(stack_args)}) AS (band_idx, band_val)"),
+        )
+    )
+    corpus = bands.filter(F.col("doc_id") < 400)
+    batch = bands.filter(F.col("doc_id") >= 400)
+    return incremental_lsh_candidates(corpus, batch, "doc_id")
