@@ -300,3 +300,102 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_nanos_conf(spark, run)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT v.user_id, v.view_id, p.purchase_id
+      FROM v JOIN p ON p.user_id = v.user_id
+       AND p.purchase_ts >= v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 4 HOUR
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases
+    FROM pairs GROUP BY user_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — view->purchase attribution within a
+    4-hour window, both sides unbounded streams. The state-management
+    shape batch can't express: each side buffers rows until the other
+    side's watermark passes the join-condition time bound, so state is
+    provably reclaimable (the time-range predicate is what makes the
+    buffer finite — an unbounded-condition stream-stream join would grow
+    forever). Inner joins emit on match, so a bounded AvailableNow drain
+    equals the batch join, which the oracle replays."""
+    configure_for_queries(spark)
+
+    def run() -> DataFrame:
+        views = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "4 hours")
+        )
+        purchases = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "4 hours")
+        )
+        pairs = views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 4 HOURS"
+            ),
+        )
+        drained = _drain(pairs, "ck_ssj_", "append")
+        return drained.groupBy(F.col("v_user").alias("user_id")).agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("purchase_id").alias("n_purchases"),
+        )
+
+    return _with_nanos_conf(spark, run)
+
+
+@query(
+    "hopping_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+             - o * INTERVAL 1 HOUR AS window_start,
+           event_type,
+           count(*) AS cnt
+    FROM events, UNNEST([0, 1]) AS u(o)
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 2-hour windows every 1 hour, so each
+    event lands in exactly length/slide = 2 windows — F.window with a
+    slideDuration expands map-side (no self-join), one shuffle of grouped
+    counts. The oracle replays the expansion with an explicit 2-offset
+    unnest. Batch twin of the streaming tumbling-window query; the same
+    expression streams unchanged."""
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    return ev.groupBy(
+        F.window("ts", "2 hours", "1 hour").start.alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("cnt"))
