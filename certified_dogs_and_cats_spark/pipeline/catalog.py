@@ -376,23 +376,31 @@ class Catalog:
         name: str,
         target_files_per_partition: int = 1,
         cluster_by: tuple[str, ...] = (),
+        zorder_by: tuple[str, ...] = (),
     ) -> None:
         """OPTIMIZE-style file compaction (reference docs/runbook.md:55-58):
-        rewrite the table coalesced; with ``cluster_by``, additionally sort
-        within write tasks on those columns — the local analog of
-        ``OPTIMIZE ... ZORDER BY (cols)``. Clustered data gives parquet
-        row-group min/max skipping on pushed filters over those columns
-        (lexicographic sort, strongest for the leading column; true Z-order
-        bit-interleaving matters only for multi-column box queries).
+        rewrite the table coalesced. ``cluster_by`` sorts lexicographically
+        within write tasks (strongest row-group skipping for the leading
+        column); ``zorder_by`` sorts by a TRUE Morton-interleaved key
+        (functions.zorder) so min/max skipping works for box predicates
+        over EVERY keyed column — the actual ``OPTIMIZE ... ZORDER BY``
+        semantics, not the lexicographic approximation.
 
         Partition columns are prepended to the sort so the partitioned
         writer's required ordering is already satisfied and the cluster
         order survives the write unchanged.
         """
         spec = self.tables[name]
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by OR zorder_by, not both")
         df = self.table(name).coalesce(target_files_per_partition)
         if cluster_by:
             df = df.sortWithinPartitions(*spec.partition_by, *cluster_by)
+        elif zorder_by:
+            from ..functions.zorder import zorder_key
+
+            key = zorder_key(self.table(name), list(zorder_by))
+            df = df.sortWithinPartitions(*spec.partition_by, key)
         self.overwrite(name, df)
 
     def vacuum(self, name: str, retain_hours: float = 168.0) -> int:

@@ -233,7 +233,22 @@ class DdlSession:
             cluster = tuple(
                 c.strip() for c in (m.group("cols") or "").split(",") if c.strip()
             )
-            self.catalog.compact(name, cluster_by=cluster)
+            # ZORDER BY over 2+ NUMERIC columns gets a true Morton key;
+            # single column (or any non-numeric) falls back to the
+            # lexicographic cluster sort, which is equivalent for one
+            # column and the only sound choice for strings/dates.
+            numeric = (
+                T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+            )
+            spec = self.catalog.tables[name]
+            types_by_name = {f.name: f.dataType for f in spec.schema.fields}
+            if len(cluster) >= 2 and all(
+                isinstance(types_by_name.get(c), numeric) for c in cluster
+            ):
+                self.catalog.compact(name, zorder_by=cluster)
+            else:
+                self.catalog.compact(name, cluster_by=cluster)
             return None
         if u.startswith("VACUUM "):
             m = re.match(
