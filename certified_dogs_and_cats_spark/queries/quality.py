@@ -71,3 +71,52 @@ def text_normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_key"),
         F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, o_custkey ASC) AS rn
+      FROM k
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS top1_cnt,
+           CAST(sum(CASE WHEN rn <= 5 THEN cnt ELSE 0 END) AS BIGINT)
+             AS top5_cnt,
+           round(max(cnt) * count(*) * 1.0 / sum(cnt), 6) AS skew_ratio
+    FROM ranked
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: hottest-key mass and the
+    top1/average ratio that decides whether a key needs salting or AQE
+    skew-join handling BEFORE the expensive join runs. Two aggregates over
+    grouped counts (never raw rows); pure integer math + one ratio, so
+    the report hashes identically cross-engine (entropy-style float folds
+    deliberately avoided — their sum order is engine-dependent)."""
+    from pyspark.sql import Window, functions as F
+
+    k = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("o_custkey").asc())
+    ranked = k.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("top1_cnt"),
+        F.sum(F.when(F.col("rn") <= 5, F.col("cnt")).otherwise(0)).alias(
+            "top5_cnt"
+        ),
+        F.round(
+            F.max("cnt") * F.count("*") / F.sum("cnt"), 6
+        ).alias("skew_ratio"),
+    )
