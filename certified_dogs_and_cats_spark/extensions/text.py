@@ -9,7 +9,7 @@ codegen; nothing crosses into Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic marker sets (the corpus is synthetic word-soup; the
@@ -203,4 +203,83 @@ def normalize_text(col: str | Column) -> Column:
         F.regexp_replace(
             F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
         )
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into token chunks of ``chunk_size`` with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the pre-embedding / pre-training chunking step. Chunk starts advance
+    by ``chunk_size - overlap``; the final chunk may be short (never
+    empty). One explode; slicing and re-joining stay in codegen; chunk
+    provenance (doc id + 1-based chunk_idx + token offset) survives for
+    lineage joins back to the source doc."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size: {overlap}")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(F.col(id_col), toks.alias("__toks__"))
+    starts = F.explode(
+        F.expr(f"sequence(1, greatest(size(__toks__), 1), {stride})")
+    ).alias("start")
+    c = d.select(F.col(id_col), F.col("__toks__"), starts)
+    chunk = F.slice(F.col("__toks__"), F.col("start"), chunk_size)
+    return (
+        c.filter(F.col("start") <= F.size("__toks__"))
+        .select(
+            F.col(id_col),
+            ((F.col("start") - 1) / stride + 1).cast("int").alias("chunk_idx"),
+            F.col("start").alias("token_start"),
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+def pack_token_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 256,
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing: documents are laid out in a
+    deterministic stream (ordered by id), and the stream is cut at every
+    ``budget`` tokens — exactly how LLM pretraining packs short documents
+    into fixed-length sequences with zero padding waste. Emits one row per
+    (bin, doc) overlap with the token count the doc contributes to that
+    bin; docs straddling a boundary appear in both bins.
+
+    Plan: one cumulative-sum window over doc token counts (ordered by id;
+    at 100 TB partition the stream — e.g. by split or shard — so the
+    running sum is per-shard, which is also what keeps bins shardable),
+    then a per-doc explode over the bins it spans. No shuffle of token
+    data — only (id, count) pairs move."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    d = df.select(F.col(id_col), toks.alias("n_tokens"))
+    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+        F.sum("n_tokens").over(w).alias("end"),
+    )
+    bins = F.explode(
+        F.expr(f"sequence(floor(start / {budget}), floor((end - 1) / {budget}))")
+    ).alias("bin_id")
+    b = F.col("bin_id")
+    contrib = F.least(F.col("end"), (b + 1) * budget) - F.greatest(
+        F.col("start"), b * budget
+    )
+    return d.select(F.col(id_col), F.col("start"), F.col("end"), bins).select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col(id_col),
+        contrib.cast("long").alias("tokens_in_bin"),
     )

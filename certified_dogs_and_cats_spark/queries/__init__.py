@@ -33,6 +33,7 @@ from . import streaming  # noqa: E402,F401
 from . import pipeline_e2e  # noqa: E402,F401
 from . import winnow  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
+from . import chunking  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import core  # noqa: E402,F401
 from . import gold  # noqa: E402,F401
