@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "streaming_session_stats",
     "text_repetition_ratio",
     "sample_stratified_split",
+    "chunk_documents_overlap",
+    "pack_sequences_budget",
+    "dedup_incremental_batch",
 ]
 
 
