@@ -105,3 +105,67 @@ def q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=MIN_SHARED,
         max_fp_df=MAX_FP_DF,
     )
+
+
+@query(
+    "decontaminate_eval_split",
+    oracle=f"""
+    WITH
+    {_FP_CTE},
+    split AS (
+      SELECT doc_id,
+             CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 100) < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ),
+    tfp AS (
+      SELECT fp.fingerprint, fp.doc_id FROM fp
+      JOIN split USING (doc_id) WHERE split = 'train'
+    ),
+    efp AS (
+      SELECT fp.fingerprint, fp.doc_id FROM fp
+      JOIN split USING (doc_id) WHERE split <> 'train'
+    ),
+    hits AS (
+      SELECT e.doc_id AS eval_doc_id,
+             count(DISTINCT e.fingerprint) AS n_shared,
+             count(DISTINCT t.doc_id) AS n_train_docs
+      FROM efp e JOIN tfp t USING (fingerprint)
+      GROUP BY 1
+    )
+    SELECT eval_doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_train_docs AS BIGINT) AS n_train_docs
+    FROM hits WHERE n_shared >= {MIN_SHARED}
+    """,
+)
+def decontaminate_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which EVAL documents share winnowed
+    fingerprints with ANY train document — the leakage check every
+    train/eval split needs before evaluation numbers mean anything.
+    Composes the deterministic hash split (so the split itself is
+    replayable in SQL) with the winnowing fingerprint set; an eval doc
+    with >= MIN_SHARED shared fingerprints overlaps some train doc by at
+    least one guaranteed substring run and should be quarantined. Join is
+    fingerprint-keyed (train side pre-filtered), never eval x train."""
+    from ..extensions.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(docs.select("doc_id"), "doc_id")
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=K, w=W)
+    fps = fp.join(split, "doc_id")
+    train = fps.filter(F.col("split") == "train").select(
+        "fingerprint", F.col("doc_id").alias("train_doc_id")
+    )
+    ev = fps.filter(F.col("split") != "train").select(
+        "fingerprint", F.col("doc_id").alias("eval_doc_id")
+    )
+    return (
+        ev.join(train, "fingerprint")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count_distinct("fingerprint").alias("n_shared"),
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+        )
+        .filter(F.col("n_shared") >= MIN_SHARED)
+    )
