@@ -150,10 +150,17 @@ def decontaminate_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-keyed (train side pre-filtered), never eval x train."""
     from ..extensions.sampling import hash_split
 
+    from ..cache import tracked_persist
+
     docs = t(spark, sf_dir, "documents")
     split = hash_split(docs.select("doc_id"), "doc_id")
-    fp = winnow_fingerprints(docs, "doc_id", "text", k=K, w=W)
-    fps = fp.join(split, "doc_id")
+    # The fingerprint frame feeds both the train and eval branches; persist
+    # so the explode + window min runs once (see cache contract).
+    fps = tracked_persist(
+        winnow_fingerprints(docs, "doc_id", "text", k=K, w=W).join(
+            split, "doc_id"
+        )
+    )
     train = fps.filter(F.col("split") == "train").select(
         "fingerprint", F.col("doc_id").alias("train_doc_id")
     )
