@@ -539,13 +539,17 @@ def alternating_components(
     ckpt = _checkpointer(edges.sparkSession, reliable_checkpoint_dir)
     raw = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
-    )
-    nodes = (
+    ).persist()
+    # Both derivations checkpoint EAGERLY off the cached input, so the
+    # (possibly expensive — e.g. an LSH pair pipeline) edge plan runs
+    # exactly once; the cache is released before iteration starts.
+    e = ckpt(raw.filter(F.col("s") != F.col("d")).distinct())
+    nodes = ckpt(
         raw.select(F.col("s").alias("node"))
         .union(raw.select(F.col("d").alias("node")))
         .distinct()
     )
-    e = ckpt(raw.filter(F.col("s") != F.col("d")).distinct())
+    raw.unpersist()
 
     def _checksum(frame: DataFrame) -> tuple:
         row = frame.agg(
