@@ -146,12 +146,17 @@ def winnow_shared_pairs(
     from ..cache import tracked_persist
 
     fp = tracked_persist(winnow_fingerprints(df, id_col, text_col, k=k, w=w))
-    rare = fp.join(
-        fp.groupBy("fingerprint")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_fp_df)
-        .select("fingerprint"),
-        "fingerprint",
+    # fp feeds the df-count and the cap join; rare feeds BOTH self-join
+    # sides — persist each so the fingerprint explode and the cap join run
+    # once apiece.
+    rare = tracked_persist(
+        fp.join(
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_fp_df)
+            .select("fingerprint"),
+            "fingerprint",
+        )
     )
     left = rare.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
     right = rare.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
