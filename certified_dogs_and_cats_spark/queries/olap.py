@@ -614,3 +614,38 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(srt, 1), 6).alias("sorted_first"),
         F.array_position(srt, F.array_max(e)).cast("int").alias("max_rank"),
     )
+
+
+@query(
+    "json_typed_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k,
+           CAST(sum(CASE WHEN CAST(props->>'k' AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
+    FROM events GROUP BY event_type
+    """,
+)
+def json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction: from_json with a DECLARED schema parses each
+    props string ONCE into a struct (fields pruned at parse time), vs
+    get_json_object's parse-per-access — the difference between one JSON
+    parse and k parses when k fields are read, and the schema-on-read
+    discipline that catches drift (unparsable rows surface as NULLs,
+    counted here instead of silently vanishing)."""
+    from pyspark.sql import types as T
+
+    props_schema = T.StructType([T.StructField("k", T.IntegerType())])
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.from_json("props", props_schema).alias("p")
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("p.k").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+        F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0)).alias(
+            "n_unparsed"
+        ),
+    )
