@@ -98,7 +98,22 @@ def test_winnow_prunes_scan_and_single_window_shuffle(spark):
 
 
 def test_semantic_survivors_prunes_embedding_scan(spark):
-    plan = plan_text(QUERIES["dedup_semantic_survivors"](spark, SF))
+    # dedup_semantic_survivors' returned plan is all ExistingRDD (connected
+    # components checkpoints its input edges to truncate iteration lineage),
+    # so assert pruning on the stage that actually scans parquet: the
+    # near-dup pair generation the query feeds into CC.
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        as_double_vec,
+    )
+    from certified_dogs_and_cats_spark.queries.common import t as load
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    plan = plan_text(embedding_near_dup_pairs(e, 0.9, bits=4, n_probes=2))
     assert set(read_schema_cols(plan, "embeddings")) <= {
         "vec_id",
         "embedding",
