@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "chunk_documents_overlap",
     "pack_sequences_budget",
     "dedup_incremental_batch",
+    # Vocabulary / corpus-prep block: heavy-hitters (TakeOrdered top-k),
+    # broadcast-vocab encode, df-threshold boilerplate prune, and
+    # segment-hash exact dedup (one shuffle each).
+    "token_zipf_topk",
+    "vocab_encode_docs",
+    "boilerplate_token_prune",
+    "segment_exact_dedup",
 ]
 
 

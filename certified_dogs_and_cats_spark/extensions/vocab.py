@@ -1,0 +1,189 @@
+"""Vocabulary / corpus-preparation operators over the `documents` table:
+the steps between a cleaned corpus and a tokenized training set.
+
+North-star extensions beyond the reference's operator set (the reference
+pipeline stops at SQL analytics views, `notebooks/gold.py:12-380`); these
+are the corpus-side siblings of extensions/text.py's per-doc statistics.
+
+Scale contracts (100 TB posture):
+
+- ``token_zipf`` — one shuffle for the (token -> tf, df) aggregate, then a
+  per-partition top-k (``orderBy().limit()`` compiles to
+  TakeOrderedAndProject: each task keeps k rows, the driver merges k per
+  partition — never the full vocabulary).
+- ``build_vocab`` / ``encode_docs`` — the vocabulary is top-V by
+  construction, so the encode join broadcasts it; token positions never
+  shuffle (the per-doc aggregate groups on the already-co-located doc id).
+- ``prune_hot_tokens`` — document frequency is one shuffle; the hot list
+  (df > frac * n_docs) is at most 1/frac tokens PER CORPUS — constant-size
+  — so it broadcasts, and pruning is a map-side join.
+- ``segment_dedup_stats`` — one shuffle on the segment hash (uniform by
+  construction), segment payloads are fixed-width; first-occurrence pick
+  is a row_number over (hash) — no global sort, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import chunk_tokens
+
+
+def pos_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tok) — whitespace tokenization with 0-based position."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+
+
+def token_zipf(
+    df: DataFrame, id_col: str, text_col: str, k: int = 30
+) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: top-k tokens by term frequency
+    with document frequency and dense Zipf rank (ties broken by token so
+    the result is deterministic). The first step of vocabulary building.
+
+    Plan: hash-aggregate (one shuffle) -> TakeOrderedAndProject (each task
+    retains k rows) -> row_number over the k survivors only.
+    """
+    agg = (
+        pos_tokens(df, id_col, text_col)
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+    )
+    top = agg.orderBy(F.col("tf").desc(), F.col("tok")).limit(k)
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok"))
+    return top.select(
+        "tok",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+def build_vocab(
+    df: DataFrame, id_col: str, text_col: str, size: int
+) -> DataFrame:
+    """(tok, tok_id) — frequency-ranked vocabulary of the top ``size``
+    tokens; tok_id starts at 1 (0 is reserved for out-of-vocabulary)."""
+    tk = pos_tokens(df, id_col, text_col)
+    top = (
+        tk.groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok"))
+    return top.select(
+        "tok", F.row_number().over(w).cast("int").alias("tok_id")
+    )
+
+
+def encode_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    head: int = 8,
+) -> DataFrame:
+    """Encode each document as a token-id sequence against ``vocab``
+    (unknown tokens -> id 0). Emits per-doc length, OOV count, and the
+    first ``head`` ids serialized as a '-'-joined string (a hashable
+    prefix that pins the full positional encode cross-engine).
+
+    The vocabulary is broadcast (top-V by construction); ids are
+    reassembled in token order with one per-doc aggregate.
+    """
+    tk = pos_tokens(df, id_col, text_col)
+    enc = tk.join(F.broadcast(vocab), "tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce("tok_id", F.lit(0)).alias("tok_id"),
+    )
+    ids_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+        lambda x: x["tok_id"].cast("string"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.concat_ws("-", F.slice(ids_sorted, 1, head)).alias("ids_head"),
+    )
+
+
+def prune_hot_tokens(
+    df: DataFrame, id_col: str, text_col: str, max_df_frac: float
+) -> DataFrame:
+    """Corpus-frequency boilerplate pruning (CCNet-style): tokens whose
+    document frequency exceeds ``max_df_frac`` of the corpus are dropped
+    from every document; the surviving text is reassembled in order.
+
+    The hot list has at most 1/max_df_frac entries by pigeonhole
+    (sum of df <= n_docs * doc_len), i.e. constant-size per corpus, so it
+    is broadcast and the prune itself never shuffles token payloads.
+    """
+    tk = pos_tokens(df, id_col, text_col)
+    n_docs = df.agg(F.count("*").alias("n"))
+    hot = (
+        tk.groupBy("tok")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > max_df_frac * F.col("n"))
+        .select("tok", F.lit(True).alias("is_hot"))
+    )
+    j = tk.join(F.broadcast(hot), "tok", "left").withColumn(
+        "is_hot", F.coalesce("is_hot", F.lit(False))
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("is_hot"), F.struct("pos", "tok"))
+            )
+        ),
+        lambda x: x["tok"],
+    )
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("is_hot"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.concat_ws(" ", kept_sorted).alias("kept_text"),
+    )
+
+
+def segment_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int
+) -> DataFrame:
+    """Segment-level exact dedup (ExactSubstr at fixed granularity): each
+    document is cut into non-overlapping ``seg_tokens``-token segments,
+    segments are hashed, and only the first occurrence corpus-wide (by
+    (doc_id, segment index)) survives. Emits per-doc segment counts and
+    the token count the doc retains after cross-document segment dedup.
+
+    One shuffle on the segment hash; the keeper choice is a row_number
+    within each hash group — duplicate groups are typically tiny, and a
+    pathological all-equal corpus degrades to one skewed group, which AQE
+    skew-split handles (values beyond rn=1 are only counted, not kept).
+    """
+    segs = chunk_tokens(
+        df, id_col, text_col, chunk_size=seg_tokens, overlap=0
+    )
+    h = segs.withColumn("h", F.md5("chunk_text"))
+    w = Window.partitionBy("h").orderBy(id_col, "chunk_idx")
+    r = h.withColumn("rn", F.row_number().over(w))
+    return r.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_segments"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )

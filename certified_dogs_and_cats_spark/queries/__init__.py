@@ -41,5 +41,6 @@ from . import gold  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import vocab  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

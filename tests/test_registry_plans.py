@@ -139,3 +139,33 @@ def test_window_value_family_single_sort(spark):
     plan = plan_text(QUERIES["window_value_family"](spark, SF), "simple")
     assert plan.count("Exchange") == 1
     assert plan.count("Sort") == 1
+
+
+def test_token_zipf_is_topk_not_full_sort(spark):
+    """Vocabulary heavy-hitters must compile to TakeOrderedAndProject
+    (per-task top-k) over a pruned 2-column scan, never a global sort of
+    the whole vocabulary."""
+    plan = plan_text(QUERIES["token_zipf_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert set(read_schema_cols(plan, "documents")) <= {"doc_id", "text"}
+
+
+def test_vocab_encode_broadcasts_vocab(spark):
+    """The encode join against the top-V vocabulary must broadcast the
+    vocabulary — token payloads must not shuffle for the join."""
+    plan = plan_text(QUERIES["vocab_encode_docs"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_prune_broadcasts_hot_list(spark):
+    """The df-threshold hot list is constant-size by pigeonhole and must
+    broadcast; pruning must stay a map-side join on the token frame."""
+    plan = plan_text(QUERIES["boilerplate_token_prune"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_segment_dedup_prunes_documents_scan(spark):
+    plan = plan_text(QUERIES["segment_exact_dedup"](spark, SF))
+    assert set(read_schema_cols(plan, "documents")) <= {"doc_id", "text"}
