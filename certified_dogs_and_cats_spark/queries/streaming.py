@@ -5,10 +5,12 @@ returns the result table, so the driver can verify streaming semantics
 against a plain batch SQL oracle: with all data present and a fresh
 checkpoint, watermarked streaming aggregation == batch aggregation.
 
-events.ts is parquet TIMESTAMP(NANOS); like sources.testdata.load_table,
-the stream reads it as raw INT64 (legacy conf scoped to the bounded run)
-and floor-divides to microseconds, which matches DuckDB's
-CAST(ts AS TIMESTAMP) truncation for the non-negative testdata.
+events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+across driver rounds; like sources.testdata.load_table, the stream
+footer-sniffs the file and either reads nanos as raw INT64 (legacy conf
+scoped to the bounded run) with an exact floor-division to microseconds,
+or declares TIMESTAMP_NTZ and casts to the UTC-pinned session timestamp —
+both match DuckDB's CAST(ts AS TIMESTAMP) digits for the testdata.
 """
 
 from __future__ import annotations
@@ -47,38 +49,51 @@ def _drain(stream_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
 
-_EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(sf_dir: str) -> T.StructType:
+    from ..sources.testdata import events_ts_kind
+
+    ts_type = (
+        T.LongType()  # nanos-as-long
+        if events_ts_kind(sf_dir) == "nanos"
+        else T.TimestampNTZType()
+    )
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import _normalize_ts
+
     raw = read_file_stream(
         spark,
         sf_dir,
-        _EVENTS_NANOS_SCHEMA,
+        _events_schema(sf_dir),
         fmt="parquet",
         path_glob="events.parquet",
     )
-    floor_div = "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
-    return raw.withColumn(
-        "ts", F.expr(f"timestamp_micros(CAST({floor_div} AS BIGINT))")
-    )
+    return _normalize_ts(raw)
 
 
-def _with_nanos_conf(spark: SparkSession, fn):
-    """Run fn with the nanos-as-long legacy conf set, restoring it after.
+def _with_nanos_conf(spark: SparkSession, fn, sf_dir: str = None):
+    """Run fn with the nanos-as-long legacy conf set when the file needs
+    it, restoring the conf after.
 
     Safe for bounded AvailableNow runs: the conf is read when the stream
     starts, and run_available_now_memory blocks until it finishes.
     """
+    if sf_dir is not None:
+        from ..sources.testdata import events_ts_kind
+
+        if events_ts_kind(sf_dir) != "nanos":
+            return fn()
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")

@@ -33,33 +33,76 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Physical type of events.ts per sf_dir, read once from the parquet footer
+# (pyarrow, no Spark job). The driver has shipped the column as both
+# TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds, so the reader
+# adapts instead of assuming either.
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
+def events_ts_kind(sf_dir: str) -> str:
+    """'nanos' | 'other' for events.ts in this sf_dir (footer-sniffed)."""
+    kind = _EVENTS_TS_KIND.get(sf_dir)
+    if kind is None:
+        import pyarrow.parquet as pq
+
+        t = str(
+            pq.read_schema(os.path.join(sf_dir, "events.parquet")).field(
+                "ts"
+            ).type
+        )
+        kind = "nanos" if t == "timestamp[ns]" else "other"
+        _EVENTS_TS_KIND[sf_dir] = kind
+    return kind
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Pin events.ts to session-tz TIMESTAMP regardless of source type.
+
+    - nanos-as-long INT64: exact integer floor-division to microseconds
+      (floor, not truncate-toward-zero, so hypothetical pre-epoch stamps
+      land on the earlier microsecond — time-truncation semantics;
+      DuckDB's CAST(ts AS TIMESTAMP) matches bit-for-bit, validated).
+    - TIMESTAMP_NTZ (micros file under inferTimestampNTZ): cast to LTZ —
+      wall-clock-preserving under the pinned UTC session timezone, so the
+      digits match DuckDB's naive TIMESTAMP exactly.
+    """
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
+        floor_div = (
+            "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+        )
+        return df.withColumn(
+            "ts", F.expr(f"timestamp_micros(CAST({floor_div} AS BIGINT))")
+        )
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's schema
-        # converter rejects. Read nanos as raw INT64 (legacy conf scoped to
-        # this read — the conf is captured when the DataFrame is created, so
-        # restoring it immediately is safe; validated) and floor-divide to
-        # microseconds in exact integer arithmetic. Floor (not
-        # truncate-toward-zero) so hypothetical pre-epoch timestamps land on
-        # the earlier microsecond, matching time-truncation semantics;
-        # for the non-negative testdata both agree, and DuckDB's
-        # CAST(ts AS TIMESTAMP) matches bit-for-bit (validated).
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
-        try:
-            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
-        floor_div = "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
-        return df.withColumn(
-            "ts", F.expr(f"timestamp_micros(CAST({floor_div} AS BIGINT))")
-        )
+        path = os.path.join(sf_dir, "events.parquet")
+        if events_ts_kind(sf_dir) == "nanos":
+            # TIMESTAMP(NANOS) is rejected by Spark's schema converter;
+            # read nanos as raw INT64 (legacy conf scoped to this read —
+            # the conf is captured when the DataFrame is created, so
+            # restoring it immediately is safe; validated).
+            key = "spark.sql.legacy.parquet.nanosAsLong"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+        else:
+            df = spark.read.parquet(path)
+        return _normalize_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
