@@ -83,6 +83,14 @@ BENCH_QUERIES = [
     "vocab_encode_docs",
     "boilerplate_token_prune",
     "segment_exact_dedup",
+    # Scrub / term-statistics block: PII redaction (pure narrow map),
+    # host rollup, deterministic mixture sampling, tf-idf top terms,
+    # collocation lift.
+    "pii_redaction_counts",
+    "url_host_stats",
+    "sample_mixture_weights",
+    "tfidf_top_terms",
+    "bigram_lift_topk",
 ]
 
 

@@ -1,0 +1,100 @@
+"""PII scrubbing and URL normalization for web-scale corpora.
+
+A training-data pipeline has to strip contact information before a corpus
+ships, and has to canonicalize URLs before host-level dedup / blocklist
+joins. Both are pure per-row string transforms: they stay inside
+whole-stage codegen (regexp_replace / regexp_extract / regexp_count are
+JVM built-ins), shuffle nothing, and scale linearly with input bytes —
+the 100 TB posture is "narrow map over the scan, filters still push
+down".
+
+Pattern portability contract: every regex here uses only literal
+character classes, bounded repetition, and a single capture group —
+the subset that behaves identically under Java regex (Spark) and RE2
+(DuckDB), which is what lets the oracle replay redaction byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Order matters: emails are redacted before IPs/phones so digit runs
+# inside a local-part are never double-counted. The fixture-free contract
+# is simply "non-overlapping patterns"; these three cannot overlap.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+PII_PATTERNS = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+    ("ip", IPV4_RE, "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted, n_email, n_phone, n_ip) — replace each PII class
+    with a typed placeholder and count the hits per class.
+
+    Counts are taken on the original text (the patterns are mutually
+    non-overlapping, so counting before redaction is exact), replacement
+    is applied in declaration order. One projection, zero shuffles.
+    """
+    redacted: Column = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat, token in PII_PATTERNS:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(*cols, redacted.alias("redacted"))
+
+
+# URL part extraction — single-capture regexes, '' when absent (both
+# engines return empty string for a non-matching regexp_extract).
+URL_HOST_RE = "^https?://([^/?#]+)"
+URL_PATH_RE = "^https?://[^/?#]+(/[^?#]*)"
+URL_QUERY_RE = "[?]([^#]*)"
+
+
+def url_parts(df: DataFrame, url_col: str) -> DataFrame:
+    """Append (host, path, query) parsed from ``url_col``.
+
+    regexp_extract-based rather than parse_url so the exact same
+    semantics replay in the oracle; '' means the part is absent.
+    """
+    u = F.col(url_col)
+    return df.withColumns(
+        {
+            "host": F.regexp_extract(u, URL_HOST_RE, 1),
+            "path": F.regexp_extract(u, URL_PATH_RE, 1),
+            "query": F.regexp_extract(u, URL_QUERY_RE, 1),
+        }
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    rate_permille: Column,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep a row iff its id-hash bucket
+    falls below ``rate_permille`` (a per-row Column, normally derived from
+    a domain/source column or joined in from a tiny broadcast weights
+    dim). This is how corpus mixtures are re-weighted for training —
+    e.g. downsample crawl dumps to 30% while keeping reference text at
+    100% — with assignment a pure function of the id: re-runs and
+    backfills keep or drop exactly the same rows.
+
+    Zero shuffles; the bucket is the same md5-prefix construction as
+    sampling.hash_bucket so mixture decisions compose with split
+    assignment (independent bits of the same hash would correlate — use
+    a distinct hash salt per decision if composing many).
+    """
+    from .sampling import hash_bucket
+
+    return df.filter(hash_bucket(id_col, n_buckets) < rate_permille)

@@ -158,6 +158,127 @@ def prune_hot_tokens(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    Uses the log-free rational idf ``(N + 1) / (df + 1)`` instead of the
+    classic ``ln(N / df)``: it induces the same "frequent here, rare
+    corpus-wide" ordering for fixed tf, and — unlike ``ln`` — IEEE
+    division/multiplication are exactly specified, so scores are
+    bit-identical across engines (ln differs in the last ulp between
+    libm implementations, which would poison value-hash comparison and,
+    worse, tie-breaking).
+
+    Plan: one shuffle for the per-(doc, tok) tf aggregate, one for the
+    per-token df aggregate, a broadcast of the single-row corpus count,
+    and a per-doc row_number top-k. The df side aggregates to vocabulary
+    size (≪ corpus size), so the tf→df join shuffles token counts, never
+    text.
+    """
+    tk = pos_tokens(df, id_col, text_col)
+    tf = tk.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tk.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.col("n_docs") + F.lit(1.0))
+            / (F.col("df") + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rnk").cast("int").alias("rnk"),
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+def bigram_lift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` collocations by lift — the log-free core of PMI
+    (``PMI = ln(lift)``; ln is monotone, so the ranking is identical and
+    the score stays bit-reproducible across engines, same rationale as
+    :func:`tfidf_top_terms`).
+
+    ``lift = p(xy) / (p(x) p(y))`` over adjacent-token bigrams; > 1 means
+    the pair co-occurs more than independence predicts. ``min_count``
+    suppresses the low-frequency noise that dominates raw PMI rankings.
+
+    Plan: bigram and unigram hash-aggregates (the corpus-wide totals ride
+    along as single-row broadcasts), two broadcast-able joins on the
+    aggregated vocabulary, then TakeOrderedAndProject for the global
+    top-k — full counts never sort globally.
+    """
+    tk = pos_tokens(df, id_col, text_col)
+    uni = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    total = tk.agg(F.count("*").alias("t"))
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        "transform(sequence(0, size(__toks__) - 2),"
+        " i -> struct(__toks__[i] as x, __toks__[i+1] as y))"
+    )
+    bi = (
+        df.select(F.col(id_col), toks.alias("__toks__"))
+        .filter(F.size("__toks__") >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select(F.col("g.x").alias("x"), F.col("g.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_bi = (
+        df.select(toks.alias("__toks__"))
+        .select(
+            F.greatest(F.size("__toks__") - 1, F.lit(0)).alias("nb")
+        )
+        .agg(F.sum("nb").alias("b"))
+    )
+    cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        bi.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "lift",
+            (F.col("c_xy") / F.col("b"))
+            / ((F.col("c_x") / F.col("t")) * (F.col("c_y") / F.col("t"))),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("lift").desc(), F.col("x").asc(), F.col("y").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "x",
+        "y",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
 def segment_dedup_stats(
     df: DataFrame, id_col: str, text_col: str, seg_tokens: int
 ) -> DataFrame:

@@ -19,15 +19,6 @@ from __future__ import annotations
 from .registry import ORACLE, QUERIES, query
 
 # Import for registration side effects.
-#
-# ORDER MATTERS for driver evidence: the driver's correctness run checks the
-# first 50 registry entries in insertion order. Modules whose queries have
-# not yet received a driver CORRECTNESS row (and modules holding this
-# round's new queries) register FIRST; the displaced tail (parts of core,
-# gold, similarity, text, multimodal) is already proven by r03 driver rows
-# and stays pinned by scripts/check_correctness.py + pytest, which always
-# cover all entries. Round-4 composition: 41 must-have entries + 9
-# r03-proven core fill the 50-slot window.
 from . import olap  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
@@ -35,6 +26,9 @@ from . import pipeline_e2e  # noqa: E402,F401
 from . import winnow  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import chunking  # noqa: E402,F401
+from . import scrub  # noqa: E402,F401
+from . import terms  # noqa: E402,F401
+from . import funnel  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import core  # noqa: E402,F401
 from . import gold  # noqa: E402,F401
@@ -42,5 +36,86 @@ from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import vocab  # noqa: E402,F401
+
+# ORDER MATTERS for driver evidence: the driver's correctness run checks
+# only the FIRST 50 registry entries in insertion order. Entries that
+# already carry a green driver CORRECTNESS row (union of rounds 1-3) are
+# moved to the back so every not-yet-proven query — including anything
+# added this round — automatically lands inside the 50-row window. The
+# displaced tail stays pinned by scripts/check_correctness.py + pytest,
+# which always cover ALL entries.
+_DRIVER_PROVEN = frozenset(
+    {
+        "anti_join_new_rows",
+        "asof_join_last_view",
+        "asof_join_next_purchase",
+        "conditional_sum",
+        "corpus_prep_summary",
+        "count_distinct_by_group",
+        "daily_totals",
+        "dedup_connected_components",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dim_lookup_fallback",
+        "distinct_projection",
+        "embedding_quantize_int8",
+        "global_health",
+        "group_count",
+        "inner_join_multikey",
+        "interval_join_windows",
+        "json_extract_agg",
+        "merge_upsert_balances",
+        "minmax_freshness",
+        "multimodal_decode_features",
+        "multimodal_frame_sample",
+        "multimodal_metadata_agg",
+        "order_by_limit",
+        "quality_summary",
+        "rank_with_ties",
+        "ratio_cross_join",
+        "regional_revenue_5way",
+        "sample_hash_split",
+        "sample_per_group",
+        "scalar_date_funcs",
+        "scalar_string_funcs",
+        "sessionize_stats",
+        "similarity_cosine_topk",
+        "similarity_ivf_ann",
+        "similarity_lsh_ann",
+        "similarity_quantized_topk",
+        "sketch_distinct_users",
+        "streaming_dedup_ids",
+        "streaming_windowed_counts",
+        "text_fingerprint",
+        "text_lang_id",
+        "text_quality_score",
+        "text_token_stats",
+        "top3_pivot_by_brand",
+        "topk_per_group",
+        "totals_by_year_type",
+        "window_dedup_latest",
+        "windowed_share",
+        "yoy_lag_stats",
+    }
+)
+
+
+def _reorder_unproven_first() -> None:
+    ordered = [n for n in QUERIES if n not in _DRIVER_PROVEN] + [
+        n for n in QUERIES if n in _DRIVER_PROVEN
+    ]
+    for d in (QUERIES, ORACLE):
+        snap = dict(d)
+        d.clear()
+        for n in ordered:
+            if n in snap:
+                d[n] = snap[n]
+
+
+_reorder_unproven_first()
 
 __all__ = ["QUERIES", "ORACLE", "query"]

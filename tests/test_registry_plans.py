@@ -169,3 +169,55 @@ def test_boilerplate_prune_broadcasts_hot_list(spark):
 def test_segment_dedup_prunes_documents_scan(spark):
     plan = plan_text(QUERIES["segment_exact_dedup"](spark, SF))
     assert set(read_schema_cols(plan, "documents")) <= {"doc_id", "text"}
+
+
+def test_pii_redaction_is_narrow_map(spark):
+    """PII scrub is a pure projection: pruned scan, no Exchange at all."""
+    plan = plan_text(QUERIES["pii_redaction_counts"](spark, SF), "simple")
+    assert "Exchange" not in plan
+    plan_f = plan_text(QUERIES["pii_redaction_counts"](spark, SF))
+    assert set(read_schema_cols(plan_f, "documents")) <= {
+        "doc_id",
+        "text",
+        "source",
+    }
+
+
+def test_url_host_stats_prunes_scan(spark):
+    plan = plan_text(QUERIES["url_host_stats"](spark, SF))
+    assert set(read_schema_cols(plan, "documents")) <= {
+        "doc_id",
+        "source",
+        "lang",
+    }
+
+
+def test_mixture_sample_filter_is_pre_shuffle(spark):
+    """The keep/drop decision must run map-side (Filter below the first
+    Exchange), so dropped rows never shuffle."""
+    plan = plan_text(QUERIES["sample_mixture_weights"](spark, SF), "simple")
+    first_exchange = plan.index("Exchange")
+    assert "Filter" in plan[first_exchange:] or "Filter" in plan
+    plan_f = plan_text(QUERIES["sample_mixture_weights"](spark, SF))
+    assert set(read_schema_cols(plan_f, "documents")) <= {
+        "doc_id",
+        "source",
+        "n_chars",
+    }
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    """The single-row corpus count must broadcast (nested-loop broadcast),
+    and the documents scan must prune to (doc_id, text)."""
+    plan = plan_text(QUERIES["tfidf_top_terms"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    plan_f = plan_text(QUERIES["tfidf_top_terms"](spark, SF))
+    assert set(read_schema_cols(plan_f, "documents")) <= {"doc_id", "text"}
+
+
+def test_bigram_lift_is_topk_not_full_sort(spark):
+    """The global top-k over scored bigrams must be TakeOrderedAndProject,
+    never a full sort of the bigram vocabulary."""
+    plan = plan_text(QUERIES["bigram_lift_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert set(read_schema_cols(plan, "documents")) <= {"doc_id", "text"}

@@ -1,0 +1,109 @@
+"""Unit tests for the scrub (PII / URL / mixture) and term-statistics
+operators — edge cases the oracle queries don't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from certified_dogs_and_cats_spark.extensions.scrub import (
+    mixture_sample,
+    redact_pii,
+    url_parts,
+)
+from certified_dogs_and_cats_spark.extensions.vocab import (
+    bigram_lift,
+    tfidf_top_terms,
+)
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith@corp.io or call 555-0199 now"),
+            (2, "server 192.168.0.1 and 10.0.0.2 are up"),
+            (3, "nothing sensitive here"),
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r for r in redact_pii(df, "id", "text").collect()
+    }
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ip"]) == (
+        1,
+        1,
+        0,
+    )
+    assert rows[1]["redacted"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert rows[2]["n_ip"] == 2
+    assert rows[2]["redacted"] == "server <IP> and <IP> are up"
+    assert rows[3]["redacted"] == "nothing sensitive here"
+
+
+def test_url_parts_absent_components_are_empty(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/x/y?q=1"),
+            (2, "http://b.example.com"),
+            (3, "https://c.example.com/solo"),
+        ],
+        ["id", "url"],
+    )
+    rows = {r["id"]: r for r in url_parts(df, "url").collect()}
+    assert rows[1]["host"] == "a.example.com"
+    assert rows[1]["path"] == "/x/y"
+    assert rows[1]["query"] == "q=1"
+    assert rows[2]["path"] == "" and rows[2]["query"] == ""
+    assert rows[3]["path"] == "/solo" and rows[3]["query"] == ""
+
+
+def test_mixture_sample_rate_bounds_and_determinism(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    none = mixture_sample(df, "doc_id", F.lit(0))
+    everything = mixture_sample(df, "doc_id", F.lit(1000))
+    assert none.count() == 0
+    assert everything.count() == 200
+    half_a = sorted(
+        r["doc_id"]
+        for r in mixture_sample(df, "doc_id", F.lit(500)).collect()
+    )
+    half_b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(df, "doc_id", F.lit(500)).collect()
+    )
+    assert half_a == half_b  # pure function of the id
+    assert 0 < len(half_a) < 200
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    # "apple" appears in one doc, "the" in all three: for equal tf the
+    # rare term must outrank the common one.
+    df = spark.createDataFrame(
+        [
+            (1, "the apple the apple"),
+            (2, "the pear the plum"),
+            (3, "the plum the pear"),
+        ],
+        ["id", "text"],
+    )
+    res = tfidf_top_terms(df, "id", "text", k=2).collect()
+    doc1 = sorted(
+        (r for r in res if r["id"] == 1), key=lambda r: r["rnk"]
+    )
+    # Equal tf (2 each), but df(apple)=1 vs df(the)=3.
+    assert [r["tok"] for r in doc1] == ["apple", "the"]
+    assert doc1[0]["tfidf"] > doc1[1]["tfidf"]
+
+
+def test_bigram_lift_finds_collocation(spark):
+    # "san francisco" repeats in every doc; every other bigram varies
+    # (unique filler words per doc), so only the collocation clears the
+    # min_count floor and it must rank first.
+    rows = [
+        (i, f"w{i}a san francisco w{i}b san w{i}c francisco w{i}d")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    top = bigram_lift(df, "id", "text", min_count=5, k=3).collect()
+    assert (top[0]["x"], top[0]["y"]) == ("san", "francisco")
+    assert top[0]["rnk"] == 1
+    assert top[0]["lift"] > 1.0
