@@ -29,6 +29,7 @@ from . import chunking  # noqa: E402,F401
 from . import scrub  # noqa: E402,F401
 from . import terms  # noqa: E402,F401
 from . import funnel  # noqa: E402,F401
+from . import skew  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import core  # noqa: E402,F401
 from . import gold  # noqa: E402,F401

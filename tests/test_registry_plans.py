@@ -221,3 +221,11 @@ def test_bigram_lift_is_topk_not_full_sort(spark):
     plan = plan_text(QUERIES["bigram_lift_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert set(read_schema_cols(plan, "documents")) <= {"doc_id", "text"}
+
+
+def test_skew_salted_join_is_not_broadcast(spark):
+    """The salted-join query must exercise the non-broadcast path the
+    operator exists for (merge hint honored), joining on (key, salt)."""
+    plan = plan_text(QUERIES["skew_salted_join_agg"](spark, SF), "simple")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
