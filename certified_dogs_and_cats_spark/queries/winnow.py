@@ -1,11 +1,13 @@
 """Winnowing-fingerprint queries over the `documents` table.
 
 True winnowing (per-window minima, not a single global min) — the oracle
-replays the exact same pipeline in SQL: md5 over every k-gram, sliding
-ROWS-window min per document, distinct, then the df-capped fingerprint
-self-join for shared-overlap pairs. md5 output is identical across engines
-and window-frame semantics (ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)
-agree, so both sides are replayable bit-for-bit.
+replays the exact same pipeline in SQL: a 60-bit integer hash (top 15 md5
+hex chars, base-16-parsed) over every k-gram, sliding ROWS-window min per
+document, distinct, then the df-capped fingerprint self-join for
+shared-overlap pairs. md5 output is identical across engines, the hex
+parse yields the same positive 64-bit value, and window-frame semantics
+(ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW) agree, so both sides are
+replayable bit-for-bit.
 """
 
 from __future__ import annotations
@@ -30,7 +32,9 @@ _FP_CTE = f"""
       FROM documents
     ),
     kg AS (
-      SELECT doc_id, p, md5(substr(text, p, {K})) AS h FROM pos
+      SELECT doc_id, p,
+             ('0x' || substr(md5(substr(text, p, {K})), 1, 15))::BIGINT AS h
+      FROM pos
     ),
     wm AS (
       SELECT doc_id, p,

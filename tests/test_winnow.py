@@ -5,7 +5,6 @@ short-doc edge."""
 from __future__ import annotations
 
 from certified_dogs_and_cats_spark.extensions.text import (
-    min_window_fingerprint,
     winnow_fingerprints,
     winnow_shared_pairs,
 )
@@ -41,18 +40,24 @@ def test_identical_docs_share_full_fingerprint_set(spark):
 
 
 def test_winnow_strictly_richer_than_global_min(spark):
-    """The per-window set must contain the global min and (for any
-    non-trivial doc) more besides — the round-4 upgrade over
-    min_window_fingerprint's single global hash."""
+    """The per-window set must contain the global min k-gram hash and (for
+    any non-trivial doc) more besides — the upgrade over a single global
+    fingerprint. The global min is recomputed in pure Python with the same
+    60-bit top-of-md5 hash, pinning the hash construction itself."""
+    import hashlib
+
     text = "a long enough document body with plenty of distinct windows here"
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     wset = {
         r.fingerprint
         for r in winnow_fingerprints(df, "doc_id", "text", k=K, w=W).collect()
     }
-    gmin = min_window_fingerprint(df, "doc_id", "text", k=K, stride=1).collect()[
-        0
-    ]["fingerprint"]
+    gmin = min(
+        int(
+            hashlib.md5(text[i : i + K].encode()).hexdigest()[:15], 16
+        )
+        for i in range(len(text) - K + 1)
+    )
     assert gmin in wset
     assert len(wset) > 1
 
