@@ -48,23 +48,39 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    as_hash: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Docs with < n tokens produce no shingles (and thus can never pair).
+
+    ``as_hash=True`` emits each shingle as a 60-bit integer (top 15 md5
+    hex chars, base-16) instead of the raw n-gram string: at corpus scale
+    the shingle table is the largest intermediate in the whole dedup
+    pipeline, and an 8-byte key makes its distinct, df-cap, and every
+    downstream equi-join shuffle ~3-4x fewer bytes with long (not string)
+    comparisons. 2^60 keyspace makes collisions negligible, and the same
+    hash replays in the oracle so both engines agree even on them.
     """
     toks = F.split(F.col(text_col), " ")
     parts = ", ".join(f"__toks__[i+{j}]" for j in range(n))
     shingle = F.expr(
         f"transform(sequence(0, size(__toks__)-{n}), i -> concat_ws(' ', {parts}))"
     )
-    return (
+    out = (
         df.select(F.col(id_col), toks.alias("__toks__"))
         .filter(F.size("__toks__") >= n)
         .select(F.col(id_col), F.explode(shingle).alias("shingle"))
-        .distinct()
     )
+    if as_hash:
+        out = out.select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("shingle"),
+        )
+    return out.distinct()
 
 
 def jaccard_pairs(
@@ -126,9 +142,11 @@ def jaccard_pairs(
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signature: per doc, min over shingles of md5(f"{i}#{shingle}")
-    for each of `num_hashes` seeded hash functions. One aggregate; signature
-    size is constant per doc regardless of doc length.
+    """MinHash signature: per doc, min over shingles of a 60-bit integer
+    hash (top 15 hex chars of md5(f"{i}#{shingle}"), base-16) for each of
+    `num_hashes` seeded hash functions. One aggregate; signature size is
+    constant per doc regardless of doc length, and a row of longs (not
+    digest strings) keeps the signature frame ~4x smaller.
 
     Defaults (32 hashes, banded 8 bands x 4 rows by
     :func:`lsh_candidate_pairs`) give a production S-curve: candidate
@@ -138,7 +156,21 @@ def minhash_signatures(
     admits ~31% of 0.3-similar pairs). The oracle-checked query pins 8/2
     explicitly for cheap exact replay in DuckDB."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{i}#"), F.col("shingle").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
@@ -153,7 +185,10 @@ def lsh_candidate_pairs(
     n_bands = num_hashes // band_size
     stack_args = []
     for b in range(n_bands):
-        cols = [f"mh{b * band_size + r}" for r in range(band_size)]
+        cols = [
+            f"cast(mh{b * band_size + r} as string)"
+            for r in range(band_size)
+        ]
         stack_args.append(f"{b}, concat_ws('|', {', '.join(cols)})")
     bands = signatures.select(
         F.col(id_col),

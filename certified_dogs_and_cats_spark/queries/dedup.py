@@ -24,11 +24,14 @@ from .registry import query
 
 JACCARD_THRESHOLD = 0.5
 
-# Shared oracle CTE: distinct word-3-gram shingles per doc.
+# Shared oracle CTE: distinct word-3-gram shingles per doc, hashed to the
+# same 60-bit integers the Spark side emits (word_shingles as_hash=True).
 _SHINGLES_CTE = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id, a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] AS shingle
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]),
+                             1, 15))::BIGINT AS shingle
       FROM toks, UNNEST(range(0, len(a) - 2)) AS u(i)
       WHERE len(a) >= 3
     )
@@ -87,7 +90,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides); Spark does not reuse common subplans, so persist it —
     # at corpus scale you'd materialize the shingle table once instead of
     # paying the tokenize+explode 4x.
-    sh = tracked_persist(word_shingles(docs, "doc_id", "text", n=3))
+    sh = tracked_persist(
+        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
+    )
     return jaccard_pairs(
         sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -99,10 +104,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES_CTE},
     sig AS (
       SELECT doc_id,
-             min(md5('0#' || shingle)) AS mh0, min(md5('1#' || shingle)) AS mh1,
-             min(md5('2#' || shingle)) AS mh2, min(md5('3#' || shingle)) AS mh3,
-             min(md5('4#' || shingle)) AS mh4, min(md5('5#' || shingle)) AS mh5,
-             min(md5('6#' || shingle)) AS mh6, min(md5('7#' || shingle)) AS mh7
+             min(('0x' || substr(md5('0#' || shingle), 1, 15))::BIGINT) AS mh0,
+             min(('0x' || substr(md5('1#' || shingle), 1, 15))::BIGINT) AS mh1,
+             min(('0x' || substr(md5('2#' || shingle), 1, 15))::BIGINT) AS mh2,
+             min(('0x' || substr(md5('3#' || shingle), 1, 15))::BIGINT) AS mh3,
+             min(('0x' || substr(md5('4#' || shingle), 1, 15))::BIGINT) AS mh4,
+             min(('0x' || substr(md5('5#' || shingle), 1, 15))::BIGINT) AS mh5,
+             min(('0x' || substr(md5('6#' || shingle), 1, 15))::BIGINT) AS mh6,
+             min(('0x' || substr(md5('7#' || shingle), 1, 15))::BIGINT) AS mh7
       FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -142,7 +151,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # Branched 4 ways (signatures, sizes, both verify sides) — persist, as
     # Spark does not dedupe common subplans (see dedup_ngram_jaccard).
-    sh = tracked_persist(word_shingles(docs, "doc_id", "text", n=3))
+    sh = tracked_persist(
+        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
+    )
     sig = minhash_signatures(sh, "doc_id", num_hashes=8)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
     # Verify candidates with exact Jaccard (LSH = recall filter, not truth):
@@ -518,14 +529,15 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT DISTINCT t1.doc_id,
-             concat_ws(' ', t1.tok, t2.tok, t3.tok) AS shingle
+             ('0x' || substr(md5(concat_ws(' ', t1.tok, t2.tok, t3.tok)),
+                             1, 15))::BIGINT AS shingle
       FROM tk t1
       JOIN tk t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
       JOIN tk t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
     ),
     sig AS (
       SELECT doc_id,
-             {", ".join(f"min(md5(concat('{i}#', shingle))) AS mh{i}" for i in range(8))}
+             {", ".join(f"min(('0x' || substr(md5(concat('{i}#', shingle)), 1, 15))::BIGINT) AS mh{i}" for i in range(8))}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -555,7 +567,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup import incremental_lsh_candidates
 
     docs = t(spark, sf_dir, "documents")
-    sh = tracked_persist(word_shingles(docs, "doc_id", "text", n=3))
+    sh = tracked_persist(
+        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
+    )
     sig = minhash_signatures(sh, "doc_id", num_hashes=8)
     stack_args = []
     for b in range(4):
