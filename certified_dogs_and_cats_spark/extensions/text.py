@@ -61,15 +61,23 @@ def stopword_ratio(
 def min_window_fingerprint(
     df: DataFrame, id_col: str, text_col: str, k: int = 12, stride: int = 4
 ) -> DataFrame:
-    """Winnowing-style fingerprint: min md5 over k-char windows every
-    `stride` chars. Near-identical docs share fingerprints; the min is
-    order-insensitive so the aggregate parallelizes freely."""
+    """Winnowing-style fingerprint: min 60-bit window hash (top 15 md5
+    hex chars, base-16 — see winnow_fingerprints for the fixed-width
+    rationale) over k-char windows every `stride` chars. Near-identical
+    docs share fingerprints; the min is order-insensitive so the
+    aggregate parallelizes freely."""
     positions = F.explode(
         F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1), F.lit(stride))
     ).alias("p")
     windows = df.select(F.col(id_col), F.col(text_col), positions).select(
         F.col(id_col),
-        F.md5(F.expr(f"substr({text_col}, p, {k})")).alias("wh"),
+        F.conv(
+            F.substring(F.md5(F.expr(f"substr({text_col}, p, {k})")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("wh"),
     )
     return windows.groupBy(id_col).agg(F.min("wh").alias("fingerprint"))
 

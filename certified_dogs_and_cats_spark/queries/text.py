@@ -128,7 +128,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     WITH w AS (
-      SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 12)) AS wh
+      SELECT doc_id,
+             ('0x' || substr(md5(substr(text, CAST(p AS INTEGER), 12)),
+                             1, 15))::BIGINT AS wh
       FROM documents, UNNEST(range(1, length(text) - 10, 4)) AS u(p)
     )
     SELECT doc_id, min(wh) AS fingerprint FROM w GROUP BY doc_id
