@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "sample_mixture_weights",
     "tfidf_top_terms",
     "bigram_lift_topk",
+    # Funnel / retention / skew block.
+    "funnel_conversion",
+    "retention_cohorts",
+    "skew_salted_join_agg",
 ]
 
 
