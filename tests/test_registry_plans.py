@@ -229,3 +229,17 @@ def test_skew_salted_join_is_not_broadcast(spark):
     plan = plan_text(QUERIES["skew_salted_join_agg"](spark, SF), "simple")
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_funnel_conversion_prunes_events_scan(spark):
+    plan = plan_text(QUERIES["funnel_conversion"](spark, SF))
+    assert set(read_schema_cols(plan, "events")) <= {
+        "user_id",
+        "event_type",
+        "ts",
+    }
+
+
+def test_retention_cohorts_prunes_events_scan(spark):
+    plan = plan_text(QUERIES["retention_cohorts"](spark, SF))
+    assert set(read_schema_cols(plan, "events")) <= {"user_id", "ts"}

@@ -107,3 +107,38 @@ def test_bigram_lift_finds_collocation(spark):
     assert (top[0]["x"], top[0]["y"]) == ("san", "francisco")
     assert top[0]["rnk"] == 1
     assert top[0]["lift"] > 1.0
+
+
+def test_redaction_is_idempotent_and_leaves_no_pii(spark):
+    """Redacting already-redacted text is a no-op, and no PII pattern
+    survives a single pass (the two invariants a scrubber must hold)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.io c@d.org 555-1234 1.2.3.4 10.20.30.40 x@y.co"),
+            (2, "<EMAIL> already clean <IP>"),
+        ],
+        ["id", "text"],
+    )
+    once = redact_pii(df, "id", "text").select(
+        "id", F.col("redacted").alias("text")
+    )
+    leftover = redact_pii(once, "id", "text")
+    assert leftover.filter(
+        (F.col("n_email") > 0) | (F.col("n_phone") > 0) | (F.col("n_ip") > 0)
+    ).count() == 0
+    again = {r["id"]: r["redacted"] for r in leftover.collect()}
+    first = {r["id"]: r["text"] for r in once.collect()}
+    assert again == first
+
+
+def test_mixture_keep_set_is_monotone_in_rate(spark):
+    """Raising the rate must only ADD rows (hash-threshold sampling is
+    nested) — the property that makes mixture re-weighting backfillable."""
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    kept = {}
+    for rate in (200, 500, 900):
+        kept[rate] = {
+            r["doc_id"]
+            for r in mixture_sample(df, "doc_id", F.lit(rate)).collect()
+        }
+    assert kept[200] <= kept[500] <= kept[900]
