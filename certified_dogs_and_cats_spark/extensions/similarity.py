@@ -290,3 +290,46 @@ def dequantize_int8(
         out_col,
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
+
+
+def materialize_ivf_index(
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+) -> None:
+    """Persist an IVF index for build-once / query-many reuse.
+
+    The indexed corpus lands as parquet PARTITIONED BY centroid_id —
+    the physical layout that turns an nprobe search into a directory-
+    pruned scan (only the probed lists' files are ever opened; see
+    :func:`load_ivf_index`). The centroid table is a single tiny file.
+
+    At 100 TB this is the index lifecycle: KMeans trains on a sample
+    once, assignment streams the corpus once, and every subsequent query
+    batch reads ~nprobe/n_centroids of the data — rebuilding per query
+    (what the self-contained oracle query does for verifiability) would
+    re-pay the training and assignment cost every time.
+    """
+    import os
+
+    indexed_corpus.write.partitionBy("centroid_id").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "lists"))
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a materialized IVF index: (indexed_corpus, centroids).
+
+    The returned corpus frame is partition-discovered on centroid_id, so
+    an ``ivf_topk`` over it with a literal / joined centroid_id filter
+    prunes to the probed directories (PartitionFilters in the scan —
+    asserted in tests), never a full-corpus read.
+    """
+    import os
+
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    return lists, centroids

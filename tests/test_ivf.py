@@ -74,3 +74,37 @@ def test_ivf_candidate_join_is_list_keyed(spark, clustered):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_materialized_index_roundtrip_and_partition_pruning(
+    spark, clustered, tmp_path
+):
+    """Build-once / query-many: a materialized index must return exactly
+    the fresh-index results, and its centroid_id partitioning must let a
+    probed-list read prune directories (PartitionFilters on the scan)."""
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        load_ivf_index,
+        materialize_ivf_index,
+    )
+
+    indexed, centroids = build_ivf_index(clustered, n_centroids=3)
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(indexed, centroids, path)
+    lists, cents = load_ivf_index(spark, path)
+
+    queries = clustered.filter(F.col("vec_id") < 6).select("vec_id", "e")
+    fresh = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in ivf_topk(indexed, centroids, queries, k=3).collect()
+    }
+    loaded = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in ivf_topk(lists, cents, queries, k=3).collect()
+    }
+    assert fresh == loaded and len(loaded) == 18
+
+    plan = plan_text(lists.filter(F.col("centroid_id") == 1))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan
