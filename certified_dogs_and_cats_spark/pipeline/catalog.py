@@ -422,3 +422,88 @@ class Catalog:
                 shutil.rmtree(full)
                 removed += 1
         return removed
+
+    # ------------------------------------------------------------------
+    # ANALYZE TABLE — column statistics for planner decisions
+    # ------------------------------------------------------------------
+
+    _STATS_ORDERABLE = (
+        "int",
+        "bigint",
+        "smallint",
+        "tinyint",
+        "double",
+        "float",
+        "decimal",
+        "date",
+        "timestamp",
+        "string",
+        "boolean",
+    )
+
+    def _stats_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "stats.json")
+
+    def analyze(self, name: str) -> dict:
+        """ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS parity:
+        one aggregation pass computes row count plus per-column null
+        count, HLL-approximate distinct count, and min/max for orderable
+        atomic types; results persist to ``_meta/<table>/stats.json``
+        beside the version manifest.
+
+        These are the numbers a planner spends: row count and ndv drive
+        join-side broadcast decisions and shuffle-partition sizing;
+        min/max give partition-elimination bounds. One pass, one shuffle
+        (a single global aggregate), never one job per column.
+        """
+        from pyspark.sql import functions as F
+
+        spec = self.tables[name]
+        df = self.table(name)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        cols = []
+        for f in df.schema.fields:
+            base = f.dataType.simpleString().split("(")[0]
+            if base not in self._STATS_ORDERABLE:
+                continue
+            c = f.name
+            cols.append(c)
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__nulls__{c}")
+            )
+            aggs.append(
+                F.approx_count_distinct(c).cast("long").alias(f"__ndv__{c}")
+            )
+            aggs.append(F.min(c).cast("string").alias(f"__min__{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max__{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats = {
+            "table": name,
+            "version": self.current_version(name),
+            "row_count": row["__rows"],
+            "columns": {
+                c: {
+                    "null_count": row[f"__nulls__{c}"],
+                    "approx_ndv": row[f"__ndv__{c}"],
+                    "min": row[f"__min__{c}"],
+                    "max": row[f"__max__{c}"],
+                }
+                for c in cols
+            },
+        }
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        with open(self._stats_path(name), "w") as fh:
+            json.dump(stats, fh, indent=1)
+        return stats
+
+    def stats(self, name: str) -> dict | None:
+        """Stored statistics from the last :meth:`analyze`, or None. The
+        ``version`` field tells the caller how stale they are relative to
+        :meth:`current_version`."""
+        p = self._stats_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)

@@ -266,6 +266,35 @@ class DdlSession:
                 name, retain_hours=float(m.group("hours") or 168.0)
             )
             return None
+        if u.startswith("ANALYZE TABLE "):
+            m = re.match(
+                r"ANALYZE TABLE (?P<name>[\w.]+)"
+                r"(?: COMPUTE STATISTICS(?: FOR ALL COLUMNS)?)?\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise DdlError(f"bad ANALYZE TABLE: {s[:120]}")
+            name = self.resolve(m.group("name"))
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            st = self.catalog.analyze(name)
+            rows = [
+                (
+                    c,
+                    cs["null_count"],
+                    cs["approx_ndv"],
+                    cs["min"],
+                    cs["max"],
+                    st["row_count"],
+                )
+                for c, cs in sorted(st["columns"].items())
+            ]
+            return self.catalog.spark.createDataFrame(
+                rows,
+                "column string, null_count long, approx_ndv long,"
+                " min string, max string, row_count long",
+            )
         if u == "SHOW SCHEMAS":
             return self.catalog.spark.createDataFrame(
                 [(x,) for x in sorted(self.schemas)], "schema_name string"
