@@ -5,6 +5,7 @@ from .joins import (
     merge_upsert,
     salted_join,
 )
+from .resample import resample_ffill
 from .windows import latest_per_key, pivot_top_k, sessionize, top_k_per_group
 
 __all__ = [
@@ -14,6 +15,7 @@ __all__ = [
     "merge_upsert",
     "salted_join",
     "latest_per_key",
+    "resample_ffill",
     "pivot_top_k",
     "sessionize",
     "top_k_per_group",

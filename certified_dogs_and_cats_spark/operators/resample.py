@@ -1,0 +1,73 @@
+"""Time-series resampling: dense per-key time grids with forward fill.
+
+The missing-gap problem every metrics/warehouse pipeline hits: events
+arrive irregularly, dashboards and joins need one row per (key, bucket)
+— including buckets with no event, carrying the last known value.
+
+Plan shape (scale contract): bucketing is a map-side projection; the
+last-value-per-bucket reduction is one hash aggregate on (key, bucket);
+the grid is an explode of ``sequence(min_bucket, max_bucket)`` per key —
+rows materialize at the grid size, never joined against raw events; the
+forward fill is one window pass per key ordered by bucket. Two shuffles
+total, both on the key. Grid width is bounded by (span / step) per key —
+at 100 TB, step and retention bound the blowup, and the per-key window
+never sees raw event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """One row per (key, bucket) from the key's first to last event
+    bucket, carrying the latest in-bucket value, forward-filled across
+    empty buckets.
+
+    Output: (key, bucket_start TIMESTAMP, value, is_observed BOOLEAN) —
+    ``is_observed`` FALSE marks gap rows whose value was carried forward.
+    In-bucket "latest" ties on (ts, value) take the greater value for
+    determinism.
+    """
+    step = F.lit(step_seconds)
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("bigint")
+    per_bucket = (
+        df.select(
+            F.col(key_col),
+            bucket.alias("__b"),
+            F.struct(
+                F.col(ts_col).alias("ts"), F.col(value_col).alias("v")
+            ).alias("__tv"),
+        )
+        .groupBy(key_col, "__b")
+        .agg(F.max("__tv").alias("__tv"))
+        .select(
+            key_col, "__b", F.col("__tv.v").alias("__v")
+        )
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(F.sequence("__lo", "__hi")).alias("__b"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(per_bucket, [key_col, "__b"], "left")
+    return joined.select(
+        F.col(key_col),
+        F.timestamp_seconds(F.col("__b") * step).alias("bucket_start"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNotNull().alias("is_observed"),
+    )

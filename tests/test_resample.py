@@ -1,0 +1,52 @@
+"""Gap-fill resampling: dense per-key grid, forward fill, observed flags."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from certified_dogs_and_cats_spark.operators import resample_ffill
+
+
+def _df(spark):
+    rows = [
+        # key "a": events in hours 0, 0 (two in-bucket), 3  -> gaps 1, 2
+        ("a", datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 50), 2.0),
+        ("a", datetime(2024, 1, 1, 3, 5), 9.0),
+        # key "b": single event -> single-row grid
+        ("b", datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+def test_grid_is_dense_and_forward_filled(spark):
+    out = resample_ffill(_df(spark), "k", "ts", "v", step_seconds=3600)
+    rows = {
+        (r.k, r.bucket_start.hour): (r.value, r.is_observed)
+        for r in out.collect()
+    }
+    # key a: hours 0..3 present, 1 and 2 are carried-forward gaps.
+    assert rows[("a", 0)] == (2.0, True)  # latest in-bucket wins
+    assert rows[("a", 1)] == (2.0, False)
+    assert rows[("a", 2)] == (2.0, False)
+    assert rows[("a", 3)] == (9.0, True)
+    assert rows[("b", 5)] == (7.0, True)
+    assert len(rows) == 5  # no grid beyond each key's span
+
+
+def test_no_cross_key_leakage(spark):
+    out = resample_ffill(_df(spark), "k", "ts", "v", step_seconds=3600)
+    b_rows = out.filter(F.col("k") == "b").collect()
+    assert len(b_rows) == 1 and b_rows[0].value == 7.0
+
+
+def test_latest_in_bucket_tie_break_is_deterministic(spark):
+    rows = [
+        ("x", datetime(2024, 1, 1, 0, 30), 5.0),
+        ("x", datetime(2024, 1, 1, 0, 30), 3.0),  # same ts: max value wins
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = resample_ffill(df, "k", "ts", "v", step_seconds=3600).collect()
+    assert len(out) == 1 and out[0].value == 5.0
