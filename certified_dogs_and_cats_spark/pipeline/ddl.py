@@ -193,7 +193,7 @@ class DdlSession:
             return None
         if u.startswith("CREATE SCHEMA"):
             return self._create_schema(s)
-        if u.startswith("CREATE TABLE"):
+        if re.match(r"CREATE (OR REPLACE )?TABLE", u):
             return self._create_table(stmt)
         if re.match(r"CREATE (OR REPLACE )?VIEW", u):
             return self._create_view(stmt)
@@ -364,6 +364,17 @@ class DdlSession:
 
     def _create_table(self, stmt: str) -> None:
         s = re.sub(r"\s+", " ", stmt).strip()
+        ctas = re.match(
+            r"CREATE (?P<replace>OR REPLACE )?TABLE (?P<ine>IF NOT EXISTS )?"
+            r"(?P<name>[\w.]+)"
+            r"(?: USING (?P<fmt>\w+))?"
+            r"(?: PARTITIONED BY \((?P<parts>[^)]*)\))?"
+            r" AS (?P<body>SELECT .*|WITH .*)$",
+            s,
+            re.I,
+        )
+        if ctas:
+            return self._create_table_as(ctas)
         m = re.match(
             r"CREATE TABLE (IF NOT EXISTS )?(?P<name>[\w.]+) ?"
             r"\((?P<cols>[^)]*)\)"
@@ -404,6 +415,36 @@ class DdlSession:
         )
         return None
 
+    def _create_table_as(self, m: "re.Match[str]") -> None:
+        """CTAS: run the SELECT, register the table from the result
+        schema, and write the rows as version 1 — the snapshot-building
+        statement (gold extracts, backfills) the DDL front door lacked.
+        OR REPLACE drops an existing table first; IF NOT EXISTS no-ops."""
+        name = self.resolve(m.group("name"))
+        exists = name in self.catalog.tables
+        if exists and m.group("ine"):
+            return None
+        if exists and not m.group("replace"):
+            raise DdlError(f"table exists: {name}")
+        df = self.catalog.spark.sql(self._resolve_refs(m.group("body")))
+        parts = tuple(
+            p.strip() for p in (m.group("parts") or "").split(",") if p.strip()
+        )
+        missing = [p for p in parts if p not in df.columns]
+        if missing:
+            raise DdlError(f"CTAS partition columns not in SELECT: {missing}")
+        if exists:
+            self.catalog.drop(name)
+        fmt = (m.group("fmt") or "parquet").lower()
+        self.catalog.register(
+            name,
+            df.schema,
+            partition_by=parts,
+            fmt="parquet" if fmt == "delta" else fmt,
+        )
+        self.catalog.append(name, df)
+        return None
+
     def _create_view(self, stmt: str) -> DataFrame:
         m = re.match(
             r"CREATE (OR REPLACE )?VIEW (?P<name>[\w.]+) AS (?P<body>.*)$",
@@ -426,7 +467,9 @@ class DdlSession:
         against the catalog: expose each referenced table as a sanitized
         temp view and rewrite the reference. Rewrites are applied segment-
         wise outside string literals only, so a table name mentioned inside
-        a quoted string survives untouched."""
+        a quoted string survives untouched. Known limitation: a column
+        whose name equals a catalog table visible under the current schema
+        would also be rewritten — alias such columns in the SELECT."""
         segments: list[tuple[bool, str]] = []  # (is_literal, text)
         last = 0
         for m in _STR_LIT.finditer(body):
@@ -456,7 +499,13 @@ class DdlSession:
 
                     code = re.sub(pat, bind, code, flags=re.I)
             for tbl in sorted(self.catalog.tables, key=len, reverse=True):
-                for prefix in (f"{self.current_catalog}.{tbl}", tbl):
+                prefixes = [f"{self.current_catalog}.{tbl}", tbl]
+                # Bare name resolves against the current schema (same rule
+                # as :meth:`resolve`), so `USE SCHEMA core; SELECT .. FROM t`
+                # finds core.t.
+                if tbl.startswith(f"{self.current_schema}."):
+                    prefixes.append(tbl[len(self.current_schema) + 1 :])
+                for prefix in prefixes:
                     if re.search(rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", code):
                         alias = _view_alias(tbl)
                         self.catalog.table(tbl).createOrReplaceTempView(alias)

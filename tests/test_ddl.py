@@ -388,3 +388,51 @@ def test_merge_ambiguous_source_match_raises(ddl, catalog):
     with pytest.raises(DdlError, match="multiple source rows"):
         ddl.execute(dup_merge)
     assert catalog.table("ref.breed_mapping").count() == before
+
+
+def test_ctas_creates_and_populates(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE src (k INT, v STRING, y INT);"
+        "INSERT INTO src VALUES (1, 'a', 2024), (2, 'b', 2024),"
+        " (3, 'c', 2025)"
+    )
+    ddl.execute(
+        "CREATE TABLE snap PARTITIONED BY (y) AS "
+        "SELECT k, v, y FROM src WHERE k >= 2"
+    )
+    assert catalog.tables["core.snap"].partition_by == ("y",)
+    rows = sorted(
+        (r.k, r.y) for r in ddl.execute("SELECT k, y FROM snap")[0].collect()
+    )
+    assert rows == [(2, 2024), (3, 2025)]
+
+
+def test_ctas_or_replace_and_if_not_exists(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE s2 (k INT); INSERT INTO s2 VALUES (1), (2)"
+    )
+    ddl.execute("CREATE TABLE c2 AS SELECT k FROM s2")
+    # IF NOT EXISTS: no-op on existing target.
+    ddl.execute("CREATE TABLE IF NOT EXISTS c2 AS SELECT k FROM s2 WHERE k=1")
+    assert ddl.execute("SELECT count(*) AS n FROM c2")[0].collect()[0].n == 2
+    # OR REPLACE: swaps the contents.
+    ddl.execute("CREATE OR REPLACE TABLE c2 AS SELECT k FROM s2 WHERE k = 1")
+    assert ddl.execute("SELECT count(*) AS n FROM c2")[0].collect()[0].n == 1
+    # Plain CREATE on an existing table still errors.
+    import pytest as _pytest
+
+    from certified_dogs_and_cats_spark.pipeline import DdlError as _E
+
+    with _pytest.raises(_E):
+        ddl.execute("CREATE TABLE c2 AS SELECT k FROM s2")
+
+
+def test_ctas_bad_partition_column_raises(ddl):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute("CREATE TABLE s3 (k INT); INSERT INTO s3 VALUES (1)")
+    with pytest.raises(DdlError):
+        ddl.execute(
+            "CREATE TABLE c3 PARTITIONED BY (nope) AS SELECT k FROM s3"
+        )
