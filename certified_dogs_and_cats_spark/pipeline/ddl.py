@@ -113,6 +113,44 @@ def _split_statements(sql: str) -> list[str]:
 _STR_LIT = re.compile(r"'(?:[^']|'')*'")
 
 
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split on ``sep`` occurrences outside parentheses and single-quoted
+    string literals (SET-clause lists may contain function calls and
+    quoted commas)."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    cur: list[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    cur.append(text[i + 1])
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
 def _mask_literals(sql: str) -> str:
     """Replace string-literal contents with spaces (same length, quotes
     kept) so positional regex matches never land inside a literal."""
@@ -185,6 +223,19 @@ class DdlSession:
             masked_u.startswith("MERGE INTO ") or masked_u.startswith("WITH ")
         ):
             return self._merge_into(stmt)
+        if masked_u.startswith("DELETE FROM "):
+            return self._delete_from(stmt)
+        if masked_u.startswith("UPDATE "):
+            return self._update(stmt)
+        if u.startswith("TRUNCATE TABLE "):
+            name = self.resolve(s.split()[-1])
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            spec = self.catalog.tables[name]
+            self.catalog.overwrite(
+                name, self.catalog.spark.createDataFrame([], spec.schema)
+            )
+            return None
         if u.startswith("USE CATALOG "):
             self.current_catalog = s.split()[2]
             return None
@@ -575,6 +626,86 @@ class DdlSession:
             if f.name not in target_cols:
                 full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
         self.catalog.append(name, full)
+        return None
+
+    # -- DML: DELETE / UPDATE --------------------------------------------------
+    def _delete_from(self, stmt: str) -> None:
+        """``DELETE FROM name [WHERE cond]`` — copy-on-write: surviving
+        rows are rewritten as a new table version (Delta DML semantics;
+        prior versions stay time-travel-readable until vacuumed)."""
+        s = re.sub(r"\s+", " ", stmt).strip()
+        m = re.match(
+            r"DELETE FROM (?P<name>[\w.]+)(?: WHERE (?P<cond>.+?))?\s*;?\s*$",
+            s,
+            re.I,
+        )
+        if not m:
+            raise DdlError(f"bad DELETE FROM: {s[:120]}")
+        name = self.resolve(m.group("name"))
+        if name not in self.catalog.tables:
+            raise DdlError(f"table not found: {name}")
+        df = self.catalog.table(name)
+        cond = m.group("cond")
+        if cond is None:
+            survivors = df.limit(0)
+        else:
+            from pyspark.sql import functions as F
+
+            survivors = df.filter(~F.expr(cond) | F.expr(cond).isNull())
+        self.catalog.overwrite(name, survivors)
+        return None
+
+    def _update(self, stmt: str) -> None:
+        """``UPDATE name SET col = expr[, ...] [WHERE cond]`` — copy-on-
+        write rewrite of the full table with the assignments applied to
+        matching rows; assignment expressions see the pre-update row
+        (standard SQL UPDATE semantics, all SETs evaluated simultaneously),
+        and values are cast back to the declared column types."""
+        s = re.sub(r"\s+", " ", stmt).strip()
+        m = re.match(
+            r"UPDATE (?P<name>[\w.]+) SET (?P<sets>.+?)"
+            r"(?: WHERE (?P<cond>.+?))?\s*;?\s*$",
+            s,
+            re.I,
+        )
+        if not m:
+            raise DdlError(f"bad UPDATE: {s[:120]}")
+        name = self.resolve(m.group("name"))
+        spec = self.catalog.tables.get(name)
+        if spec is None:
+            raise DdlError(f"table not found: {name}")
+        from pyspark.sql import functions as F
+
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(m.group("sets"), ","):
+            am = re.match(r"\s*(?P<col>\w+)\s*=\s*(?P<expr>.+?)\s*$", part)
+            if not am:
+                raise DdlError(f"bad SET clause: {part!r}")
+            col = am.group("col")
+            if col not in spec.schema.fieldNames():
+                raise DdlError(f"unknown column in SET: {col!r}")
+            assignments[col] = am.group("expr")
+        df = self.catalog.table(name)
+        cond = (
+            F.expr(m.group("cond"))
+            if m.group("cond") is not None
+            else F.lit(True)
+        )
+        types = {f.name: f.dataType for f in spec.schema.fields}
+        updated = df.select(
+            *[
+                (
+                    F.when(cond, F.expr(assignments[c]))
+                    .otherwise(F.col(c))
+                    .cast(types[c])
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in spec.schema.fieldNames()
+            ]
+        )
+        self.catalog.overwrite(name, updated)
         return None
 
     # -- DML: MERGE INTO -------------------------------------------------------

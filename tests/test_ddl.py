@@ -436,3 +436,68 @@ def test_ctas_bad_partition_column_raises(ddl):
         ddl.execute(
             "CREATE TABLE c3 PARTITIONED BY (nope) AS SELECT k FROM s3"
         )
+
+
+def test_delete_from_is_copy_on_write(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE d1 (k INT, v STRING);"
+        "INSERT INTO d1 VALUES (1, 'a'), (2, 'b'), (3, NULL)"
+    )
+    ddl.execute("DELETE FROM d1 WHERE k >= 2")
+    rows = sorted(r.k for r in catalog.table("core.d1").collect())
+    assert rows == [1]
+    # Prior version still time-travel-readable (copy-on-write).
+    v_before = catalog.current_version("core.d1") - 1
+    old = sorted(
+        r.k for r in catalog.table("core.d1", version=v_before).collect()
+    )
+    assert old == [1, 2, 3]
+    # Unconditional DELETE empties the table but keeps the registration.
+    ddl.execute("DELETE FROM d1")
+    assert catalog.table("core.d1").count() == 0
+
+
+def test_delete_null_condition_rows_survive(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE d2 (k INT, v STRING);"
+        "INSERT INTO d2 VALUES (1, 'x'), (2, NULL)"
+    )
+    # WHERE v = 'x' is NULL (not TRUE) for row 2 -> row 2 must survive,
+    # matching standard SQL DELETE semantics.
+    ddl.execute("DELETE FROM d2 WHERE v = 'x'")
+    assert [r.k for r in catalog.table("core.d2").collect()] == [2]
+
+
+def test_update_applies_simultaneously_and_casts(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE u1 (k INT, a INT, b INT);"
+        "INSERT INTO u1 VALUES (1, 10, 20), (2, 30, 40)"
+    )
+    # a and b swap: proves both SETs see the PRE-update row.
+    ddl.execute("UPDATE u1 SET a = b, b = a WHERE k = 1")
+    rows = {r.k: (r.a, r.b) for r in catalog.table("core.u1").collect()}
+    assert rows[1] == (20, 10)
+    assert rows[2] == (30, 40)  # non-matching row untouched
+    # Assignment result casts to the declared type (INT).
+    ddl.execute("UPDATE u1 SET a = a * 1.5 WHERE k = 2")
+    rows = {r.k: r.a for r in catalog.table("core.u1").collect()}
+    assert rows[2] == 45
+
+
+def test_truncate_keeps_schema(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute("CREATE TABLE tr1 (k INT); INSERT INTO tr1 VALUES (1), (2)")
+    ddl.execute("TRUNCATE TABLE tr1")
+    assert catalog.table("core.tr1").count() == 0
+    ddl.execute("INSERT INTO tr1 VALUES (9)")
+    assert [r.k for r in catalog.table("core.tr1").collect()] == [9]
+
+
+def test_update_unknown_column_raises(ddl):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute("CREATE TABLE u2 (k INT)")
+    with pytest.raises(DdlError):
+        ddl.execute("UPDATE u2 SET nope = 1")
