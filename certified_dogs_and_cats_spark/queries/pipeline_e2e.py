@@ -187,22 +187,30 @@ def _expect(runs, stage: str, status: str, rows: int | None = None) -> None:
       UNION ALL
       SELECT account, status, amount FROM changes
       WHERE account NOT IN (SELECT account FROM seed)
-    )
+    ),
+    updated AS (
+      SELECT account, status,
+             CASE WHEN status = 'closed' THEN amount + 1.0 ELSE amount END
+               AS amount
+      FROM merged
+    ),
+    kept AS (SELECT * FROM updated WHERE NOT (amount < 60.0))
     SELECT status,
            CAST(count(*) AS BIGINT) AS n_accounts,
            round(sum(amount), 2) AS total_amount
-    FROM merged GROUP BY status
+    FROM kept GROUP BY status
     """,
 )
 def ddl_lifecycle_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door end to end under the driver: CREATE SCHEMA /
     CREATE TABLE (S7), INSERT INTO VALUES (S6), MERGE INTO with both
-    clauses (J5), OPTIMIZE + VACUUM RETAIN 0 HOURS (S12), then a SELECT
-    through the same session — every statement the reference's SQL surface
-    uses, in one lifecycle, against a throwaway warehouse. The oracle
-    replays the seed+merge algebra in pure SQL. The maintenance statements
-    must be behavior-preserving: the final aggregate is computed AFTER
-    compaction and a zero-retention vacuum."""
+    clauses (J5), copy-on-write UPDATE and DELETE FROM, OPTIMIZE + VACUUM
+    RETAIN 0 HOURS (S12), a CTAS snapshot, then a SELECT over the
+    snapshot — every statement the SQL surface supports, in one
+    lifecycle, against a throwaway warehouse. The oracle replays the
+    seed+merge+update+delete algebra in pure SQL. The maintenance
+    statements must be behavior-preserving: the final aggregate is
+    computed AFTER compaction and a zero-retention vacuum."""
     from ..pipeline import Catalog, DdlSession
 
     root = tempfile.mkdtemp(prefix="cdc_ddl_e2e_")
@@ -230,14 +238,19 @@ def ddl_lifecycle_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN NOT MATCHED THEN
               INSERT (account, status, amount)
               VALUES (s.account, s.status, s.amount);
+            UPDATE pets.core.balances SET amount = amount + 1.0
+              WHERE status = 'closed';
+            DELETE FROM pets.core.balances WHERE amount < 60.0;
             OPTIMIZE pets.core.balances;
             VACUUM pets.core.balances RETAIN 0 HOURS;
+            CREATE TABLE pets.core.balances_snap AS
+              SELECT * FROM pets.core.balances;
             """
         )
         (out,) = ddl.execute(
             "SELECT status, count(*) AS n_accounts,"
             " round(sum(amount), 2) AS total_amount"
-            " FROM pets.core.balances GROUP BY status;"
+            " FROM pets.core.balances_snap GROUP BY status;"
         )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
