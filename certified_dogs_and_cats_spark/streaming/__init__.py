@@ -184,3 +184,51 @@ def stream_append_exactly_once(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_merge_upsert(
+    df: DataFrame,
+    catalog,
+    table: str,
+    keys,
+    update_cols,
+    checkpoint_dir: str,
+    stream_id: str,
+) -> None:
+    """Streaming MERGE: drain the stream (AvailableNow) and upsert each
+    micro-batch into a catalog table by key — the foreachBatch + MERGE
+    pattern every Delta CDC/upsert pipeline runs, over this catalog's
+    join-rewrite merge. Late keys update in place; new keys insert.
+
+    Micro-batches are deduped on the merge keys first (latest row wins by
+    batch order of arrival is NOT defined within a batch, so the dedup is
+    deterministic on the full key row), because the merge contract
+    requires unique source keys. Exactly-once via the same
+    (stream_id, batch_id) txn markers as :func:`stream_append_exactly_once`;
+    re-delivered batches are skipped, and re-merging identical rows is a
+    no-op anyway (merge idempotency), which closes the non-atomic
+    write+commit window that plain appends still have.
+    """
+    from ..operators.joins import merge_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if catalog.txn_committed(table, stream_id, batch_id):
+            return
+        src = batch_df.dropDuplicates(list(keys))
+        # overwrite() stages the new version to a side directory before
+        # swapping, so a plan reading the current version is safe.
+        merged = merge_upsert(catalog.table(table), src, keys, update_cols)
+        catalog.overwrite(table, merged)
+        catalog._commit(
+            table,
+            "stream_merge",
+            txn={"stream_id": stream_id, "batch_id": batch_id},
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

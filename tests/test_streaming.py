@@ -194,3 +194,74 @@ def test_stream_append_exactly_once_batches(spark, catalog, tmp_path):
         "ingest1",
     )
     assert sorted(r.k for r in catalog.table("s.sink").collect()) == [1, 2, 3]
+
+
+def test_stream_merge_upsert_updates_and_inserts(spark, catalog, tmp_path):
+    """foreachBatch + join-rewrite MERGE: streamed keys update matching
+    rows and insert new ones; a second drain over the same checkpoint
+    changes nothing; in-batch duplicate keys are deduped before merging."""
+    from pyspark.sql import types as T
+
+    from certified_dogs_and_cats_spark.streaming import (
+        read_file_stream,
+        stream_merge_upsert,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    catalog.register("s.dim", schema)
+    catalog.append(
+        "s.dim", spark.createDataFrame([(1, "old"), (2, "keep")], schema)
+    )
+    src = tmp_path / "msrc"
+    src.mkdir()
+    # k=1 updates, k=3 inserts, k=3 duplicated in-batch (deduped pre-merge).
+    (src / "a.csv").write_text("k,v\n1,new\n3,ins\n3,ins\n")
+    ck = str(tmp_path / "mck")
+
+    stream_merge_upsert(
+        read_file_stream(spark, str(src), schema),
+        catalog,
+        "s.dim",
+        keys=["k"],
+        update_cols=["v"],
+        checkpoint_dir=ck,
+        stream_id="merge1",
+    )
+    rows = {r.k: r.v for r in catalog.table("s.dim").collect()}
+    assert rows == {1: "new", 2: "keep", 3: "ins"}
+
+    # Re-drain: offsets checkpoint + txn markers -> no change.
+    v_before = catalog.current_version("s.dim")
+    stream_merge_upsert(
+        read_file_stream(spark, str(src), schema),
+        catalog,
+        "s.dim",
+        keys=["k"],
+        update_cols=["v"],
+        checkpoint_dir=ck,
+        stream_id="merge1",
+    )
+    assert catalog.current_version("s.dim") == v_before
+    assert {r.k: r.v for r in catalog.table("s.dim").collect()} == rows
+
+    # A later file through the same checkpoint merges exactly once.
+    (src / "b.csv").write_text("k,v\n2,upd\n")
+    stream_merge_upsert(
+        read_file_stream(spark, str(src), schema),
+        catalog,
+        "s.dim",
+        keys=["k"],
+        update_cols=["v"],
+        checkpoint_dir=ck,
+        stream_id="merge1",
+    )
+    assert {r.k: r.v for r in catalog.table("s.dim").collect()} == {
+        1: "new",
+        2: "upd",
+        3: "ins",
+    }
