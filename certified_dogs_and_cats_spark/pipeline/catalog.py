@@ -39,6 +39,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+class ConstraintViolation(ValueError):
+    """A write would insert rows violating a CHECK constraint."""
+
+
 @dataclass
 class TableSpec:
     name: str
@@ -46,6 +50,7 @@ class TableSpec:
     schema: T.StructType
     partition_by: tuple[str, ...] = ()
     fmt: str = "parquet"
+    constraints: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -172,8 +177,47 @@ class Catalog:
             for e in self._load_manifest(name)
         )
 
+    def add_constraint(self, name: str, cname: str, expr: str) -> None:
+        """CHECK constraint (Delta ``ALTER TABLE .. ADD CONSTRAINT .. CHECK``
+        parity): existing rows are validated immediately, then every later
+        :meth:`append`/:meth:`overwrite` enforces the predicate and raises
+        :class:`ConstraintViolation` with a violation count instead of
+        writing. Enforcement is one aggregate over the incoming frame —
+        map-side partials, no shuffle beyond the final count."""
+        spec = self.tables[name]
+        self._check_constraints(spec.name, self.table(name), {cname: expr})
+        spec.constraints[cname] = expr
+
+    def drop_constraint(self, name: str, cname: str) -> None:
+        self.tables[name].constraints.pop(cname, None)
+
+    def _check_constraints(
+        self, name: str, df: DataFrame, constraints: dict[str, str]
+    ) -> None:
+        if not constraints:
+            return
+        from pyspark.sql import functions as F
+
+        aggs = [
+            F.sum(
+                F.when(~F.expr(expr) | F.expr(expr).isNull(), 1).otherwise(0)
+            ).alias(cname)
+            for cname, expr in constraints.items()
+        ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        bad = {c: n for c, n in row.items() if n}
+        if bad:
+            raise ConstraintViolation(
+                f"{name}: CHECK constraint violation(s): "
+                + ", ".join(
+                    f"{c} ({constraints[c]!r}): {n} row(s)"
+                    for c, n in bad.items()
+                )
+            )
+
     def append(self, name: str, df: DataFrame, txn: dict | None = None) -> None:
         spec = self.tables[name]
+        self._check_constraints(name, df, spec.constraints)
         writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
             spec.fmt
         ).mode("append")
@@ -356,6 +400,7 @@ class Catalog:
         behavior; :meth:`vacuum` applies the retention policy.
         """
         spec = self.tables[name]
+        self._check_constraints(name, df, spec.constraints)
         tmp = spec.path + "__staging"
         writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
             spec.fmt

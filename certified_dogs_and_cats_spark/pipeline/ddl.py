@@ -251,6 +251,31 @@ class DdlSession:
         if u.startswith("DROP TABLE") or u.startswith("DROP VIEW"):
             return self._drop(s)
         if u.startswith("ALTER TABLE "):
+            cm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) ADD CONSTRAINT (?P<c>\w+)"
+                r" CHECK \((?P<expr>.+)\)\s*$",
+                s,
+                re.I,
+            )
+            if cm:
+                name = self.resolve(cm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                self.catalog.add_constraint(
+                    name, cm.group("c"), cm.group("expr")
+                )
+                return None
+            dm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) DROP CONSTRAINT (?P<c>\w+)\s*$",
+                s,
+                re.I,
+            )
+            if dm:
+                name = self.resolve(dm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                self.catalog.drop_constraint(name, dm.group("c"))
+                return None
             m = re.match(
                 r"ALTER TABLE (?P<name>[\w.]+) ADD COLUMNS? ?\(?"
                 r"(?P<col>\w+) (?P<type>\w+)\)?\s*$",

@@ -501,3 +501,44 @@ def test_update_unknown_column_raises(ddl):
     ddl.execute("CREATE TABLE u2 (k INT)")
     with pytest.raises(DdlError):
         ddl.execute("UPDATE u2 SET nope = 1")
+
+
+def test_check_constraint_blocks_bad_writes(ddl, catalog):
+    from certified_dogs_and_cats_spark.pipeline.catalog import (
+        ConstraintViolation,
+    )
+
+    ddl.execute("USE SCHEMA core")
+    ddl.execute("CREATE TABLE cc1 (k INT, amt DOUBLE)")
+    ddl.execute("INSERT INTO cc1 VALUES (1, 5.0)")
+    ddl.execute("ALTER TABLE cc1 ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    # Valid rows pass; NULL fails the check (predicate must be TRUE).
+    ddl.execute("INSERT INTO cc1 VALUES (2, 1.0)")
+    import pytest as _p
+
+    with _p.raises(ConstraintViolation):
+        ddl.execute("INSERT INTO cc1 VALUES (3, -4.0)")
+    with _p.raises(ConstraintViolation):
+        ddl.execute("INSERT INTO cc1 VALUES (4, NULL)")
+    # Failed write must not have landed.
+    assert catalog.table("core.cc1").count() == 2
+    # Copy-on-write UPDATE is also gated.
+    with _p.raises(ConstraintViolation):
+        ddl.execute("UPDATE cc1 SET amt = -1.0 WHERE k = 1")
+    # DROP CONSTRAINT re-opens the gate.
+    ddl.execute("ALTER TABLE cc1 DROP CONSTRAINT amt_pos")
+    ddl.execute("INSERT INTO cc1 VALUES (5, -9.0)")
+    assert catalog.table("core.cc1").count() == 3
+
+
+def test_add_constraint_validates_existing_rows(ddl, catalog):
+    from certified_dogs_and_cats_spark.pipeline.catalog import (
+        ConstraintViolation,
+    )
+
+    ddl.execute("USE SCHEMA core")
+    ddl.execute("CREATE TABLE cc2 (k INT); INSERT INTO cc2 VALUES (-1)")
+    with pytest.raises(ConstraintViolation):
+        ddl.execute("ALTER TABLE cc2 ADD CONSTRAINT k_pos CHECK (k > 0)")
+    # Rejected constraint must not be registered.
+    ddl.execute("INSERT INTO cc2 VALUES (-2)")
