@@ -48,6 +48,7 @@ SELECT-shaped is delegated to Spark SQL untouched.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -396,6 +397,53 @@ class DdlSession:
             )
             return self.catalog.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
+            )
+        if u.startswith("SHOW PARTITIONS "):
+            name = self.resolve(s.split()[-1])
+            spec = self.catalog.tables.get(name)
+            if spec is None:
+                raise DdlError(f"table not found: {name}")
+            if not spec.partition_by:
+                raise DdlError(f"table is not partitioned: {name}")
+            rows = (
+                self.catalog.table(name)
+                .select(*spec.partition_by)
+                .distinct()
+                .orderBy(*spec.partition_by)
+                .collect()
+            )
+            return self.catalog.spark.createDataFrame(
+                [
+                    ("/".join(f"{c}={r[c]}" for c in spec.partition_by),)
+                    for r in rows
+                ],
+                "partition string",
+            )
+        if u.startswith("DESCRIBE DETAIL "):
+            name = self.resolve(s.split()[-1])
+            spec = self.catalog.tables.get(name)
+            if spec is None:
+                raise DdlError(f"table not found: {name}")
+            n_files = (
+                len(self.catalog._data_files(spec.path))
+                if os.path.isdir(spec.path)
+                else 0
+            )
+            return self.catalog.spark.createDataFrame(
+                [
+                    (
+                        name,
+                        spec.fmt,
+                        spec.path,
+                        ",".join(spec.partition_by),
+                        n_files,
+                        self.catalog.current_version(name),
+                        ",".join(sorted(spec.constraints)),
+                    )
+                ],
+                "name string, format string, location string,"
+                " partition_columns string, num_files int, version int,"
+                " constraints string",
             )
         if u.startswith("DESCRIBE HISTORY "):
             name = self.resolve(s.split()[-1])

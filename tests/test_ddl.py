@@ -542,3 +542,19 @@ def test_add_constraint_validates_existing_rows(ddl, catalog):
         ddl.execute("ALTER TABLE cc2 ADD CONSTRAINT k_pos CHECK (k > 0)")
     # Rejected constraint must not be registered.
     ddl.execute("INSERT INTO cc2 VALUES (-2)")
+
+
+def test_show_partitions_and_describe_detail(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE pt (k INT, y INT) PARTITIONED BY (y);"
+        "INSERT INTO pt VALUES (1, 2024), (2, 2025), (3, 2024)"
+    )
+    parts = [r.partition for r in ddl.execute("SHOW PARTITIONS pt")[0].collect()]
+    assert parts == ["y=2024", "y=2025"]
+    detail = ddl.execute("DESCRIBE DETAIL pt")[0].collect()[0]
+    assert detail.partition_columns == "y"
+    assert detail.num_files >= 2  # one dir per partition value
+    assert detail.version == 1
+    with pytest.raises(DdlError):
+        ddl.execute("SHOW PARTITIONS nope")
