@@ -177,6 +177,53 @@ class Catalog:
             for e in self._load_manifest(name)
         )
 
+    def _copy_into_log_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "copy_into.json")
+
+    def copy_into(
+        self,
+        name: str,
+        src_path: str,
+        fmt: str = "csv",
+        options: dict[str, str] | None = None,
+    ) -> tuple[int, int]:
+        """Databricks ``COPY INTO`` semantics: load ONLY files under
+        ``src_path`` that have not been loaded into this table before
+        (file-level exactly-once, tracked in ``_meta/<table>/
+        copy_into.json``), reading with the table's declared schema.
+        Returns (files_loaded, rows_inserted); re-running against the same
+        directory is a no-op until new files appear — the pull-based twin
+        of the streaming file source's offset tracking.
+        """
+        spec = self.tables[name]
+        options = dict(options or {})
+        if fmt == "csv":
+            options.setdefault("header", "true")
+        all_files = sorted(
+            os.path.join(src_path, f)
+            for f in os.listdir(src_path)
+            if not f.startswith((".", "_"))
+            and os.path.isfile(os.path.join(src_path, f))
+        )
+        log_path = self._copy_into_log_path(name)
+        loaded: list[str] = []
+        if os.path.exists(log_path):
+            with open(log_path) as fh:
+                loaded = json.load(fh)
+        new = [f for f in all_files if f not in set(loaded)]
+        if not new:
+            return (0, 0)
+        reader = self.spark.read.format(fmt).schema(spec.schema)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.load(new)
+        n_rows = df.count()
+        self.append(name, df)
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        with open(log_path, "w") as fh:
+            json.dump(loaded + new, fh, indent=1)
+        return (len(new), n_rows)
+
     def add_constraint(self, name: str, cname: str, expr: str) -> None:
         """CHECK constraint (Delta ``ALTER TABLE .. ADD CONSTRAINT .. CHECK``
         parity): existing rows are validated immediately, then every later

@@ -398,6 +398,57 @@ class DdlSession:
             return self.catalog.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
             )
+        if masked_u.startswith("COPY INTO "):
+            m = re.match(
+                r"COPY INTO (?P<name>[\w.]+) FROM '(?P<path>[^']+)'"
+                r"(?: FILEFORMAT ?= ?(?P<fmt>\w+))?"
+                r"(?: FORMAT_OPTIONS ?\((?P<opts>[^)]*)\))?\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise DdlError(f"bad COPY INTO: {s[:120]}")
+            name = self.resolve(m.group("name"))
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            opts = {}
+            for pair in _split_top_level(m.group("opts") or "", ","):
+                if not pair.strip():
+                    continue
+                om = re.match(
+                    r"\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*$", pair
+                )
+                if not om:
+                    raise DdlError(f"bad FORMAT_OPTIONS entry: {pair!r}")
+                opts[om.group("k")] = om.group("v")
+            n_files, n_rows = self.catalog.copy_into(
+                name,
+                m.group("path"),
+                fmt=(m.group("fmt") or "csv").lower(),
+                options=opts,
+            )
+            return self.catalog.spark.createDataFrame(
+                [(n_files, n_rows)],
+                "num_files_loaded int, num_rows_inserted long",
+            )
+        if u.startswith("RESTORE TABLE "):
+            m = re.match(
+                r"RESTORE TABLE (?P<name>[\w.]+) TO VERSION AS OF"
+                r" (?P<v>\d+)\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise DdlError(f"bad RESTORE TABLE: {s[:120]}")
+            name = self.resolve(m.group("name"))
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            # Delta RESTORE semantics: the rollback is itself a new
+            # version (history is never rewritten), so a restore can be
+            # restored away again.
+            snapshot = self.catalog.table(name, version=int(m.group("v")))
+            self.catalog.overwrite(name, snapshot)
+            return None
         if u.startswith("SHOW PARTITIONS "):
             name = self.resolve(s.split()[-1])
             spec = self.catalog.tables.get(name)

@@ -558,3 +558,41 @@ def test_show_partitions_and_describe_detail(ddl, catalog):
     assert detail.version == 1
     with pytest.raises(DdlError):
         ddl.execute("SHOW PARTITIONS nope")
+
+
+def test_restore_table_rolls_back_and_is_a_new_version(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute("CREATE TABLE rt (k INT); INSERT INTO rt VALUES (1), (2)")
+    ddl.execute("UPDATE rt SET k = k * 10")
+    assert sorted(r.k for r in catalog.table("core.rt").collect()) == [10, 20]
+    v_good = 1  # the original insert
+    ddl.execute(f"RESTORE TABLE rt TO VERSION AS OF {v_good}")
+    assert sorted(r.k for r in catalog.table("core.rt").collect()) == [1, 2]
+    # History is append-only: the restore created a THIRD version, and the
+    # pre-restore state is still readable.
+    assert catalog.current_version("core.rt") == 3
+    assert sorted(
+        r.k for r in catalog.table("core.rt", version=2).collect()
+    ) == [10, 20]
+
+
+def test_copy_into_is_file_level_exactly_once(ddl, catalog, tmp_path):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute("CREATE TABLE ci (k INT, v STRING)")
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,a\n2,b\n")
+    out = ddl.execute(
+        f"COPY INTO ci FROM '{src}' FILEFORMAT = CSV"
+        " FORMAT_OPTIONS ('header' = 'true')"
+    )[0].collect()[0]
+    assert (out.num_files_loaded, out.num_rows_inserted) == (1, 2)
+    # Re-run: nothing new -> no-op.
+    out2 = ddl.execute(f"COPY INTO ci FROM '{src}'")[0].collect()[0]
+    assert (out2.num_files_loaded, out2.num_rows_inserted) == (0, 0)
+    assert catalog.table("core.ci").count() == 2
+    # A new file loads exactly the delta.
+    (src / "b.csv").write_text("k,v\n3,c\n")
+    out3 = ddl.execute(f"COPY INTO ci FROM '{src}'")[0].collect()[0]
+    assert (out3.num_files_loaded, out3.num_rows_inserted) == (1, 1)
+    assert sorted(r.k for r in catalog.table("core.ci").collect()) == [1, 2, 3]
