@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass, field
@@ -362,6 +363,64 @@ class Catalog:
         if any(f.name == field.name for f in spec.schema.fields):
             raise ValueError(f"column exists: {field.name}")
         spec.schema = T.StructType([*spec.schema.fields, field])
+
+    def _guard_column_change(self, spec: TableSpec, col: str) -> None:
+        if not any(f.name == col for f in spec.schema.fields):
+            raise ValueError(f"column not found: {col}")
+        if col in spec.partition_by:
+            raise ValueError(
+                f"cannot alter partition column {col!r}: the physical "
+                "directory layout is keyed on it"
+            )
+        hit = [
+            c
+            for c, expr in spec.constraints.items()
+            if re.search(rf"(?<!\w){re.escape(col)}(?!\w)", expr)
+        ]
+        if hit:
+            raise ValueError(
+                f"column {col!r} is referenced by constraint(s) {hit}; "
+                "drop them first"
+            )
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — copy-on-write: the table is
+        rewritten with the column renamed (parquet has no in-place rename
+        without column-mapping metadata, which plain readers would not
+        honor), and the declared schema updates with it. Prior versions
+        keep the old name; partition and constraint-referenced columns
+        refuse."""
+        from pyspark.sql import functions as F
+
+        spec = self.tables[name]
+        self._guard_column_change(spec, old)
+        if any(f.name == new for f in spec.schema.fields):
+            raise ValueError(f"column exists: {new}")
+        df = self.table(name).withColumnRenamed(old, new)
+        spec.schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in spec.schema.fields
+            ]
+        )
+        self.overwrite(name, df.select(*[F.col(f.name) for f in spec.schema.fields]))
+
+    def drop_column(self, name: str, col: str) -> None:
+        """ALTER TABLE DROP COLUMN — copy-on-write rewrite without the
+        column; prior versions still carry it (time travel reads the old
+        schema's data files with the old declared schema snapshot is NOT
+        kept — the dropped column reads back absent)."""
+        spec = self.tables[name]
+        self._guard_column_change(spec, col)
+        if len(spec.schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        df = self.table(name).drop(col)
+        spec.schema = T.StructType(
+            [f for f in spec.schema.fields if f.name != col]
+        )
+        self.overwrite(name, df)
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> int:
         """Dynamic partition overwrite: replace ONLY the partitions present

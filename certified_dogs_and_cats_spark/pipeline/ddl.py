@@ -277,6 +277,38 @@ class DdlSession:
                     raise DdlError(f"table not found: {name}")
                 self.catalog.drop_constraint(name, dm.group("c"))
                 return None
+            rm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) RENAME COLUMN (?P<old>\w+)"
+                r" TO (?P<new>\w+)\s*$",
+                s,
+                re.I,
+            )
+            if rm:
+                name = self.resolve(rm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                try:
+                    self.catalog.rename_column(
+                        name, rm.group("old"), rm.group("new")
+                    )
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
+            xm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) DROP COLUMNS? ?\(?"
+                r"(?P<col>\w+)\)?\s*$",
+                s,
+                re.I,
+            )
+            if xm:
+                name = self.resolve(xm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                try:
+                    self.catalog.drop_column(name, xm.group("col"))
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
             m = re.match(
                 r"ALTER TABLE (?P<name>[\w.]+) ADD COLUMNS? ?\(?"
                 r"(?P<col>\w+) (?P<type>\w+)\)?\s*$",

@@ -142,8 +142,11 @@ def test_alter_table_add_column_schema_evolution(ddl, catalog, spark):
     assert got == {"a": (1, None), "b": (2, 0.5)}
     [desc] = ddl.execute("DESCRIBE t.ev")
     assert [r.col_name for r in desc.collect()] == ["k", "v", "score"]
+    # DROP COLUMN is a copy-on-write rewrite (round-4 addition).
+    ddl.execute("ALTER TABLE t.ev DROP COLUMN v")
+    assert catalog.table("t.ev").columns == ["k", "score"]
     with pytest.raises(DdlError, match="unsupported ALTER"):
-        ddl.execute("ALTER TABLE t.ev DROP COLUMN v")
+        ddl.execute("ALTER TABLE t.ev SET TBLPROPERTIES ('a'='b')")
 
 
 def test_select_and_explain_passthrough(ddl, catalog, spark):
@@ -596,3 +599,34 @@ def test_copy_into_is_file_level_exactly_once(ddl, catalog, tmp_path):
     out3 = ddl.execute(f"COPY INTO ci FROM '{src}'")[0].collect()[0]
     assert (out3.num_files_loaded, out3.num_rows_inserted) == (1, 1)
     assert sorted(r.k for r in catalog.table("core.ci").collect()) == [1, 2, 3]
+
+
+def test_rename_and_drop_column_copy_on_write(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE rc (k INT, old_name STRING, extra INT);"
+        "INSERT INTO rc VALUES (1, 'x', 10), (2, 'y', 20)"
+    )
+    ddl.execute("ALTER TABLE rc RENAME COLUMN old_name TO new_name")
+    rows = {r.k: r.new_name for r in catalog.table("core.rc").collect()}
+    assert rows == {1: "x", 2: "y"}
+    assert "old_name" not in catalog.table("core.rc").columns
+    ddl.execute("ALTER TABLE rc DROP COLUMN extra")
+    assert catalog.table("core.rc").columns == ["k", "new_name"]
+    # Data survives both rewrites.
+    assert {r.k for r in catalog.table("core.rc").collect()} == {1, 2}
+
+
+def test_alter_column_guards(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE rg (k INT, y INT, amt DOUBLE) PARTITIONED BY (y);"
+        "INSERT INTO rg VALUES (1, 2024, 5.0)"
+    )
+    ddl.execute("ALTER TABLE rg ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    with pytest.raises(DdlError):  # partition column
+        ddl.execute("ALTER TABLE rg RENAME COLUMN y TO year")
+    with pytest.raises(DdlError):  # constraint-referenced column
+        ddl.execute("ALTER TABLE rg DROP COLUMN amt")
+    with pytest.raises(DdlError):  # unknown column
+        ddl.execute("ALTER TABLE rg DROP COLUMN nope")
