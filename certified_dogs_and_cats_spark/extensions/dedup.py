@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import spread
+
 HEX = "0123456789abcdef"
 
 
@@ -69,7 +71,7 @@ def word_shingles(
         f"transform(sequence(0, size(__toks__)-{n}), i -> concat_ws(' ', {parts}))"
     )
     out = (
-        df.select(F.col(id_col), toks.alias("__toks__"))
+        spread(df).select(F.col(id_col), toks.alias("__toks__"))
         .filter(F.size("__toks__") >= n)
         .select(F.col(id_col), F.explode(shingle).alias("shingle"))
     )
@@ -341,7 +343,7 @@ def embedding_near_dup_pairs(
     # Both join sides read this frame; persist so the scan+norm+explode
     # runs once, not once per side.
     b = tracked_persist(
-        with_norm(embeddings, vec_col, "nrm").select(
+        with_norm(spread(embeddings), vec_col, "nrm").select(
             F.col(id_col), F.col(vec_col), "nrm", probes.alias("bucket")
         )
     )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import spread
+
 
 def as_double_vec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -92,7 +94,9 @@ def cosine_topk(
         F.col(vec_col).alias("qe"),
         "qnrm",
     )
-    c = with_norm(corpus, vec_col, "nnrm").select(
+    # The per-pair dot-product fold runs in the corpus scan stage; spread
+    # so a single-row-group local corpus doesn't serialize |Q|*N folds.
+    c = with_norm(spread(corpus), vec_col, "nnrm").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ne"),
         "nnrm",

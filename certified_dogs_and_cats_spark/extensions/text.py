@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import spread
+
 # Tiny deterministic marker sets (the corpus is synthetic word-soup; the
 # heuristic's *determinism* is what the oracle checks, not linguistics).
 EN_MARKERS = ("a", "the")
@@ -20,6 +22,7 @@ BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, tok) — whitespace tokenization, non-distinct."""
+    df = spread(df)
     return df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
@@ -66,6 +69,7 @@ def min_window_fingerprint(
     rationale) over k-char windows every `stride` chars. Near-identical
     docs share fingerprints; the min is order-insensitive so the
     aggregate parallelizes freely."""
+    df = spread(df)
     positions = F.explode(
         F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1), F.lit(stride))
     ).alias("p")
@@ -117,6 +121,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
+    df = spread(df)
     pos = F.explode(
         F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
     ).alias("p")
@@ -205,7 +210,7 @@ def ngram_repetition(
         f"transform(sequence(0, size(__toks__)-{n}), i -> concat_ws(' ', {parts}))"
     )
     g = (
-        df.select(F.col(id_col), toks.alias("__toks__"))
+        spread(df).select(F.col(id_col), toks.alias("__toks__"))
         .filter(F.size("__toks__") >= n)
         .select(F.col(id_col), F.explode(grams).alias("ng"))
     )
@@ -250,7 +255,7 @@ def chunk_tokens(
         raise ValueError(f"need 0 <= overlap < chunk_size: {overlap}")
     stride = chunk_size - overlap
     toks = F.split(F.col(text_col), " ")
-    d = df.select(F.col(id_col), toks.alias("__toks__"))
+    d = spread(df).select(F.col(id_col), toks.alias("__toks__"))
     starts = F.explode(
         F.expr(f"sequence(1, greatest(size(__toks__), 1), {stride})")
     ).alias("start")

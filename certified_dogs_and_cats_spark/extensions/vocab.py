@@ -27,11 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import spread
 from .text import chunk_tokens
 
 
 def pos_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, tok) — whitespace tokenization with 0-based position."""
+    df = spread(df)
     return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
@@ -229,6 +231,7 @@ def bigram_lift(
     aggregated vocabulary, then TakeOrderedAndProject for the global
     top-k — full counts never sort globally.
     """
+    df = spread(df)
     tk = pos_tokens(df, id_col, text_col)
     uni = tk.groupBy("tok").agg(F.count("*").alias("c"))
     total = tk.agg(F.count("*").alias("t"))
