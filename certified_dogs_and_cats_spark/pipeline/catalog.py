@@ -14,9 +14,19 @@ the same liveness-by-log idea as Delta's transaction log. ``table(name,
 version=N)`` reconstructs snapshot N by resolving those files against the
 live directory and the ``_trash`` stamps where overwrites retired them;
 ``vacuum`` purging a stamp is what finally makes old versions unreadable
-(retention ties to time travel exactly as in Delta). Single-writer local
-catalog: version handles resolve file locations at call time, so obtain
-the versioned frame AFTER the writes you want to ignore.
+(retention ties to time travel exactly as in Delta). Version handles
+resolve file locations at call time, so obtain the versioned frame AFTER
+the writes you want to ignore.
+
+Concurrent writers (Delta optimistic-concurrency parity): every commit
+atomically claims its version number via a hard-link into
+``_meta/<table>/commits/`` — blind appends rebase and retry behind a
+winning writer (their file attribution is exact: each append stages to a
+private directory and commits precisely the files it moved in), while
+whole-table rewrites raise :class:`ConcurrentWriteConflict` when the
+table changed under them. ``manifest.json`` is a derived checkpoint of
+the commit files, so a writer dying between claim and checkpoint merge
+loses nothing.
 
 Design notes for 100 TB:
 - partition columns are part of registration, so writers can't silently
@@ -42,6 +52,15 @@ from pyspark.sql import types as T
 
 class ConstraintViolation(ValueError):
     """A write would insert rows violating a CHECK constraint."""
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer committed a version while this operation was staging.
+
+    Raised by whole-table actions (overwrite / compact / drop /
+    overwrite_partitions), whose directory-snapshot semantics cannot be
+    rebased; blind appends never raise it — they rebase on the new log and
+    retry, exactly Delta's append-vs-rewrite conflict matrix."""
 
 
 @dataclass
@@ -120,12 +139,33 @@ class Catalog:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "manifest.json")
 
+    def _commits_dir(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "commits")
+
     def _load_manifest(self, name: str) -> list[dict]:
+        """The committed log: the ``manifest.json`` checkpoint plus any
+        per-version commit files a writer claimed but has not yet merged
+        into the checkpoint (crash window, or a concurrent committer) —
+        the commit files are the source of truth, the checkpoint is a
+        derived read optimization, exactly Delta's log/checkpoint split."""
         path = self._manifest_path(name)
-        if not os.path.isfile(path):
-            return []
-        with open(path) as f:
-            return json.load(f)
+        entries: list[dict] = []
+        if os.path.isfile(path):
+            with open(path) as f:
+                entries = json.load(f)
+        cdir = self._commits_dir(name)
+        if os.path.isdir(cdir):
+            known = {e["version"] for e in entries}
+            for fn in sorted(os.listdir(cdir)):
+                if not fn.endswith(".json"):
+                    continue
+                v = int(fn[: -len(".json")])
+                if v in known:
+                    continue
+                with open(os.path.join(cdir, fn)) as f:
+                    entries.append(json.load(f))
+            entries.sort(key=lambda e: e["version"])
+        return entries
 
     def _data_files(self, root: str) -> list[str]:
         """Relative paths of data files under ``root`` (hidden/_SUCCESS
@@ -141,33 +181,86 @@ class Catalog:
                 )
         return sorted(out)
 
-    def _commit(self, name: str, action: str, txn: dict | None = None) -> int:
-        """Append a manifest entry snapshotting the table's current file
-        list; returns the new version number. The manifest is the analog of
-        Delta's transaction log: liveness is defined by the log, not by
-        which directory a file happens to sit in. ``txn`` attaches an
-        idempotent-writer marker ({stream_id, batch_id} — Delta's `txn`
-        action) checked by :meth:`txn_committed`."""
+    def _commit(
+        self,
+        name: str,
+        action: str,
+        txn: dict | None = None,
+        added: list[str] | None = None,
+    ) -> int:
+        """Commit a new table version; returns its number. The manifest is
+        the analog of Delta's transaction log: liveness is defined by the
+        log, not by which directory a file happens to sit in. ``txn``
+        attaches an idempotent-writer marker ({stream_id, batch_id} —
+        Delta's `txn` action) checked by :meth:`txn_committed`.
+
+        Concurrency (Delta optimistic-concurrency parity): the version
+        number is CLAIMED atomically — the entry is fully written to a
+        temp file and ``os.link``ed to ``commits/<version>.json``, which
+        fails with EEXIST iff another writer claimed that version first
+        (and, because the link source is complete, a claimed commit can
+        never be observed half-written). ``added`` marks a blind append:
+        its version's file list is the predecessor's list plus exactly the
+        files THIS writer staged, so on a lost claim it rebases on the new
+        log and retries — concurrent appends all land, in some order.
+        Without ``added`` the entry snapshots the live directory
+        (whole-table rewrite semantics), which cannot be rebased: a lost
+        claim raises :class:`ConcurrentWriteConflict`."""
         spec = self.tables[name]
-        manifest = self._load_manifest(name)
-        version = (manifest[-1]["version"] + 1) if manifest else 1
-        entry = {
-            "version": version,
-            "action": action,
-            "ts_ns": time.time_ns(),
-            "files": self._data_files(spec.path)
-            if os.path.isdir(spec.path)
-            else [],
-        }
-        if txn is not None:
-            entry["txn"] = txn
-        manifest.append(entry)
-        os.makedirs(self._meta_dir(name), exist_ok=True)
-        tmp = self._manifest_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(name))
-        return version
+        cdir = self._commits_dir(name)
+        os.makedirs(cdir, exist_ok=True)
+        for _ in range(50):
+            manifest = self._load_manifest(name)
+            version = (manifest[-1]["version"] + 1) if manifest else 1
+            if added is not None:
+                base = manifest[-1]["files"] if manifest else []
+                files = sorted(set(base) | set(added))
+            else:
+                files = (
+                    self._data_files(spec.path)
+                    if os.path.isdir(spec.path)
+                    else []
+                )
+            entry = {
+                "version": version,
+                "action": action,
+                "ts_ns": time.time_ns(),
+                "files": files,
+            }
+            if txn is not None:
+                entry["txn"] = txn
+            tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{time.time_ns()}")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            final = os.path.join(cdir, f"{version:012d}.json")
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                os.unlink(tmp)
+                if added is None:
+                    raise ConcurrentWriteConflict(
+                        f"{name}: version {version} was committed by "
+                        f"another writer while this {action!r} was staging;"
+                        " re-read the table and retry the operation"
+                    ) from None
+                continue
+            os.unlink(tmp)
+            # Merge the derived checkpoint. Racing checkpoint writers are
+            # benign: each writes its own full merged view atomically, the
+            # commit files cover whatever the loser's view misses.
+            manifest.append(entry)
+            ctmp = (
+                self._manifest_path(name)
+                + f".tmp-{os.getpid()}-{time.time_ns()}"
+            )
+            with open(ctmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(ctmp, self._manifest_path(name))
+            return version
+        raise ConcurrentWriteConflict(
+            f"{name}: could not claim a version for {action!r} after 50 "
+            "attempts (pathological commit contention)"
+        )
 
     def txn_committed(self, name: str, stream_id: str, batch_id: int) -> bool:
         """True if a commit carrying this (stream_id, batch_id) txn marker
@@ -264,15 +357,30 @@ class Catalog:
             )
 
     def append(self, name: str, df: DataFrame, txn: dict | None = None) -> None:
+        """Blind append. The write is staged to a writer-private directory
+        and the files are then moved in, so the commit records EXACTLY the
+        files this writer produced — attribution never depends on what
+        racing writers have in flight in the shared directory. Spark's
+        UUID-bearing part filenames make cross-writer name collisions
+        impossible, and the commit itself rebases+retries on conflict
+        (see :meth:`_commit`), so concurrent appends all land."""
         spec = self.tables[name]
         self._check_constraints(name, df, spec.constraints)
+        staging = f"{spec.path}__append_{os.getpid()}_{time.time_ns()}"
         writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
             spec.fmt
-        ).mode("append")
+        ).mode("overwrite")
         if spec.partition_by:
             writer = writer.partitionBy(*spec.partition_by)
-        writer.save(spec.path)
-        self._commit(name, "append", txn=txn)
+        writer.save(staging)
+        added = []
+        for rel in self._data_files(staging):
+            dst = os.path.join(spec.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(staging, rel), dst)
+            added.append(rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        self._commit(name, "append", txn=txn, added=added)
 
     def history(self, name: str) -> list[dict]:
         """DESCRIBE HISTORY analog: (version, action, ts_ns, n_files) per

@@ -1,0 +1,174 @@
+"""Optimistic-concurrency commits: version claims, append rebase+retry,
+rewrite conflicts, and crash-window recovery (catalog.py OCC protocol)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from certified_dogs_and_cats_spark.pipeline.catalog import (
+    Catalog,
+    ConcurrentWriteConflict,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _mk(spark, tmp_path, name="core.t"):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.register(name, SCHEMA)
+    return cat
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_two_catalog_instances_share_one_log(spark, tmp_path):
+    """Two writer handles over the same root interleave appends; both land,
+    versions are consecutive, and the final table is the union."""
+    a = _mk(spark, tmp_path)
+    b = Catalog(spark, str(tmp_path / "wh"))
+    b.register("core.t", SCHEMA)
+    a.append("core.t", _rows(spark, [(1, "a")]))
+    b.append("core.t", _rows(spark, [(2, "b")]))
+    a.append("core.t", _rows(spark, [(3, "c")]))
+    assert a.current_version("core.t") == 3
+    assert b.current_version("core.t") == 3
+    assert sorted(r.k for r in a.table("core.t").collect()) == [1, 2, 3]
+    # Each append's version contains its predecessor's files plus its own.
+    h = a.history("core.t")
+    assert [e["version"] for e in h] == [1, 2, 3]
+    m = a._load_manifest("core.t")
+    assert len(m[0]["files"]) < len(m[1]["files"]) < len(m[2]["files"])
+
+
+def test_append_rebases_over_stolen_version(spark, tmp_path):
+    """If another writer claims the next version mid-commit, a blind append
+    rebases on the new log and lands at the version after — no lost
+    update, and the stolen version's files are carried forward."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    # Simulate a concurrent writer that claimed version 2 directly in the
+    # commit log (as a real racing process would between our read and link).
+    cdir = cat._commits_dir("core.t")
+    entry = {
+        "version": 2,
+        "action": "append",
+        "ts_ns": 0,
+        "files": cat._load_manifest("core.t")[-1]["files"] + ["intruder.parquet"],
+    }
+    with open(os.path.join(cdir, f"{2:012d}.json"), "w") as f:
+        json.dump(entry, f)
+    cat.append("core.t", _rows(spark, [(3, "c")]))
+    m = cat._load_manifest("core.t")
+    assert [e["version"] for e in m] == [1, 2, 3]
+    # Version 3 = version 2's files (incl. the racer's) + our new files.
+    assert "intruder.parquet" in m[2]["files"]
+    assert len(m[2]["files"]) > len(m[1]["files"])
+
+
+def test_overwrite_conflict_raises(spark, tmp_path):
+    """A whole-table rewrite cannot rebase: when the log advanced under
+    it, it must raise instead of silently clobbering the racer's commit."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    real_load = cat._load_manifest
+
+    def racing_load(name):
+        m = real_load(name)
+        # After this writer reads the log, a racer claims the next version.
+        v = (m[-1]["version"] + 1) if m else 1
+        marker = os.path.join(cat._commits_dir(name), f"{v:012d}.json")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                json.dump(
+                    {"version": v, "action": "append", "ts_ns": 0, "files": []},
+                    f,
+                )
+            m = m  # this writer still believes version v is free
+        return m
+
+    cat._load_manifest = racing_load
+    with pytest.raises(ConcurrentWriteConflict):
+        cat.overwrite("core.t", _rows(spark, [(9, "z")]))
+    cat._load_manifest = real_load
+
+
+def test_crash_window_commit_survives_without_checkpoint(spark, tmp_path):
+    """A commit file whose writer died before merging the checkpoint is
+    still part of the log: reads see it, and the next commit builds on it."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    # Orphan commit: claimed + fully written, checkpoint never merged.
+    prev = cat._load_manifest("core.t")[-1]
+    with open(
+        os.path.join(cat._commits_dir("core.t"), f"{2:012d}.json"), "w"
+    ) as f:
+        json.dump(
+            {
+                "version": 2,
+                "action": "append",
+                "ts_ns": 1,
+                "files": prev["files"],
+            },
+            f,
+        )
+    # manifest.json still only has version 1; the log reader must merge.
+    with open(cat._manifest_path("core.t")) as f:
+        assert [e["version"] for e in json.load(f)] == [1]
+    assert cat.current_version("core.t") == 2
+    cat.append("core.t", _rows(spark, [(3, "c")]))
+    assert cat.current_version("core.t") == 3
+    # The checkpoint now includes the orphan.
+    with open(cat._manifest_path("core.t")) as f:
+        assert [e["version"] for e in json.load(f)] == [1, 2, 3]
+
+
+def test_append_attribution_is_exact_under_foreign_files(spark, tmp_path):
+    """Files another in-flight writer placed in the table directory (not
+    yet committed) must NOT leak into this append's version file list."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    # A racer's uncommitted data file sits in the directory.
+    foreign = os.path.join(cat.tables["core.t"].path, "part-foreign.parquet")
+    _rows(spark, [(99, "x")]).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "f")
+    )
+    src = next(
+        p
+        for p in os.listdir(tmp_path / "f")
+        if p.endswith(".parquet") and not p.startswith((".", "_"))
+    )
+    os.replace(str(tmp_path / "f" / src), foreign)
+    cat.append("core.t", _rows(spark, [(2, "b")]))
+    latest = cat._load_manifest("core.t")[-1]
+    assert "part-foreign.parquet" not in latest["files"]
+    # Snapshot reads honor the log, not the directory: row 99 is invisible
+    # at the committed version.
+    ver = cat.current_version("core.t")
+    assert sorted(r.k for r in cat.table("core.t", version=ver).collect()) == [
+        1,
+        2,
+    ]
+
+
+def test_time_travel_still_works_across_occ_appends(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    cat.append("core.t", _rows(spark, [(2, "b")]))
+    cat.overwrite("core.t", _rows(spark, [(7, "z")]))
+    assert sorted(r.k for r in cat.table("core.t", version=1).collect()) == [1]
+    assert sorted(r.k for r in cat.table("core.t", version=2).collect()) == [
+        1,
+        2,
+    ]
+    assert sorted(r.k for r in cat.table("core.t", version=3).collect()) == [7]
