@@ -307,15 +307,33 @@ class Catalog:
         new = [f for f in all_files if f not in set(loaded)]
         if not new:
             return (0, 0)
+        # Claim the batch BEFORE loading (link-claim, same primitive as
+        # _commit): two racing COPY INTO runs over the same directory
+        # would otherwise both see the files as new and double-ingest.
+        # The claim is keyed on the STARTING log state (the loaded-file
+        # count — the log is append-only, so length identifies the state):
+        # any two runs departing from the same state collide, the loser
+        # reports 0, and its files are the winner's responsibility. Crash
+        # after claim / before append re-runs as a no-op (file-level
+        # at-most-once; the raw files remain for a manual re-claim, which
+        # is also Databricks' recovery posture for a failed COPY INTO).
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        tmp = log_path + f".tmp-{os.getpid()}-{time.time_ns()}"
+        with open(tmp, "w") as fh:
+            json.dump(loaded + new, fh, indent=1)
+        claim = log_path + f".claim-{len(loaded)}"
+        try:
+            os.link(tmp, claim)
+        except FileExistsError:
+            os.unlink(tmp)
+            return (0, 0)
+        os.replace(tmp, log_path)
         reader = self.spark.read.format(fmt).schema(spec.schema)
         for k, v in options.items():
             reader = reader.option(k, v)
         df = reader.load(new)
         n_rows = df.count()
         self.append(name, df)
-        os.makedirs(self._meta_dir(name), exist_ok=True)
-        with open(log_path, "w") as fh:
-            json.dump(loaded + new, fh, indent=1)
         return (len(new), n_rows)
 
     def add_constraint(self, name: str, cname: str, expr: str) -> None:

@@ -161,6 +161,36 @@ def test_append_attribution_is_exact_under_foreign_files(spark, tmp_path):
     ]
 
 
+def test_copy_into_claim_blocks_stale_racer(spark, tmp_path):
+    """A COPY INTO run departing from an already-claimed log state must
+    ingest nothing — the racer that claimed that state owns those files."""
+    import csv
+
+    cat = _mk(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["k", "v"])
+        w.writerow([1, "a"])
+    n_files, n_rows = cat.copy_into("core.t", str(src))
+    assert (n_files, n_rows) == (1, 1)
+    # Simulate a stale racer: restore the pre-claim log state view by
+    # resetting the log, leaving the claim marker in place.
+    log = cat._copy_into_log_path("core.t")
+    os.replace(log, log + ".bak")
+    stale = cat.copy_into("core.t", str(src))
+    assert stale == (0, 0)  # claim-0 already taken; no double ingest
+    os.replace(log + ".bak", log)
+    # A genuinely new file from the advanced state still loads.
+    with open(src / "b.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["k", "v"])
+        w.writerow([2, "b"])
+    assert cat.copy_into("core.t", str(src)) == (1, 1)
+    assert sorted(r.k for r in cat.table("core.t").collect()) == [1, 2]
+
+
 def test_time_travel_still_works_across_occ_appends(spark, tmp_path):
     cat = _mk(spark, tmp_path)
     cat.append("core.t", _rows(spark, [(1, "a")]))
