@@ -677,6 +677,26 @@ class DdlSession:
         a quoted string survives untouched. Known limitation: a column
         whose name equals a catalog table visible under the current schema
         would also be rewritten — alias such columns in the SELECT."""
+        # table_changes('t', from[, to]) — Delta's CDF table-valued
+        # function — binds BEFORE the literal split (the table name lives
+        # inside a string literal, which the segment rewriter protects).
+        def bind_cdf(m: re.Match) -> str:
+            tbl = self.resolve(m.group(1))
+            lo = int(m.group(2))
+            hi = int(m.group(3)) if m.group(3) else None
+            alias = (
+                f"{_view_alias(tbl)}__cdf_{lo}_"
+                f"{hi if hi is not None else 'now'}"
+            )
+            self.catalog.changes(tbl, lo, hi).createOrReplaceTempView(alias)
+            return alias
+
+        body = re.sub(
+            r"table_changes\(\s*'([\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+            bind_cdf,
+            body,
+            flags=re.I,
+        )
         segments: list[tuple[bool, str]] = []  # (is_literal, text)
         last = 0
         for m in _STR_LIT.finditer(body):

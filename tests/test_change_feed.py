@@ -1,0 +1,113 @@
+"""Change Data Feed (Catalog.changes): file-level append CDC, snapshot-diff
+rewrites, version bounds, and interplay with time travel / vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from certified_dogs_and_cats_spark.pipeline.catalog import Catalog
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _mk(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.register("core.t", SCHEMA)
+    return cat
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _feed(df):
+    return sorted(
+        (r.k, r.v, r._change_type, r._commit_version) for r in df.collect()
+    )
+
+
+def test_append_changes_are_file_level_inserts(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    cat.append("core.t", _rows(spark, [(2, "b"), (3, "c")]))
+    # Tail from v1: only the second append's rows, tagged with its version.
+    assert _feed(cat.changes("core.t", from_version=1)) == [
+        (2, "b", "insert", 2),
+        (3, "c", "insert", 2),
+    ]
+    # Full feed from v0 carries both commits' attributions.
+    assert _feed(cat.changes("core.t", from_version=0)) == [
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 2),
+        (3, "c", "insert", 2),
+    ]
+
+
+def test_append_change_reads_only_added_files(spark, tmp_path):
+    """The append path must resolve to the commit's added files, never a
+    table-wide diff: the plan scans exactly one version's file set."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    cat.append("core.t", _rows(spark, [(2, "b")]))
+    m = cat._load_manifest("core.t")
+    n_added_v2 = len(set(m[1]["files"]) - set(m[0]["files"]))
+    df = cat.changes("core.t", from_version=1)
+    # The scan reads n_added_v2 files, not len(m[1]['files']).
+    scanned = df.inputFiles()
+    assert len(scanned) == n_added_v2
+    assert all("part-" in f for f in scanned)
+
+
+def test_overwrite_changes_are_delete_insert_pairs(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a"), (2, "b")]))
+    cat.overwrite("core.t", _rows(spark, [(2, "b"), (9, "z")]))
+    assert _feed(cat.changes("core.t", from_version=1)) == [
+        (1, "a", "delete", 2),
+        (9, "z", "insert", 2),
+    ]
+
+
+def test_multiset_semantics_surface_duplicate_count_changes(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a"), (1, "a")]))
+    cat.overwrite("core.t", _rows(spark, [(1, "a")]))
+    # One of the two duplicate rows disappeared: exceptAll sees it.
+    assert _feed(cat.changes("core.t", from_version=1)) == [
+        (1, "a", "delete", 2)
+    ]
+
+
+def test_mixed_history_and_bounds(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))  # v1
+    cat.append("core.t", _rows(spark, [(2, "b")]))  # v2
+    cat.overwrite("core.t", _rows(spark, [(2, "b")]))  # v3: deletes (1,a)
+    cat.append("core.t", _rows(spark, [(4, "d")]))  # v4
+    assert _feed(cat.changes("core.t", from_version=2, to_version=4)) == [
+        (1, "a", "delete", 3),
+        (4, "d", "insert", 4),
+    ]
+    # Empty range is an empty typed frame.
+    empty = cat.changes("core.t", from_version=4)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+    with pytest.raises(ValueError):
+        cat.changes("core.t", from_version=5)
+    with pytest.raises(ValueError):
+        cat.changes("core.t", from_version=3, to_version=2)
+
+
+def test_changes_unreadable_after_vacuum(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    cat.overwrite("core.t", _rows(spark, [(2, "b")]))  # retires v1's file
+    cat.vacuum("core.t", retain_hours=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        cat.changes("core.t", from_version=1).collect()

@@ -630,3 +630,26 @@ def test_alter_column_guards(ddl, catalog):
         ddl.execute("ALTER TABLE rg DROP COLUMN amt")
     with pytest.raises(DdlError):  # unknown column
         ddl.execute("ALTER TABLE rg DROP COLUMN nope")
+
+
+def test_table_changes_tvf(ddl, catalog):
+    """SELECT over table_changes('t', from[, to]) — the CDF feed through
+    the SQL front door, with bare-name schema resolution."""
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE cdf (k INT, v STRING);"
+        "INSERT INTO cdf VALUES (1, 'a');"
+        "INSERT INTO cdf VALUES (2, 'b')"
+    )
+    rows = ddl.execute(
+        "SELECT k, v, _change_type, _commit_version "
+        "FROM table_changes('cdf', 1) ORDER BY k"
+    )[-1].collect()
+    assert [(r.k, r.v, r._change_type, r._commit_version) for r in rows] == [
+        (2, "b", "insert", 2)
+    ]
+    # Bounded range + qualified name.
+    rows = ddl.execute(
+        "SELECT count(*) AS n FROM table_changes('pets.core.cdf', 0, 2)"
+    )[-1].collect()
+    assert rows[0].n == 2
