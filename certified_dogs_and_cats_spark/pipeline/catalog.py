@@ -566,6 +566,22 @@ class Catalog:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    def change_cursor(self, name: str, consumer: str) -> "ChangeCursor":
+        """A durable named cursor over the change feed — the consumer loop
+        of CDC: each :meth:`ChangeCursor.poll` returns the changes
+        committed since the consumer last acknowledged, and
+        :meth:`ChangeCursor.ack` advances the stored offset. Offsets are
+        commit versions (the same resume-from-offset contract as a
+        streaming source's checkpoint), persisted per consumer name under
+        ``_meta/<table>/cursors/``, so independent consumers tail the same
+        table at their own pace and a restarted consumer resumes where it
+        acknowledged."""
+        return ChangeCursor(self, name, consumer)
+
+    def _cursor_path(self, name: str, consumer: str) -> str:
+        safe = re.sub(r"[^\w.-]", "_", consumer)
+        return os.path.join(self._meta_dir(name), "cursors", f"{safe}.json")
+
     def add_column(self, name: str, field: T.StructField) -> None:
         """ALTER TABLE ADD COLUMN: extend the declared schema in place.
 
@@ -878,3 +894,48 @@ class Catalog:
             return None
         with open(p) as fh:
             return json.load(fh)
+
+
+@dataclass
+class ChangeCursor:
+    """Durable per-consumer offset over a table's change feed (see
+    :meth:`Catalog.change_cursor`). At-least-once delivery: ``poll``
+    re-reads anything not yet ``ack``ed, so a consumer that crashes
+    mid-batch replays it — pair with an idempotent sink (anti-join /
+    merge), the same contract every offset-based source has."""
+
+    catalog: Catalog
+    table: str
+    consumer: str
+
+    def position(self) -> int:
+        path = self.catalog._cursor_path(self.table, self.consumer)
+        if not os.path.isfile(path):
+            return 0
+        with open(path) as f:
+            return json.load(f)["version"]
+
+    def poll(self) -> tuple[DataFrame, int]:
+        """(changes since the acked offset, feed-end version to ack after
+        the batch is durably consumed). An empty typed frame and the
+        unchanged offset mean nothing new was committed."""
+        start = self.position()
+        end = self.catalog.current_version(self.table)
+        if end <= start:
+            return (
+                self.catalog.changes(self.table, start, start),
+                start,
+            )
+        return self.catalog.changes(self.table, start, end), end
+
+    def ack(self, version: int) -> None:
+        """Advance the stored offset to ``version`` (monotonic — acking
+        backwards is a no-op, so replayed batches can re-ack safely)."""
+        if version <= self.position():
+            return
+        path = self.catalog._cursor_path(self.table, self.consumer)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{os.getpid()}-{time.time_ns()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "ts_ns": time.time_ns()}, f)
+        os.replace(tmp, path)

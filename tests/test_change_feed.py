@@ -111,3 +111,34 @@ def test_changes_unreadable_after_vacuum(spark, tmp_path):
     cat.vacuum("core.t", retain_hours=0)
     with pytest.raises(ValueError, match="vacuumed"):
         cat.changes("core.t", from_version=1).collect()
+
+
+def test_change_cursor_tails_incrementally(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cur = cat.change_cursor("core.t", "indexer")
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    df, end = cur.poll()
+    assert _feed(df) == [(1, "a", "insert", 1)] and end == 1
+    # Not acked: a crashed consumer replays the same batch.
+    df2, end2 = cur.poll()
+    assert _feed(df2) == [(1, "a", "insert", 1)] and end2 == 1
+    cur.ack(end)
+    # Acked + nothing new: empty typed frame, offset unchanged.
+    df3, end3 = cur.poll()
+    assert df3.count() == 0 and end3 == 1
+    cat.append("core.t", _rows(spark, [(2, "b")]))
+    cat.overwrite("core.t", _rows(spark, [(2, "b")]))  # v3 deletes (1,a)
+    df4, end4 = cur.poll()
+    assert _feed(df4) == [
+        (1, "a", "delete", 3),
+        (2, "b", "insert", 2),
+    ] and end4 == 3
+    cur.ack(end4)
+    cur.ack(1)  # backwards ack is a no-op
+    assert cur.position() == 3
+    # Independent consumers keep independent offsets.
+    other = cat.change_cursor("core.t", "auditor")
+    assert other.position() == 0
+    # A fresh cursor object resumes from the durable offset.
+    resumed = cat.change_cursor("core.t", "indexer")
+    assert resumed.position() == 3
