@@ -793,21 +793,44 @@ class Catalog:
     def vacuum(self, name: str, retain_hours: float = 168.0) -> int:
         """VACUUM RETAIN <h> HOURS (reference docs/runbook.md:103-104):
         purge retired table versions older than the retention window.
-        Returns the number of versions deleted."""
+        Returns the number of versions deleted.
+
+        Also prunes commit-log files (Delta's log-cleanup analog) that are
+        BOTH merged into the manifest checkpoint and older than the
+        retention window — unbounded metadata growth is its own 100 TB
+        operations problem. The time bound keeps the prune safe against
+        in-flight readers: a reader holding a pre-merge checkpoint view
+        finishes its log read in milliseconds, not hours."""
         trash = self._trash_dir(name)
-        if not os.path.isdir(trash):
-            return 0
         cutoff_ns = time.time_ns() - int(retain_hours * 3600 * 1e9)
         removed = 0
-        for entry in sorted(os.listdir(trash)):
-            full = os.path.join(trash, entry)
-            try:
-                version_ns = int(entry)
-            except ValueError:
-                continue
-            if version_ns < cutoff_ns:
-                shutil.rmtree(full)
-                removed += 1
+        if os.path.isdir(trash):
+            for entry in sorted(os.listdir(trash)):
+                full = os.path.join(trash, entry)
+                try:
+                    version_ns = int(entry)
+                except ValueError:
+                    continue
+                if version_ns < cutoff_ns:
+                    shutil.rmtree(full)
+                    removed += 1
+        cdir = self._commits_dir(name)
+        if os.path.isdir(cdir):
+            checkpointed: set[int] = set()
+            if os.path.isfile(self._manifest_path(name)):
+                with open(self._manifest_path(name)) as f:
+                    checkpointed = {e["version"] for e in json.load(f)}
+            for fn in sorted(os.listdir(cdir)):
+                if not fn.endswith(".json"):
+                    continue
+                full = os.path.join(cdir, fn)
+                with open(full) as f:
+                    entry = json.load(f)
+                if (
+                    entry["version"] in checkpointed
+                    and entry["ts_ns"] < cutoff_ns
+                ):
+                    os.unlink(full)
         return removed
 
     # ------------------------------------------------------------------

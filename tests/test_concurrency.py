@@ -202,3 +202,29 @@ def test_time_travel_still_works_across_occ_appends(spark, tmp_path):
         2,
     ]
     assert sorted(r.k for r in cat.table("core.t", version=3).collect()) == [7]
+
+
+def test_vacuum_prunes_checkpointed_commit_files(spark, tmp_path):
+    """Metadata retention: commit files merged into the checkpoint AND
+    older than the retention window are pruned; unmerged or recent ones
+    survive, and the log still reads identically."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    cat.append("core.t", _rows(spark, [(2, "b")]))
+    cdir = cat._commits_dir("core.t")
+    assert len([f for f in os.listdir(cdir) if f.endswith(".json")]) == 2
+    # Unexpired: nothing pruned.
+    cat.vacuum("core.t", retain_hours=1)
+    assert len([f for f in os.listdir(cdir) if f.endswith(".json")]) == 2
+    # Expired + checkpointed: pruned, log unchanged.
+    cat.vacuum("core.t", retain_hours=0)
+    assert [f for f in os.listdir(cdir) if f.endswith(".json")] == []
+    assert [e["version"] for e in cat._load_manifest("core.t")] == [1, 2]
+    # An orphan commit (not in the checkpoint) survives any retention.
+    with open(os.path.join(cdir, f"{3:012d}.json"), "w") as f:
+        json.dump({"version": 3, "action": "append", "ts_ns": 0, "files": []}, f)
+    cat.vacuum("core.t", retain_hours=0)
+    assert [f for f in os.listdir(cdir) if f.endswith(".json")] == [
+        f"{3:012d}.json"
+    ]
+    assert cat.current_version("core.t") == 3

@@ -1,0 +1,36 @@
+"""spread() contract: engages only on under-partitioned inputs (local
+single-row-group files), NO-OP at warehouse partitioning — and never on
+streaming frames."""
+
+from __future__ import annotations
+
+from certified_dogs_and_cats_spark.operators.partitioning import spread
+
+
+def test_spread_engages_on_single_partition_input(spark):
+    df = spark.range(0, 1000).coalesce(1)
+    out = spread(df)
+    assert df.rdd.getNumPartitions() == 1
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 1000
+
+
+def test_spread_is_noop_on_well_partitioned_input(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000).repartition(target)
+    out = spread(df)
+    assert out is df  # same object: no extra exchange added to the plan
+    wide = spark.range(0, 1000).repartition(target * 2)
+    assert spread(wide) is wide  # more than enough partitions: untouched
+
+
+def test_spread_respects_explicit_minimum(spark):
+    df = spark.range(0, 100).coalesce(1)
+    assert spread(df, min_partitions=4).rdd.getNumPartitions() == 4
+
+
+def test_spread_noop_on_streaming_frames(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    spark.range(0, 10).write.parquet(src)
+    sdf = spark.readStream.schema("id LONG").parquet(src)
+    assert spread(sdf) is sdf
