@@ -11,14 +11,18 @@ local catalog (stands in for Unity Catalog + Delta; swap the catalog's
 format for Delta on a real deployment).
 """
 
-from .catalog import Catalog
+from .catalog import Catalog, ChangeCursor, ConcurrentWriteConflict
 from .ddl import DdlError, DdlSession
+from .incremental import IncrementalAggregate
 from .runner import PipelineRunner, SkipRun, build_daily_pipeline
 
 __all__ = [
     "Catalog",
+    "ChangeCursor",
+    "ConcurrentWriteConflict",
     "DdlError",
     "DdlSession",
+    "IncrementalAggregate",
     "PipelineRunner",
     "SkipRun",
     "build_daily_pipeline",

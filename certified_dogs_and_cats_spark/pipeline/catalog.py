@@ -734,13 +734,16 @@ class Catalog:
     def _trash_dir(self, name: str) -> str:
         return os.path.join(self.root, "_trash", name.replace(".", "/"))
 
-    def overwrite(self, name: str, df: DataFrame) -> None:
+    def overwrite(
+        self, name: str, df: DataFrame, txn: dict | None = None
+    ) -> None:
         """Full-table replace (small dims / control tables only).
 
         The superseded table version is retired into ``_trash/<table>/<ts>``
         rather than deleted, mirroring Delta's keep-old-versions-until-VACUUM
-        behavior; :meth:`vacuum` applies the retention policy.
-        """
+        behavior; :meth:`vacuum` applies the retention policy. ``txn``
+        attaches an idempotent-writer marker to the commit (same mechanism
+        as :meth:`append`)."""
         spec = self.tables[name]
         self._check_constraints(name, df, spec.constraints)
         tmp = spec.path + "__staging"
@@ -756,7 +759,7 @@ class Catalog:
             os.replace(spec.path, trash)
         os.makedirs(os.path.dirname(spec.path), exist_ok=True)
         os.replace(tmp, spec.path)
-        self._commit(name, "overwrite")
+        self._commit(name, "overwrite", txn=txn)
 
     def compact(
         self,

@@ -1,0 +1,114 @@
+"""Incremental materialized-view maintenance over the change feed.
+
+``IncrementalAggregate`` keeps a GROUP BY count/sum table in sync with a
+source table by applying CDC deltas instead of re-aggregating the source:
+inserts contribute +1/+value, deletes -1/-value (count and sum are
+algebraic and subtractable, which is exactly why classic incremental view
+maintenance restricts itself to them — avg derives as sum/cnt; min/max
+are NOT subtractable and would need a full per-group recompute on
+delete). At warehouse scale this is the difference between touching the
+rows that changed and re-reading 100 TB per refresh.
+
+Exactly-once: each refresh commits the new aggregate snapshot with a
+``{"cdc_applied": <version>}`` txn marker in the destination's own
+manifest — the applied watermark and the data are one atomic commit, so a
+crash between commit and cursor-ack is repaired on the next refresh by
+fast-forwarding the cursor to the committed watermark instead of
+re-applying the delta.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import Catalog
+
+
+@dataclass
+class IncrementalAggregate:
+    """Incrementally-maintained ``SELECT group_cols, count(*), sum(value)
+    FROM src GROUP BY group_cols`` table.
+
+    ``refresh()`` applies everything committed to ``src`` since the last
+    refresh and returns the number of source-change rows applied (0 = the
+    view was already current). The destination table is registered (and
+    created empty) on first use.
+    """
+
+    catalog: Catalog
+    src: str
+    dst: str
+    group_cols: tuple[str, ...]
+    value_col: str
+
+    @property
+    def consumer(self) -> str:
+        # Keyed by destination: independent views over the same source
+        # each tail the feed at their own pace.
+        return f"__incremental_aggregate__{self.dst}"
+
+    def __post_init__(self) -> None:
+        if self.dst not in self.catalog.tables:
+            src_schema = self.catalog.tables[self.src].schema
+            by_name = {f.name: f for f in src_schema.fields}
+            fields = [
+                T.StructField(c, by_name[c].dataType, True)
+                for c in self.group_cols
+            ]
+            fields.append(T.StructField("cnt", T.LongType(), False))
+            fields.append(T.StructField("total", T.DoubleType(), True))
+            self.catalog.register(self.dst, T.StructType(fields))
+        self._cursor = self.catalog.change_cursor(self.src, self.consumer)
+
+    def _applied_watermark(self) -> int:
+        """Highest source version whose delta is COMMITTED into dst (the
+        txn markers in dst's own manifest — crash-safe truth)."""
+        return max(
+            (
+                e["txn"]["cdc_applied"]
+                for e in self.catalog._load_manifest(self.dst)
+                if e.get("txn", {}).get("cdc_applied") is not None
+            ),
+            default=0,
+        )
+
+    def refresh(self) -> int:
+        # Crash repair: a prior refresh may have committed its snapshot
+        # but died before acking the cursor — fast-forward, don't re-apply.
+        applied = self._applied_watermark()
+        if applied > self._cursor.position():
+            self._cursor.ack(applied)
+        changes, end = self._cursor.poll()
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = changes.groupBy(*self.group_cols).agg(
+            F.sum(sign).cast("long").alias("_dcnt"),
+            F.sum(sign * F.col(self.value_col)).alias("_dtotal"),
+        )
+        n = changes.count()
+        if n == 0:
+            return 0
+        cur = self.catalog.table(self.dst)
+        keys = list(self.group_cols)
+        merged = (
+            cur.join(delta, keys, "full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("_dcnt"), F.lit(0))
+                ).alias("cnt"),
+                (
+                    F.coalesce(F.col("total"), F.lit(0.0))
+                    + F.coalesce(F.col("_dtotal"), F.lit(0.0))
+                ).alias("total"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        # Snapshot + applied-watermark in ONE commit (see module doc).
+        self.catalog.overwrite(self.dst, merged, txn={"cdc_applied": end})
+        self._cursor.ack(end)
+        return n
