@@ -187,6 +187,7 @@ class DdlSession:
     current_schema: str = "core"
     schemas: set[str] = field(default_factory=lambda: {"core"})
     views: dict[str, str] = field(default_factory=dict)
+    mviews: dict[str, object] = field(default_factory=dict)
 
     # -- name resolution -----------------------------------------------------
     def resolve(self, name: str) -> str:
@@ -245,6 +246,10 @@ class DdlSession:
             return None
         if u.startswith("CREATE SCHEMA"):
             return self._create_schema(s)
+        if u.startswith("CREATE MATERIALIZED VIEW "):
+            return self._create_materialized_view(s)
+        if u.startswith("REFRESH MATERIALIZED VIEW "):
+            return self._refresh_materialized_view(s)
         if re.match(r"CREATE (OR REPLACE )?TABLE", u):
             return self._create_table(stmt)
         if re.match(r"CREATE (OR REPLACE )?VIEW", u):
@@ -668,6 +673,60 @@ class DdlSession:
         df.createOrReplaceTempView(_view_alias(name))
         self.views[name] = body
         return df
+
+    def _create_materialized_view(self, s: str) -> None:
+        """``CREATE MATERIALIZED VIEW mv AS SELECT g1[, ...], COUNT(*) AS
+        cnt, SUM(col) AS total FROM src GROUP BY g1[, ...]`` — the
+        incrementally-maintainable shape (algebraic aggregates over one
+        table; see pipeline/incremental.py). The view materializes as a
+        real catalog table — readable by any SELECT, time-travelable —
+        and ``REFRESH MATERIALIZED VIEW`` applies CDC deltas from the
+        source's change feed instead of re-aggregating it. The MV handle
+        is session-scoped; the backing table and its applied-watermark
+        commits are durable, so re-declaring the same MV in a new session
+        resumes maintenance where the last one stopped."""
+        from .incremental import IncrementalAggregate
+
+        m = re.match(
+            r"CREATE MATERIALIZED VIEW (?P<name>[\w.]+) AS "
+            r"SELECT (?P<groups>[\w., ]+?), COUNT\(\*\) AS cnt, "
+            r"SUM\((?P<val>\w+)\) AS total "
+            r"FROM (?P<src>[\w.]+) GROUP BY (?P<gb>[\w., ]+)$",
+            s,
+            re.I,
+        )
+        if not m:
+            raise DdlError(
+                "bad CREATE MATERIALIZED VIEW (supported shape: SELECT "
+                "<group cols>, COUNT(*) AS cnt, SUM(<col>) AS total FROM "
+                f"<table> GROUP BY <group cols>): {s[:120]}"
+            )
+        groups = tuple(g.strip() for g in m.group("groups").split(","))
+        gb = tuple(g.strip() for g in m.group("gb").split(","))
+        if groups != gb:
+            raise DdlError(
+                f"SELECT group columns {groups} must equal GROUP BY {gb}"
+            )
+        src = self.resolve(m.group("src"))
+        name = self.resolve(m.group("name"))
+        if src not in self.catalog.tables:
+            raise DdlError(f"table not found: {src}")
+        if name in self.mviews:
+            raise DdlError(f"materialized view exists: {name}")
+        view = IncrementalAggregate(
+            self.catalog, src, name, groups, m.group("val")
+        )
+        self.mviews[name] = view
+        view.refresh()  # initial population
+        return None
+
+    def _refresh_materialized_view(self, s: str) -> None:
+        name = self.resolve(s.split()[-1])
+        view = self.mviews.get(name)
+        if view is None:
+            raise DdlError(f"materialized view not found: {name}")
+        view.refresh()
+        return None
 
     def _resolve_refs(self, body: str) -> str:
         """Resolve fully-qualified table/view references in a SELECT body

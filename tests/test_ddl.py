@@ -653,3 +653,38 @@ def test_table_changes_tvf(ddl, catalog):
         "SELECT count(*) AS n FROM table_changes('pets.core.cdf', 0, 2)"
     )[-1].collect()
     assert rows[0].n == 2
+
+
+def test_materialized_view_lifecycle(ddl, catalog):
+    """CREATE MATERIALIZED VIEW populates a real table; REFRESH applies
+    only the source commits since the last refresh (CDC deltas)."""
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE mv_src (grp STRING, amt DOUBLE);"
+        "INSERT INTO mv_src VALUES ('a', 1.0), ('a', 2.0), ('b', 5.0);"
+        "CREATE MATERIALIZED VIEW mv_agg AS "
+        "SELECT grp, COUNT(*) AS cnt, SUM(amt) AS total "
+        "FROM mv_src GROUP BY grp"
+    )
+    rows = ddl.execute("SELECT * FROM mv_agg ORDER BY grp")[-1].collect()
+    assert [(r.grp, r.cnt, r.total) for r in rows] == [
+        ("a", 2, 3.0),
+        ("b", 1, 5.0),
+    ]
+    ddl.execute(
+        "INSERT INTO mv_src VALUES ('b', 1.0), ('c', 7.0);"
+        "REFRESH MATERIALIZED VIEW mv_agg"
+    )
+    rows = ddl.execute("SELECT * FROM mv_agg ORDER BY grp")[-1].collect()
+    assert [(r.grp, r.cnt, r.total) for r in rows] == [
+        ("a", 2, 3.0),
+        ("b", 2, 6.0),
+        ("c", 1, 7.0),
+    ]
+    with pytest.raises(DdlError):
+        ddl.execute("REFRESH MATERIALIZED VIEW nope")
+    with pytest.raises(DdlError):  # unsupported shape (MAX is not algebraic)
+        ddl.execute(
+            "CREATE MATERIALIZED VIEW bad AS SELECT grp, MAX(amt) AS m "
+            "FROM mv_src GROUP BY grp"
+        )
