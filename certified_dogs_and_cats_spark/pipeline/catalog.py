@@ -555,7 +555,9 @@ class Catalog:
                     "_change_type", F.lit("delete")
                 )
                 parts.append(
-                    ins.unionByName(del_).withColumn(
+                    # allowMissingColumns: a rename/drop-column rewrite
+                    # leaves the two snapshots with different column sets.
+                    ins.unionByName(del_, allowMissingColumns=True).withColumn(
                         "_commit_version", F.lit(v).cast("int")
                     )
                 )

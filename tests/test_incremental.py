@@ -110,3 +110,32 @@ def test_two_views_over_one_source(spark, tmp_path):
         (r.grp, r.cnt, round(r.total, 6))
         for r in cat.table("core.agg2").collect()
     ) == _expected(cat)
+
+
+def test_randomized_op_sequence_stays_equivalent(spark, tmp_path):
+    """A pseudo-random interleaving of appends, shrinking overwrites, and
+    refreshes must keep the incremental view identical to a full
+    re-aggregation at every refresh point."""
+    import random
+
+    rng = random.Random(7)
+    cat = _mk(spark, tmp_path)
+    view = IncrementalAggregate(cat, "core.src", "core.agg", ("grp",), "amt")
+    live: list[tuple[str, float]] = []
+    for step in range(8):
+        op = rng.choice(["append", "append", "overwrite", "refresh"])
+        if op == "append":
+            batch = [
+                (rng.choice("abcd"), float(rng.randint(1, 9)))
+                for _ in range(rng.randint(1, 4))
+            ]
+            live += batch
+            cat.append("core.src", _rows(spark, batch))
+        elif op == "overwrite" and live:
+            live = [r for r in live if rng.random() > 0.4]
+            cat.overwrite("core.src", _rows(spark, live))
+        else:
+            view.refresh()
+            assert _snapshot(cat) == _expected(cat), f"diverged at step {step}"
+    view.refresh()
+    assert _snapshot(cat) == _expected(cat)
