@@ -8,6 +8,8 @@ Operators a 100 TB LLM-data pipeline needs beyond the reference's surface:
 - ``similarity``  embedding similarity search (brute-force cosine top-k,
                   sign-LSH bucketed ANN, learned IVF inverted lists)
 - ``text``        language ID, quality scoring, token stats, fingerprinting
+- ``bpe``         distributed BPE tokenizer training (word-histogram
+                  collapse + per-round broadcast merge rules)
 - ``multimodal``  opaque binary columns + typed metadata, Arrow-batched
                   mapInPandas decode/feature plumbing (codec-requiring
                   decode stubbed — no image libs in this container)
