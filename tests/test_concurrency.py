@@ -228,3 +228,34 @@ def test_vacuum_prunes_checkpointed_commit_files(spark, tmp_path):
         f"{3:012d}.json"
     ]
     assert cat.current_version("core.t") == 3
+
+
+def test_threaded_appends_all_land(spark, tmp_path):
+    """Real races: two threads interleave appends through separate Catalog
+    handles over one root. Every append must land exactly once — version
+    chain contiguous, all rows present, every commit's file list a strict
+    superset of its predecessor's."""
+    import threading
+
+    a = _mk(spark, tmp_path)
+    b = Catalog(spark, str(tmp_path / "wh"))
+    b.register("core.t", SCHEMA)
+    errs: list[Exception] = []
+
+    def writer(cat, base):
+        try:
+            for i in range(4):
+                cat.append("core.t", _rows(spark, [(base + i, f"w{base+i}")]))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(a, 100))
+    t2 = threading.Thread(target=writer, args=(b, 200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    m = a._load_manifest("core.t")
+    assert [e["version"] for e in m] == list(range(1, 9))
+    for prev, cur in zip(m, m[1:]):
+        assert set(prev["files"]) < set(cur["files"])
+    got = sorted(r.k for r in a.table("core.t").collect())
+    assert got == [100, 101, 102, 103, 200, 201, 202, 203]
