@@ -124,12 +124,120 @@ class Catalog:
         if not self.exists(name):
             return self.spark.createDataFrame([], spec.schema)
         df = self.spark.read.format(spec.fmt).schema(spec.schema).load(spec.path)
+        manifest = self._load_manifest(name)
+        dvs = manifest[-1].get("dv", []) if manifest else []
+        if dvs:
+            df = self._apply_dv(spec, df, dvs)
         # Partition columns come back typed by directory inference; project
         # to the declared column order and types.
         cols = [
             df[f.name].cast(f.dataType).alias(f.name) for f in spec.schema.fields
         ]
         return df.select(*cols)
+
+    # --- deletion vectors (merge-on-read DELETE) -------------------------
+
+    def _dv_dir(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "dv")
+
+    def _apply_dv(self, spec: TableSpec, df: DataFrame, dvs: list[str]) -> DataFrame:
+        """Filter tombstoned rows out of a scan: anti-join on the
+        (relative file, row_index) identity the DV sidecars store. The
+        tombstone set is small relative to the table (or it should have
+        been a rewrite), so this broadcasts."""
+        from pyspark.sql import functions as F
+
+        dv = self.spark.read.parquet(
+            *[os.path.join(self._dv_dir(spec.name), f) for f in dvs]
+        )
+        root = os.path.abspath(spec.path)
+        keyed = df.withColumn(
+            "__dv_file", F.expr(f"substring_index(_metadata.file_path, '{root}/', -1)")
+        ).withColumn("__dv_idx", F.col("_metadata.row_index"))
+        return (
+            keyed.join(
+                F.broadcast(
+                    dv.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("row_index").alias("__dv_idx"),
+                    )
+                ),
+                ["__dv_file", "__dv_idx"],
+                "left_anti",
+            )
+            .drop("__dv_file", "__dv_idx")
+        )
+
+    def delete_where(
+        self, name: str, predicate: str, rewrite: bool = False
+    ) -> int:
+        """``DELETE FROM <name> WHERE <predicate>``.
+
+        Default is MERGE-ON-READ deletion vectors (Delta DV parity): the
+        matching rows' (file, row_index) identities are written to a
+        sidecar under ``_meta/<table>/dv/`` and every subsequent read
+        anti-joins them away — no data file is rewritten, which at 100 TB
+        is the difference between a metadata-sized write and rewriting
+        the table. The DV commit is a normal versioned commit: time
+        travel to a pre-delete version ignores it, and OPTIMIZE /
+        :meth:`compact` (or any full overwrite) materializes the deletes
+        and resets the DV set.
+
+        ``rewrite=True`` is classic copy-on-write (kept for compaction
+        and for tables where read amplification matters more than write
+        cost). Returns the number of rows deleted.
+        """
+        from pyspark.sql import functions as F
+
+        spec = self.tables[name]
+        if not self.exists(name):
+            return 0
+        if rewrite:
+            cur = self.table(name)
+            keep = cur.filter(~F.expr(predicate) | F.expr(predicate).isNull())
+            deleted = cur.count()
+            self.overwrite(name, keep)
+            return deleted - self.table(name).count()
+        df = self.spark.read.format(spec.fmt).schema(spec.schema).load(spec.path)
+        manifest = self._load_manifest(name)
+        prior = manifest[-1].get("dv", []) if manifest else []
+        root = os.path.abspath(spec.path)
+        # Key every row by its (relative file, row_index) identity FIRST —
+        # the same columns serve to exclude already-tombstoned rows (don't
+        # re-tombstone) and to emit the new tombstones.
+        keyed = df.select(
+            "*",
+            F.expr(
+                f"substring_index(_metadata.file_path, '{root}/', -1)"
+            ).alias("__f"),
+            F.col("_metadata.row_index").alias("__i"),
+        )
+        if prior:
+            dv_prior = self.spark.read.parquet(
+                *[os.path.join(self._dv_dir(name), f) for f in prior]
+            )
+            keyed = keyed.join(
+                F.broadcast(
+                    dv_prior.select(
+                        F.col("file").alias("__f"),
+                        F.col("row_index").alias("__i"),
+                    )
+                ),
+                ["__f", "__i"],
+                "left_anti",
+            )
+        hits = keyed.filter(F.expr(predicate)).select(
+            F.col("__f").alias("file"), F.col("__i").alias("row_index")
+        )
+        dv_name = f"dv-{os.getpid()}-{time.time_ns()}"
+        out = os.path.join(self._dv_dir(name), dv_name)
+        hits.coalesce(1).write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        if n == 0:
+            shutil.rmtree(out, ignore_errors=True)
+            return 0
+        self._commit(name, "delete", dv=prior + [dv_name])
+        return n
 
     # --- versioning (Delta time-travel parity) ---------------------------
 
@@ -187,6 +295,7 @@ class Catalog:
         action: str,
         txn: dict | None = None,
         added: list[str] | None = None,
+        dv: list[str] | None = None,
     ) -> int:
         """Commit a new table version; returns its number. The manifest is
         the analog of Delta's transaction log: liveness is defined by the
@@ -221,12 +330,26 @@ class Catalog:
                     if os.path.isdir(spec.path)
                     else []
                 )
+            # Deletion vectors carry forward by default (tombstones on
+            # untouched files stay live — critical for partial rewrites
+            # like overwrite_partitions); a full overwrite/drop replaces
+            # every data file (fresh UUID names — stale tombstones can
+            # never re-match), so the DV set resets. delete_where passes
+            # the grown set explicitly via ``dv``.
+            if dv is not None:
+                dvs = list(dv)
+            elif action in ("overwrite", "drop"):
+                dvs = []
+            else:
+                dvs = list(manifest[-1].get("dv", [])) if manifest else []
             entry = {
                 "version": version,
                 "action": action,
                 "ts_ns": time.time_ns(),
                 "files": files,
             }
+            if dvs:
+                entry["dv"] = dvs
             if txn is not None:
                 entry["txn"] = txn
             tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{time.time_ns()}")
@@ -425,11 +548,19 @@ class Catalog:
                 f"{spec.name}: version {version} does not exist "
                 f"(history: 1..{manifest[-1]['version'] if manifest else 0})"
             )
-        return self._resolve_and_read(spec, entry["files"], version)
+        return self._resolve_and_read(
+            spec, entry["files"], version, dvs=entry.get("dv", [])
+        )
 
     def _resolve_and_read(
-        self, spec: TableSpec, files: list[str], version: int
+        self,
+        spec: TableSpec,
+        files: list[str],
+        version: int,
+        dvs: list[str] | None = None,
     ) -> DataFrame:
+        from pyspark.sql import functions as F
+
         if not files:
             return self.spark.createDataFrame([], spec.schema)
         # Resolve each relative file: still live, or retired under a trash
@@ -457,24 +588,48 @@ class Catalog:
                     "window passed)"
                 )
         # One read per root so basePath-driven partition inference works,
-        # then union; all parts are projected to the declared schema.
+        # then union; all parts are projected to the declared schema. When
+        # the version carries deletion vectors, each part is keyed by its
+        # (root-relative file, row_index) identity first — rel paths are
+        # stable across trash moves, so tombstones keep matching — and the
+        # union is anti-joined against the DV set.
         parts = []
         for root, rels in by_root.items():
             reader = self.spark.read.format(spec.fmt).schema(spec.schema)
             if spec.partition_by:
                 reader = reader.option("basePath", root)
             df = reader.load([os.path.join(root, r) for r in rels])
-            parts.append(
-                df.select(
-                    *[
-                        df[f.name].cast(f.dataType).alias(f.name)
-                        for f in spec.schema.fields
-                    ]
-                )
-            )
+            cols = [
+                df[f.name].cast(f.dataType).alias(f.name)
+                for f in spec.schema.fields
+            ]
+            if dvs:
+                abs_root = os.path.abspath(root)
+                cols = cols + [
+                    F.expr(
+                        "substring_index(_metadata.file_path, "
+                        f"'{abs_root}/', -1)"
+                    ).alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_idx"),
+                ]
+            parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dvs:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self._dv_dir(spec.name), f) for f in dvs]
+            )
+            out = out.join(
+                F.broadcast(
+                    dv.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("row_index").alias("__dv_idx"),
+                    )
+                ),
+                ["__dv_file", "__dv_idx"],
+                "left_anti",
+            ).drop("__dv_file", "__dv_idx")
         return out
 
     def changes(

@@ -1,0 +1,125 @@
+"""Merge-on-read DELETE via deletion vectors: no data-file rewrite,
+stacked deletes, time travel, change-feed integration, compaction
+materialization, and partial-rewrite survival."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from certified_dogs_and_cats_spark.pipeline.catalog import Catalog
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ]
+)
+
+
+def _mk(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.register("core.t", SCHEMA)
+    return cat
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _ks(df):
+    return sorted(r.k for r in df.collect())
+
+
+def test_delete_where_is_merge_on_read(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append(
+        "core.t", _rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)])
+    )
+    files_before = set(cat._data_files(cat.tables["core.t"].path))
+    n = cat.delete_where("core.t", "grp = 'a'")
+    assert n == 2
+    assert _ks(cat.table("core.t")) == [2]
+    # MERGE-ON-READ: not a single data file was rewritten or removed.
+    assert set(cat._data_files(cat.tables["core.t"].path)) == files_before
+    # The delete is a normal version: time travel reads the pre-delete rows.
+    assert _ks(cat.table("core.t", version=1)) == [1, 2, 3]
+    assert _ks(cat.table("core.t", version=2)) == [2]
+
+
+def test_stacked_deletes_and_noop(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append(
+        "core.t",
+        _rows(spark, [(i, "g", float(i)) for i in range(1, 6)]),
+    )
+    assert cat.delete_where("core.t", "k = 1") == 1
+    assert cat.delete_where("core.t", "k <= 3") == 2  # 1 already gone
+    assert _ks(cat.table("core.t")) == [4, 5]
+    # No matches: no commit, no version bump.
+    v = cat.current_version("core.t")
+    assert cat.delete_where("core.t", "k = 99") == 0
+    assert cat.current_version("core.t") == v
+
+
+def test_deletes_survive_appends(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    cat.delete_where("core.t", "k = 1")
+    cat.append("core.t", _rows(spark, [(3, "c", 3.0)]))
+    # The tombstone still applies after the append commit.
+    assert _ks(cat.table("core.t")) == [2, 3]
+
+
+def test_delete_appears_in_change_feed(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    cat.delete_where("core.t", "k = 1")
+    feed = sorted(
+        (r.k, r._change_type, r._commit_version)
+        for r in cat.changes("core.t", from_version=1).collect()
+    )
+    assert feed == [(1, "delete", 2)]
+
+
+def test_compact_materializes_and_resets_dv(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append(
+        "core.t", _rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)])
+    )
+    cat.delete_where("core.t", "grp = 'a'")
+    cat.compact("core.t")
+    assert _ks(cat.table("core.t")) == [2]
+    m = cat._load_manifest("core.t")
+    assert m[-1]["action"] == "overwrite"
+    assert m[-1].get("dv", []) == []  # DV set reset by the full rewrite
+
+
+def test_copy_on_write_path_still_available(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    files_before = set(cat._data_files(cat.tables["core.t"].path))
+    n = cat.delete_where("core.t", "k = 1", rewrite=True)
+    assert n == 1
+    assert _ks(cat.table("core.t")) == [2]
+    assert set(cat._data_files(cat.tables["core.t"].path)) != files_before
+
+
+def test_dv_on_partitioned_table_and_partial_overwrite(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.register("core.p", SCHEMA, partition_by=("grp",))
+    cat.append(
+        "core.p",
+        _rows(
+            spark,
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+        ),
+    )
+    cat.delete_where("core.p", "k = 3")
+    assert _ks(cat.table("core.p")) == [1, 2, 4]
+    # Replace only partition 'a': the tombstone on untouched partition 'b'
+    # must survive the partial rewrite.
+    cat.overwrite_partitions("core.p", _rows(spark, [(9, "a", 9.0)]))
+    assert _ks(cat.table("core.p")) == [4, 9]
