@@ -71,6 +71,7 @@ class TableSpec:
     partition_by: tuple[str, ...] = ()
     fmt: str = "parquet"
     constraints: dict[str, str] = field(default_factory=dict)
+    properties: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass

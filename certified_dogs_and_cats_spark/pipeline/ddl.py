@@ -593,7 +593,8 @@ class DdlSession:
             r"(?: USING (?P<fmt>\w+))?"
             r"(?: PARTITIONED BY \((?P<parts>[^)]*)\))?"
             r"(?: DEFAULT COLLATION \w+)?"
-            r"(?: LOCATION '(?P<loc>[^']*)')?\s*$",
+            r"(?: LOCATION '(?P<loc>[^']*)')?"
+            r"(?: TBLPROPERTIES ?\((?P<props>[^)]*)\))?\s*$",
             s,
             re.I,
         )
@@ -619,12 +620,19 @@ class DdlSession:
         )
         fmt = (m.group("fmt") or "parquet").lower()
         # DELTA maps onto the local parquet+manifest catalog (SURVEY §1.1).
-        self.catalog.register(
+        spec = self.catalog.register(
             name,
             T.StructType(fields),
             partition_by=parts,
             fmt="parquet" if fmt == "delta" else fmt,
         )
+        # TBLPROPERTIES ('k' = 'v', ...) — stored on the spec; recognized:
+        # 'delta.enableDeletionVectors' = 'true' switches DELETE FROM to
+        # merge-on-read deletion vectors (Delta's own spelling).
+        for pm in re.finditer(
+            r"'([^']+)'\s*=\s*'([^']*)'", m.group("props") or ""
+        ):
+            spec.properties[pm.group(1)] = pm.group(2)
         return None
 
     def _create_table_as(self, m: "re.Match[str]") -> None:
@@ -865,9 +873,13 @@ class DdlSession:
 
     # -- DML: DELETE / UPDATE --------------------------------------------------
     def _delete_from(self, stmt: str) -> None:
-        """``DELETE FROM name [WHERE cond]`` — copy-on-write: surviving
-        rows are rewritten as a new table version (Delta DML semantics;
-        prior versions stay time-travel-readable until vacuumed)."""
+        """``DELETE FROM name [WHERE cond]`` — copy-on-write by default:
+        surviving rows are rewritten as a new table version (Delta DML
+        semantics; prior versions stay time-travel-readable until
+        vacuumed). Tables created with TBLPROPERTIES
+        ``'delta.enableDeletionVectors' = 'true'`` instead take the
+        merge-on-read path (:meth:`Catalog.delete_where`): tombstone
+        sidecars, zero data files rewritten."""
         s = re.sub(r"\s+", " ", stmt).strip()
         m = re.match(
             r"DELETE FROM (?P<name>[\w.]+)(?: WHERE (?P<cond>.+?))?\s*;?\s*$",
@@ -879,8 +891,15 @@ class DdlSession:
         name = self.resolve(m.group("name"))
         if name not in self.catalog.tables:
             raise DdlError(f"table not found: {name}")
-        df = self.catalog.table(name)
         cond = m.group("cond")
+        spec = self.catalog.tables[name]
+        if (
+            spec.properties.get("delta.enableDeletionVectors", "").lower()
+            == "true"
+        ):
+            self.catalog.delete_where(name, cond if cond else "true")
+            return None
+        df = self.catalog.table(name)
         if cond is None:
             survivors = df.limit(0)
         else:

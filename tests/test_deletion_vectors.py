@@ -123,3 +123,28 @@ def test_dv_on_partitioned_table_and_partial_overwrite(spark, tmp_path):
     # must survive the partial rewrite.
     cat.overwrite_partitions("core.p", _rows(spark, [(9, "a", 9.0)]))
     assert _ks(cat.table("core.p")) == [4, 9]
+
+
+def test_tblproperties_routes_delete_to_dv(spark, tmp_path):
+    """Delta's own spelling: a table created with
+    TBLPROPERTIES ('delta.enableDeletionVectors' = 'true') takes the
+    merge-on-read path for DELETE FROM; without it, copy-on-write."""
+    from certified_dogs_and_cats_spark.pipeline import DdlSession
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = DdlSession(cat)
+    ddl.execute(
+        "USE SCHEMA core;"
+        "CREATE TABLE dvt (k INT, grp STRING) USING DELTA "
+        "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true');"
+        "INSERT INTO dvt VALUES (1, 'a'), (2, 'b'), (3, 'a');"
+    )
+    files_before = set(cat._data_files(cat.tables["core.dvt"].path))
+    ddl.execute("DELETE FROM dvt WHERE grp = 'a'")
+    assert sorted(r.k for r in cat.table("core.dvt").collect()) == [2]
+    # Merge-on-read: data files untouched, delete is a DV commit.
+    assert set(cat._data_files(cat.tables["core.dvt"].path)) == files_before
+    assert cat._load_manifest("core.dvt")[-1]["action"] == "delete"
+    # Unconditional DELETE through the DV path empties the table too.
+    ddl.execute("DELETE FROM dvt")
+    assert cat.table("core.dvt").count() == 0
