@@ -240,6 +240,78 @@ class Catalog:
         self._commit(name, "delete", dv=prior + [dv_name])
         return n
 
+    def update_where(
+        self,
+        name: str,
+        assignments: dict[str, str],
+        predicate: str,
+    ) -> int:
+        """``UPDATE <name> SET col = expr, ... WHERE <predicate>`` as
+        merge-on-read: the matching rows are tombstoned and their UPDATED
+        COPIES appended, both in ONE atomic commit (action 'update'
+        carrying the deletion vector AND the added files) — Delta's
+        DV-update shape. Write cost scales with the rows touched, never
+        the table. Assignment expressions see the pre-update row (all
+        SETs simultaneous) and cast back to the declared column types.
+        Returns the number of rows updated; the change feed reports the
+        old rows as deletes and the new copies as inserts."""
+        from pyspark.sql import functions as F
+
+        spec = self.tables[name]
+        unknown = [c for c in assignments if c not in spec.schema.fieldNames()]
+        if unknown:
+            raise ValueError(f"unknown column(s) in SET: {unknown}")
+        if not self.exists(name):
+            return 0
+        df = self.spark.read.format(spec.fmt).schema(spec.schema).load(spec.path)
+        manifest = self._load_manifest(name)
+        prior = manifest[-1].get("dv", []) if manifest else []
+        root = os.path.abspath(spec.path)
+        keyed = df.select(
+            "*",
+            F.expr(
+                f"substring_index(_metadata.file_path, '{root}/', -1)"
+            ).alias("__f"),
+            F.col("_metadata.row_index").alias("__i"),
+        )
+        if prior:
+            dv_prior = self.spark.read.parquet(
+                *[os.path.join(self._dv_dir(name), f) for f in prior]
+            )
+            keyed = keyed.join(
+                F.broadcast(
+                    dv_prior.select(
+                        F.col("file").alias("__f"),
+                        F.col("row_index").alias("__i"),
+                    )
+                ),
+                ["__f", "__i"],
+                "left_anti",
+            )
+        hits = keyed.filter(F.expr(predicate))
+        types = {f.name: f.dataType for f in spec.schema.fields}
+        updated = hits.select(
+            *[
+                F.expr(assignments[c]).cast(types[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in spec.schema.fieldNames()
+            ]
+        )
+        self._check_constraints(name, updated, spec.constraints)
+        dv_name = f"dv-{os.getpid()}-{time.time_ns()}"
+        out = os.path.join(self._dv_dir(name), dv_name)
+        hits.select(
+            F.col("__f").alias("file"), F.col("__i").alias("row_index")
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        if n == 0:
+            shutil.rmtree(out, ignore_errors=True)
+            return 0
+        added = self._stage_files_in(spec, updated)
+        self._commit(name, "update", added=added, dv=prior + [dv_name])
+        return n
+
     # --- versioning (Delta time-travel parity) ---------------------------
 
     def _meta_dir(self, name: str) -> str:
@@ -338,7 +410,11 @@ class Catalog:
             # never re-match), so the DV set resets. delete_where passes
             # the grown set explicitly via ``dv``.
             if dv is not None:
-                dvs = list(dv)
+                # Union with the current head's DV set (recomputed on every
+                # claim retry): tombstones are absolute (file, row) facts,
+                # so a concurrent delete's sidecars merge, never clobber.
+                head = manifest[-1].get("dv", []) if manifest else []
+                dvs = sorted(set(dv) | set(head))
             elif action in ("overwrite", "drop"):
                 dvs = []
             else:
@@ -508,6 +584,14 @@ class Catalog:
         (see :meth:`_commit`), so concurrent appends all land."""
         spec = self.tables[name]
         self._check_constraints(name, df, spec.constraints)
+        added = self._stage_files_in(spec, df)
+        self._commit(name, "append", txn=txn, added=added)
+
+    def _stage_files_in(self, spec: TableSpec, df: DataFrame) -> list[str]:
+        """Write ``df`` to a writer-private staging directory and move the
+        data files into the table; returns exactly the relative files this
+        writer added (Spark's UUID-bearing part filenames make cross-writer
+        collisions impossible)."""
         staging = f"{spec.path}__append_{os.getpid()}_{time.time_ns()}"
         writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
             spec.fmt
@@ -522,7 +606,7 @@ class Catalog:
             os.replace(os.path.join(staging, rel), dst)
             added.append(rel)
         shutil.rmtree(staging, ignore_errors=True)
-        self._commit(name, "append", txn=txn, added=added)
+        return added
 
     def history(self, name: str) -> list[dict]:
         """DESCRIBE HISTORY analog: (version, action, ts_ns, n_files) per

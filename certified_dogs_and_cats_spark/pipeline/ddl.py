@@ -939,6 +939,15 @@ class DdlSession:
             if col not in spec.schema.fieldNames():
                 raise DdlError(f"unknown column in SET: {col!r}")
             assignments[col] = am.group("expr")
+        if (
+            spec.properties.get("delta.enableDeletionVectors", "").lower()
+            == "true"
+        ):
+            # Merge-on-read UPDATE: tombstone + append updated copies.
+            self.catalog.update_where(
+                name, assignments, m.group("cond") or "true"
+            )
+            return None
         df = self.catalog.table(name)
         cond = (
             F.expr(m.group("cond"))

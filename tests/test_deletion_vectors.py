@@ -148,3 +148,77 @@ def test_tblproperties_routes_delete_to_dv(spark, tmp_path):
     # Unconditional DELETE through the DV path empties the table too.
     ddl.execute("DELETE FROM dvt")
     assert cat.table("core.dvt").count() == 0
+
+
+def test_update_where_is_merge_on_read(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append(
+        "core.t", _rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)])
+    )
+    files_before = set(cat._data_files(cat.tables["core.t"].path))
+    n = cat.update_where("core.t", {"v": "v * 10"}, "grp = 'a'")
+    assert n == 2
+    got = {r.k: r.v for r in cat.table("core.t").collect()}
+    assert got == {1: 10.0, 2: 2.0, 3: 30.0}
+    # Old files untouched; only the updated copies were added.
+    assert files_before < set(cat._data_files(cat.tables["core.t"].path))
+    m = cat._load_manifest("core.t")
+    assert m[-1]["action"] == "update"
+    # One atomic commit: pre-update snapshot intact, feed = delete+insert.
+    assert {r.k: r.v for r in cat.table("core.t", version=1).collect()} == {
+        1: 1.0,
+        2: 2.0,
+        3: 3.0,
+    }
+    feed = sorted(
+        (r.k, r.v, r._change_type)
+        for r in cat.changes("core.t", from_version=1).collect()
+    )
+    assert feed == [
+        (1, 1.0, "delete"),
+        (1, 10.0, "insert"),
+        (3, 3.0, "delete"),
+        (3, 30.0, "insert"),
+    ]
+    # Simultaneous-SET semantics + no-match no-op.
+    assert cat.update_where("core.t", {"v": "v + 1"}, "k = 99") == 0
+
+
+def test_update_where_respects_prior_tombstones_and_constraints(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    from certified_dogs_and_cats_spark.pipeline.catalog import (
+        ConstraintViolation,
+    )
+
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    cat.delete_where("core.t", "k = 1")
+    # The tombstoned row must not resurrect as an updated copy.
+    assert cat.update_where("core.t", {"v": "v * 10"}, "grp = 'a'") == 1
+    assert {r.k: r.v for r in cat.table("core.t").collect()} == {2: 20.0}
+    cat.add_constraint("core.t", "v_pos", "v >= 0")
+    with _pytest.raises(ConstraintViolation):
+        cat.update_where("core.t", {"v": "-1.0"}, "k = 2")
+    assert {r.k: r.v for r in cat.table("core.t").collect()} == {2: 20.0}
+
+
+def test_ddl_update_routes_to_dv(spark, tmp_path):
+    from certified_dogs_and_cats_spark.pipeline import DdlSession
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = DdlSession(cat)
+    ddl.execute(
+        "USE SCHEMA core;"
+        "CREATE TABLE dvu (k INT, v DOUBLE) USING DELTA "
+        "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true');"
+        "INSERT INTO dvu VALUES (1, 1.0), (2, 2.0);"
+    )
+    ddl.execute("UPDATE dvu SET v = v + 0.5 WHERE k = 1")
+    assert {r.k: r.v for r in cat.table("core.dvu").collect()} == {
+        1: 1.5,
+        2: 2.0,
+    }
+    assert cat._load_manifest("core.dvu")[-1]["action"] == "update"
