@@ -1076,6 +1076,23 @@ class Catalog:
                     and entry["ts_ns"] < cutoff_ns
                 ):
                     os.unlink(full)
+        # Deletion-vector sidecars no longer referenced by the HEAD (a full
+        # rewrite reset the DV set) expire with the same retention as trash:
+        # past the window, the historical versions that referenced them are
+        # already unreadable, so the sidecars are dead weight.
+        dvdir = self._dv_dir(name)
+        if name in self.tables and os.path.isdir(dvdir):
+            manifest = self._load_manifest(name)
+            live = set(manifest[-1].get("dv", [])) if manifest else set()
+            for fn in sorted(os.listdir(dvdir)):
+                if fn in live:
+                    continue
+                try:
+                    created_ns = int(fn.rsplit("-", 1)[-1])
+                except ValueError:
+                    continue
+                if created_ns < cutoff_ns:
+                    shutil.rmtree(os.path.join(dvdir, fn), ignore_errors=True)
         return removed
 
     # ------------------------------------------------------------------

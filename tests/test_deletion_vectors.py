@@ -222,3 +222,21 @@ def test_ddl_update_routes_to_dv(spark, tmp_path):
         2: 2.0,
     }
     assert cat._load_manifest("core.dvu")[-1]["action"] == "update"
+
+
+def test_vacuum_prunes_unreferenced_dv_sidecars(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    cat.delete_where("core.t", "k = 1")
+    dvdir = cat._dv_dir("core.t")
+    assert len(os.listdir(dvdir)) == 1
+    # Live (head-referenced) sidecars survive any retention.
+    cat.vacuum("core.t", retain_hours=0)
+    assert len(os.listdir(dvdir)) == 1
+    # A full rewrite resets the DV set; the orphaned sidecar then expires.
+    cat.compact("core.t")
+    cat.vacuum("core.t", retain_hours=1)  # inside the window: kept
+    assert len(os.listdir(dvdir)) == 1
+    cat.vacuum("core.t", retain_hours=0)  # expired: pruned
+    assert os.listdir(dvdir) == []
+    assert sorted(r.k for r in cat.table("core.t").collect()) == [2]
