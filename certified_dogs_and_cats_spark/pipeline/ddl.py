@@ -507,6 +507,15 @@ class DdlSession:
                 ],
                 "partition string",
             )
+        if u.startswith("SHOW TBLPROPERTIES "):
+            name = self.resolve(s.split()[-1])
+            spec = self.catalog.tables.get(name)
+            if spec is None:
+                raise DdlError(f"table not found: {name}")
+            props = sorted(spec.properties.items())
+            return self.catalog.spark.createDataFrame(
+                props or [], "key string, value string"
+            )
         if u.startswith("DESCRIBE DETAIL "):
             name = self.resolve(s.split()[-1])
             spec = self.catalog.tables.get(name)

@@ -688,3 +688,18 @@ def test_materialized_view_lifecycle(ddl, catalog):
             "CREATE MATERIALIZED VIEW bad AS SELECT grp, MAX(amt) AS m "
             "FROM mv_src GROUP BY grp"
         )
+
+
+def test_show_tblproperties(ddl, catalog):
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE props (k INT) "
+        "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true', 'team' = 'data')"
+    )
+    rows = ddl.execute("SHOW TBLPROPERTIES props")[-1].collect()
+    assert [(r.key, r.value) for r in rows] == [
+        ("delta.enableDeletionVectors", "true"),
+        ("team", "data"),
+    ]
+    with pytest.raises(DdlError):
+        ddl.execute("SHOW TBLPROPERTIES nope")
