@@ -240,3 +240,36 @@ def test_vacuum_prunes_unreferenced_dv_sidecars(spark, tmp_path):
     cat.vacuum("core.t", retain_hours=0)  # expired: pruned
     assert os.listdir(dvdir) == []
     assert sorted(r.k for r in cat.table("core.t").collect()) == [2]
+
+
+def test_dv_delete_by_partition_predicate(spark, tmp_path):
+    """Tombstoning via a partition-column predicate (rows live in Hive
+    directories; the predicate resolves against inferred partition cols)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.register("core.p2", SCHEMA, partition_by=("grp",))
+    cat.append(
+        "core.p2",
+        _rows(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]),
+    )
+    assert cat.delete_where("core.p2", "grp = 'a'") == 2
+    assert _ks(cat.table("core.p2")) == [3]
+    assert _ks(cat.table("core.p2", version=1)) == [1, 2, 3]
+
+
+def test_incremental_view_sees_dv_deletes(spark, tmp_path):
+    from certified_dogs_and_cats_spark.pipeline.incremental import (
+        IncrementalAggregate,
+    )
+
+    cat = _mk(spark, tmp_path)
+    view = IncrementalAggregate(cat, "core.t", "core.agg", ("grp",), "v")
+    cat.append(
+        "core.t", _rows(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 5.0)])
+    )
+    view.refresh()
+    cat.delete_where("core.t", "k = 1")
+    view.refresh()
+    got = sorted(
+        (r.grp, r.cnt, r.total) for r in cat.table("core.agg").collect()
+    )
+    assert got == [("a", 1, 2.0), ("b", 1, 5.0)]
