@@ -98,3 +98,66 @@ def mixture_sample(
     from .sampling import hash_bucket
 
     return df.filter(hash_bucket(id_col, n_buckets) < rate_permille)
+
+
+def plan_mixture(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str | None = None,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Alpha-smoothed mixture planning (the multilingual-training
+    rebalancing rule, XLM-R style): target source shares are
+    ``p_i ∝ share_i ** alpha`` — ``alpha = 1`` keeps natural proportions,
+    ``alpha -> 0`` flattens toward uniform, between the two it upweights
+    low-resource sources at the expense of dominant ones. ``budget_frac``
+    scales the whole plan so the expected kept mass is that fraction of
+    the corpus.
+
+    Returns one row per source: ``(source, weight, natural_share,
+    target_share, rate_permille)`` where rate_permille is the per-source
+    keep rate to feed :func:`mixture_sample` (capped at 1000 — a source
+    whose target exceeds its natural mass keeps everything; sampling
+    cannot mint data, so true upsampling is an epoch-repeat concern, not
+    a filter's).
+
+    One aggregate over the corpus (weights = row counts, or a size
+    column such as token counts via ``weight_col``) plus driver-free
+    window math: the plan is a tiny frame, broadcast-joinable back onto
+    the corpus to derive each row's ``rate_permille``.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1]: {budget_frac}")
+    w = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).cast("double")
+    per = df.groupBy(source_col).agg(w.alias("weight"))
+    tot = Window.partitionBy()
+    per = per.withColumn(
+        "natural_share", F.col("weight") / F.sum("weight").over(tot)
+    )
+    smoothed = F.pow(F.col("natural_share"), F.lit(float(alpha)))
+    per = per.withColumn(
+        "target_share", smoothed / F.sum(smoothed).over(tot)
+    )
+    # Keep-rate: fraction of source i retained so kept mass lands on
+    # budget_frac * total distributed by target_share.
+    rate = (
+        F.lit(float(budget_frac))
+        * F.col("target_share")
+        / F.col("natural_share")
+    )
+    return per.select(
+        source_col,
+        "weight",
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.least(F.round(rate * 1000).cast("int"), F.lit(1000)).alias(
+            "rate_permille"
+        ),
+    )

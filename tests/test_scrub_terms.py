@@ -142,3 +142,103 @@ def test_mixture_keep_set_is_monotone_in_rate(spark):
             for r in mixture_sample(df, "doc_id", F.lit(rate)).collect()
         }
     assert kept[200] <= kept[500] <= kept[900]
+
+
+# --- plan_mixture: alpha-smoothed source rebalancing ----------------------
+
+
+def _mix_corpus(spark):
+    rows = (
+        [(f"w{i}", "web") for i in range(80)]
+        + [(f"b{i}", "books") for i in range(15)]
+        + [(f"c{i}", "code") for i in range(5)]
+    )
+    return spark.createDataFrame(rows, "doc_id STRING, source STRING")
+
+
+def test_plan_mixture_alpha_one_is_proportional(spark):
+    from certified_dogs_and_cats_spark.extensions.scrub import plan_mixture
+
+    plan = {
+        r.source: r
+        for r in plan_mixture(
+            _mix_corpus(spark), "source", alpha=1.0, budget_frac=0.5
+        ).collect()
+    }
+    # alpha=1: target == natural, so every source keeps ~budget_frac.
+    for s in ("web", "books", "code"):
+        assert plan[s].target_share == plan[s].natural_share
+        assert plan[s].rate_permille == 500
+
+
+def test_plan_mixture_alpha_zero_is_uniform(spark):
+    from certified_dogs_and_cats_spark.extensions.scrub import plan_mixture
+
+    plan = {
+        r.source: r
+        for r in plan_mixture(
+            _mix_corpus(spark), "source", alpha=0.0, budget_frac=0.3
+        ).collect()
+    }
+    # alpha=0: equal target shares (1/3 each); rare sources upweight until
+    # the keep-everything cap bites.
+    assert all(abs(plan[s].target_share - 1 / 3) < 1e-6 for s in plan)
+    assert plan["web"].rate_permille < plan["books"].rate_permille
+    assert plan["code"].rate_permille == 1000  # capped: can't mint data
+
+
+def test_plan_mixture_matches_python_reference_and_feeds_sampler(spark):
+    import pyspark.sql.functions as F
+
+    from certified_dogs_and_cats_spark.extensions.scrub import (
+        mixture_sample,
+        plan_mixture,
+    )
+
+    df = _mix_corpus(spark)
+    alpha, budget = 0.5, 0.4
+    plan = plan_mixture(df, "source", alpha=alpha, budget_frac=budget)
+    rows = {r.source: r for r in plan.collect()}
+    counts = {"web": 80, "books": 15, "code": 5}
+    total = sum(counts.values())
+    smoothed = {s: (c / total) ** alpha for s, c in counts.items()}
+    z = sum(smoothed.values())
+    for s, c in counts.items():
+        target = smoothed[s] / z
+        want = min(round(budget * target / (c / total) * 1000), 1000)
+        assert rows[s].rate_permille == want, s
+    # The plan drives the deterministic sampler via a broadcast join.
+    kept = mixture_sample(
+        df.join(F.broadcast(plan.select("source", "rate_permille")), "source"),
+        "doc_id",
+        F.col("rate_permille"),
+    )
+    n = kept.count()
+    assert 0 < n < total
+    # Determinism: the same plan keeps exactly the same rows.
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in kept.collect()
+    )
+
+
+def test_plan_mixture_weight_col_and_validation(spark):
+    import pytest as _pytest
+
+    from certified_dogs_and_cats_spark.extensions.scrub import plan_mixture
+
+    df = spark.createDataFrame(
+        [("a", "s1", 100), ("b", "s1", 100), ("c", "s2", 800)],
+        "doc_id STRING, source STRING, n_tokens INT",
+    )
+    plan = {
+        r.source: r
+        for r in plan_mixture(
+            df, "source", weight_col="n_tokens", alpha=1.0, budget_frac=1.0
+        ).collect()
+    }
+    # Token-weighted: s1 holds 200/1000 of the mass.
+    assert abs(plan["s1"].natural_share - 0.2) < 1e-6
+    with _pytest.raises(ValueError):
+        plan_mixture(df, "source", alpha=1.5)
+    with _pytest.raises(ValueError):
+        plan_mixture(df, "source", budget_frac=0.0)
