@@ -35,6 +35,55 @@ def as_double_vec(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "e",
+    weight_col: str | None = None,
+    mode: str = "mean",
+) -> DataFrame:
+    """(group, pooled) — pool many vectors per group into one: the
+    chunk-embeddings -> document-embedding step that closes the
+    chunk/embed loop (chunk_tokens splits docs, an embedder vectorizes
+    chunks, this folds them back).
+
+    ``mode``: 'mean' (optionally ``weight_col``-weighted — e.g. chunk
+    token counts, so long chunks count proportionally) or 'max'
+    (element-wise max pooling).
+
+    Plan shape: one posexplode to (group, dim, value) rows, one hash
+    aggregate on (group, dim), one collect back to an ordered array —
+    rows scale as |vectors| x dim with map-side partial aggregation,
+    which beats collecting whole vector lists per group (unbounded group
+    size would balloon a single aggregation buffer; per-dimension rows
+    never do). Dim mismatches within a group surface as NULL-padded
+    positions rather than silent truncation.
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max': {mode}")
+    cols = [F.col(group_col), F.posexplode(as_double_vec(vec_col))]
+    if weight_col is not None:
+        cols.insert(1, F.col(weight_col).cast("double").alias("__w"))
+    exploded = df.select(*cols).withColumnRenamed("col", "v")
+    if mode == "max":
+        per_dim = exploded.groupBy(group_col, "pos").agg(
+            F.max("v").alias("pv")
+        )
+    elif weight_col is not None:
+        per_dim = exploded.groupBy(group_col, "pos").agg(
+            (F.sum(F.col("v") * F.col("__w")) / F.sum("__w")).alias("pv")
+        )
+    else:
+        per_dim = exploded.groupBy(group_col, "pos").agg(
+            F.avg("v").alias("pv")
+        )
+    return per_dim.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "pv")))
+        .getField("pv")
+        .alias("pooled")
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic order).
 

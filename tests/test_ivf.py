@@ -108,3 +108,40 @@ def test_materialized_index_roundtrip_and_partition_pruning(
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "centroid_id" in m.group(1), plan
+
+
+# --- pool_embeddings: chunk vectors -> one vector per doc ------------------
+
+
+def test_pool_embeddings_mean_weighted_max(spark):
+    import pytest as _pytest
+
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        pool_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", [1.0, 2.0], 1),
+            ("d1", [3.0, 6.0], 3),
+            ("d2", [5.0, -1.0], 2),
+        ],
+        "doc STRING, e ARRAY<DOUBLE>, n INT",
+    )
+    mean = {
+        r.doc: list(r.pooled)
+        for r in pool_embeddings(df, "doc", "e").collect()
+    }
+    assert mean == {"d1": [2.0, 4.0], "d2": [5.0, -1.0]}
+    wmean = {
+        r.doc: list(r.pooled)
+        for r in pool_embeddings(df, "doc", "e", weight_col="n").collect()
+    }
+    assert wmean["d1"] == [(1 + 9) / 4, (2 + 18) / 4]
+    mx = {
+        r.doc: list(r.pooled)
+        for r in pool_embeddings(df, "doc", "e", mode="max").collect()
+    }
+    assert mx == {"d1": [3.0, 6.0], "d2": [5.0, -1.0]}
+    with _pytest.raises(ValueError):
+        pool_embeddings(df, "doc", "e", mode="median")
