@@ -141,6 +141,48 @@ def jaccard_pairs(
     )
 
 
+def tune_lsh(
+    threshold: float,
+    num_hashes: int = 32,
+    fn_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Pick the (n_bands, band_size) banding for :func:`lsh_candidate_pairs`
+    that best matches a target Jaccard ``threshold``: the candidate
+    probability S-curve is ``p(s) = 1 - (1 - s^r)^b`` (r = band_size,
+    b = n_bands), and the chosen banding minimizes the integrated error
+    ``fn_weight * (misses above threshold) + (false candidates below)``
+    — the standard MMDS construction, computed by brute force over the
+    divisors of ``num_hashes`` (there are only a handful). ``fn_weight``
+    > 1 biases toward recall: a missed near-dup is usually worse than a
+    wasted exact-verify.
+
+    Pure driver-side math (no Spark); returns the tuple to pass as
+    (num_hashes // band_size, band_size) consumers. Rule-of-thumb check:
+    the curve's midpoint (1/b)^(1/r) lands near ``threshold``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    steps = 1000
+    best: tuple[float, tuple[int, int]] | None = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        err = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s >= threshold:
+                err += fn_weight * (1.0 - p)  # miss above threshold
+            else:
+                err += p  # false candidate below
+        err /= steps
+        if best is None or err < best[0]:
+            best = (err, (b, r))
+    assert best is not None
+    return best[1]
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 32
 ) -> DataFrame:

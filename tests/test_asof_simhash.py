@@ -201,3 +201,28 @@ def test_asof_join_forward_direction(spark):
     assert fwd[(2, ts(10))] is None
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, right, on=["k"], direction="nearest")
+
+
+def test_tune_lsh_matches_s_curve_intuition():
+    import pytest as _pytest
+
+    from certified_dogs_and_cats_spark.extensions.dedup import tune_lsh
+
+    # High threshold -> wide bands (few, long); low threshold -> many
+    # short bands. Midpoint (1/b)^(1/r) should track the threshold.
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        b, r = tune_lsh(thr, num_hashes=32)
+        assert b * r == 32
+        midpoint = (1.0 / b) ** (1.0 / r)
+        assert abs(midpoint - thr) < 0.2, (thr, b, r, midpoint)
+    b_low, r_low = tune_lsh(0.3, 32)
+    b_high, r_high = tune_lsh(0.9, 32)
+    assert r_low < r_high  # lower threshold -> shorter bands
+    assert b_low > b_high
+    # Recall bias: weighting misses harder never shortens the bands'
+    # catch range (bands get more numerous or shorter).
+    b_w, r_w = tune_lsh(0.7, 32, fn_weight=5.0)
+    b_n, r_n = tune_lsh(0.7, 32, fn_weight=1.0)
+    assert r_w <= r_n
+    with _pytest.raises(ValueError):
+        tune_lsh(1.5)
