@@ -526,6 +526,8 @@ class DdlSession:
                 if os.path.isdir(spec.path)
                 else 0
             )
+            manifest = self.catalog._load_manifest(name)
+            n_dv = len(manifest[-1].get("dv", [])) if manifest else 0
             return self.catalog.spark.createDataFrame(
                 [
                     (
@@ -536,11 +538,17 @@ class DdlSession:
                         n_files,
                         self.catalog.current_version(name),
                         ",".join(sorted(spec.constraints)),
+                        ",".join(
+                            f"{k}={v}"
+                            for k, v in sorted(spec.properties.items())
+                        ),
+                        n_dv,
                     )
                 ],
                 "name string, format string, location string,"
                 " partition_columns string, num_files int, version int,"
-                " constraints string",
+                " constraints string, properties string,"
+                " num_deletion_vectors int",
             )
         if u.startswith("DESCRIBE HISTORY "):
             name = self.resolve(s.split()[-1])
