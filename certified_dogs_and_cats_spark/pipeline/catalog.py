@@ -72,6 +72,10 @@ class TableSpec:
     fmt: str = "parquet"
     constraints: dict[str, str] = field(default_factory=dict)
     properties: dict[str, str] = field(default_factory=dict)
+    # Generated columns (Delta GENERATED ALWAYS AS): col -> SQL expr over
+    # the row's other columns; computed when a writer omits the column,
+    # validated (null-safe equality) when a writer provides it.
+    generated: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -298,6 +302,14 @@ class Catalog:
                 for c in spec.schema.fieldNames()
             ]
         )
+        # Re-derive generated columns the SET didn't assign directly: an
+        # update to their source columns must refresh them (Delta UPDATE
+        # semantics); directly-assigned ones are validated instead.
+        regen = [c for c in spec.generated if c not in assignments]
+        if regen:
+            updated = updated.drop(*regen)
+        updated = self._apply_generated(spec, updated)
+        updated = updated.select(*spec.schema.fieldNames())
         self._check_constraints(name, updated, spec.constraints)
         dv_name = f"dv-{os.getpid()}-{time.time_ns()}"
         out = os.path.join(self._dv_dir(name), dv_name)
@@ -583,9 +595,39 @@ class Catalog:
         impossible, and the commit itself rebases+retries on conflict
         (see :meth:`_commit`), so concurrent appends all land."""
         spec = self.tables[name]
+        df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
         added = self._stage_files_in(spec, df)
         self._commit(name, "append", txn=txn, added=added)
+
+    def _apply_generated(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        """Delta generated-column write contract: compute each generated
+        column the writer omitted; validate (one limit-1 probe per
+        provided column, null-safe equality) the ones it supplied —
+        a provided value that disagrees with its expression is a
+        :class:`ConstraintViolation`, never silently accepted."""
+        from pyspark.sql import functions as F
+
+        for col, expr in spec.generated.items():
+            typ = next(
+                f.dataType for f in spec.schema.fields if f.name == col
+            )
+            computed = F.expr(expr).cast(typ)
+            if col not in df.columns:
+                df = df.withColumn(col, computed)
+            else:
+                bad = (
+                    df.filter(~F.col(col).eqNullSafe(computed))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise ConstraintViolation(
+                        f"{spec.name}: generated column {col!r} was "
+                        f"provided with value(s) that disagree with its "
+                        f"expression ({expr})"
+                    )
+        return df
 
     def _stage_files_in(self, spec: TableSpec, df: DataFrame) -> list[str]:
         """Write ``df`` to a writer-private staging directory and move the
@@ -987,6 +1029,7 @@ class Catalog:
         attaches an idempotent-writer marker to the commit (same mechanism
         as :meth:`append`)."""
         spec = self.tables[name]
+        df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
         tmp = spec.path + "__staging"
         writer = df.select(*[f.name for f in spec.schema.fields]).write.format(

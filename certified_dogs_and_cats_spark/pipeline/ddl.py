@@ -114,6 +114,29 @@ def _split_statements(sql: str) -> list[str]:
 _STR_LIT = re.compile(r"'(?:[^']|'')*'")
 
 
+def _balanced_parens(s: str, open_idx: int) -> tuple[str, str]:
+    """Given ``s`` with an '(' at ``open_idx``, return (inner text, text
+    after the matching ')') — nesting- and string-literal-aware, so
+    column lists may contain expression parens (GENERATED ALWAYS AS)."""
+    depth = 0
+    in_str = False
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1 : i], s[i + 1 :]
+    raise DdlError(f"unbalanced parentheses: {s[:120]}")
+
+
 def _split_top_level(text: str, sep: str) -> list[str]:
     """Split on ``sep`` occurrences outside parentheses and single-quoted
     string literals (SET-clause lists may contain function calls and
@@ -604,26 +627,46 @@ class DdlSession:
         )
         if ctas:
             return self._create_table_as(ctas)
+        head = re.match(
+            r"CREATE TABLE (?P<ine>IF NOT EXISTS )?(?P<name>[\w.]+) ?(?=\()",
+            s,
+            re.I,
+        )
+        if not head:
+            raise DdlError(f"bad CREATE TABLE: {s[:120]}")
+        # Balanced scan: the column list may itself contain parenthesized
+        # expressions (GENERATED ALWAYS AS (expr)).
+        cols_text, tail = _balanced_parens(s, head.end())
         m = re.match(
-            r"CREATE TABLE (IF NOT EXISTS )?(?P<name>[\w.]+) ?"
-            r"\((?P<cols>[^)]*)\)"
             r"(?: USING (?P<fmt>\w+))?"
             r"(?: PARTITIONED BY \((?P<parts>[^)]*)\))?"
             r"(?: DEFAULT COLLATION \w+)?"
             r"(?: LOCATION '(?P<loc>[^']*)')?"
             r"(?: TBLPROPERTIES ?\((?P<props>[^)]*)\))?\s*$",
-            s,
+            tail,
             re.I,
         )
         if not m:
-            raise DdlError(f"bad CREATE TABLE: {s[:120]}")
-        name = self.resolve(m.group("name"))
+            raise DdlError(f"bad CREATE TABLE clause tail: {tail[:120]}")
+        name = self.resolve(head.group("name"))
         if name in self.catalog.tables:
-            if m.group(1):  # IF NOT EXISTS
+            if head.group("ine"):  # IF NOT EXISTS
                 return None
             raise DdlError(f"table exists: {name}")
         fields = []
-        for coldef in m.group("cols").split(","):
+        generated: dict[str, str] = {}
+        for coldef in _split_top_level(cols_text, ","):
+            coldef = coldef.strip()
+            gm = re.match(
+                r"(?P<rest>.*?)\s+GENERATED ALWAYS AS ?(?=\()",
+                coldef,
+                re.I | re.S,
+            )
+            if gm:
+                expr, extra = _balanced_parens(coldef, gm.end())
+                if extra.strip():
+                    raise DdlError(f"bad column def: {coldef!r}")
+                coldef = gm.group("rest")
             toks = coldef.strip().split()
             if len(toks) < 2:
                 raise DdlError(f"bad column def: {coldef!r}")
@@ -632,6 +675,8 @@ class DdlSession:
                 raise DdlError(f"unsupported type {ctype!r} for {cname!r}")
             nullable = "NOT NULL" not in coldef.upper()
             fields.append(T.StructField(cname, _TYPE_MAP[ctype], nullable))
+            if gm:
+                generated[cname] = expr.strip()
         parts = tuple(
             p.strip() for p in (m.group("parts") or "").split(",") if p.strip()
         )
@@ -650,6 +695,7 @@ class DdlSession:
             r"'([^']+)'\s*=\s*'([^']*)'", m.group("props") or ""
         ):
             spec.properties[pm.group(1)] = pm.group(2)
+        spec.generated.update(generated)
         return None
 
     def _create_table_as(self, m: "re.Match[str]") -> None:
@@ -884,6 +930,11 @@ class DdlSession:
         full = aligned
         for f in spec.schema.fields:
             if f.name not in target_cols:
+                # Unlisted generated columns stay absent so the catalog
+                # computes them (Delta lets INSERT column lists omit
+                # them); other unlisted columns fill with NULL.
+                if f.name in spec.generated:
+                    continue
                 full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
         self.catalog.append(name, full)
         return None
@@ -985,6 +1036,11 @@ class DdlSession:
                 for c in spec.schema.fieldNames()
             ]
         )
+        # Generated columns not directly assigned re-derive from the
+        # post-update row (the catalog computes dropped ones on write).
+        regen = [c for c in spec.generated if c not in assignments]
+        if regen:
+            updated = updated.drop(*regen)
         self.catalog.overwrite(name, updated)
         return None
 

@@ -703,3 +703,51 @@ def test_show_tblproperties(ddl, catalog):
     ]
     with pytest.raises(DdlError):
         ddl.execute("SHOW TBLPROPERTIES nope")
+
+
+def test_generated_columns_lifecycle(ddl, catalog):
+    """GENERATED ALWAYS AS: computed when omitted, validated when
+    provided, re-derived on UPDATE of source columns."""
+    from certified_dogs_and_cats_spark.pipeline.catalog import (
+        ConstraintViolation,
+    )
+
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE gen (amt DOUBLE, yr INT, "
+        "bucket STRING GENERATED ALWAYS AS "
+        "(CASE WHEN amt >= 10 THEN 'big' ELSE 'small' END))"
+    )
+    # Column-list INSERT omits the generated column: computed.
+    ddl.execute("INSERT INTO gen (amt, yr) VALUES (3.0, 2024), (12.0, 2025)")
+    rows = {r.amt: r.bucket for r in catalog.table("core.gen").collect()}
+    assert rows == {3.0: "small", 12.0: "big"}
+    # Providing a CORRECT value passes; a wrong one raises.
+    ddl.execute("INSERT INTO gen VALUES (20.0, 2025, 'big')")
+    with pytest.raises(ConstraintViolation):
+        ddl.execute("INSERT INTO gen VALUES (1.0, 2025, 'big')")
+    assert catalog.table("core.gen").count() == 3
+    # UPDATE of the source column re-derives the generated one.
+    ddl.execute("UPDATE gen SET amt = 50.0 WHERE amt = 3.0")
+    rows = {r.amt: r.bucket for r in catalog.table("core.gen").collect()}
+    assert rows[50.0] == "big"
+
+
+def test_generated_column_api_append(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from certified_dogs_and_cats_spark.pipeline.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    spec = cat.register(
+        "core.g",
+        T.StructType(
+            [
+                T.StructField("x", T.IntegerType(), False),
+                T.StructField("x2", T.IntegerType(), True),
+            ]
+        ),
+    )
+    spec.generated["x2"] = "x * x"
+    cat.append("core.g", spark.createDataFrame([(3,)], "x INT"))
+    assert [(r.x, r.x2) for r in cat.table("core.g").collect()] == [(3, 9)]
