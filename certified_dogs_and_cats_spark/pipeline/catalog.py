@@ -586,15 +586,50 @@ class Catalog:
                 )
             )
 
-    def append(self, name: str, df: DataFrame, txn: dict | None = None) -> None:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        txn: dict | None = None,
+        merge_schema: bool = False,
+    ) -> None:
         """Blind append. The write is staged to a writer-private directory
         and the files are then moved in, so the commit records EXACTLY the
         files this writer produced — attribution never depends on what
         racing writers have in flight in the shared directory. Spark's
         UUID-bearing part filenames make cross-writer name collisions
         impossible, and the commit itself rebases+retries on conflict
-        (see :meth:`_commit`), so concurrent appends all land."""
+        (see :meth:`_commit`), so concurrent appends all land.
+
+        ``merge_schema=True`` (Delta ``mergeSchema`` parity) widens the
+        declared schema with any NEW columns the incoming frame carries
+        (nullable adds via :meth:`add_column` — pure metadata, existing
+        files read the column back as NULL; no data rewritten). Without
+        it, a wider frame is an error via the projection below — Delta's
+        default strict behavior."""
         spec = self.tables[name]
+        if merge_schema:
+            from pyspark.sql import functions as F
+
+            declared = {f.name for f in spec.schema.fields}
+            for f in df.schema.fields:
+                if f.name not in declared:
+                    self.add_column(
+                        name, T.StructField(f.name, f.dataType, True)
+                    )
+            # Symmetric direction: a frame missing nullable declared
+            # columns appends with typed NULLs (Delta's behavior).
+            for f in spec.schema.fields:
+                if (
+                    f.name not in df.columns
+                    and f.nullable
+                    # Generated columns stay absent so _apply_generated
+                    # computes them instead of validating a NULL fill.
+                    and f.name not in spec.generated
+                ):
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
         df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
         added = self._stage_files_in(spec, df)
@@ -1017,6 +1052,101 @@ class Catalog:
 
     def _trash_dir(self, name: str) -> str:
         return os.path.join(self.root, "_trash", name.replace(".", "/"))
+
+    def clone(
+        self,
+        src: str,
+        dst: str,
+        shallow: bool = True,
+        version: int | None = None,
+    ) -> TableSpec:
+        """``CREATE TABLE dst {SHALLOW|DEEP} CLONE src [VERSION AS OF v]``
+        (Delta CLONE parity). The clone is a NEW table with its OWN commit
+        log starting at version 1; subsequent writes to either table never
+        affect the other.
+
+        Shallow clone is zero-copy: every data file of the cloned source
+        version is hard-linked into the clone's directory — a
+        metadata-sized operation regardless of table size (the object-store
+        analog is Delta's reference-by-path shallow clone; hard links are
+        the local-FS equivalent with a strictly stronger guarantee: VACUUM
+        on the source unlinks its name but the clone's link keeps the bytes
+        alive, so a shallow clone here can never be orphaned). Deep clone
+        copies bytes.
+
+        Live deletion vectors at the cloned version carry over (sidecars
+        are linked/copied too, and the clone's first commit records them),
+        so merge-on-read deletes stay applied without materializing them.
+        """
+        if dst in self.tables:
+            raise ValueError(f"clone target exists: {dst}")
+        sspec = self.tables[src]
+        manifest = self._load_manifest(src)
+        if version is not None:
+            entry = next(
+                (e for e in manifest if e["version"] == version), None
+            )
+            if entry is None:
+                raise ValueError(f"{src}: version {version} does not exist")
+        else:
+            entry = manifest[-1] if manifest else {"files": [], "dv": []}
+        spec = TableSpec(
+            name=dst,
+            path=os.path.join(self.root, dst.replace(".", "/")),
+            schema=T.StructType(list(sspec.schema.fields)),
+            partition_by=tuple(sspec.partition_by),
+            fmt=sspec.fmt,
+            constraints=dict(sspec.constraints),
+            properties=dict(sspec.properties),
+            generated=dict(sspec.generated),
+        )
+        transfer = os.link if shallow else shutil.copy2
+        # Resolve each source file exactly like a time-travel read: live
+        # dir first, then newest-first trash stamps (a cloned OLD version's
+        # files may have been retired by a later overwrite).
+        trash = self._trash_dir(src)
+        stamps = (
+            sorted(os.listdir(trash), reverse=True)
+            if os.path.isdir(trash)
+            else []
+        )
+        for rel in entry.get("files", []):
+            src_file = os.path.join(sspec.path, rel)
+            if not os.path.isfile(src_file):
+                for stamp in stamps:
+                    cand = os.path.join(trash, stamp, rel)
+                    if os.path.isfile(cand):
+                        src_file = cand
+                        break
+                else:
+                    raise ValueError(
+                        f"{src}: cannot clone version "
+                        f"{entry.get('version')} — file {rel!r} was vacuumed"
+                    )
+            out = os.path.join(spec.path, rel)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            transfer(src_file, out)
+        dvs = list(entry.get("dv", []))
+        for rel in dvs:
+            src_dv = os.path.join(self._dv_dir(src), rel)
+            out = os.path.join(self._dv_dir(dst), rel)
+            if os.path.isdir(src_dv):
+                # DV sidecars are parquet directories — link/copy each
+                # part file (hard links don't apply to directories).
+                for dirpath, _dirs, files in os.walk(src_dv):
+                    for fn in files:
+                        sf = os.path.join(dirpath, fn)
+                        df_ = os.path.join(
+                            out, os.path.relpath(sf, src_dv)
+                        )
+                        os.makedirs(os.path.dirname(df_), exist_ok=True)
+                        transfer(sf, df_)
+            else:
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                transfer(src_dv, out)
+        self.tables[dst] = spec
+        self._commit(dst, "clone", dv=dvs or None)
+        return spec
 
     def overwrite(
         self, name: str, df: DataFrame, txn: dict | None = None

@@ -244,8 +244,8 @@ class DdlSession:
             return self._insert_into(stmt)
         # MERGE, possibly prefixed by a WITH-CTE block (the reference's
         # seed-upsert shape, sql/breed_mapping.py:560-618).
-        if re.search(r"\bMERGE INTO\b", masked_u) and (
-            masked_u.startswith("MERGE INTO ") or masked_u.startswith("WITH ")
+        if re.search(r"\bMERGE (?:WITH SCHEMA EVOLUTION )?INTO\b", masked_u) and (
+            masked_u.startswith("MERGE ") or masked_u.startswith("WITH ")
         ):
             return self._merge_into(stmt)
         if masked_u.startswith("DELETE FROM "):
@@ -273,8 +273,41 @@ class DdlSession:
             return self._create_materialized_view(s)
         if u.startswith("REFRESH MATERIALIZED VIEW "):
             return self._refresh_materialized_view(s)
+        cm = re.match(
+            r"CREATE TABLE (?:IF NOT EXISTS )?(?P<dst>[\w.]+) "
+            r"(?P<depth>SHALLOW|DEEP) CLONE (?P<src>[\w.]+)"
+            r"(?: VERSION AS OF (?P<v>\d+))?\s*$",
+            s,
+            re.I,
+        )
+        if cm:
+            src = self.resolve(cm.group("src"))
+            dst = self.resolve(cm.group("dst"))
+            if src not in self.catalog.tables:
+                raise DdlError(f"table not found: {src}")
+            if dst in self.catalog.tables:
+                if re.search(r"IF NOT EXISTS", s, re.I):
+                    return None
+                raise DdlError(f"table exists: {dst}")
+            try:
+                self.catalog.clone(
+                    src,
+                    dst,
+                    shallow=cm.group("depth").upper() == "SHALLOW",
+                    version=int(cm.group("v")) if cm.group("v") else None,
+                )
+            except ValueError as e:
+                raise DdlError(str(e)) from e
+            return None
         if re.match(r"CREATE (OR REPLACE )?TABLE", u):
             return self._create_table(stmt)
+        if u.startswith("SHOW CREATE TABLE "):
+            name = self.resolve(s.split()[-1])
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            return self.catalog.spark.createDataFrame(
+                [(self._show_create(name),)], "createtab_stmt string"
+            )
         if re.match(r"CREATE (OR REPLACE )?VIEW", u):
             return self._create_view(stmt)
         if u.startswith("DROP TABLE") or u.startswith("DROP VIEW"):
@@ -613,6 +646,52 @@ class DdlSession:
             raise DdlError(f"schema exists: {name}")
         self.schemas.add(name)
         return None
+
+    def _show_create(self, name: str) -> str:
+        """SHOW CREATE TABLE: reconstruct a statement this front door can
+        replay — columns (with NOT NULL / GENERATED ALWAYS AS), USING,
+        PARTITIONED BY, TBLPROPERTIES; CHECK constraints follow as ALTER
+        TABLE lines (Delta prints them as table properties; explicit DDL
+        is replayable here)."""
+        spec = self.catalog.tables[name]
+        type_names = {
+            T.IntegerType(): "INT",
+            T.LongType(): "BIGINT",
+            T.ShortType(): "SMALLINT",
+            T.StringType(): "STRING",
+            T.BooleanType(): "BOOLEAN",
+            T.TimestampType(): "TIMESTAMP",
+            T.DateType(): "DATE",
+            T.DoubleType(): "DOUBLE",
+            T.FloatType(): "FLOAT",
+        }
+        cols = []
+        for f in spec.schema.fields:
+            t = type_names.get(f.dataType, f.dataType.simpleString().upper())
+            col = f"  {f.name} {t}"
+            if f.name in spec.generated:
+                col += f" GENERATED ALWAYS AS ({spec.generated[f.name]})"
+            if not f.nullable:
+                col += " NOT NULL"
+            cols.append(col)
+        out = (
+            f"CREATE TABLE {self.current_catalog}.{name} (\n"
+            + ",\n".join(cols)
+            + f"\n) USING {spec.fmt}"
+        )
+        if spec.partition_by:
+            out += f"\nPARTITIONED BY ({', '.join(spec.partition_by)})"
+        if spec.properties:
+            props = ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(spec.properties.items())
+            )
+            out += f"\nTBLPROPERTIES ({props})"
+        for cname, expr in sorted(spec.constraints.items()):
+            out += (
+                f";\nALTER TABLE {self.current_catalog}.{name} "
+                f"ADD CONSTRAINT {cname} CHECK ({expr})"
+            )
+        return out
 
     def _create_table(self, stmt: str) -> None:
         s = re.sub(r"\s+", " ", stmt).strip()
@@ -1058,9 +1137,20 @@ class DdlSession:
         """
         s = re.sub(r"\s+", " ", stmt).strip()
         masked = _mask_literals(s)
-        mm = re.search(r"\bMERGE INTO\b", masked, re.I)
+        mm = re.search(r"\bMERGE (?:WITH SCHEMA EVOLUTION )?INTO\b", masked, re.I)
+        # Delta's `MERGE WITH SCHEMA EVOLUTION INTO`: NEW source columns
+        # widen the target schema (nullable metadata-only adds) before the
+        # merge, so UPDATE SET/INSERT may reference them.
+        evolve = "SCHEMA EVOLUTION" in masked[mm.start() : mm.end()].upper()
         ctes = s[: mm.start()].strip()  # "" or "WITH ..."
         merge = s[mm.start() :]
+        if evolve:
+            merge = re.sub(
+                r"^MERGE WITH SCHEMA EVOLUTION INTO\b",
+                "MERGE INTO",
+                merge,
+                flags=re.I,
+            )
         masked_merge = _mask_literals(merge)
         m = re.match(
             r"MERGE INTO (?P<target>[\w.]+)(?: AS)? (?P<t_alias>\w+) "
@@ -1101,6 +1191,14 @@ class DdlSession:
             source_df = self.catalog.spark.sql(
                 self._resolve_refs(f"SELECT * FROM {source_txt}")
             )
+
+        if evolve:
+            declared = {f.name for f in spec.schema.fields}
+            for f in source_df.schema.fields:
+                if f.name not in declared:
+                    self.catalog.add_column(
+                        target, T.StructField(f.name, f.dataType, True)
+                    )
 
         assignments: dict[str, str] = {}
         for part in _split_top(span("sets"), ","):
