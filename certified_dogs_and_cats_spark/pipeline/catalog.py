@@ -1286,6 +1286,75 @@ class Catalog:
         "boolean",
     )
 
+    # --- file-level data skipping ----------------------------------------
+
+    def file_stats(self, name: str) -> dict[str, dict]:
+        """Per-file footer statistics (rows, per-column min/max/nulls) for
+        the CURRENT version's live files — Delta's per-file stats analog,
+        computed from parquet footers (metadata-sized reads) and cached in
+        ``_meta/<table>/file_stats.json`` keyed by file size, so each
+        footer is read once per file ever."""
+        from .skipping import collect_file_stats
+
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        files = manifest[-1]["files"] if manifest else []
+        return collect_file_stats(
+            spec.path,
+            files,
+            os.path.join(self._meta_dir(name), "file_stats.json"),
+        )
+
+    def scan(self, name: str, predicate: str) -> DataFrame:
+        """Predicate-pruned read: open ONLY the files whose footer stats
+        (or partition-path values) admit a matching row, then apply the
+        full predicate as a real filter — row-identical to
+        ``table(name).filter(predicate)`` with strictly fewer files
+        opened. At 100 TB this is the scan API: a selective predicate on
+        a clustered column (see :meth:`compact` ``cluster_by``/
+        ``zorder_by``) touches a handful of files instead of the fleet.
+        Unrecognized predicate shapes prune nothing and still filter
+        correctly."""
+        from pyspark.sql import functions as F
+
+        from .skipping import keep_file, parse_conjuncts
+
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        if not manifest or not manifest[-1]["files"]:
+            return self.table(name).filter(F.expr(predicate))
+        head = manifest[-1]
+        stats = self.file_stats(name)
+        conjuncts = parse_conjuncts(predicate)
+        kept = [
+            rel
+            for rel in head["files"]
+            if keep_file(rel, stats.get(rel), conjuncts, spec.schema)
+        ]
+        if not kept:
+            return self.spark.createDataFrame([], spec.schema)
+        df = self._resolve_and_read(
+            spec, kept, head["version"], dvs=head.get("dv", [])
+        )
+        return df.filter(F.expr(predicate))
+
+    def pruned_files(self, name: str, predicate: str) -> tuple[int, int]:
+        """(files a :meth:`scan` would open, total live files) — the
+        skipping diagnostic (Delta's numFilesPruned)."""
+        from .skipping import keep_file, parse_conjuncts
+
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        files = manifest[-1]["files"] if manifest else []
+        stats = self.file_stats(name)
+        conjuncts = parse_conjuncts(predicate)
+        kept = sum(
+            1
+            for rel in files
+            if keep_file(rel, stats.get(rel), conjuncts, spec.schema)
+        )
+        return kept, len(files)
+
     def _stats_path(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "stats.json")
 

@@ -303,3 +303,61 @@ def export_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "scan_skipping_end_to_end",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_skipping_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping under the driver: load `orders` into a
+    catalog table clustered on o_totalprice (several files with disjoint
+    ranges), then answer a selective range predicate through
+    ``Catalog.scan`` — the footer-stats-pruned read path. The run asserts
+    that pruning actually skipped files (the stats did their job) AND the
+    green hash row proves the pruned read returns row-identical results
+    to the full-scan SQL. The money sum is DECIMAL-exact on both sides
+    (o_totalprice is a parquet DOUBLE summed as DECIMAL then cast)."""
+    from ..pipeline.catalog import Catalog
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="cdc_scan_skip_")
+    try:
+        cat = Catalog(spark, os.path.join(root, "wh"))
+        cat.register("core.orders_clustered", orders.schema)
+        # Range-partitioned write = disjoint o_totalprice ranges per file,
+        # the layout OPTIMIZE cluster_by produces at warehouse scale.
+        cat.append(
+            "core.orders_clustered",
+            orders.repartitionByRange(8, "o_totalprice"),
+        )
+        kept, total = cat.pruned_files(
+            "core.orders_clustered", "o_totalprice > 400000.0"
+        )
+        if not (0 < kept < total):
+            raise AssertionError(
+                f"data skipping ineffective: kept {kept} of {total} files"
+            )
+        agg = (
+            cat.scan("core.orders_clustered", "o_totalprice > 400000.0")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

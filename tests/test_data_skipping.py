@@ -1,0 +1,188 @@
+"""File-level data skipping: footer-stats pruning, partition-path pruning,
+conservative fallbacks, and scan == table+filter row identity."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from certified_dogs_and_cats_spark.pipeline.skipping import (
+    Conjunct,
+    keep_file,
+    parse_conjuncts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _ranges(catalog, spark, name, ranges):
+    """One append per range -> one (or more) files per disjoint k-range."""
+    catalog.register(name, SCHEMA)
+    for lo, hi in ranges:
+        rows = [(i, f"r{i}") for i in range(lo, hi)]
+        catalog.append(
+            name, spark.createDataFrame(rows, SCHEMA).coalesce(1)
+        )
+
+
+# --- predicate parsing ------------------------------------------------------
+
+
+def test_parse_conjuncts_shapes():
+    got = parse_conjuncts(
+        "k > 5 AND v = 'x' AND s IN (1, 2) AND q IS NULL AND r IS NOT NULL"
+        " AND 10 <= w AND some_udf(z) = 3"
+    )
+    assert Conjunct("k", ">", (5,)) in got
+    assert Conjunct("v", "=", ("x",)) in got
+    assert Conjunct("s", "in", (1, 2)) in got
+    assert Conjunct("q", "null", ()) in got
+    assert Conjunct("r", "notnull", ()) in got
+    assert Conjunct("w", ">=", (10,)) in got  # literal-first flipped
+    # The UDF conjunct is dropped (prunes nothing), not misparsed.
+    assert not any(c.col == "z" for c in got)
+
+
+def test_parse_respects_string_literals():
+    got = parse_conjuncts("v = 'a AND b'")
+    assert got == [Conjunct("v", "=", ("a AND b",))]
+
+
+# --- keep_file verdicts -----------------------------------------------------
+
+
+def test_keep_file_range_logic():
+    st = {"rows": 10, "cols": {"k": [10, 20, 0]}}
+    assert not keep_file("f", st, parse_conjuncts("k > 20"), SCHEMA)
+    assert keep_file("f", st, parse_conjuncts("k >= 20"), SCHEMA)
+    assert not keep_file("f", st, parse_conjuncts("k < 10"), SCHEMA)
+    assert keep_file("f", st, parse_conjuncts("k <= 10"), SCHEMA)
+    assert not keep_file("f", st, parse_conjuncts("k = 9"), SCHEMA)
+    assert keep_file("f", st, parse_conjuncts("k = 15"), SCHEMA)
+    assert not keep_file("f", st, parse_conjuncts("k IN (5, 25)"), SCHEMA)
+    assert keep_file("f", st, parse_conjuncts("k IN (5, 12)"), SCHEMA)
+
+
+def test_keep_file_null_logic():
+    no_nulls = {"rows": 10, "cols": {"k": [1, 5, 0]}}
+    all_null = {"rows": 10, "cols": {"k": [None, None, 10]}}
+    assert not keep_file("f", no_nulls, parse_conjuncts("k IS NULL"), SCHEMA)
+    assert not keep_file(
+        "f", all_null, parse_conjuncts("k IS NOT NULL"), SCHEMA
+    )
+    # Comparisons never match NULL rows: an all-null file is skippable.
+    assert not keep_file("f", all_null, parse_conjuncts("k > 3"), SCHEMA)
+
+
+def test_keep_file_conservative_without_stats():
+    assert keep_file("f", None, parse_conjuncts("k > 100"), SCHEMA)
+    assert keep_file(
+        "f", {"rows": 1, "cols": {}}, parse_conjuncts("k = 1"), SCHEMA
+    )
+    # Type-mismatched literal prunes nothing.
+    st = {"rows": 10, "cols": {"k": [1, 5, 0]}}
+    assert keep_file("f", st, parse_conjuncts("k = 'x'"), SCHEMA)
+
+
+def test_partition_path_values_prune():
+    part_schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("part", T.IntegerType())]
+    )
+    st = {"rows": 10, "cols": {}}
+    assert not keep_file(
+        "part=3/f.parquet", st, parse_conjuncts("part = 4"), part_schema
+    )
+    assert keep_file(
+        "part=3/f.parquet", st, parse_conjuncts("part = 3"), part_schema
+    )
+    # NULL-partition sentinel is never pruned.
+    assert keep_file(
+        "part=__HIVE_DEFAULT_PARTITION__/f.parquet",
+        st,
+        parse_conjuncts("part = 4"),
+        part_schema,
+    )
+
+
+# --- catalog integration ----------------------------------------------------
+
+
+def test_scan_prunes_and_matches_filter(catalog, spark):
+    _ranges(catalog, spark, "t.sk", [(0, 100), (100, 200), (200, 300)])
+    kept, total = catalog.pruned_files("t.sk", "k >= 250")
+    assert total == 3 and kept == 1
+    got = sorted(r.k for r in catalog.scan("t.sk", "k >= 250").collect())
+    want = sorted(range(250, 300))
+    assert got == want
+
+
+def test_scan_equals_filter_on_unprunable_predicate(catalog, spark):
+    _ranges(catalog, spark, "t.un", [(0, 50), (50, 100)])
+    pred = "pmod(k, 7) = 3"  # footer stats cannot prune an expression
+    kept, total = catalog.pruned_files("t.un", pred)
+    assert kept == total == 2
+    got = sorted(r.k for r in catalog.scan("t.un", pred).collect())
+    want = sorted(
+        r.k for r in catalog.table("t.un").filter(pred).collect()
+    )
+    assert got == want and got
+
+
+def test_scan_empty_prune_returns_empty_frame(catalog, spark):
+    _ranges(catalog, spark, "t.none", [(0, 10)])
+    df = catalog.scan("t.none", "k > 1000")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+
+
+def test_scan_respects_deletion_vectors(catalog, spark):
+    """Pruned reads still anti-join live DVs — a deleted row can never
+    resurface through the skipping path."""
+    _ranges(catalog, spark, "t.dv", [(0, 10), (10, 20)])
+    catalog.delete_where("t.dv", "k = 15")
+    got = sorted(r.k for r in catalog.scan("t.dv", "k >= 10").collect())
+    assert got == [10, 11, 12, 13, 14, 16, 17, 18, 19]
+
+
+def test_scan_string_column_pruning(catalog, spark):
+    catalog.register("t.str", SCHEMA)
+    catalog.append(
+        "t.str",
+        spark.createDataFrame([(1, "apple"), (2, "banana")], SCHEMA).coalesce(1),
+    )
+    catalog.append(
+        "t.str",
+        spark.createDataFrame([(3, "mango"), (4, "zebra")], SCHEMA).coalesce(1),
+    )
+    kept, total = catalog.pruned_files("t.str", "v = 'avocado'")
+    assert total == 2 and kept == 1
+    assert catalog.scan("t.str", "v = 'banana'").count() == 1
+
+
+def test_file_stats_cache_hits(catalog, spark):
+    _ranges(catalog, spark, "t.cache", [(0, 10)])
+    s1 = catalog.file_stats("t.cache")
+    s2 = catalog.file_stats("t.cache")
+    assert s1.keys() == s2.keys() and s1
+    for rel, st in s1.items():
+        assert st["rows"] == 10
+        assert st["cols"]["k"][0] == 0 and st["cols"]["k"][1] == 9
+
+
+def test_partitioned_table_scan_prunes_directories(catalog, spark):
+    part_schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("part", T.StringType())]
+    )
+    catalog.register("t.part", part_schema, partition_by=("part",))
+    rows = [(i, f"r{i}", "even" if i % 2 == 0 else "odd") for i in range(20)]
+    catalog.append("t.part", spark.createDataFrame(rows, part_schema))
+    kept, total = catalog.pruned_files("t.part", "part = 'even'")
+    assert kept < total
+    got = sorted(
+        r.k for r in catalog.scan("t.part", "part = 'even'").collect()
+    )
+    assert got == [i for i in range(20) if i % 2 == 0]
