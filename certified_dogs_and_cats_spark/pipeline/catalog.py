@@ -76,6 +76,11 @@ class TableSpec:
     # the row's other columns; computed when a writer omits the column,
     # validated (null-safe equality) when a writer provides it.
     generated: dict[str, str] = field(default_factory=dict)
+    # Identity columns (Delta GENERATED ALWAYS AS IDENTITY): col ->
+    # {"start": int, "step": int}. Values are engine-assigned (a writer
+    # providing the column is an error, Delta's ALWAYS contract); see
+    # Catalog._apply_identity for the allocation scheme.
+    identity: dict[str, dict] = field(default_factory=dict)
 
 
 @dataclass
@@ -630,10 +635,65 @@ class Catalog:
                     df = df.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
                     )
+        df = self._apply_identity(spec, df)
         df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
         added = self._stage_files_in(spec, df)
         self._commit(name, "append", txn=txn, added=added)
+
+    # Identity block size: ids within one write are base + partition_id *
+    # 2^33 + row_index_in_partition (monotonically_increasing_id's layout),
+    # so 2^44 headroom supports 2048 write partitions. Every write claims
+    # the NEXT block atomically (a linked claim file, same trick as the
+    # commit log), so concurrent writers always allocate disjoint ranges —
+    # Delta's identity semantics exactly: unique, monotonic per writer,
+    # gaps allowed, never rewinds.
+    _IDENTITY_BLOCK = 1 << 44
+
+    def _apply_identity(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for col, ident in spec.identity.items():
+            if col in df.columns:
+                raise ConstraintViolation(
+                    f"{spec.name}: {col!r} is GENERATED ALWAYS AS IDENTITY;"
+                    " writers cannot provide it"
+                )
+            idir = os.path.join(self._meta_dir(spec.name), "identity", col)
+            os.makedirs(idir, exist_ok=True)
+            # Atomic block claim: link n.claim, bumping n until we win.
+            taken = [
+                int(fn[: -len(".claim")])
+                for fn in os.listdir(idir)
+                if fn.endswith(".claim")
+            ]
+            n = max(taken, default=0) + 1
+            tmp = os.path.join(idir, f".tmp-{os.getpid()}-{time.time_ns()}")
+            with open(tmp, "w") as f:
+                f.write("")
+            while True:
+                try:
+                    os.link(tmp, os.path.join(idir, f"{n}.claim"))
+                    break
+                except FileExistsError:
+                    n += 1
+            os.unlink(tmp)
+            start, step = ident.get("start", 1), ident.get("step", 1)
+            base = start + (n - 1) * self._IDENTITY_BLOCK * step
+            df = df.withColumn(
+                col,
+                (
+                    F.lit(base)
+                    + F.monotonically_increasing_id() * F.lit(step)
+                ).cast(
+                    next(
+                        f.dataType
+                        for f in spec.schema.fields
+                        if f.name == col
+                    )
+                ),
+            )
+        return df
 
     def _apply_generated(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         """Delta generated-column write contract: compute each generated
@@ -1099,7 +1159,19 @@ class Catalog:
             constraints=dict(sspec.constraints),
             properties=dict(sspec.properties),
             generated=dict(sspec.generated),
+            identity=dict(sspec.identity),
         )
+        # Identity high watermarks carry over (Delta clone semantics):
+        # replay the source's block claims so the clone's next append
+        # allocates ABOVE every id already present in the cloned data.
+        src_ident = os.path.join(self._meta_dir(src), "identity")
+        if os.path.isdir(src_ident):
+            for col in os.listdir(src_ident):
+                ddir = os.path.join(self._meta_dir(dst), "identity", col)
+                os.makedirs(ddir, exist_ok=True)
+                for fn in os.listdir(os.path.join(src_ident, col)):
+                    if fn.endswith(".claim"):
+                        open(os.path.join(ddir, fn), "w").close()
         transfer = os.link if shallow else shutil.copy2
         # Resolve each source file exactly like a time-travel read: live
         # dir first, then newest-first trash stamps (a cloned OLD version's
@@ -1159,6 +1231,7 @@ class Catalog:
         attaches an idempotent-writer marker to the commit (same mechanism
         as :meth:`append`)."""
         spec = self.tables[name]
+        df = self._apply_identity(spec, df)
         df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
         tmp = spec.path + "__staging"

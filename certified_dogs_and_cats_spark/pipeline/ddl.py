@@ -671,6 +671,13 @@ class DdlSession:
             col = f"  {f.name} {t}"
             if f.name in spec.generated:
                 col += f" GENERATED ALWAYS AS ({spec.generated[f.name]})"
+            if f.name in spec.identity:
+                ident = spec.identity[f.name]
+                col += (
+                    " GENERATED ALWAYS AS IDENTITY (START WITH"
+                    f" {ident.get('start', 1)} INCREMENT BY"
+                    f" {ident.get('step', 1)})"
+                )
             if not f.nullable:
                 col += " NOT NULL"
             cols.append(col)
@@ -734,8 +741,33 @@ class DdlSession:
             raise DdlError(f"table exists: {name}")
         fields = []
         generated: dict[str, str] = {}
+        identity: dict[str, dict] = {}
         for coldef in _split_top_level(cols_text, ","):
             coldef = coldef.strip()
+            im = re.match(
+                r"(?P<rest>.*?)\s+GENERATED ALWAYS AS IDENTITY"
+                r"(?: ?\( ?START WITH (?P<start>-?\d+)"
+                r" INCREMENT BY (?P<step>-?\d+) ?\))?\s*$",
+                coldef,
+                re.I | re.S,
+            )
+            if im:
+                toks = im.group("rest").strip().split()
+                if len(toks) < 2:
+                    raise DdlError(f"bad column def: {coldef!r}")
+                cname, ctype = toks[0], toks[1].upper()
+                if ctype not in ("BIGINT", "INT", "INTEGER"):
+                    raise DdlError(
+                        f"identity column {cname!r} must be BIGINT/INT"
+                    )
+                fields.append(
+                    T.StructField(cname, _TYPE_MAP[ctype], True)
+                )
+                identity[cname] = {
+                    "start": int(im.group("start") or 1),
+                    "step": int(im.group("step") or 1),
+                }
+                continue
             gm = re.match(
                 r"(?P<rest>.*?)\s+GENERATED ALWAYS AS ?(?=\()",
                 coldef,
@@ -775,6 +807,7 @@ class DdlSession:
         ):
             spec.properties[pm.group(1)] = pm.group(2)
         spec.generated.update(generated)
+        spec.identity.update(identity)
         return None
 
     def _create_table_as(self, m: "re.Match[str]") -> None:
@@ -1009,10 +1042,10 @@ class DdlSession:
         full = aligned
         for f in spec.schema.fields:
             if f.name not in target_cols:
-                # Unlisted generated columns stay absent so the catalog
-                # computes them (Delta lets INSERT column lists omit
-                # them); other unlisted columns fill with NULL.
-                if f.name in spec.generated:
+                # Unlisted generated/identity columns stay absent so the
+                # catalog computes them (Delta lets INSERT column lists
+                # omit them); other unlisted columns fill with NULL.
+                if f.name in spec.generated or f.name in spec.identity:
                     continue
                 full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
         self.catalog.append(name, full)
