@@ -1,0 +1,107 @@
+"""Python data source streaming the catalog change feed: incremental
+AvailableNow drains, change-commit contract, partitioned tables, and
+exactly-once resumption from the stream checkpoint."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+from pyspark.sql.utils import StreamingQueryException
+
+from certified_dogs_and_cats_spark.streaming import run_available_now_memory
+from certified_dogs_and_cats_spark.streaming.cdf_source import (
+    stream_table_changes,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _drain(catalog, name, ckpt, **kw):
+    df = stream_table_changes(catalog, name, **kw)
+    return run_available_now_memory(df, ckpt, output_mode="append")
+
+
+def test_streams_appends_as_inserts(catalog, spark, tmp_path):
+    catalog.register("t.feed", SCHEMA)
+    catalog.append("t.feed", spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    catalog.append("t.feed", spark.createDataFrame([(3, "c")], SCHEMA))
+    got = _drain(catalog, "t.feed", str(tmp_path / "ck")).collect()
+    rows = sorted((r.k, r.v, r._change_type, r._commit_version) for r in got)
+    assert rows == [
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+        (3, "c", "insert", 2),
+    ]
+
+
+def test_checkpoint_resumes_incrementally(catalog, spark, tmp_path):
+    """A second drain with the SAME checkpoint processes only commits made
+    after the first drain — the exactly-once streaming contract (file
+    sink: the memory sink cannot recover a checkpoint)."""
+    from certified_dogs_and_cats_spark.streaming import run_available_now
+
+    catalog.register("t.inc", SCHEMA)
+    catalog.append("t.inc", spark.createDataFrame([(1, "a")], SCHEMA))
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    run_available_now(stream_table_changes(catalog, "t.inc"), sink, ck)
+    assert [r.k for r in spark.read.parquet(sink).collect()] == [1]
+    catalog.append("t.inc", spark.createDataFrame([(2, "b")], SCHEMA))
+    run_available_now(stream_table_changes(catalog, "t.inc"), sink, ck)
+    got = spark.read.parquet(sink).collect()
+    # No duplicate of k=1: the checkpoint advanced past version 1.
+    assert sorted(r.k for r in got) == [1, 2]
+    assert all(r._commit_version == 2 for r in got if r.k == 2)
+
+
+def test_starting_version_skips_history(catalog, spark, tmp_path):
+    catalog.register("t.sv", SCHEMA)
+    catalog.append("t.sv", spark.createDataFrame([(1, "a")], SCHEMA))
+    catalog.append("t.sv", spark.createDataFrame([(2, "b")], SCHEMA))
+    got = _drain(
+        catalog, "t.sv", str(tmp_path / "ck"), starting_version=1
+    ).collect()
+    assert [(r.k, r._commit_version) for r in got] == [(2, 2)]
+
+
+def test_change_commit_fails_stream_by_default(catalog, spark, tmp_path):
+    catalog.register("t.chg", SCHEMA)
+    catalog.append("t.chg", spark.createDataFrame([(1, "a")], SCHEMA))
+    catalog.overwrite("t.chg", spark.createDataFrame([(9, "z")], SCHEMA))
+    with pytest.raises(StreamingQueryException, match="skipChangeCommits"):
+        _drain(catalog, "t.chg", str(tmp_path / "ck"))
+
+
+def test_skip_change_commits_keeps_tailing(catalog, spark, tmp_path):
+    catalog.register("t.skip", SCHEMA)
+    catalog.append("t.skip", spark.createDataFrame([(1, "a")], SCHEMA))
+    catalog.overwrite("t.skip", spark.createDataFrame([(9, "z")], SCHEMA))
+    catalog.append("t.skip", spark.createDataFrame([(2, "b")], SCHEMA))
+    got = _drain(
+        catalog, "t.skip", str(tmp_path / "ck"), skip_change_commits=True
+    ).collect()
+    # v1 append + v3 append stream; the v2 overwrite is skipped.
+    assert sorted((r.k, r._commit_version) for r in got) == [(1, 1), (2, 3)]
+
+
+def test_partitioned_table_streams_partition_values(catalog, spark, tmp_path):
+    part_schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("part", T.StringType())]
+    )
+    catalog.register("t.pfeed", part_schema, partition_by=("part",))
+    catalog.append(
+        "t.pfeed",
+        spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], part_schema),
+    )
+    got = _drain(catalog, "t.pfeed", str(tmp_path / "ck")).collect()
+    assert sorted((r.k, r.part) for r in got) == [(1, "x"), (2, "y")]
+
+
+def test_empty_table_streams_nothing(catalog, spark, tmp_path):
+    catalog.register("t.empty", SCHEMA)
+    got = _drain(catalog, "t.empty", str(tmp_path / "ck")).collect()
+    assert got == []
