@@ -649,3 +649,37 @@ def json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unparsed"
         ),
     )
+
+
+@query(
+    "variant_extract_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS min_k,
+           CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured columns: ``parse_json``
+    converts each props string ONCE into the binary Variant encoding
+    (shredded, navigable without re-parsing), then ``variant_get`` with a
+    typed path does the extraction — the open-format successor to
+    from_json-with-declared-schema when the schema is not known up front
+    (no schema declared here, unlike json_typed_extract above). Absent
+    paths yield NULL, counted via n_with_k instead of vanishing."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("p")
+    )
+    k = F.variant_get("p", "$.k", "int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.count(k).alias("n_with_k"),
+    )

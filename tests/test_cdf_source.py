@@ -105,3 +105,40 @@ def test_empty_table_streams_nothing(catalog, spark, tmp_path):
     catalog.register("t.empty", SCHEMA)
     got = _drain(catalog, "t.empty", str(tmp_path / "ck")).collect()
     assert got == []
+
+
+def test_cdc_replication_source_to_replica(catalog, spark, tmp_path):
+    """End-to-end CDC replication composed from the engine's own pieces:
+    change-feed stream (this source) -> streaming MERGE upsert sink ->
+    replica table converges to the source across incremental drains."""
+    from certified_dogs_and_cats_spark.streaming import stream_merge_upsert
+
+    catalog.register("t.src_rep", SCHEMA)
+    catalog.register("t.replica", SCHEMA)
+    catalog.append(
+        "t.src_rep", spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    )
+    ck = str(tmp_path / "ck")
+
+    def replicate():
+        feed = stream_table_changes(catalog, "t.src_rep").select("k", "v")
+        stream_merge_upsert(
+            feed, catalog, "t.replica", ("k",), ("v",), ck, "replicator"
+        )
+
+    replicate()
+    assert sorted((r.k, r.v) for r in catalog.table("t.replica").collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # Incremental: a late append (including a key rewrite arriving as a
+    # fresh insert) merges into the replica on the next drain.
+    catalog.append(
+        "t.src_rep", spark.createDataFrame([(2, "B2"), (3, "c")], SCHEMA)
+    )
+    replicate()
+    assert sorted((r.k, r.v) for r in catalog.table("t.replica").collect()) == [
+        (1, "a"),
+        (2, "B2"),
+        (3, "c"),
+    ]
