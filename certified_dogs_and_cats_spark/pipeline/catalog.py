@@ -81,6 +81,31 @@ class TableSpec:
     # providing the column is an error, Delta's ALWAYS contract); see
     # Catalog._apply_identity for the allocation scheme.
     identity: dict[str, dict] = field(default_factory=dict)
+    # Column mapping (Delta columnMapping.mode=name): logical column ->
+    # physical name stored in data files. Empty = identity mapping. Only
+    # populated by metadata-only RENAME/DROP COLUMN on tables with
+    # TBLPROPERTIES ('delta.columnMapping.mode'='name'); persisted in
+    # _meta/<table>/column_map.json so it survives sessions.
+    column_map: dict[str, str] = field(default_factory=dict)
+    # Physical names present in existing files but no longer mapped to a
+    # logical column (metadata-only drops): reserved so a re-added column
+    # can never resurrect old bytes.
+    dropped_physical: list[str] = field(default_factory=list)
+
+    def physical(self, logical: str) -> str:
+        return self.column_map.get(logical, logical)
+
+    def physical_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(self.physical(f.name), f.dataType, f.nullable)
+                for f in self.schema.fields
+            ]
+        )
+
+    @property
+    def mapping_mode(self) -> bool:
+        return self.properties.get("delta.columnMapping.mode") == "name"
 
 
 @dataclass
@@ -104,6 +129,9 @@ class Catalog:
             fmt=fmt,
         )
         self.tables[name] = spec
+        # Rehydrate any persisted column mapping (metadata-only renames
+        # survive sessions; the registered schema uses logical names).
+        self.load_column_map(name)
         return spec
 
     def exists(self, name: str) -> bool:
@@ -133,15 +161,21 @@ class Catalog:
             return self._read_version(spec, version)
         if not self.exists(name):
             return self.spark.createDataFrame([], spec.schema)
-        df = self.spark.read.format(spec.fmt).schema(spec.schema).load(spec.path)
+        df = (
+            self.spark.read.format(spec.fmt)
+            .schema(spec.physical_schema())
+            .load(spec.path)
+        )
         manifest = self._load_manifest(name)
         dvs = manifest[-1].get("dv", []) if manifest else []
         if dvs:
             df = self._apply_dv(spec, df, dvs)
         # Partition columns come back typed by directory inference; project
-        # to the declared column order and types.
+        # to the declared column order and types (physical file names map
+        # back to logical declared names — Delta column mapping).
         cols = [
-            df[f.name].cast(f.dataType).alias(f.name) for f in spec.schema.fields
+            df[spec.physical(f.name)].cast(f.dataType).alias(f.name)
+            for f in spec.schema.fields
         ]
         return df.select(*cols)
 
@@ -208,15 +242,24 @@ class Catalog:
             deleted = cur.count()
             self.overwrite(name, keep)
             return deleted - self.table(name).count()
-        df = self.spark.read.format(spec.fmt).schema(spec.schema).load(spec.path)
+        df = (
+            self.spark.read.format(spec.fmt)
+            .schema(spec.physical_schema())
+            .load(spec.path)
+        )
         manifest = self._load_manifest(name)
         prior = manifest[-1].get("dv", []) if manifest else []
         root = os.path.abspath(spec.path)
         # Key every row by its (relative file, row_index) identity FIRST —
         # the same columns serve to exclude already-tombstoned rows (don't
-        # re-tombstone) and to emit the new tombstones.
+        # re-tombstone) and to emit the new tombstones. Physical file
+        # columns alias back to logical names in the SAME projection (the
+        # _metadata pseudo-column is only reachable from the scan frame).
         keyed = df.select(
-            "*",
+            *[
+                df[spec.physical(f.name)].alias(f.name)
+                for f in spec.schema.fields
+            ],
             F.expr(
                 f"substring_index(_metadata.file_path, '{root}/', -1)"
             ).alias("__f"),
@@ -272,12 +315,19 @@ class Catalog:
             raise ValueError(f"unknown column(s) in SET: {unknown}")
         if not self.exists(name):
             return 0
-        df = self.spark.read.format(spec.fmt).schema(spec.schema).load(spec.path)
+        df = (
+            self.spark.read.format(spec.fmt)
+            .schema(spec.physical_schema())
+            .load(spec.path)
+        )
         manifest = self._load_manifest(name)
         prior = manifest[-1].get("dv", []) if manifest else []
         root = os.path.abspath(spec.path)
         keyed = df.select(
-            "*",
+            *[
+                df[spec.physical(f.name)].alias(f.name)
+                for f in spec.schema.fields
+            ],
             F.expr(
                 f"substring_index(_metadata.file_path, '{root}/', -1)"
             ).alias("__f"),
@@ -650,6 +700,20 @@ class Catalog:
     # gaps allowed, never rewinds.
     _IDENTITY_BLOCK = 1 << 44
 
+    @staticmethod
+    def _to_physical(spec: TableSpec, df: DataFrame) -> DataFrame:
+        """Project a LOGICAL frame to the physical file columns (declared
+        order, mapped names) — every data-file write funnels through this,
+        so files always store physical names (Delta column mapping)."""
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[
+                F.col(f.name).alias(spec.physical(f.name))
+                for f in spec.schema.fields
+            ]
+        )
+
     def _apply_identity(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -730,7 +794,7 @@ class Catalog:
         writer added (Spark's UUID-bearing part filenames make cross-writer
         collisions impossible)."""
         staging = f"{spec.path}__append_{os.getpid()}_{time.time_ns()}"
-        writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
+        writer = self._to_physical(spec, df).write.format(
             spec.fmt
         ).mode("overwrite")
         if spec.partition_by:
@@ -817,12 +881,14 @@ class Catalog:
         # union is anti-joined against the DV set.
         parts = []
         for root, rels in by_root.items():
-            reader = self.spark.read.format(spec.fmt).schema(spec.schema)
+            reader = self.spark.read.format(spec.fmt).schema(
+                spec.physical_schema()
+            )
             if spec.partition_by:
                 reader = reader.option("basePath", root)
             df = reader.load([os.path.join(root, r) for r in rels])
             cols = [
-                df[f.name].cast(f.dataType).alias(f.name)
+                df[spec.physical(f.name)].cast(f.dataType).alias(f.name)
                 for f in spec.schema.fields
             ]
             if dvs:
@@ -977,6 +1043,18 @@ class Catalog:
             )
         if any(f.name == field.name for f in spec.schema.fields):
             raise ValueError(f"column exists: {field.name}")
+        # Under column mapping a new logical name must never collide with
+        # a physical name already present in files (live or tombstoned by
+        # a metadata-only drop) — that would resurrect old bytes.
+        in_use = {spec.physical(f.name) for f in spec.schema.fields} | set(
+            spec.dropped_physical
+        )
+        if spec.mapping_mode and field.name in in_use:
+            n = 1
+            while f"{field.name}_r{n}" in in_use:
+                n += 1
+            spec.column_map[field.name] = f"{field.name}_r{n}"
+            self._save_column_map(spec)
         spec.schema = T.StructType([*spec.schema.fields, field])
 
     def _guard_column_change(self, spec: TableSpec, col: str) -> None:
@@ -997,22 +1075,62 @@ class Catalog:
                 f"column {col!r} is referenced by constraint(s) {hit}; "
                 "drop them first"
             )
+        gen_hit = [
+            g
+            for g, expr in spec.generated.items()
+            if g != col
+            and re.search(rf"(?<!\w){re.escape(col)}(?!\w)", expr)
+        ]
+        if gen_hit:
+            raise ValueError(
+                f"column {col!r} is referenced by generated column(s) "
+                f"{gen_hit}; drop them first"
+            )
+
+    # --- column mapping persistence --------------------------------------
+
+    def _column_map_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "column_map.json")
+
+    def _save_column_map(self, spec: TableSpec) -> None:
+        os.makedirs(self._meta_dir(spec.name), exist_ok=True)
+        tmp = self._column_map_path(spec.name) + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"map": spec.column_map, "dropped": spec.dropped_physical}, f
+            )
+        os.replace(tmp, self._column_map_path(spec.name))
+
+    def load_column_map(self, name: str) -> None:
+        """Rehydrate the logical->physical map from the table's metadata
+        (new sessions re-register schemas; the mapping must come from disk
+        or renamed columns would read the wrong physical name)."""
+        spec = self.tables[name]
+        path = self._column_map_path(name)
+        if os.path.isfile(path):
+            with open(path) as f:
+                data = json.load(f)
+            spec.column_map = dict(data.get("map", {}))
+            spec.dropped_physical = list(data.get("dropped", []))
 
     def rename_column(self, name: str, old: str, new: str) -> None:
-        """ALTER TABLE RENAME COLUMN — copy-on-write: the table is
-        rewritten with the column renamed (parquet has no in-place rename
-        without column-mapping metadata, which plain readers would not
-        honor), and the declared schema updates with it. Prior versions
-        keep the old name; partition and constraint-referenced columns
-        refuse."""
+        """ALTER TABLE RENAME COLUMN.
+
+        With TBLPROPERTIES ('delta.columnMapping.mode'='name') this is
+        METADATA-ONLY (Delta column mapping): the physical name in every
+        existing file stays, only the logical->physical map changes — at
+        100 TB a rename costs one JSON write instead of rewriting the
+        fleet, and time travel keeps working because old files' physical
+        names never change. Without the property it is the classic
+        copy-on-write rewrite. Partition, constraint-referenced, and
+        generated-expr-referenced columns refuse either way."""
         from pyspark.sql import functions as F
 
         spec = self.tables[name]
         self._guard_column_change(spec, old)
         if any(f.name == new for f in spec.schema.fields):
             raise ValueError(f"column exists: {new}")
-        df = self.table(name).withColumnRenamed(old, new)
-        spec.schema = T.StructType(
+        new_schema = T.StructType(
             [
                 T.StructField(new, f.dataType, f.nullable)
                 if f.name == old
@@ -1020,21 +1138,49 @@ class Catalog:
                 for f in spec.schema.fields
             ]
         )
+        if spec.mapping_mode:
+            spec.column_map[new] = spec.physical(old)
+            spec.column_map.pop(old, None)
+            spec.schema = new_schema
+            if old in spec.generated:
+                spec.generated[new] = spec.generated.pop(old)
+            if old in spec.identity:
+                spec.identity[new] = spec.identity.pop(old)
+            self._save_column_map(spec)
+            if self.exists(name):
+                self._commit(name, "rename_column")
+            return
+        df = self.table(name).withColumnRenamed(old, new)
+        spec.schema = new_schema
         self.overwrite(name, df.select(*[F.col(f.name) for f in spec.schema.fields]))
 
     def drop_column(self, name: str, col: str) -> None:
-        """ALTER TABLE DROP COLUMN — copy-on-write rewrite without the
-        column; prior versions still carry it (time travel reads the old
-        schema's data files with the old declared schema snapshot is NOT
-        kept — the dropped column reads back absent)."""
+        """ALTER TABLE DROP COLUMN.
+
+        Under column mapping (see :meth:`rename_column`) this is
+        metadata-only: the physical column stays in existing files but is
+        unmapped (and its name is reserved so a re-added column can never
+        resurrect the old bytes — Delta's tombstoned-field rule).
+        Otherwise a copy-on-write rewrite without the column."""
         spec = self.tables[name]
         self._guard_column_change(spec, col)
         if len(spec.schema.fields) == 1:
             raise ValueError("cannot drop the only column")
-        df = self.table(name).drop(col)
-        spec.schema = T.StructType(
+        new_schema = T.StructType(
             [f for f in spec.schema.fields if f.name != col]
         )
+        if spec.mapping_mode:
+            spec.dropped_physical.append(spec.physical(col))
+            spec.column_map.pop(col, None)
+            spec.generated.pop(col, None)
+            spec.identity.pop(col, None)
+            spec.schema = new_schema
+            self._save_column_map(spec)
+            if self.exists(name):
+                self._commit(name, "drop_column")
+            return
+        df = self.table(name).drop(col)
+        spec.schema = new_schema
         self.overwrite(name, df)
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> int:
@@ -1063,7 +1209,7 @@ class Catalog:
         # partitions that were never retired).
         tmp = spec.path + "__inc_staging"
         shutil.rmtree(tmp, ignore_errors=True)
-        writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
+        writer = self._to_physical(spec, df).write.format(
             spec.fmt
         ).mode("overwrite").partitionBy(*spec.partition_by)
         writer.save(tmp)
@@ -1160,7 +1306,13 @@ class Catalog:
             properties=dict(sspec.properties),
             generated=dict(sspec.generated),
             identity=dict(sspec.identity),
+            column_map=dict(sspec.column_map),
+            dropped_physical=list(sspec.dropped_physical),
         )
+        if spec.column_map or spec.dropped_physical:
+            # Persist the inherited mapping under the clone's own meta dir
+            # (spec.name is dst, so _save_column_map writes there).
+            self._save_column_map(spec)
         # Identity high watermarks carry over (Delta clone semantics):
         # replay the source's block claims so the clone's next append
         # allocates ABOVE every id already present in the cloned data.
@@ -1235,7 +1387,7 @@ class Catalog:
         df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
         tmp = spec.path + "__staging"
-        writer = df.select(*[f.name for f in spec.schema.fields]).write.format(
+        writer = self._to_physical(spec, df).write.format(
             spec.fmt
         ).mode("overwrite")
         if spec.partition_by:
@@ -1402,7 +1554,9 @@ class Catalog:
         kept = [
             rel
             for rel in head["files"]
-            if keep_file(rel, stats.get(rel), conjuncts, spec.schema)
+            if keep_file(
+                rel, stats.get(rel), conjuncts, spec.schema, spec.column_map
+            )
         ]
         if not kept:
             return self.spark.createDataFrame([], spec.schema)
@@ -1424,7 +1578,9 @@ class Catalog:
         kept = sum(
             1
             for rel in files
-            if keep_file(rel, stats.get(rel), conjuncts, spec.schema)
+            if keep_file(
+                rel, stats.get(rel), conjuncts, spec.schema, spec.column_map
+            )
         )
         return kept, len(files)
 

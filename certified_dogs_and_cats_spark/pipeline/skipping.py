@@ -254,18 +254,25 @@ def keep_file(
     stats: dict | None,
     conjuncts: list[Conjunct],
     schema: T.StructType,
+    column_map: dict[str, str] | None = None,
 ) -> bool:
     """False only when the stats PROVE no row in the file can satisfy the
-    predicate. Missing stats for a referenced column keep the file."""
+    predicate. Missing stats for a referenced column keep the file.
+    ``column_map`` translates logical predicate columns to the physical
+    names footer stats are keyed by (Delta column mapping)."""
     parts = _partition_values(rel, schema)
     rows = stats.get("rows") if stats else None
     cols = stats.get("cols", {}) if stats else {}
+    cmap = column_map or {}
+    if rows == 0 and conjuncts:
+        return False  # an empty part file can never satisfy a predicate
     for c in conjuncts:
+        phys = cmap.get(c.col, c.col)
         if c.col in parts:
             mn = mx = parts[c.col]
             nulls = 0
-        elif c.col in cols:
-            mn, mx, nulls = cols[c.col]
+        elif phys in cols:
+            mn, mx, nulls = cols[phys]
         else:
             continue  # no stats for this column -> cannot prune on it
         if c.op == "null":

@@ -241,6 +241,12 @@ def stream_table_changes(
 
     register(catalog.spark)
     spec = catalog.tables[name]
+    if getattr(spec, "column_map", None):
+        raise ValueError(
+            f"{name}: the streaming source reads physical file columns"
+            " and does not translate column mapping yet — tail the"
+            " change feed of column-mapped tables via Catalog.changes()"
+        )
     schema = T.StructType(
         [
             *spec.schema.fields,

@@ -14,16 +14,22 @@ from certified_dogs_and_cats_spark.queries import (
 DRIVER_WINDOW = 50
 
 
-def test_unproven_queries_fit_driver_window():
+def test_unproven_queries_fill_driver_window():
+    """The window must never WASTE a slot: while any query lacks driver
+    evidence, every one of the 50 checked positions holds an unproven
+    query. More than 50 unproven (new queries added faster than one
+    round's budget) is allowed — the overflow is the LAST-registered
+    ones, which queue for the next round — but a proven query sitting
+    inside the window while an unproven one waits outside is a bug."""
     names = list(QUERIES)
     unproven = [n for n in names if n not in _DRIVER_PROVEN]
-    assert len(unproven) <= DRIVER_WINDOW, (
-        f"{len(unproven)} unproven queries > {DRIVER_WINDOW}-row driver "
-        f"window; overflow: {unproven[DRIVER_WINDOW:]}"
+    window = names[: min(DRIVER_WINDOW, len(unproven))]
+    wasted = [n for n in window if n in _DRIVER_PROVEN]
+    assert not wasted, f"proven queries occupying window slots: {wasted}"
+    overflow = unproven[DRIVER_WINDOW:]
+    assert overflow == [n for n in names[DRIVER_WINDOW:] if n not in _DRIVER_PROVEN], (
+        "overflowed unproven queries must be the last-registered ones"
     )
-    window = set(names[:DRIVER_WINDOW])
-    missing = [n for n in unproven if n not in window]
-    assert not missing, f"unproven but outside window: {missing}"
 
 
 def test_every_query_has_oracle_and_unique_name():
