@@ -1419,24 +1419,48 @@ class Catalog:
         Partition columns are prepended to the sort so the partitioned
         writer's required ordering is already satisfied and the cluster
         order survives the write unchanged.
+
+        With ``target_files_per_partition > 1`` and a cluster/zorder key,
+        the rewrite RANGE-partitions on the key first, so the output
+        files carry DISJOINT key ranges — that is what lets stat-based
+        skipping (:meth:`scan`) open one file for a selective range
+        predicate instead of every file containing a shard of the range.
         """
         spec = self.tables[name]
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
-        df = self.table(name).coalesce(target_files_per_partition)
+        df = self.table(name)
+        n = target_files_per_partition
         if cluster_by:
+            if n > 1:
+                df = df.repartitionByRange(n, *spec.partition_by, *cluster_by)
+            else:
+                df = df.coalesce(1)
             df = df.sortWithinPartitions(*spec.partition_by, *cluster_by)
         elif zorder_by:
             from ..functions.zorder import zorder_key
 
             key = zorder_key(self.table(name), list(zorder_by))
+            if n > 1:
+                df = df.repartitionByRange(n, *spec.partition_by, key)
+            else:
+                df = df.coalesce(1)
             df = df.sortWithinPartitions(*spec.partition_by, key)
+        else:
+            df = df.coalesce(n)
         self.overwrite(name, df)
 
-    def vacuum(self, name: str, retain_hours: float = 168.0) -> int:
+    def vacuum(
+        self, name: str, retain_hours: float = 168.0, dry_run: bool = False
+    ) -> int:
         """VACUUM RETAIN <h> HOURS (reference docs/runbook.md:103-104):
         purge retired table versions older than the retention window.
         Returns the number of versions deleted.
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) only COUNTS the
+        versions the retention window would purge — the operator's
+        pre-flight check before an irreversible delete — touching
+        nothing, including the commit log.
 
         Also prunes commit-log files (Delta's log-cleanup analog) that are
         BOTH merged into the manifest checkpoint and older than the
@@ -1455,8 +1479,11 @@ class Catalog:
                 except ValueError:
                     continue
                 if version_ns < cutoff_ns:
-                    shutil.rmtree(full)
+                    if not dry_run:
+                        shutil.rmtree(full)
                     removed += 1
+        if dry_run:
+            return removed
         cdir = self._commits_dir(name)
         if os.path.isdir(cdir):
             checkpointed: set[int] = set()

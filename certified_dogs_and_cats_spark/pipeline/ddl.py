@@ -423,7 +423,8 @@ class DdlSession:
         if u.startswith("VACUUM "):
             m = re.match(
                 r"VACUUM (?P<name>[\w.]+)"
-                r"(?: RETAIN (?P<hours>\d+(?:\.\d+)?) HOURS)?\s*$",
+                r"(?: RETAIN (?P<hours>\d+(?:\.\d+)?) HOURS)?"
+                r"(?P<dry> DRY RUN)?\s*$",
                 s,
                 re.I,
             )
@@ -432,9 +433,15 @@ class DdlSession:
             name = self.resolve(m.group("name"))
             if name not in self.catalog.tables:
                 raise DdlError(f"table not found: {name}")
-            self.catalog.vacuum(
-                name, retain_hours=float(m.group("hours") or 168.0)
+            n = self.catalog.vacuum(
+                name,
+                retain_hours=float(m.group("hours") or 168.0),
+                dry_run=bool(m.group("dry")),
             )
+            if m.group("dry"):
+                return self.catalog.spark.createDataFrame(
+                    [(n,)], "versions_to_purge int"
+                )
             return None
         if u.startswith("ANALYZE TABLE "):
             m = re.match(

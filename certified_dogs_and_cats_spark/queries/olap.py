@@ -683,3 +683,92 @@ def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.count(k).alias("n_with_k"),
     )
+
+
+@query(
+    "robust_agg_family",
+    oracle="""
+    WITH f AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS q,
+             l_discount, l_tax
+      FROM lineitem
+    ),
+    cnt AS (SELECT g, q, count(*) AS c FROM f GROUP BY 1, 2),
+    md AS (
+      SELECT g, min(q) AS mode_qty FROM (
+        SELECT g, q, c, max(c) OVER (PARTITION BY g) AS mx FROM cnt
+      ) WHERE c = mx GROUP BY g
+    )
+    SELECT f.g AS l_returnflag,
+           CAST(median(f.q) AS DOUBLE) AS median_qty,
+           CAST(any_value(md.mode_qty) AS DOUBLE) AS mode_qty,
+           CAST(count(*) FILTER (WHERE f.l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           bool_and(f.q >= 1.0) AS all_positive,
+           bool_or(f.l_tax > 0.07) AS any_high_tax
+    FROM f JOIN md ON f.g = md.g
+    GROUP BY f.g
+    """,
+)
+def robust_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust-statistics aggregate family Spark 3.4+/4 added as
+    built-ins: exact MEDIAN (sort-based per group), MODE with the
+    deterministic tie-break (lowest value among the most frequent — the
+    oracle replays that rule as min-over-argmax), COUNT_IF, BOOL_AND /
+    BOOL_OR. One hash-aggregate shuffle on the group key; median is the
+    only memory-heavy one (per-group sort) — at 100 TB prefer
+    approx_percentile (see approx_percentile_check) unless exactness is
+    contractual."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("q"),
+        "l_discount",
+        "l_tax",
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.median("q").cast("double").alias("median_qty"),
+        F.expr("mode(q, true)").cast("double").alias("mode_qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("q") >= 1.0).alias("all_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+@query(
+    "approx_top_k_check",
+    oracle="""
+    WITH exact AS (
+      SELECT l_quantity AS item, count(*) AS c
+      FROM lineitem GROUP BY 1 ORDER BY c DESC, item ASC LIMIT 5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_top,
+           TRUE AS sketch_covers_exact_top
+    FROM exact
+    """,
+)
+def approx_top_k_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k sketch (constant memory, mergeable — the heavy-hitter
+    sketch for 100 TB frequency questions) self-verified IN the result:
+    the sketch's top-k item set, computed with headroom (k*4 tracked
+    slots), must cover the exact top-5 items computed by full aggregation
+    in the same plan. Like the HLL/percentile sketches, the oracle row
+    hash-compares the VERDICT, not the sketch internals."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("item")
+    )
+    sk = li.agg(
+        F.expr("approx_top_k(item, 5, 50)").alias("topk")
+    ).select(F.expr("transform(topk, x -> x.item)").alias("sk_items"))
+    exact = (
+        li.groupBy("item")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("item").asc())
+        .limit(5)
+        .agg(F.collect_list("item").alias("ex_items"))
+    )
+    return sk.crossJoin(exact).select(
+        F.size("ex_items").cast("bigint").alias("n_exact_top"),
+        F.expr(
+            "forall(ex_items, x -> array_contains(sk_items, x))"
+        ).alias("sketch_covers_exact_top"),
+    )

@@ -186,3 +186,45 @@ def test_partitioned_table_scan_prunes_directories(catalog, spark):
         r.k for r in catalog.scan("t.part", "part = 'even'").collect()
     )
     assert got == [i for i in range(20) if i % 2 == 0]
+
+
+def test_cluster_compaction_then_scan_prunes_hard(catalog, spark):
+    """The clustering+skipping synergy that matters at 100 TB: after
+    OPTIMIZE cluster-sorts the table, files carry DISJOINT key ranges and
+    a selective range predicate opens a small fraction of them."""
+    import pyspark.sql.functions as F
+
+    catalog.register("t.clus", SCHEMA)
+    # Interleaved appends: every file initially spans the whole k range,
+    # so pre-compaction nothing can be pruned.
+    for off in range(4):
+        rows = [(i * 4 + off, f"r{i}") for i in range(100)]
+        catalog.append(
+            "t.clus", spark.createDataFrame(rows, SCHEMA).coalesce(1)
+        )
+    kept0, total0 = catalog.pruned_files("t.clus", "k >= 390")
+    assert kept0 == total0 == 4  # no pruning possible on overlapping files
+    catalog.compact("t.clus", target_files_per_partition=4, cluster_by=("k",))
+    kept1, total1 = catalog.pruned_files("t.clus", "k >= 390")
+    assert total1 >= 4 and kept1 == 1
+    got = catalog.scan("t.clus", "k >= 390").agg(F.count("*")).collect()[0][0]
+    assert got == 10
+
+
+def test_vacuum_dry_run_counts_without_deleting(catalog, spark):
+    from certified_dogs_and_cats_spark.pipeline import DdlSession
+
+    catalog.register("t.vdr", SCHEMA)
+    catalog.append("t.vdr", spark.createDataFrame([(1, "a")], SCHEMA))
+    catalog.overwrite("t.vdr", spark.createDataFrame([(2, "b")], SCHEMA))
+    n = catalog.vacuum("t.vdr", retain_hours=0.0, dry_run=True)
+    assert n == 1
+    # Nothing was deleted: version 1 still time-travels.
+    assert [r.k for r in catalog.table("t.vdr", version=1).collect()] == [1]
+    # SQL spelling returns the count as a row.
+    ddl = DdlSession(catalog)
+    [df] = ddl.execute("VACUUM t.vdr RETAIN 0 HOURS DRY RUN")
+    assert df.collect()[0].versions_to_purge == 1
+    assert [r.k for r in catalog.table("t.vdr", version=1).collect()] == [1]
+    # The real vacuum then purges it.
+    assert catalog.vacuum("t.vdr", retain_hours=0.0) == 1
