@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -342,3 +342,43 @@ def resize_nearest(
             )
 
     return src.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def ingest_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest a directory of real media files through Spark's built-in
+    ``binaryFile`` source into the packed multimodal schema: one row per
+    file with ``media_id`` (the relative file name), opaque ``payload``
+    bytes, and the typed ``media`` metadata struct with the format
+    sniffed from the payload's magic bytes (:func:`sniff_format`).
+
+    Scale posture: ``binaryFile`` is a real distributed file source —
+    listing parallelizes, each executor reads its own files, and
+    ``pathGlobFilter``/``max_bytes`` bound what is even opened. Width/
+    height stay NULL here; decoding them is exactly the Arrow-batched
+    :func:`decode_features` boundary downstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    payload = F.col("content")
+    # Same media struct shape as pack_payload, so every downstream op
+    # (metadata_stats, decode_features, frame_sample) takes either source.
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            sniff_format(payload).alias("format"),
+            F.col("length").cast("long").alias("size_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("media"),
+    )

@@ -379,6 +379,88 @@ class Catalog:
         self._commit(name, "update", added=added, dv=prior + [dv_name])
         return n
 
+    def replace_where(self, name: str, predicate: str, df: DataFrame) -> int:
+        """Delta's ``replaceWhere`` writer option as a first-class op:
+        ATOMICALLY replace exactly the rows matching ``predicate`` with
+        the rows of ``df`` — one commit carrying both the deletion vector
+        (tombstoning the matches, zero data files rewritten) and the new
+        data files. The row-level generalization of
+        :meth:`overwrite_partitions`: backfills and corrections replace a
+        key range, not a whole partition or table.
+
+        Incoming rows are REQUIRED to satisfy the predicate (Delta's
+        contract — otherwise a "replace January" write could smuggle in
+        February rows); violations raise before anything is staged.
+        Returns the number of rows replaced (tombstoned).
+        """
+        from pyspark.sql import functions as F
+
+        spec = self.tables[name]
+        df = self._apply_identity(spec, df)
+        df = self._apply_generated(spec, df)
+        stray = (
+            df.filter(~F.expr(predicate) | F.expr(predicate).isNull())
+            .limit(1)
+            .count()
+        )
+        if stray:
+            raise ConstraintViolation(
+                f"{name}: replace_where({predicate!r}) was given rows that"
+                " do not satisfy the predicate"
+            )
+        self._check_constraints(name, df, spec.constraints)
+        if not self.exists(name):
+            added = self._stage_files_in(spec, df)
+            self._commit(name, "replace_where", added=added)
+            return 0
+        cur = (
+            self.spark.read.format(spec.fmt)
+            .schema(spec.physical_schema())
+            .load(spec.path)
+        )
+        manifest = self._load_manifest(name)
+        prior = manifest[-1].get("dv", []) if manifest else []
+        root = os.path.abspath(spec.path)
+        keyed = cur.select(
+            *[
+                cur[spec.physical(f.name)].alias(f.name)
+                for f in spec.schema.fields
+            ],
+            F.expr(
+                f"substring_index(_metadata.file_path, '{root}/', -1)"
+            ).alias("__f"),
+            F.col("_metadata.row_index").alias("__i"),
+        )
+        if prior:
+            dv_prior = self.spark.read.parquet(
+                *[os.path.join(self._dv_dir(name), f) for f in prior]
+            )
+            keyed = keyed.join(
+                F.broadcast(
+                    dv_prior.select(
+                        F.col("file").alias("__f"),
+                        F.col("row_index").alias("__i"),
+                    )
+                ),
+                ["__f", "__i"],
+                "left_anti",
+            )
+        hits = keyed.filter(F.expr(predicate))
+        dv_name = f"dv-{os.getpid()}-{time.time_ns()}"
+        out = os.path.join(self._dv_dir(name), dv_name)
+        hits.select(
+            F.col("__f").alias("file"), F.col("__i").alias("row_index")
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        dvs = prior + [dv_name] if n else prior
+        if n == 0:
+            shutil.rmtree(out, ignore_errors=True)
+        added = self._stage_files_in(spec, df)
+        self._commit(
+            name, "replace_where", added=added, dv=dvs if dvs else None
+        )
+        return n
+
     # --- versioning (Delta time-travel parity) ---------------------------
 
     def _meta_dir(self, name: str) -> str:
@@ -620,6 +702,19 @@ class Catalog:
     def _check_constraints(
         self, name: str, df: DataFrame, constraints: dict[str, str]
     ) -> None:
+        # Declared NOT NULL columns are implicit constraints (Delta
+        # enforces nullability at write time; Spark's schema nullability
+        # alone is advisory and would let NULLs through silently). Same
+        # single map-side aggregate as the explicit CHECKs.
+        spec = self.tables.get(name)
+        if spec is not None:
+            implicit = {
+                f"__not_null_{f.name}": f"{f.name} IS NOT NULL"
+                for f in spec.schema.fields
+                if not f.nullable and f.name in df.columns
+            }
+            if implicit:
+                constraints = {**constraints, **implicit}
         if not constraints:
             return
         from pyspark.sql import functions as F

@@ -1008,6 +1008,45 @@ class DdlSession:
         declared types (reference control-record insert,
         notebooks/bronze.py:119-122)."""
         s = re.sub(r"\s+", " ", stmt).strip()
+        # Delta's row-range overwrite: INSERT INTO t REPLACE WHERE pred
+        # SELECT ... — atomically replaces exactly the matching rows.
+        rw = re.match(
+            r"INSERT INTO (?P<name>[\w.]+) REPLACE WHERE (?P<pred>.+?) "
+            r"(?P<body>VALUES .*|SELECT .*|WITH .*)$",
+            s,
+            re.I | re.S,
+        )
+        if rw:
+            name = self.resolve(rw.group("name"))
+            spec = self.catalog.tables.get(name)
+            if spec is None:
+                raise DdlError(f"table not found: {name}")
+            body = rw.group("body")
+            if body.upper().startswith("VALUES"):
+                src = self.catalog.spark.sql(f"SELECT * FROM {body}")
+            else:
+                src = self.catalog.spark.sql(self._resolve_refs(body))
+            writable = [
+                f
+                for f in spec.schema.fields
+                if f.name not in spec.identity
+            ]
+            if len(src.columns) != len(writable):
+                raise DdlError(
+                    f"INSERT INTO {name} REPLACE WHERE: {len(src.columns)}"
+                    f" values for {len(writable)} columns"
+                )
+            aligned = src.select(
+                *[
+                    F.col(sc).cast(f.dataType).alias(f.name)
+                    for sc, f in zip(src.columns, writable)
+                ]
+            )
+            try:
+                self.catalog.replace_where(name, rw.group("pred"), aligned)
+            except ValueError as e:
+                raise DdlError(str(e)) from e
+            return None
         m = re.match(
             r"INSERT INTO (?P<name>[\w.]+)\s*"
             r"(?:\((?P<cols>[^)]*)\)\s*)?"

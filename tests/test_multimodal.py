@@ -171,3 +171,37 @@ def test_resize_nearest_kernel(spark):
     assert got[0] == bytes([0, 2, 8, 10])
     assert got[1] == bytes([0, 2, 0, 0])  # rows 2+ were padding
     assert out.collect()[0].width == 2
+
+
+def test_ingest_binary_dir(spark, tmp_path):
+    """binaryFile ingest: real files on disk land in the packed schema
+    with sniffed formats, and compose with metadata_stats unchanged."""
+    from certified_dogs_and_cats_spark.extensions.multimodal import (
+        ingest_binary_dir,
+        metadata_stats,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"x" * 10)
+    (d / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"y" * 20)
+    (d / "c.wav").write_bytes(b"RIFF" + b"z" * 30)
+    (d / "d.bin").write_bytes(b"\x00\x01\x02\x03")
+
+    df = ingest_binary_dir(spark, str(d))
+    rows = {r.media_id: r for r in df.collect()}
+    assert rows["a.png"].media.format == "image/png"
+    assert rows["b.jpg"].media.format == "image/jpeg"
+    assert rows["c.wav"].media.format == "audio/wav"
+    assert rows["d.bin"].media.format == "application/octet-stream"
+    assert rows["a.png"].media.size_bytes == 18
+    assert bytes(rows["d.bin"].payload) == b"\x00\x01\x02\x03"
+
+    stats = {r.format: r.n_assets for r in metadata_stats(df).collect()}
+    assert stats["image/png"] == 1 and len(stats) == 4
+
+    # Glob + size bound restrict what is even opened.
+    only_png = ingest_binary_dir(spark, str(d), glob="*.png")
+    assert [r.media_id for r in only_png.collect()] == ["a.png"]
+    small = ingest_binary_dir(spark, str(d), max_bytes=10)
+    assert {r.media_id for r in small.collect()} == {"d.bin"}
