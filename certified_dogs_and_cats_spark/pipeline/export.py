@@ -133,3 +133,29 @@ def export_fsa_choropleths(
             f.write(html)
         written.append(out)
     return written
+
+
+def export_view_jsonl(
+    df: DataFrame,
+    export_root: str,
+    view_name: str,
+    export_date: date,
+    single_file: bool = False,
+) -> str:
+    """JSONL export sink — the interchange format training-data pipelines
+    emit (one JSON object per line, consumed by loaders/tokenizers
+    downstream). Same layout contract as :func:`export_view_csv`
+    (``exports/<view>/export_date=D/``, overwrite-idempotent); the write
+    is a distributed ``DataFrameWriter.json`` — each task streams its
+    partition, nothing driver-side. Timestamps serialize in the same
+    round-trippable format as the CSV sink."""
+    out = os.path.join(
+        export_root, view_name, f"export_date={export_date.isoformat()}"
+    )
+    writer = df.coalesce(1) if single_file else df
+    (
+        writer.write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .json(out)
+    )
+    return out

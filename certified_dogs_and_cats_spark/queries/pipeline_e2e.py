@@ -361,3 +361,53 @@ def scan_skipping_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "export_roundtrip_jsonl",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (WHERE c_acctbal > 0) AS BIGINT)
+             AS n_positive
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def export_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export round trip under the driver: write a joined view
+    through the JSONL sink (the training-corpus interchange format),
+    read it BACK with a declared schema, aggregate — a green row proves
+    the export is lossless including nested-free typed columns."""
+    from pyspark.sql import types as T
+
+    from ..pipeline.export import export_view_jsonl
+
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    joined = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).select("n_name", "c_acctbal")
+
+    root = tempfile.mkdtemp(prefix="cdc_export_jsonl_")
+    try:
+        out = export_view_jsonl(
+            joined, root, "nation_customers", date(2026, 1, 1)
+        )
+        back = spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("n_name", T.StringType()),
+                    T.StructField("c_acctbal", T.DoubleType()),
+                ]
+            )
+        ).json(out)
+        agg = back.groupBy("n_name").agg(
+            F.count("*").alias("n_customers"),
+            F.sum((F.col("c_acctbal") > 0).cast("bigint")).alias(
+                "n_positive"
+            ),
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

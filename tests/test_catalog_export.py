@@ -273,3 +273,53 @@ def test_fsa_choropleth_export_data_and_layout(catalog, raw_root):
     dog_html = open(paths[1]).read()
     m = re.search(r"const FSA_DATA = (\[.*?\]);", dog_html)
     assert m and json.loads(m.group(1)) == [{"FSA": "M6F", "cnt": 1}]
+
+
+def test_orc_format_table_roundtrip(catalog, spark):
+    """The catalog's fmt knob covers ORC (Spark built-in columnar
+    alternative): append/read/time-travel identical to parquet."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    catalog.register("t.orc", schema, fmt="orc")
+    catalog.append("t.orc", spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    catalog.append("t.orc", spark.createDataFrame([(3, "c")], schema))
+    assert sorted((r.k, r.v) for r in catalog.table("t.orc").collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    assert sorted(r.k for r in catalog.table("t.orc", version=1).collect()) == [
+        1,
+        2,
+    ]
+
+
+def test_jsonl_export_layout(catalog, spark, tmp_path):
+    from datetime import date
+
+    from certified_dogs_and_cats_spark.pipeline.export import (
+        export_view_jsonl,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    out = export_view_jsonl(
+        df, str(tmp_path / "exports"), "tiny", date(2026, 1, 2),
+        single_file=True,
+    )
+    assert "export_date=2026-01-02" in out
+    import glob as _glob
+    import json as _json
+
+    [part] = _glob.glob(out + "/part-*")
+    lines = [
+        _json.loads(line)
+        for line in open(part)
+        if line.strip()
+    ]
+    assert sorted((d["k"], d["v"]) for d in lines) == [(1, "a"), (2, "b")]
