@@ -414,3 +414,64 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "2 hours", "1 hour").start.alias("window_start"),
         "event_type",
     ).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "resample_ffill_6h",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 21600) AS BIGINT) AS b,
+             ts, value
+      FROM events WHERE user_id < 5
+    ),
+    latest AS (
+      SELECT user_id, b, value AS v FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (
+                 PARTITION BY user_id, b
+                 ORDER BY ts DESC, value DESC
+               ) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    spans AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM latest GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.user_id, gs.g AS b
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi)) AS g
+      ) gs
+    )
+    SELECT g.user_id,
+           CAST(g.b * 21600 AS BIGINT) AS bucket_epoch,
+           last_value(l.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           l.v IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN latest l ON g.user_id = l.user_id AND g.b = l.b
+    """,
+)
+def resample_ffill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill resampling under the oracle: dense 6-hour grid per user
+    (sequence-explode, never an event join), latest-in-bucket reduction,
+    forward fill with observed flags — the operator every metrics
+    pipeline needs, replayed value-for-value in SQL (generate_series
+    grid + IGNORE NULLS window). Two key-wise shuffles total."""
+    from ..operators.resample import resample_ffill
+    from .common import t
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", "ts", "value")
+    )
+    out = resample_ffill(ev, "user_id", "ts", "value", step_seconds=21600)
+    return out.select(
+        "user_id",
+        F.col("bucket_start").cast("long").alias("bucket_epoch"),
+        "value",
+        "is_observed",
+    )
