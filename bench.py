@@ -95,6 +95,14 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "retention_cohorts",
     "skew_salted_join_agg",
+    # Round-4 second wave: Variant extraction, robust aggregates,
+    # heavy-hitter sketch, gap-fill resampling, training-shard export
+    # (includes the physical write + manifest read-back).
+    "variant_extract_agg",
+    "robust_agg_family",
+    "approx_top_k_check",
+    "resample_ffill_6h",
+    "shard_export_manifest",
 ]
 
 

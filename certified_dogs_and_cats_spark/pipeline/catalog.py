@@ -785,6 +785,10 @@ class Catalog:
         self._check_constraints(name, df, spec.constraints)
         added = self._stage_files_in(spec, df)
         self._commit(name, "append", txn=txn, added=added)
+        if (
+            spec.properties.get("delta.autoOptimize.autoCompact") == "true"
+        ):
+            self.maybe_compact(name)
 
     # Identity block size: ids within one write are base + partition_id *
     # 2^33 + row_index_in_partition (monotonically_increasing_id's layout),
@@ -905,17 +909,27 @@ class Catalog:
         return added
 
     def history(self, name: str) -> list[dict]:
-        """DESCRIBE HISTORY analog: (version, action, ts_ns, n_files) per
-        committed write, oldest first."""
-        return [
-            {
-                "version": e["version"],
-                "action": e["action"],
-                "ts_ns": e["ts_ns"],
-                "n_files": len(e["files"]),
-            }
-            for e in self._load_manifest(name)
-        ]
+        """DESCRIBE HISTORY analog with operation metrics (Delta's
+        numAddedFiles/numRemovedFiles): per committed write, oldest
+        first, the file-set delta against its predecessor — the numbers
+        an operator reads to spot runaway small-file accretion or an
+        unexpected full rewrite."""
+        out = []
+        prev: set[str] = set()
+        for e in self._load_manifest(name):
+            files = set(e["files"])
+            out.append(
+                {
+                    "version": e["version"],
+                    "action": e["action"],
+                    "ts_ns": e["ts_ns"],
+                    "n_files": len(files),
+                    "n_added": len(files - prev),
+                    "n_removed": len(prev - files),
+                }
+            )
+            prev = files
+        return out
 
     def current_version(self, name: str) -> int:
         manifest = self._load_manifest(name)
@@ -1544,6 +1558,37 @@ class Catalog:
         else:
             df = df.coalesce(n)
         self.overwrite(name, df)
+
+    def maybe_compact(
+        self,
+        name: str,
+        max_small_files: int = 16,
+        small_bytes: int = 32 * 1024 * 1024,
+        target_files_per_partition: int = 1,
+    ) -> bool:
+        """Delta autoCompact analog: compact ONLY when the small-file
+        count crosses the threshold. Streaming sinks and frequent small
+        appends accrete tiny files (each a task + an open + a footer at
+        read time — the classic small-file death at warehouse scale);
+        calling this after a write batch keeps layout healthy without
+        paying a rewrite on every append. Returns True if a compaction
+        ran. Tables with TBLPROPERTIES 'delta.autoOptimize.autoCompact'
+        = 'true' get this check automatically after every append."""
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        if not manifest:
+            return False
+        small = 0
+        for rel in manifest[-1]["files"]:
+            p = os.path.join(spec.path, rel)
+            if os.path.isfile(p) and os.path.getsize(p) < small_bytes:
+                small += 1
+        if small <= max_small_files:
+            return False
+        self.compact(
+            name, target_files_per_partition=target_files_per_partition
+        )
+        return True
 
     def vacuum(
         self, name: str, retain_hours: float = 168.0, dry_run: bool = False

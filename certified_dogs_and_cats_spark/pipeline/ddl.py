@@ -618,12 +618,20 @@ class DdlSession:
             if name not in self.catalog.tables:
                 raise DdlError(f"table not found: {name}")
             rows = [
-                (h["version"], h["action"], h["ts_ns"], h["n_files"])
+                (
+                    h["version"],
+                    h["action"],
+                    h["ts_ns"],
+                    h["n_files"],
+                    h["n_added"],
+                    h["n_removed"],
+                )
                 for h in reversed(self.catalog.history(name))
             ]
             return self.catalog.spark.createDataFrame(
                 rows or [],
-                "version int, action string, ts_ns long, n_files int",
+                "version int, action string, ts_ns long, n_files int,"
+                " n_added int, n_removed int",
             )
         if u.startswith("DESCRIBE"):
             name = self.resolve(s.split()[-1])

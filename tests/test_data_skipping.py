@@ -228,3 +228,105 @@ def test_vacuum_dry_run_counts_without_deleting(catalog, spark):
     assert [r.k for r in catalog.table("t.vdr", version=1).collect()] == [1]
     # The real vacuum then purges it.
     assert catalog.vacuum("t.vdr", retain_hours=0.0) == 1
+
+
+def test_maybe_compact_thresholds(catalog, spark):
+    """autoCompact analog: below the small-file threshold nothing runs;
+    above it one compaction collapses the accreted files."""
+    catalog.register("t.auto", SCHEMA)
+    for i in range(4):
+        catalog.append(
+            "t.auto",
+            spark.createDataFrame([(i, f"r{i}")], SCHEMA).coalesce(1),
+        )
+    assert not catalog.maybe_compact("t.auto", max_small_files=10)
+    assert len(catalog._load_manifest("t.auto")[-1]["files"]) >= 4
+    assert catalog.maybe_compact("t.auto", max_small_files=3)
+    assert len(catalog._load_manifest("t.auto")[-1]["files"]) == 1
+    got = sorted(r.k for r in catalog.table("t.auto").collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_auto_compact_property_triggers_on_append(catalog, spark):
+    spec = catalog.register("t.autoprop", SCHEMA)
+    spec.properties["delta.autoOptimize.autoCompact"] = "true"
+    for i in range(20):
+        catalog.append(
+            "t.autoprop",
+            spark.createDataFrame([(i, f"r{i}")], SCHEMA).coalesce(1),
+        )
+    files = catalog._load_manifest("t.autoprop")[-1]["files"]
+    # Without auto-compaction this would be >= 20 files.
+    assert len(files) < 20
+    assert catalog.table("t.autoprop").count() == 20
+
+
+# --- property: pruning is never wrong ---------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _VALS = st.one_of(st.integers(-50, 50), st.none())
+
+    @st.composite
+    def _file_and_conjunct(draw):
+        rows = draw(st.lists(_VALS, min_size=0, max_size=8))
+        op = draw(
+            st.sampled_from(["=", "<", "<=", ">", ">=", "in", "null", "notnull"])
+        )
+        lits = (
+            tuple(draw(st.lists(st.integers(-50, 50), min_size=1, max_size=3)))
+            if op == "in"
+            else ((draw(st.integers(-50, 50)),) if op not in ("null", "notnull") else ())
+        )
+        return rows, Conjunct("k", op, lits)
+
+    def _true_stats(rows):
+        present = [v for v in rows if v is not None]
+        return {
+            "rows": len(rows),
+            "cols": {
+                "k": [
+                    min(present) if present else None,
+                    max(present) if present else None,
+                    sum(1 for v in rows if v is None),
+                ]
+            },
+        }
+
+    def _matches(v, c):
+        if c.op == "null":
+            return v is None
+        if c.op == "notnull":
+            return v is not None
+        if v is None:
+            return False
+        if c.op == "in":
+            return v in c.values
+        x = c.values[0]
+        return {
+            "=": v == x,
+            "<": v < x,
+            "<=": v <= x,
+            ">": v > x,
+            ">=": v >= x,
+        }[c.op]
+
+    @settings(max_examples=300, deadline=None)
+    @given(_file_and_conjunct())
+    def test_skip_verdict_is_always_safe(fc):
+        """SOUNDNESS: whenever keep_file says skip, truly no row in the
+        file satisfies the conjunct — for every op, any null mix, and
+        empty files. (Completeness — skipping as much as possible — is
+        an optimization; soundness is correctness.)"""
+        rows, conj = fc
+        kept = keep_file("f", _true_stats(rows), [conj], SCHEMA)
+        if not kept:
+            assert not any(_matches(v, conj) for v in rows), (
+                rows,
+                conj,
+            )
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

@@ -137,3 +137,22 @@ def test_ddl_version_as_of_and_history(catalog, spark):
         (2, "overwrite"),
         (1, "append"),
     ]
+
+
+def test_history_operation_metrics(catalog, spark):
+    """DESCRIBE HISTORY reports the file-set delta per version (Delta's
+    numAddedFiles/numRemovedFiles)."""
+    catalog.register("t.metrics", SCHEMA)
+    catalog.append(
+        "t.metrics",
+        spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).coalesce(1),
+    )
+    catalog.append(
+        "t.metrics", spark.createDataFrame([(3, "c")], SCHEMA).coalesce(1)
+    )
+    catalog.overwrite("t.metrics", spark.createDataFrame([(9, "z")], SCHEMA))
+    h = catalog.history("t.metrics")
+    assert h[0]["n_added"] == 1 and h[0]["n_removed"] == 0
+    assert h[1]["n_added"] == 1 and h[1]["n_removed"] == 0
+    assert h[2]["action"] == "overwrite"
+    assert h[2]["n_removed"] == 2 and h[2]["n_added"] >= 1
