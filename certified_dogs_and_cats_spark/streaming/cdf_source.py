@@ -109,6 +109,12 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._skip_changes = (
             options.get("skipChangeCommits", "false").lower() == "true"
         )
+        # Delta's maxFilesPerTrigger analog at version granularity:
+        # bound how far one micro-batch advances, so a stream catching up
+        # on a long history emits bounded batches instead of one
+        # unbounded catch-up batch.
+        self._max_versions = int(options.get("maxVersionsPerTrigger", "0"))
+        self._committed = self._start
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -117,10 +123,23 @@ class _ChangesStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         entries = _load_manifest(self._meta_dir)
         head = entries[-1]["version"] if entries else 0
-        return {"version": max(head, self._start)}
+        head = max(head, self._start)
+        if self._max_versions > 0:
+            # Self-advancing floor: each trigger proposes at most
+            # max_versions past the previous proposal (micro-batches run
+            # synchronously between latestOffset calls; exactly-once
+            # still comes from the engine's checkpointed offsets, the
+            # floor only paces batch SIZE).
+            head = min(head, self._committed + self._max_versions)
+            self._committed = max(self._committed, head)
+        return {"version": head}
 
     # -- planning ---------------------------------------------------------
     def partitions(self, start: dict, end: dict):
+        # Restart safety for the rate limit: the restored checkpoint
+        # offset arrives here, not via initialOffset — learn it so
+        # latestOffset never proposes an end below a committed start.
+        self._committed = max(self._committed, start["version"])
         entries = _load_manifest(self._meta_dir)
         by_version = {e["version"]: e for e in entries}
         parts: list[_FilePartition] = []
@@ -217,7 +236,9 @@ class _ChangesStreamReader(DataSourceStreamReader):
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        # Advance the rate-limit floor: the next micro-batch may read
+        # maxVersionsPerTrigger versions past what is now committed.
+        self._committed = max(self._committed, end.get("version", 0))
 
     def stop(self) -> None:
         pass
