@@ -411,3 +411,51 @@ def export_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "clone_isolation_end_to_end",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def clone_isolation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE under the driver: snapshot a joined view into a
+    catalog table, SHALLOW CLONE it, then DELETE and INSERT against the
+    ORIGINAL — the clone must still aggregate to the pristine snapshot
+    (the oracle over the source tables). A green row certifies clone
+    isolation, the hard-link zero-copy read path, and that later writes
+    to the source never leak into the clone."""
+    from ..pipeline.catalog import Catalog
+
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    joined = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("r_name", "n_nationkey")
+
+    root = tempfile.mkdtemp(prefix="cdc_clone_e2e_")
+    try:
+        cat = Catalog(spark, os.path.join(root, "wh"))
+        cat.register("core.rn", joined.schema)
+        cat.append("core.rn", joined)
+        cat.clone("core.rn", "core.rn_snapshot", shallow=True)
+        # Mutate the ORIGINAL both ways; the clone must not move.
+        cat.delete_where("core.rn", "n_nationkey < 10")
+        cat.append(
+            "core.rn",
+            spark.createDataFrame(
+                [("PHANTOM", 999)], joined.schema
+            ),
+        )
+        agg = (
+            cat.table("core.rn_snapshot")
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_nations"))
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
