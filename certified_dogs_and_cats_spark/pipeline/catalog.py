@@ -1516,6 +1516,7 @@ class Catalog:
         target_files_per_partition: int = 1,
         cluster_by: tuple[str, ...] = (),
         zorder_by: tuple[str, ...] = (),
+        where: str | None = None,
     ) -> None:
         """OPTIMIZE-style file compaction (reference docs/runbook.md:55-58):
         rewrite the table coalesced. ``cluster_by`` sorts lexicographically
@@ -1538,6 +1539,10 @@ class Catalog:
         spec = self.tables[name]
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
+        if where is not None:
+            return self._compact_partitions(
+                name, where, target_files_per_partition, cluster_by
+            )
         df = self.table(name)
         n = target_files_per_partition
         if cluster_by:
@@ -1558,6 +1563,45 @@ class Catalog:
         else:
             df = df.coalesce(n)
         self.overwrite(name, df)
+
+    def _compact_partitions(
+        self,
+        name: str,
+        where: str,
+        target_files_per_partition: int,
+        cluster_by: tuple[str, ...],
+    ) -> None:
+        """``OPTIMIZE ... WHERE <partition predicate>`` (Delta parity):
+        rewrite ONLY the partitions the predicate selects, via the
+        dynamic-partition-overwrite path — at 100 TB you compact
+        yesterday's partition, never the table. The predicate must
+        reference partition columns only (guarded), so the selected row
+        set is exactly a set of whole partitions and the rewrite can
+        never lose or duplicate rows."""
+        from pyspark.sql import functions as F
+
+        spec = self.tables[name]
+        if not spec.partition_by:
+            raise ValueError(
+                f"{name}: OPTIMIZE WHERE requires a partitioned table"
+            )
+        masked = re.sub(r"'[^']*'", "''", where)
+        idents = set(re.findall(r"[A-Za-z_]\w*", masked)) - {
+            "AND", "OR", "IN", "IS", "NOT", "NULL", "TRUE", "FALSE",
+            "and", "or", "in", "is", "not", "null", "true", "false",
+        }
+        if not idents or not idents <= set(spec.partition_by):
+            raise ValueError(
+                f"OPTIMIZE WHERE predicate must reference only partition "
+                f"columns {spec.partition_by}: {where!r}"
+            )
+        subset = self.table(name).filter(F.expr(where))
+        subset = subset.coalesce(target_files_per_partition)
+        if cluster_by:
+            subset = subset.sortWithinPartitions(
+                *spec.partition_by, *cluster_by
+            )
+        self.overwrite_partitions(name, subset)
 
     def maybe_compact(
         self,

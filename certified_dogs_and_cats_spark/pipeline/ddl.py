@@ -391,6 +391,7 @@ class DdlSession:
         if u.startswith("OPTIMIZE "):
             m = re.match(
                 r"OPTIMIZE (?P<name>[\w.]+)"
+                r"(?: WHERE (?P<where>.+?))?"
                 r"(?: ZORDER BY \((?P<cols>[^)]*)\))?\s*$",
                 s,
                 re.I,
@@ -400,6 +401,19 @@ class DdlSession:
             name = self.resolve(m.group("name"))
             if name not in self.catalog.tables:
                 raise DdlError(f"table not found: {name}")
+            if m.group("where"):
+                cluster = tuple(
+                    c.strip()
+                    for c in (m.group("cols") or "").split(",")
+                    if c.strip()
+                )
+                try:
+                    self.catalog.compact(
+                        name, where=m.group("where"), cluster_by=cluster
+                    )
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
             cluster = tuple(
                 c.strip() for c in (m.group("cols") or "").split(",") if c.strip()
             )

@@ -330,3 +330,49 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_optimize_where_compacts_only_selected_partitions(catalog, spark):
+    """OPTIMIZE ... WHERE rewrites only the matching partitions; other
+    partitions keep their exact files (at 100 TB: compact yesterday's
+    partition, never the table)."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    part_schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("part", T.StringType())]
+    )
+    catalog.register("t.ow", part_schema, partition_by=("part",))
+    for i in range(4):
+        catalog.append(
+            "t.ow",
+            spark.createDataFrame(
+                [(i, f"r{i}", "a"), (i + 10, f"s{i}", "b")], part_schema
+            ),
+        )
+    before = catalog._load_manifest("t.ow")[-1]["files"]
+    b_before = sorted(f for f in before if f.startswith("part=b"))
+    catalog.compact("t.ow", where="part = 'a'")
+    after = catalog._load_manifest("t.ow")[-1]["files"]
+    a_after = [f for f in after if f.startswith("part=a")]
+    b_after = sorted(f for f in after if f.startswith("part=b"))
+    assert len(a_after) == 1          # compacted
+    assert b_after == b_before        # untouched, byte-identical file set
+    got = sorted((r.k, r.part) for r in catalog.table("t.ow").collect())
+    assert got == sorted(
+        [(i, "a") for i in range(4)] + [(i + 10, "b") for i in range(4)]
+    )
+
+    # Predicate must stay within partition columns.
+    with _pytest.raises(ValueError, match="partition columns"):
+        catalog.compact("t.ow", where="k > 2")
+
+    # SQL spelling.
+    from certified_dogs_and_cats_spark.pipeline import DdlSession
+
+    DdlSession(catalog).execute("OPTIMIZE t.ow WHERE part = 'b'")
+    final = catalog._load_manifest("t.ow")[-1]["files"]
+    assert len([f for f in final if f.startswith("part=b")]) == 1
+    assert _os.path.isdir(catalog.tables["t.ow"].path)
