@@ -50,6 +50,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _layout_sig(rel: str) -> tuple[str, ...]:
+    """Partition-layout signature of a data file: the ordered col names of
+    its ``col=value`` directory segments (empty = unpartitioned layout)."""
+    return tuple(
+        seg.partition("=")[0]
+        for seg in rel.split(os.sep)[:-1]
+        if "=" in seg
+    )
+
+
 class ConstraintViolation(ValueError):
     """A write would insert rows violating a CHECK constraint."""
 
@@ -130,8 +140,10 @@ class Catalog:
         )
         self.tables[name] = spec
         # Rehydrate any persisted column mapping (metadata-only renames
-        # survive sessions; the registered schema uses logical names).
+        # survive sessions; the registered schema uses logical names) and
+        # evolved partitioning.
         self.load_column_map(name)
+        self.load_layout(name)
         return spec
 
     def exists(self, name: str) -> bool:
@@ -161,12 +173,20 @@ class Catalog:
             return self._read_version(spec, version)
         if not self.exists(name):
             return self.spark.createDataFrame([], spec.schema)
+        manifest = self._load_manifest(name)
+        if manifest and self._mixed_layouts(spec, manifest[-1]["files"]):
+            # Partition evolution left files under more than one layout:
+            # the directory read cannot infer consistently, so resolve the
+            # head through the manifest's layout-grouped reader.
+            head = manifest[-1]
+            return self._resolve_and_read(
+                spec, head["files"], head["version"], dvs=head.get("dv", [])
+            )
         df = (
             self.spark.read.format(spec.fmt)
             .schema(spec.physical_schema())
             .load(spec.path)
         )
-        manifest = self._load_manifest(name)
         dvs = manifest[-1].get("dv", []) if manifest else []
         if dvs:
             df = self._apply_dv(spec, df, dvs)
@@ -242,6 +262,7 @@ class Catalog:
             deleted = cur.count()
             self.overwrite(name, keep)
             return deleted - self.table(name).count()
+        self._require_uniform_layout(spec)
         df = (
             self.spark.read.format(spec.fmt)
             .schema(spec.physical_schema())
@@ -315,6 +336,7 @@ class Catalog:
             raise ValueError(f"unknown column(s) in SET: {unknown}")
         if not self.exists(name):
             return 0
+        self._require_uniform_layout(spec)
         df = (
             self.spark.read.format(spec.fmt)
             .schema(spec.physical_schema())
@@ -413,6 +435,7 @@ class Catalog:
             added = self._stage_files_in(spec, df)
             self._commit(name, "replace_where", added=added)
             return 0
+        self._require_uniform_layout(spec)
         cur = (
             self.spark.read.format(spec.fmt)
             .schema(spec.physical_schema())
@@ -982,18 +1005,26 @@ class Catalog:
                     f"readable — file {rel!r} was vacuumed (retention "
                     "window passed)"
                 )
-        # One read per root so basePath-driven partition inference works,
-        # then union; all parts are projected to the declared schema. When
-        # the version carries deletion vectors, each part is keyed by its
-        # (root-relative file, row_index) identity first — rel paths are
-        # stable across trash moves, so tombstones keep matching — and the
-        # union is anti-joined against the DV set.
-        parts = []
+        # One read per (root, partition-layout) group so basePath-driven
+        # partition inference works even across PARTITION EVOLUTION
+        # (files written under an older partitioning carry a different
+        # col=value dir signature — or none, with the partition column as
+        # a DATA column inside the file; each group is layout-uniform, so
+        # inference and the declared schema always agree), then union.
+        # When the version carries deletion vectors, each part is keyed by
+        # its (root-relative file, row_index) identity first — rel paths
+        # are stable across trash moves, so tombstones keep matching — and
+        # the union is anti-joined against the DV set.
+        by_group: dict[tuple[str, tuple[str, ...]], list[str]] = {}
         for root, rels in by_root.items():
+            for rel in rels:
+                by_group.setdefault((root, _layout_sig(rel)), []).append(rel)
+        parts = []
+        for (root, sig), rels in by_group.items():
             reader = self.spark.read.format(spec.fmt).schema(
                 spec.physical_schema()
             )
-            if spec.partition_by:
+            if sig:
                 reader = reader.option("basePath", root)
             df = reader.load([os.path.join(root, r) for r in rels])
             cols = [
@@ -1309,6 +1340,13 @@ class Catalog:
             raise ValueError(
                 f"{name} is unpartitioned — use overwrite() instead"
             )
+        manifest = self._load_manifest(name)
+        if manifest and self._mixed_layouts(spec, manifest[-1]["files"]):
+            raise ValueError(
+                f"{name}: partition layouts are mixed after partition "
+                "evolution — a partition is not one directory set; run "
+                "compact() to normalize first"
+            )
         # Stage the write first: Spark itself generates the partition
         # directory names (Hive-style escaping, __HIVE_DEFAULT_PARTITION__
         # for NULL, lowercase booleans, date/ts formatting), so the set of
@@ -1564,6 +1602,74 @@ class Catalog:
             df = df.coalesce(n)
         self.overwrite(name, df)
 
+    # --- partition evolution ---------------------------------------------
+
+    def _require_uniform_layout(self, spec: TableSpec) -> None:
+        """Directory-scan paths (DV DML keyed reads) cannot infer mixed
+        partition layouts; evolution requires a compact() before them."""
+        manifest = self._load_manifest(spec.name)
+        if manifest and self._mixed_layouts(spec, manifest[-1]["files"]):
+            raise ValueError(
+                f"{spec.name}: partition layouts are mixed after "
+                "partition evolution — run compact() to normalize before "
+                "row-level DML"
+            )
+
+    @staticmethod
+    def _mixed_layouts(spec: TableSpec, files: list[str]) -> bool:
+        """True when live files sit under more than one partition layout,
+        or under a layout other than the declared one — the state
+        :meth:`set_partitioning` creates until a full :meth:`compact`
+        normalizes the table."""
+        sigs = {_layout_sig(rel) for rel in files}
+        return bool(sigs) and sigs != {tuple(spec.partition_by)}
+
+    def _layout_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "layout.json")
+
+    def set_partitioning(
+        self, name: str, partition_by: tuple[str, ...]
+    ) -> None:
+        """Iceberg-style PARTITION EVOLUTION (beyond Delta, which requires
+        a full rewrite): change the partitioning for FUTURE writes without
+        touching a single existing file. Old files stay under their old
+        layout — where a now-partition column was a DATA column inside the
+        file, or a now-data column was a directory — and every read path
+        groups files by layout signature so both eras read correctly
+        (including stat-based skipping: old files prune on the column's
+        footer stats, new files on the directory value).
+
+        Write cost: one JSON. The trade: directory-level pruning only
+        covers new-era files until a full :meth:`compact` rewrites the
+        table under the current layout (after which the table is
+        un-mixed again); partition-scoped maintenance
+        (:meth:`overwrite_partitions`, ``OPTIMIZE WHERE``) refuses while
+        layouts are mixed because "a partition" is not one directory set.
+        """
+        spec = self.tables[name]
+        declared = {f.name for f in spec.schema.fields}
+        missing = [c for c in partition_by if c not in declared]
+        if missing:
+            raise ValueError(
+                f"{name}: partition columns not in schema: {missing}"
+            )
+        spec.partition_by = tuple(partition_by)
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        tmp = self._layout_path(name) + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"partition_by": list(partition_by)}, f)
+        os.replace(tmp, self._layout_path(name))
+        if self.exists(name):
+            self._commit(name, "set_partitioning")
+
+    def load_layout(self, name: str) -> None:
+        """Rehydrate an evolved partitioning (new sessions re-register
+        with the original layout; the persisted one wins)."""
+        spec = self.tables[name]
+        if os.path.isfile(self._layout_path(name)):
+            with open(self._layout_path(name)) as f:
+                spec.partition_by = tuple(json.load(f)["partition_by"])
+
     def _compact_partitions(
         self,
         name: str,
@@ -1584,6 +1690,12 @@ class Catalog:
         if not spec.partition_by:
             raise ValueError(
                 f"{name}: OPTIMIZE WHERE requires a partitioned table"
+            )
+        manifest = self._load_manifest(name)
+        if manifest and self._mixed_layouts(spec, manifest[-1]["files"]):
+            raise ValueError(
+                f"{name}: partition layouts are mixed after partition "
+                "evolution — run compact() to normalize first"
             )
         masked = re.sub(r"'[^']*'", "''", where)
         idents = set(re.findall(r"[A-Za-z_]\w*", masked)) - {
