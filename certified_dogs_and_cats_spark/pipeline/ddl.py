@@ -338,6 +338,26 @@ class DdlSession:
                     raise DdlError(f"table not found: {name}")
                 self.catalog.drop_constraint(name, dm.group("c"))
                 return None
+            pm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) SET PARTITION SPEC"
+                r" ?\((?P<cols>[^)]*)\)\s*$",
+                s,
+                re.I,
+            )
+            if pm:
+                name = self.resolve(pm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                cols = tuple(
+                    c.strip()
+                    for c in pm.group("cols").split(",")
+                    if c.strip()
+                )
+                try:
+                    self.catalog.set_partitioning(name, cols)
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
             rm = re.match(
                 r"ALTER TABLE (?P<name>[\w.]+) RENAME COLUMN (?P<old>\w+)"
                 r" TO (?P<new>\w+)\s*$",

@@ -125,3 +125,23 @@ def test_set_partitioning_validates_columns(catalog, spark):
     catalog.register("t.ev7", SCHEMA)
     with pytest.raises(ValueError, match="not in schema"):
         catalog.set_partitioning("t.ev7", ("nope",))
+
+
+def test_ddl_set_partition_spec(catalog, spark):
+    from certified_dogs_and_cats_spark.pipeline import DdlSession
+
+    ddl = DdlSession(catalog)
+    ddl.execute(
+        "CREATE TABLE core.pe (k INT, v STRING, part STRING) USING parquet;"
+        "INSERT INTO core.pe VALUES (1, 'a', 'x')"
+    )
+    ddl.execute("ALTER TABLE core.pe SET PARTITION SPEC (part)")
+    assert catalog.tables["core.pe"].partition_by == ("part",)
+    ddl.execute("INSERT INTO core.pe VALUES (2, 'b', 'y')")
+    files = catalog._load_manifest("core.pe")[-1]["files"]
+    assert any(f.startswith("part=") for f in files)
+    [df] = ddl.execute("SELECT k, part FROM core.pe")
+    assert sorted((r.k, r.part) for r in df.collect()) == [
+        (1, "x"),
+        (2, "y"),
+    ]
