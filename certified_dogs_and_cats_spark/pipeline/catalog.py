@@ -52,12 +52,12 @@ from pyspark.sql import types as T
 
 def _layout_sig(rel: str) -> tuple[str, ...]:
     """Partition-layout signature of a data file: the ordered col names of
-    its ``col=value`` directory segments (empty = unpartitioned layout)."""
-    return tuple(
-        seg.partition("=")[0]
-        for seg in rel.split(os.sep)[:-1]
-        if "=" in seg
-    )
+    its ``col=value`` directory segments (empty = unpartitioned layout).
+    Delegates to the shared Hive-path parser so escaping rules live in
+    exactly one place."""
+    from .skipping import hive_partition_segments
+
+    return tuple(col for col, _ in hive_partition_segments(rel))
 
 
 class ConstraintViolation(ValueError):
@@ -797,8 +797,12 @@ class Catalog:
                     f.name not in df.columns
                     and f.nullable
                     # Generated columns stay absent so _apply_generated
-                    # computes them instead of validating a NULL fill.
+                    # computes them instead of validating a NULL fill;
+                    # identity columns likewise stay absent so the engine
+                    # assigns them instead of rejecting a NULL "writer
+                    # value".
                     and f.name not in spec.generated
+                    and f.name not in spec.identity
                 ):
                     df = df.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
@@ -836,15 +840,25 @@ class Catalog:
             ]
         )
 
-    def _apply_identity(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+    def _apply_identity(
+        self, spec: TableSpec, df: DataFrame, strict: bool = True
+    ) -> DataFrame:
+        """Assign identity values to frames missing the column. ``strict``
+        (the append/new-data path) rejects writer-provided values — the
+        ALWAYS contract; rewrite paths (overwrite/compact/replace of
+        already-assigned rows) pass ``strict=False`` so engine-assigned
+        ids ROUND-TRIP through maintenance unchanged, exactly as Delta's
+        OPTIMIZE/UPDATE preserve identity values."""
         from pyspark.sql import functions as F
 
         for col, ident in spec.identity.items():
             if col in df.columns:
-                raise ConstraintViolation(
-                    f"{spec.name}: {col!r} is GENERATED ALWAYS AS IDENTITY;"
-                    " writers cannot provide it"
-                )
+                if strict:
+                    raise ConstraintViolation(
+                        f"{spec.name}: {col!r} is GENERATED ALWAYS AS"
+                        " IDENTITY; writers cannot provide it"
+                    )
+                continue
             idir = os.path.join(self._meta_dir(spec.name), "identity", col)
             os.makedirs(idir, exist_ok=True)
             # Atomic block claim: link n.claim, bumping n until we win.
@@ -1460,6 +1474,14 @@ class Catalog:
             # Persist the inherited mapping under the clone's own meta dir
             # (spec.name is dst, so _save_column_map writes there).
             self._save_column_map(spec)
+        # An evolved partition layout persists for the clone too —
+        # otherwise a new session's register() would revert the clone to
+        # its registration-time layout and write the wrong directories.
+        if os.path.isfile(self._layout_path(src)):
+            os.makedirs(self._meta_dir(dst), exist_ok=True)
+            shutil.copy2(
+                self._layout_path(src), self._layout_path(dst)
+            )
         # Identity high watermarks carry over (Delta clone semantics):
         # replay the source's block claims so the clone's next append
         # allocates ABOVE every id already present in the cloned data.
@@ -1530,7 +1552,9 @@ class Catalog:
         attaches an idempotent-writer marker to the commit (same mechanism
         as :meth:`append`)."""
         spec = self.tables[name]
-        df = self._apply_identity(spec, df)
+        # Rewrite path: identity values round-trip (compact/restore/
+        # rename rewrites re-stage already-assigned ids).
+        df = self._apply_identity(spec, df, strict=False)
         df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
         tmp = spec.path + "__staging"
@@ -1579,7 +1603,7 @@ class Catalog:
             raise ValueError("pass cluster_by OR zorder_by, not both")
         if where is not None:
             return self._compact_partitions(
-                name, where, target_files_per_partition, cluster_by
+                name, where, target_files_per_partition, cluster_by, zorder_by
             )
         df = self.table(name)
         n = target_files_per_partition
@@ -1676,6 +1700,7 @@ class Catalog:
         where: str,
         target_files_per_partition: int,
         cluster_by: tuple[str, ...],
+        zorder_by: tuple[str, ...] = (),
     ) -> None:
         """``OPTIMIZE ... WHERE <partition predicate>`` (Delta parity):
         rewrite ONLY the partitions the predicate selects, via the
@@ -1698,9 +1723,14 @@ class Catalog:
                 "evolution — run compact() to normalize first"
             )
         masked = re.sub(r"'[^']*'", "''", where)
-        idents = set(re.findall(r"[A-Za-z_]\w*", masked)) - {
+        keywords = {
             "AND", "OR", "IN", "IS", "NOT", "NULL", "TRUE", "FALSE",
-            "and", "or", "in", "is", "not", "null", "true", "false",
+            "BETWEEN", "LIKE",
+        }
+        idents = {
+            w
+            for w in re.findall(r"[A-Za-z_]\w*", masked)
+            if w.upper() not in keywords
         }
         if not idents or not idents <= set(spec.partition_by):
             raise ValueError(
@@ -1713,6 +1743,11 @@ class Catalog:
             subset = subset.sortWithinPartitions(
                 *spec.partition_by, *cluster_by
             )
+        elif zorder_by:
+            from ..functions.zorder import zorder_key
+
+            key = zorder_key(subset, list(zorder_by))
+            subset = subset.sortWithinPartitions(*spec.partition_by, key)
         self.overwrite_partitions(name, subset)
 
     def maybe_compact(

@@ -427,9 +427,24 @@ class DdlSession:
                     for c in (m.group("cols") or "").split(",")
                     if c.strip()
                 )
+                # Same ZORDER routing as the whole-table branch: 2+
+                # numeric columns get a true Morton key, anything else
+                # the lexicographic cluster sort.
+                numeric = (
+                    T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                    T.FloatType, T.DoubleType, T.DecimalType,
+                )
+                spec = self.catalog.tables[name]
+                tby = {f.name: f.dataType for f in spec.schema.fields}
+                use_z = len(cluster) >= 2 and all(
+                    isinstance(tby.get(c), numeric) for c in cluster
+                )
                 try:
                     self.catalog.compact(
-                        name, where=m.group("where"), cluster_by=cluster
+                        name,
+                        where=m.group("where"),
+                        cluster_by=() if use_z else cluster,
+                        zorder_by=cluster if use_z else (),
                     )
                 except ValueError as e:
                     raise DdlError(str(e)) from e
@@ -1261,7 +1276,11 @@ class DdlSession:
         mm = re.search(r"\bMERGE (?:WITH SCHEMA EVOLUTION )?INTO\b", masked, re.I)
         # Delta's `MERGE WITH SCHEMA EVOLUTION INTO`: NEW source columns
         # widen the target schema (nullable metadata-only adds) before the
-        # merge, so UPDATE SET/INSERT may reference them.
+        # merge, so UPDATE SET/INSERT may reference them. DOCUMENTED
+        # DIVERGENCE from Delta: the widening is not atomic with the data
+        # commit — if the merge itself fails afterwards, the schema stays
+        # widened (added columns read NULL; harmless to data, but the
+        # declared schema moved without a write landing).
         evolve = "SCHEMA EVOLUTION" in masked[mm.start() : mm.end()].upper()
         ctes = s[: mm.start()].strip()  # "" or "WITH ..."
         merge = s[mm.start() :]

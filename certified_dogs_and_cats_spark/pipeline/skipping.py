@@ -54,7 +54,11 @@ class Conjunct:
 
 def _parse_literal(tok: str):
     tok = tok.strip()
-    m = re.match(r"^(?:DATE|TIMESTAMP)?\s*'(.*)'$", tok, re.I | re.S)
+    # [^']* (not greedy .*) so a trailing "...' OR b = 'y'" tail can never
+    # be swallowed into one garbage literal — an OR-disjunction must fall
+    # through to "unparsable" (prunes nothing) rather than misparse into a
+    # wrong single-column conjunct that silently drops matching files.
+    m = re.match(r"^(?:DATE|TIMESTAMP)?\s*'([^']*)'$", tok, re.I | re.S)
     if m:
         return m.group(1)
     if re.match(r"^-?\d+$", tok):
@@ -209,21 +213,39 @@ def collect_file_stats(
     return out
 
 
-def _partition_values(rel: str, schema: T.StructType) -> dict[str, object]:
-    """col=value path segments, typed by the declared schema."""
-    by_name = {f.name: f.dataType for f in schema.fields}
-    out: dict[str, object] = {}
+def hive_partition_segments(rel: str) -> list[tuple[str, str | None]]:
+    """The ONE parser of Hive-style ``col=value`` path segments (shared by
+    stat pruning, layout signatures, and the streaming source — the
+    escaping rules must never drift between them): ordered (col, value)
+    pairs with percent-escapes decoded and the
+    ``__HIVE_DEFAULT_PARTITION__`` NULL sentinel mapped to ``None``."""
+    out: list[tuple[str, str | None]] = []
     for seg in rel.split(os.sep)[:-1]:
         if "=" not in seg:
             continue
         col, _, raw = seg.partition("=")
+        out.append(
+            (
+                col,
+                None
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else urllib.parse.unquote(raw),
+            )
+        )
+    return out
+
+
+def _partition_values(rel: str, schema: T.StructType) -> dict[str, object]:
+    """col=value path segments, typed by the declared schema."""
+    by_name = {f.name: f.dataType for f in schema.fields}
+    out: dict[str, object] = {}
+    for col, val in hive_partition_segments(rel):
         if col not in by_name:
             continue
-        if raw == "__HIVE_DEFAULT_PARTITION__":
+        if val is None:
             # NULL partition sentinel: no comparable value — leave the
             # column out so no conjunct can prune this file on it.
             continue
-        val = urllib.parse.unquote(raw)
         t = by_name[col]
         if isinstance(t, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
             try:

@@ -205,24 +205,27 @@ class _ChangesStreamReader(DataSourceStreamReader):
             for f in self._schema.fields
             if f.name not in ("_change_type", "_commit_version")
         ]
+        from ..pipeline.skipping import hive_partition_segments
+
         tbl = pq.read_table(partition.path)
         n = tbl.num_rows
         # Partition-directory columns (col=value path segments) are not in
-        # the file; synthesize them. Everything is cast to the declared
-        # arrow schema so emitted batches match the stream schema exactly.
-        partvals = {}
-        for seg in partition.rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                c, _, raw = seg.partition("=")
-                partvals[c] = raw
+        # the file; synthesize them via the SHARED Hive-path parser
+        # (percent-unescaped, NULL sentinel -> nulls). Everything is cast
+        # to the declared arrow schema so emitted batches match the
+        # stream schema exactly.
+        partvals = dict(hive_partition_segments(partition.rel))
         cols = []
         for name in data_names:
             ftype = target.field(name).type
             if name in tbl.column_names:
                 cols.append(tbl.column(name).cast(ftype))
             elif name in partvals:
+                val = partvals[name]
                 cols.append(
-                    pa.array([partvals[name]] * n).cast(ftype)
+                    pa.nulls(n, type=ftype)
+                    if val is None
+                    else pa.array([val] * n).cast(ftype)
                 )
             else:  # added after this file was written -> NULL
                 cols.append(pa.nulls(n, type=ftype))

@@ -219,3 +219,20 @@ def test_max_versions_per_trigger_bounds_batches(catalog, spark, tmp_path):
     run_available_now(feed(), sink, ck)
     got2 = sorted(r.k for r in spark.read.parquet(sink).collect())
     assert got2 == [0, 1, 2, 9]
+
+
+def test_partitioned_stream_unescapes_and_nulls(catalog, spark, tmp_path):
+    """Escaped partition values stream decoded, and NULL-partition rows
+    stream as NULL — not as the Hive sentinel string."""
+    part_schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("city", T.StringType())]
+    )
+    catalog.register("t.esc", part_schema, partition_by=("city",))
+    catalog.append(
+        "t.esc",
+        spark.createDataFrame(
+            [(1, "a", "New York"), (2, "b", None)], part_schema
+        ),
+    )
+    got = {r.k: r.city for r in _drain(catalog, "t.esc", str(tmp_path / "ck")).collect()}
+    assert got == {1: "New York", 2: None}

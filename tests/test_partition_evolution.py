@@ -145,3 +145,15 @@ def test_ddl_set_partition_spec(catalog, spark):
         (1, "x"),
         (2, "y"),
     ]
+
+
+def test_clone_inherits_evolved_layout_across_sessions(catalog, spark):
+    """A clone of a partition-evolved table keeps the evolved layout even
+    after re-registration in a fresh catalog session."""
+    catalog.register("t.ev8", SCHEMA)
+    catalog.append("t.ev8", spark.createDataFrame(ROWS1, SCHEMA))
+    catalog.set_partitioning("t.ev8", ("part",))
+    catalog.clone("t.ev8", "t.ev8c", shallow=True)
+    fresh = Catalog(catalog.spark, catalog.root)
+    spec = fresh.register("t.ev8c", SCHEMA)  # registered unpartitioned
+    assert spec.partition_by == ("part",)

@@ -120,3 +120,76 @@ def test_insert_replace_where_sql(catalog, spark):
         (r.month, r.amt) for r in catalog.table("core.sales").collect()
     )
     assert got == [("feb", 3), ("jan", 10), ("jan", 20)]
+
+
+# --- review-fix regressions -------------------------------------------------
+
+
+def test_or_predicate_with_string_literals_never_prunes(catalog, spark):
+    """An OR-disjunction must parse to NO prunable conjunct — a greedy
+    literal parse once swallowed \"'x' OR b = 'y'\" into one garbage
+    equality and silently dropped matching files."""
+    from certified_dogs_and_cats_spark.pipeline.skipping import (
+        parse_conjuncts,
+    )
+
+    assert parse_conjuncts("a = 'x' OR b = 'y'") == []
+    assert parse_conjuncts("a IN ('x') OR (b = 'y')") == []
+
+    catalog.register("t.orp", SCHEMA)
+    catalog.append(
+        "t.orp",
+        spark.createDataFrame([("zzz", 1), ("jan", 2)], SCHEMA).coalesce(1),
+    )
+    pred = "month = 'nope' OR amt = 2"
+    got = sorted(r.amt for r in catalog.scan("t.orp", pred).collect())
+    want = sorted(
+        r.amt for r in catalog.table("t.orp").filter(pred).collect()
+    )
+    assert got == want == [2]
+
+
+def test_identity_survives_compact_and_rewrite_paths(catalog, spark):
+    """Maintenance rewrites must round-trip engine-assigned identity
+    values, not reject them as writer-provided."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    spec = catalog.register("t.idm", schema)
+    spec.identity["rid"] = {"start": 1, "step": 1}
+    v_only = T.StructType([T.StructField("v", T.StringType())])
+    catalog.append("t.idm", spark.createDataFrame([("a",), ("b",)], v_only))
+    before = sorted((r.rid, r.v) for r in catalog.table("t.idm").collect())
+    catalog.compact("t.idm")
+    after = sorted((r.rid, r.v) for r in catalog.table("t.idm").collect())
+    assert after == before
+    # Copy-on-write delete also rewrites the survivors unchanged.
+    catalog.delete_where("t.idm", "v = 'a'", rewrite=True)
+    left = [(r.rid, r.v) for r in catalog.table("t.idm").collect()]
+    assert left == [x for x in before if x[1] == "b"]
+    # merge_schema appends still get engine-assigned ids (no NULL fill).
+    catalog.append(
+        "t.idm",
+        spark.createDataFrame([("c",)], v_only),
+        merge_schema=True,
+    )
+    rids = [r.rid for r in catalog.table("t.idm").collect()]
+    assert None not in rids and len(set(rids)) == 2
+
+
+def test_optimize_where_between_predicate(catalog, spark):
+    from pyspark.sql import types as T
+
+    part_schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("yr", T.IntegerType())]
+    )
+    catalog.register("t.btw", part_schema, partition_by=("yr",))
+    rows = [("jan", i, 2020 + i % 3) for i in range(9)]
+    catalog.append("t.btw", spark.createDataFrame(rows, part_schema))
+    catalog.compact("t.btw", where="yr BETWEEN 2020 AND 2021")
+    assert catalog.table("t.btw").count() == 9
