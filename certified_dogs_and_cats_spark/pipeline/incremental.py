@@ -37,6 +37,13 @@ class IncrementalAggregate:
     refresh and returns the number of source-change rows applied (0 = the
     view was already current). The destination table is registered (and
     created empty) on first use.
+
+    Documented divergences from a full re-aggregation: a group whose rows
+    are all NULL in ``value_col`` carries total 0.0 (SQL SUM would yield
+    NULL), and totals accumulate as incremental double additions, so very
+    long insert/delete histories can drift in the last float bits
+    relative to a fresh DECIMAL-summed re-aggregation; rebuild the view
+    (full re-aggregate) when bit-exact totals matter.
     """
 
     catalog: Catalog
@@ -83,32 +90,62 @@ class IncrementalAggregate:
         if applied > self._cursor.position():
             self._cursor.ack(applied)
         changes, end = self._cursor.poll()
-        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
-        delta = changes.groupBy(*self.group_cols).agg(
-            F.sum(sign).cast("long").alias("_dcnt"),
-            F.sum(sign * F.col(self.value_col)).alias("_dtotal"),
-        )
-        n = changes.count()
-        if n == 0:
-            return 0
-        cur = self.catalog.table(self.dst)
-        keys = list(self.group_cols)
-        merged = (
-            cur.join(delta, keys, "full_outer")
-            .select(
-                *keys,
-                (
-                    F.coalesce(F.col("cnt"), F.lit(0))
-                    + F.coalesce(F.col("_dcnt"), F.lit(0))
-                ).alias("cnt"),
-                (
-                    F.coalesce(F.col("total"), F.lit(0.0))
-                    + F.coalesce(F.col("_dtotal"), F.lit(0.0))
-                ).alias("total"),
+        # One evaluation of the feed backs both the count and the delta
+        # aggregation below (for rewrite commits the feed is a two-sided
+        # snapshot diff — reading it twice would double a real cost).
+        changes = changes.persist()
+        try:
+            n = changes.count()
+            if n == 0:
+                # A no-net-change source commit (compact, no-op rewrite)
+                # still advances the range: ack it, or every future
+                # refresh re-diffs the same versions forever.
+                if end > self._cursor.position():
+                    self._cursor.ack(end)
+                return 0
+            sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            keys = list(self.group_cols)
+            delta = changes.groupBy(*keys).agg(
+                F.sum(sign).cast("long").alias("_dcnt"),
+                F.sum(sign * F.col(self.value_col)).alias("_dtotal"),
             )
-            .filter(F.col("cnt") > 0)
-        )
-        # Snapshot + applied-watermark in ONE commit (see module doc).
-        self.catalog.overwrite(self.dst, merged, txn={"cdc_applied": end})
-        self._cursor.ack(end)
-        return n
+            cur = self.catalog.table(self.dst)
+            # NULL-safe merge on the group keys: NULL is a real group in
+            # GROUP BY semantics, but SQL equality would never match it
+            # (same reason operators/joins.merge_upsert uses eqNullSafe),
+            # duplicating NULL-keyed rows on every refresh.
+            d = delta.select(
+                *[F.col(c).alias(f"__d_{c}") for c in keys],
+                "_dcnt",
+                "_dtotal",
+            )
+            cond = None
+            for c in keys:
+                e = cur[c].eqNullSafe(d[f"__d_{c}"])
+                cond = e if cond is None else (cond & e)
+            merged = (
+                cur.join(d, cond, "full_outer")
+                .select(
+                    *[
+                        F.coalesce(cur[c], d[f"__d_{c}"]).alias(c)
+                        for c in keys
+                    ],
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0))
+                        + F.coalesce(F.col("_dcnt"), F.lit(0))
+                    ).alias("cnt"),
+                    (
+                        F.coalesce(F.col("total"), F.lit(0.0))
+                        + F.coalesce(F.col("_dtotal"), F.lit(0.0))
+                    ).alias("total"),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+            # Snapshot + applied-watermark in ONE commit (see module doc).
+            self.catalog.overwrite(
+                self.dst, merged, txn={"cdc_applied": end}
+            )
+            self._cursor.ack(end)
+            return n
+        finally:
+            changes.unpersist()

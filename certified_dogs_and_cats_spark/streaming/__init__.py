@@ -94,7 +94,13 @@ def run_available_now_memory(
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    # Pin the (bounded) result and drop the memory-sink registration so
+    # repeated drains in one long session don't accumulate result sets
+    # in driver memory.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def dedup_stream(
@@ -106,7 +112,11 @@ def dedup_stream(
     """Exactly-once row delivery: stateful dropDuplicates on the key.
 
     Streaming analog of the reference's ``_id`` anti-join
-    (notebooks/bronze.py:111-115). With ``event_time_col`` set, the
+    (notebooks/bronze.py:111-115). Keep rule: the FIRST row processed
+    per key survives (dropDuplicates semantics) — for payload-carrying
+    rows where the LATEST must win, dedup in the sink instead
+    (operators/windows.py window_dedup_latest over a batch, or
+    stream_merge_upsert which updates keys in place). With ``event_time_col`` set, the
     watermark bounds how long a key is remembered
     (``dropDuplicatesWithinWatermark``), keeping state finite on an
     unbounded stream — the scale-safe default. Without it, state grows
@@ -124,6 +134,7 @@ def windowed_counts(
     window_duration: str = "1 hour",
     watermark_delay: str = "1 hour",
     group_cols: list[str] | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over event time.
 
@@ -139,7 +150,7 @@ def windowed_counts(
         .groupBy(*keys)
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
             .cast("double")
             .alias("total_value"),
         )
@@ -200,28 +211,38 @@ def stream_merge_upsert(
     pattern every Delta CDC/upsert pipeline runs, over this catalog's
     join-rewrite merge. Late keys update in place; new keys insert.
 
-    Micro-batches are deduped on the merge keys first (latest row wins by
-    batch order of arrival is NOT defined within a batch, so the dedup is
-    deterministic on the full key row), because the merge contract
-    requires unique source keys. Exactly-once via the same
-    (stream_id, batch_id) txn markers as :func:`stream_append_exactly_once`;
-    re-delivered batches are skipped, and re-merging identical rows is a
-    no-op anyway (merge idempotency), which closes the non-atomic
-    write+commit window that plain appends still have.
+    Micro-batches are deduped on the merge keys first (the merge
+    contract requires unique source keys) with a DETERMINISTIC pick: the
+    max of the non-key columns as a struct — arrival order within a
+    batch is undefined, and dropDuplicates' arbitrary keep would let a
+    crash-retry of the same batch pick a DIFFERENT row, breaking the
+    re-merge-idempotency the exactly-once story relies on. Exactly-once
+    via (stream_id, batch_id) txn markers committed ATOMICALLY with the
+    merged snapshot (one overwrite commit carries both), so there is no
+    window where the data landed but the marker did not.
     """
     from ..operators.joins import merge_upsert
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if catalog.txn_committed(table, stream_id, batch_id):
             return
-        src = batch_df.dropDuplicates(list(keys))
+        key_list = list(keys)
+        others = [c for c in batch_df.columns if c not in key_list]
+        if others:
+            src = (
+                batch_df.groupBy(*key_list)
+                .agg(F.max(F.struct(*others)).alias("__row"))
+                .select(*key_list, "__row.*")
+            )
+        else:
+            src = batch_df.dropDuplicates(key_list)
         # overwrite() stages the new version to a side directory before
-        # swapping, so a plan reading the current version is safe.
+        # swapping, so a plan reading the current version is safe; the
+        # txn marker rides the same commit.
         merged = merge_upsert(catalog.table(table), src, keys, update_cols)
-        catalog.overwrite(table, merged)
-        catalog._commit(
+        catalog.overwrite(
             table,
-            "stream_merge",
+            merged,
             txn={"stream_id": stream_id, "batch_id": batch_id},
         )
 

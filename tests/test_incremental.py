@@ -139,3 +139,59 @@ def test_randomized_op_sequence_stays_equivalent(spark, tmp_path):
             assert _snapshot(cat) == _expected(cat), f"diverged at step {step}"
     view.refresh()
     assert _snapshot(cat) == _expected(cat)
+
+
+def test_null_group_key_accumulates_not_duplicates(catalog, spark):
+    """NULL is a real GROUP BY group: two refreshes each inserting a
+    NULL-keyed row must accumulate into ONE (NULL, 2) row — SQL equality
+    in the merge join would never match NULL=NULL and duplicate it."""
+    import pyspark.sql.types as T
+
+    from certified_dogs_and_cats_spark.pipeline.incremental import (
+        IncrementalAggregate,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    catalog.register("t.nullsrc", schema)
+    agg = IncrementalAggregate(
+        catalog, "t.nullsrc", "t.nulldst", ("grp",), "amt"
+    )
+    catalog.append("t.nullsrc", spark.createDataFrame([(None, 1.0)], schema))
+    agg.refresh()
+    catalog.append("t.nullsrc", spark.createDataFrame([(None, 2.0)], schema))
+    agg.refresh()
+    rows = [(r.grp, r.cnt, r.total) for r in catalog.table("t.nulldst").collect()]
+    assert rows == [(None, 2, 3.0)]
+
+
+def test_no_net_change_commit_advances_cursor(catalog, spark):
+    """A compact (no row changes) must be acked, not re-diffed forever."""
+    import pyspark.sql.types as T
+
+    from certified_dogs_and_cats_spark.pipeline.incremental import (
+        IncrementalAggregate,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    catalog.register("t.cmsrc", schema)
+    agg = IncrementalAggregate(catalog, "t.cmsrc", "t.cmdst", ("grp",), "amt")
+    catalog.append(
+        "t.cmsrc", spark.createDataFrame([("a", 1.0), ("a", 2.0)], schema)
+    )
+    agg.refresh()
+    pos = agg._cursor.position()
+    catalog.compact("t.cmsrc")
+    assert agg.refresh() == 0
+    assert agg._cursor.position() > pos  # acked past the compact commit
+    # And idempotent thereafter.
+    assert agg.refresh() == 0
