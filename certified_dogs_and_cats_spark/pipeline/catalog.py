@@ -50,6 +50,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _sql_str(path: str) -> str:
+    """Escape a filesystem path for embedding in a Spark SQL string
+    literal (backslashes first, then quotes — paths like /home/o'brien
+    must not truncate the literal)."""
+    return path.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _layout_sig(rel: str) -> tuple[str, ...]:
     """Partition-layout signature of a data file: the ordered col names of
     its ``col=value`` directory segments (empty = unpartitioned layout).
@@ -174,10 +181,15 @@ class Catalog:
         if not self.exists(name):
             return self.spark.createDataFrame([], spec.schema)
         manifest = self._load_manifest(name)
-        if manifest and self._mixed_layouts(spec, manifest[-1]["files"]):
-            # Partition evolution left files under more than one layout:
-            # the directory read cannot infer consistently, so resolve the
-            # head through the manifest's layout-grouped reader.
+        if manifest:
+            # Liveness is defined by the LOG, not by which files happen
+            # to sit in the directory: reading the head's committed file
+            # list makes uncommitted orphans (a crashed append's staged
+            # files, a racing writer's half-moved set) invisible, gives
+            # racing readers a consistent snapshot, and handles partition
+            # evolution's mixed layouts — exactly the contract _commit
+            # documents. The directory read below remains only for
+            # externally-populated dirs with no manifest.
             head = manifest[-1]
             return self._resolve_and_read(
                 spec, head["files"], head["version"], dvs=head.get("dv", [])
@@ -187,7 +199,7 @@ class Catalog:
             .schema(spec.physical_schema())
             .load(spec.path)
         )
-        dvs = manifest[-1].get("dv", []) if manifest else []
+        dvs = []
         if dvs:
             df = self._apply_dv(spec, df, dvs)
         # Partition columns come back typed by directory inference; project
@@ -216,7 +228,7 @@ class Catalog:
         )
         root = os.path.abspath(spec.path)
         keyed = df.withColumn(
-            "__dv_file", F.expr(f"substring_index(_metadata.file_path, '{root}/', -1)")
+            "__dv_file", F.expr(f"substring_index(_metadata.file_path, '{_sql_str(root)}/', -1)")
         ).withColumn("__dv_idx", F.col("_metadata.row_index"))
         return (
             keyed.join(
@@ -269,6 +281,7 @@ class Catalog:
             .load(spec.path)
         )
         manifest = self._load_manifest(name)
+        base_version = manifest[-1]["version"] if manifest else 0
         prior = manifest[-1].get("dv", []) if manifest else []
         root = os.path.abspath(spec.path)
         # Key every row by its (relative file, row_index) identity FIRST —
@@ -282,7 +295,7 @@ class Catalog:
                 for f in spec.schema.fields
             ],
             F.expr(
-                f"substring_index(_metadata.file_path, '{root}/', -1)"
+                f"substring_index(_metadata.file_path, '{_sql_str(root)}/', -1)"
             ).alias("__f"),
             F.col("_metadata.row_index").alias("__i"),
         )
@@ -310,7 +323,12 @@ class Catalog:
         if n == 0:
             shutil.rmtree(out, ignore_errors=True)
             return 0
-        self._commit(name, "delete", dv=prior + [dv_name])
+        self._commit(
+            name,
+            "delete",
+            dv=prior + [dv_name],
+            expected_base=base_version,
+        )
         return n
 
     def update_where(
@@ -334,6 +352,12 @@ class Catalog:
         unknown = [c for c in assignments if c not in spec.schema.fieldNames()]
         if unknown:
             raise ValueError(f"unknown column(s) in SET: {unknown}")
+        ident = [c for c in assignments if c in spec.identity]
+        if ident:
+            raise ConstraintViolation(
+                f"{name}: column(s) {ident} are GENERATED ALWAYS AS"
+                " IDENTITY; UPDATE cannot assign them"
+            )
         if not self.exists(name):
             return 0
         self._require_uniform_layout(spec)
@@ -343,6 +367,7 @@ class Catalog:
             .load(spec.path)
         )
         manifest = self._load_manifest(name)
+        base_version = manifest[-1]["version"] if manifest else 0
         prior = manifest[-1].get("dv", []) if manifest else []
         root = os.path.abspath(spec.path)
         keyed = df.select(
@@ -351,7 +376,7 @@ class Catalog:
                 for f in spec.schema.fields
             ],
             F.expr(
-                f"substring_index(_metadata.file_path, '{root}/', -1)"
+                f"substring_index(_metadata.file_path, '{_sql_str(root)}/', -1)"
             ).alias("__f"),
             F.col("_metadata.row_index").alias("__i"),
         )
@@ -398,7 +423,14 @@ class Catalog:
             shutil.rmtree(out, ignore_errors=True)
             return 0
         added = self._stage_files_in(spec, updated)
-        self._commit(name, "update", added=added, dv=prior + [dv_name])
+        self._commit(
+            name,
+            "update",
+            added=added,
+            dv=prior + [dv_name],
+            rebase=False,
+            expected_base=base_version,
+        )
         return n
 
     def replace_where(self, name: str, predicate: str, df: DataFrame) -> int:
@@ -442,6 +474,7 @@ class Catalog:
             .load(spec.path)
         )
         manifest = self._load_manifest(name)
+        base_version = manifest[-1]["version"] if manifest else 0
         prior = manifest[-1].get("dv", []) if manifest else []
         root = os.path.abspath(spec.path)
         keyed = cur.select(
@@ -450,7 +483,7 @@ class Catalog:
                 for f in spec.schema.fields
             ],
             F.expr(
-                f"substring_index(_metadata.file_path, '{root}/', -1)"
+                f"substring_index(_metadata.file_path, '{_sql_str(root)}/', -1)"
             ).alias("__f"),
             F.col("_metadata.row_index").alias("__i"),
         )
@@ -480,7 +513,12 @@ class Catalog:
             shutil.rmtree(out, ignore_errors=True)
         added = self._stage_files_in(spec, df)
         self._commit(
-            name, "replace_where", added=added, dv=dvs if dvs else None
+            name,
+            "replace_where",
+            added=added,
+            dv=dvs if dvs else None,
+            rebase=False,
+            expected_base=base_version,
         )
         return n
 
@@ -541,6 +579,8 @@ class Catalog:
         txn: dict | None = None,
         added: list[str] | None = None,
         dv: list[str] | None = None,
+        rebase: bool = True,
+        expected_base: int | None = None,
     ) -> int:
         """Commit a new table version; returns its number. The manifest is
         the analog of Delta's transaction log: liveness is defined by the
@@ -566,6 +606,17 @@ class Catalog:
         for _ in range(50):
             manifest = self._load_manifest(name)
             version = (manifest[-1]["version"] + 1) if manifest else 1
+            if expected_base is not None and version != expected_base + 1:
+                # Row-level writes validate that the head is STILL the
+                # snapshot their deletion vectors were computed against —
+                # any commit in between could have added/removed rows the
+                # predicate should have seen (Delta's conflict check for
+                # UPDATE/DELETE/replaceWhere).
+                raise ConcurrentWriteConflict(
+                    f"{name}: the table advanced from version "
+                    f"{expected_base} while this {action!r} was computing"
+                    " its row-level changes; re-read and retry"
+                )
             if added is not None:
                 base = manifest[-1]["files"] if manifest else []
                 files = sorted(set(base) | set(added))
@@ -609,7 +660,13 @@ class Catalog:
                 os.link(tmp, final)
             except FileExistsError:
                 os.unlink(tmp)
-                if added is None:
+                if added is None or not rebase:
+                    # rebase=False: row-level writes (update/replace via
+                    # deletion vectors) computed their tombstones against
+                    # a SNAPSHOT — rebasing past a racing writer could
+                    # silently duplicate or resurrect rows, so they
+                    # conflict like whole-table rewrites (Delta's
+                    # ConcurrentAppendException for row-level ops).
                     raise ConcurrentWriteConflict(
                         f"{name}: version {version} was committed by "
                         f"another writer while this {action!r} was staging;"
@@ -676,7 +733,8 @@ class Catalog:
         if os.path.exists(log_path):
             with open(log_path) as fh:
                 loaded = json.load(fh)
-        new = [f for f in all_files if f not in set(loaded)]
+        loaded_set = set(loaded)
+        new = [f for f in all_files if f not in loaded_set]
         if not new:
             return (0, 0)
         # Claim the batch BEFORE loading (link-claim, same primitive as
@@ -815,7 +873,13 @@ class Catalog:
         if (
             spec.properties.get("delta.autoOptimize.autoCompact") == "true"
         ):
-            self.maybe_compact(name)
+            # Best-effort maintenance: the append COMMITTED above; a
+            # concurrent writer beating the compaction to the next
+            # version must not surface as a failed append.
+            try:
+                self.maybe_compact(name)
+            except ConcurrentWriteConflict:
+                pass
 
     # Identity block size: ids within one write are base + partition_id *
     # 2^33 + row_index_in_partition (monotonically_increasing_id's layout),
@@ -1050,7 +1114,7 @@ class Catalog:
                 cols = cols + [
                     F.expr(
                         "substring_index(_metadata.file_path, "
-                        f"'{abs_root}/', -1)"
+                        f"'{_sql_str(abs_root)}/', -1)"
                     ).alias("__dv_file"),
                     F.col("_metadata.row_index").alias("__dv_idx"),
                 ]
@@ -1296,17 +1360,35 @@ class Catalog:
             spec.column_map[new] = spec.physical(old)
             spec.column_map.pop(old, None)
             spec.schema = new_schema
-            if old in spec.generated:
-                spec.generated[new] = spec.generated.pop(old)
-            if old in spec.identity:
-                spec.identity[new] = spec.identity.pop(old)
+            self._rename_col_metadata(spec, old, new)
             self._save_column_map(spec)
             if self.exists(name):
                 self._commit(name, "rename_column")
             return
         df = self.table(name).withColumnRenamed(old, new)
         spec.schema = new_schema
+        # Generated/identity registrations follow the column BEFORE the
+        # rewrite runs (overwrite re-applies them against the new schema;
+        # a stale key would crash the lookup mid-rewrite).
+        self._rename_col_metadata(spec, old, new)
         self.overwrite(name, df.select(*[F.col(f.name) for f in spec.schema.fields]))
+
+    def _rename_col_metadata(
+        self, spec: TableSpec, old: str, new: str
+    ) -> None:
+        """Move per-column registrations (generated expr, identity spec,
+        identity block-claim directory) when a column is renamed."""
+        if old in spec.generated:
+            spec.generated[new] = spec.generated.pop(old)
+        if old in spec.identity:
+            spec.identity[new] = spec.identity.pop(old)
+            idir = os.path.join(self._meta_dir(spec.name), "identity")
+            src_dir = os.path.join(idir, old)
+            if os.path.isdir(src_dir):
+                # The allocation watermark follows the rename — a fresh
+                # claim chain would restart at block 1 and collide with
+                # already-assigned ids.
+                os.replace(src_dir, os.path.join(idir, new))
 
     def drop_column(self, name: str, col: str) -> None:
         """ALTER TABLE DROP COLUMN.
@@ -1335,6 +1417,10 @@ class Catalog:
             return
         df = self.table(name).drop(col)
         spec.schema = new_schema
+        # Dropping a generated/identity column retires its registration
+        # before the rewrite re-applies writers' metadata.
+        spec.generated.pop(col, None)
+        spec.identity.pop(col, None)
         self.overwrite(name, df)
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> int:
@@ -1368,8 +1454,10 @@ class Catalog:
         # produced — no Python re-derivation of the encoding, and df is
         # evaluated exactly once (a nondeterministic df can't write
         # partitions that were never retired).
-        tmp = spec.path + "__inc_staging"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # Writer-unique staging (two concurrent writers must never share
+        # one staging dir — commit-time conflict detection can only fire
+        # if both writes stage intact).
+        tmp = spec.path + f"__inc_staging-{os.getpid()}-{time.time_ns()}"
         writer = self._to_physical(spec, df).write.format(
             spec.fmt
         ).mode("overwrite").partitionBy(*spec.partition_by)
@@ -1557,7 +1645,7 @@ class Catalog:
         df = self._apply_identity(spec, df, strict=False)
         df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
-        tmp = spec.path + "__staging"
+        tmp = spec.path + f"__staging-{os.getpid()}-{time.time_ns()}"
         writer = self._to_physical(spec, df).write.format(
             spec.fmt
         ).mode("overwrite")
@@ -1832,16 +1920,21 @@ class Catalog:
                     and entry["ts_ns"] < cutoff_ns
                 ):
                     os.unlink(full)
-        # Deletion-vector sidecars no longer referenced by the HEAD (a full
-        # rewrite reset the DV set) expire with the same retention as trash:
-        # past the window, the historical versions that referenced them are
-        # already unreadable, so the sidecars are dead weight.
+        # Deletion-vector sidecars expire when NO version committed
+        # inside the retention window references them (a sidecar's own
+        # creation time is NOT the right clock: a long-lived DV that left
+        # the live set yesterday is still referenced by yesterday's
+        # versions, whose data files are also still readable — deleting
+        # it by birth date would break in-retention time travel).
         dvdir = self._dv_dir(name)
         if name in self.tables and os.path.isdir(dvdir):
             manifest = self._load_manifest(name)
-            live = set(manifest[-1].get("dv", [])) if manifest else set()
+            referenced: set[str] = set()
+            for e in manifest:
+                if e is manifest[-1] or e["ts_ns"] >= cutoff_ns:
+                    referenced |= set(e.get("dv", []))
             for fn in sorted(os.listdir(dvdir)):
-                if fn in live:
+                if fn in referenced:
                     continue
                 try:
                     created_ns = int(fn.rsplit("-", 1)[-1])
