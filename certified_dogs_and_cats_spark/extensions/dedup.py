@@ -38,9 +38,15 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Keeper = min id (deterministic). One hash-aggregate shuffle; at scale the
     md5 is computed map-side and only (hash, id) shuffles, not the text.
+
+    NULL-text documents are EXCLUDED: unknown content is not "identical"
+    content, and md5(NULL)=NULL would otherwise collapse every failed
+    extraction into one giant duplicate group whose members a downstream
+    kill-list would wrongly delete.
     """
     return (
-        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -226,6 +232,11 @@ def lsh_candidate_pairs(
     """Band the signature (rows=band_size) and emit distinct candidate pairs
     (a_id, b_id) that collide on >= 1 band. Linear-ish: one explode + one
     equi-join on (band_idx, band_val); hot bands are true near-dup clusters."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"band_size {band_size} must divide num_hashes {num_hashes}:"
+            " trailing hashes would silently drop out of the S-curve"
+        )
     n_bands = num_hashes // band_size
     stack_args = []
     for b in range(n_bands):
@@ -259,9 +270,13 @@ def lsh_candidate_pairs(
 def simhash64(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
     """64-bit SimHash per document as a 16-char lowercase hex string.
 
-    Unweighted variant over distinct tokens: for each bit position b of
-    md5(token)'s first 64 bits, vote +1/-1; sign of the vote sum is bit b of
-    the signature. Near-duplicate docs land within small hamming distance.
+    Votes one +1/-1 per INPUT ROW: pass distinct (doc, token) pairs for
+    the unweighted set-SimHash (what the registry queries feed it), or
+    raw token occurrences for the frequency-weighted variant — the two
+    produce incomparable signatures, so pick one per corpus. For each
+    bit position b of md5(token)'s first 64 bits, the sign of the vote
+    sum is bit b of the signature; near-duplicate docs land within small
+    hamming distance.
 
     Plan shape: NO row explosion — the 64 bit votes are 64 aggregate
     expressions over (doc, token) rows, so the whole computation is one
@@ -435,6 +450,13 @@ def simhash_near_dup_pairs(
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < n_bands "
             f"(got {max_hamming} >= {n_bands})"
+        )
+    if not 1 <= n_bands <= 16 or 16 % n_bands != 0:
+        # band_w = 0 would make every band the empty string (a full
+        # O(N^2) cross join); a non-divisor would silently ignore the
+        # trailing hex digits and weaken the pigeonhole guarantee.
+        raise ValueError(
+            f"n_bands must divide the 16 hex digits evenly: {n_bands}"
         )
     band_w = 16 // n_bands
     stack_args = ", ".join(
@@ -616,9 +638,14 @@ def alternating_components(
     RuntimeError on max_iter exhaustion.
     """
     ckpt = _checkpointer(edges.sparkSession, reliable_checkpoint_dir)
-    raw = edges.select(
-        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
-    ).persist()
+    # Ids keep their OWN type: the algorithm only needs a total order
+    # (min) and hashing, which strings have too — casting to long would
+    # silently NULL non-numeric ids and collapse every component.
+    raw = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .persist()
+    )
     # Both derivations checkpoint EAGERLY off the cached input, so the
     # (possibly expensive — e.g. an LSH pair pipeline) edge plan runs
     # exactly once; the cache is released before iteration starts.
@@ -693,16 +720,20 @@ def incremental_lsh_candidates(
     corpus_bands: DataFrame,
     batch_bands: DataFrame,
     id_col: str,
+    include_batch_pairs: bool = False,
 ) -> DataFrame:
-    """Incremental dedup candidates: NEW docs vs the EXISTING corpus only.
+    """Incremental dedup candidates: NEW docs vs the EXISTING corpus.
 
     The production arrival path — when a batch lands, recomputing the full
     corpus x corpus pair set is O(N^2)-ish waste; the only new information
-    is batch x corpus (and batch x batch) collisions. Joining the batch's
-    bands against the (precomputed, stored) corpus bands makes incremental
-    dedup cost proportional to the BATCH, not the corpus: the property
-    that lets a 100 TB corpus absorb daily arrivals. Output: distinct
-    (batch_id, corpus_id) candidates to exact-verify downstream.
+    is batch x corpus collisions plus (``include_batch_pairs=True``) the
+    batch's INTRA-batch collisions — two near-identical documents arriving
+    in the same batch match nothing stored and would otherwise both be
+    admitted permanently. Both candidate sets cost ~|batch|, never
+    corpus x corpus: the property that lets a 100 TB corpus absorb daily
+    arrivals. Output: distinct (batch_id, corpus_id) candidates to
+    exact-verify downstream (for intra-batch pairs, corpus_id is the
+    OTHER batch document and batch_id < corpus_id).
 
     Both inputs are (id, band_idx, band_val) frames (see
     :func:`lsh_candidate_pairs` banding); the corpus side would be a
@@ -714,8 +745,17 @@ def incremental_lsh_candidates(
     c = corpus_bands.select(
         F.col(id_col).alias("corpus_id"), "band_idx", "band_val"
     )
-    return (
-        b.join(c, ["band_idx", "band_val"])
-        .select("batch_id", "corpus_id")
-        .distinct()
+    out = b.join(c, ["band_idx", "band_val"]).select(
+        "batch_id", "corpus_id"
     )
+    if include_batch_pairs:
+        b2 = batch_bands.select(
+            F.col(id_col).alias("corpus_id"), "band_idx", "band_val"
+        )
+        intra = (
+            b.join(b2, ["band_idx", "band_val"])
+            .filter(F.col("batch_id") < F.col("corpus_id"))
+            .select("batch_id", "corpus_id")
+        )
+        out = out.unionByName(intra)
+    return out.distinct()

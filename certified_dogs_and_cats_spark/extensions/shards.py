@@ -58,7 +58,10 @@ def export_training_shards(
 
     One shuffle (repartition on the shard id) + one write; rows within a
     shard are sorted by ``sort_cols`` (default: the id) so output files
-    are deterministic byte layouts. The manifest records per-shard row
+    are deterministic byte layouts. The manifest is written with LOCAL
+    filesystem IO — for an object-store/HDFS ``out_dir``, write the
+    returned dict through your own store client (the parquet data write
+    itself goes through Hadoop FS and works anywhere). The manifest records per-shard row
     counts, id range, and (when ``token_count_col`` names a numeric
     column) token totals — the numbers a training scheduler needs to plan
     epochs without scanning data files.

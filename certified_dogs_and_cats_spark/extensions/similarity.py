@@ -56,8 +56,10 @@ def pool_embeddings(
     rows scale as |vectors| x dim with map-side partial aggregation,
     which beats collecting whole vector lists per group (unbounded group
     size would balloon a single aggregation buffer; per-dimension rows
-    never do). Dim mismatches within a group surface as NULL-padded
-    positions rather than silent truncation.
+    never do). CONTRACT: vectors within a group must share one dimension
+    — a shorter vector simply contributes to fewer positions (its tail
+    positions average over the remaining vectors only), with no error
+    signal; validate dims upstream when mixing embedder versions.
     """
     if mode not in ("mean", "max"):
         raise ValueError(f"mode must be 'mean' or 'max': {mode}")
@@ -115,6 +117,26 @@ def sign_bucket(vec_col: str | Column, bits: int = 8, offset: int = 0) -> Column
     return F.concat(*parts)
 
 
+def _rank_topk(pairs: DataFrame, k: int, round_digits: int) -> DataFrame:
+    """Shared scoring + ranking tail of every search strategy: rounded
+    cosine from the (qe, ne, qnrm, nnrm) pair columns, deterministic
+    (score desc, id asc) tie-break, top-k filter. ONE implementation so
+    rounding/tie-break semantics can never drift between the brute-force,
+    LSH, and IVF paths."""
+    cos = F.round(
+        dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,18 +175,7 @@ def cosine_topk(
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = F.round(
-        dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")),
-        round_digits,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return _rank_topk(pairs, k, round_digits)
 
 
 def lsh_bucketed_topk(
@@ -193,7 +204,9 @@ def lsh_bucketed_topk(
         "qnrm",
         sign_bucket(vec_col, bits).alias("bucket"),
     )
-    c = with_norm(corpus, vec_col, "nnrm").select(
+    # Same single-row-group mitigation as cosine_topk: the per-pair dot
+    # fold runs in the corpus scan stage.
+    c = with_norm(spread(corpus), vec_col, "nnrm").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ne"),
         "nnrm",
@@ -202,18 +215,7 @@ def lsh_bucketed_topk(
     pairs = c.join(q, "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = F.round(
-        dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")),
-        round_digits,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return _rank_topk(pairs, k, round_digits)
 
 
 def build_ivf_index(
@@ -310,18 +312,7 @@ def ivf_topk(
     pairs = c.join(probes, "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = F.round(
-        dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")),
-        round_digits,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return _rank_topk(pairs, k, round_digits)
 
 
 def quantize_int8(

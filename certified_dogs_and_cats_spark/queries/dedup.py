@@ -44,7 +44,7 @@ _SHINGLES_CTE = """
     SELECT md5(text) AS text_hash,
            min(doc_id) AS keep_id,
            count(*) AS dup_count
-    FROM documents GROUP BY 1
+    FROM documents WHERE text IS NOT NULL GROUP BY 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

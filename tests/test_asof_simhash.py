@@ -226,3 +226,87 @@ def test_tune_lsh_matches_s_curve_intuition():
     assert r_w <= r_n
     with _pytest.raises(ValueError):
         tune_lsh(1.5)
+
+
+def test_connected_components_string_ids(spark):
+    """The default (alternating) algorithm must handle non-numeric ids —
+    casting to long would NULL them all and collapse every component."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "doc-x": "doc-x",
+        "doc-y": "doc-x",
+    }
+
+
+def test_simhash_bands_validate_divisibility(spark):
+    import pytest
+
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        lsh_candidate_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [("a", "0" * 16)], "doc_id string, simhash string"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(sigs, "doc_id", max_hamming=5, n_bands=17)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(sigs, "doc_id", max_hamming=2, n_bands=5)
+    mh = spark.createDataFrame(
+        [("a", 1, 2, 3)], "doc_id string, mh0 long, mh1 long, mh2 long"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(mh, "doc_id", num_hashes=3, band_size=2)
+
+
+def test_exact_dedup_excludes_null_text(spark):
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        exact_dedup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id int, text string",
+    )
+    got = {
+        r.text_hash: (r.keep_id, r.dup_count)
+        for r in exact_dedup_groups(df, "doc_id", "text").collect()
+    }
+    # One real duplicate group; NULL texts form NO group at all.
+    assert len(got) == 1 and list(got.values()) == [(1, 2)]
+
+
+def test_incremental_lsh_batch_pairs_option(spark):
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    corpus = spark.createDataFrame(
+        [("c1", 0, "v1")], "id string, band_idx int, band_val string"
+    )
+    batch = spark.createDataFrame(
+        [("b1", 0, "v1"), ("b2", 0, "v2"), ("b3", 0, "v2")],
+        "id string, band_idx int, band_val string",
+    )
+    base = incremental_lsh_candidates(corpus, batch, "id")
+    assert [(r.batch_id, r.corpus_id) for r in base.collect()] == [("b1", "c1")]
+    both = incremental_lsh_candidates(
+        corpus, batch, "id", include_batch_pairs=True
+    )
+    got = sorted((r.batch_id, r.corpus_id) for r in both.collect())
+    # The two intra-batch near-dups (b2, b3) now surface as a candidate.
+    assert got == [("b1", "c1"), ("b2", "b3")]
