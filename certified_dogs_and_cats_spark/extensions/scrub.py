@@ -37,15 +37,19 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, redacted, n_email, n_phone, n_ip) — replace each PII class
     with a typed placeholder and count the hits per class.
 
-    Counts are taken on the original text (the patterns are mutually
-    non-overlapping, so counting before redaction is exact), replacement
-    is applied in declaration order. One projection, zero shuffles.
+    Each class is COUNTED on the text as already redacted by the earlier
+    classes, so counts always agree with the replacements actually
+    performed: a phone-shaped or IP-shaped run INSIDE an email local
+    part ('555-1234@corp.com') is consumed by the email redaction and
+    counts as email only — counting every class on the original text
+    would report a phone hit that no <PHONE> token ever replaced.
+    One projection, zero shuffles.
     """
     redacted: Column = F.col(text_col)
     cols = [F.col(id_col)]
     for name, pat, token in PII_PATTERNS:
         cols.append(
-            F.regexp_count(F.col(text_col), F.lit(pat))
+            F.regexp_count(redacted, F.lit(pat))
             .cast("long")
             .alias(f"n_{name}")
         )
@@ -57,7 +61,9 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # engines return empty string for a non-matching regexp_extract).
 URL_HOST_RE = "^https?://([^/?#]+)"
 URL_PATH_RE = "^https?://[^/?#]+(/[^?#]*)"
-URL_QUERY_RE = "[?]([^#]*)"
+# The query must be matched BEFORE any fragment: a '?' inside '#frag?x'
+# is fragment content, not a query string.
+URL_QUERY_RE = "^[^#]*[?]([^#]*)"
 
 
 def url_parts(df: DataFrame, url_col: str) -> DataFrame:
@@ -97,7 +103,12 @@ def mixture_sample(
     """
     from .sampling import hash_bucket
 
-    return df.filter(hash_bucket(id_col, n_buckets) < rate_permille)
+    # The threshold is PERMILLE regardless of bucket resolution: scale it
+    # to the bucket domain, or a non-default n_buckets would silently
+    # re-interpret the rate (300 permille over 100 buckets must keep
+    # ~30%, not 100%).
+    threshold = rate_permille * F.lit(n_buckets) / F.lit(1000.0)
+    return df.filter(hash_bucket(id_col, n_buckets) < threshold)
 
 
 def plan_mixture(

@@ -61,6 +61,14 @@ def stopword_ratio(
     )
 
 
+def _md5_prefix60(col: "F.Column") -> "F.Column":
+    """The ONE fixed-width fingerprint hash: top 15 md5 hex chars parsed
+    base-16 into a positive 60-bit long (see winnow_fingerprints for the
+    width rationale). Both fingerprint operators and their DuckDB oracles
+    must stay bit-identical to this construction."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def min_window_fingerprint(
     df: DataFrame, id_col: str, text_col: str, k: int = 12, stride: int = 4
 ) -> DataFrame:
@@ -69,19 +77,16 @@ def min_window_fingerprint(
     rationale) over k-char windows every `stride` chars. Near-identical
     docs share fingerprints; the min is order-insensitive so the
     aggregate parallelizes freely."""
-    df = spread(df)
+    # Docs shorter than k chars have no window: filter them BEFORE the
+    # sequence (an empty/negative sequence bound is a runtime error, and
+    # the oracle's empty range yields no row for such docs either).
+    df = spread(df).filter(F.length(F.col(text_col)) >= k)
     positions = F.explode(
         F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1), F.lit(stride))
     ).alias("p")
     windows = df.select(F.col(id_col), F.col(text_col), positions).select(
         F.col(id_col),
-        F.conv(
-            F.substring(F.md5(F.expr(f"substr({text_col}, p, {k})")), 1, 15),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("wh"),
+        _md5_prefix60(F.expr(f"substr({text_col}, p, {k})")).alias("wh"),
     )
     return windows.groupBy(id_col).agg(F.min("wh").alias("fingerprint"))
 
@@ -119,22 +124,21 @@ def winnow_fingerprints(
     lambdas interpreted, while the window min stays in compiled codegen,
     and the doc-partitioned shuffle it saves is small (hashes, not text).
     """
-    from pyspark.sql import Window
-
-    df = spread(df)
+    # Enforce the documented short-doc contract up front (no full window
+    # exists below w + k - 1 chars) and pin the sequence step to +1: the
+    # step-less form DESCENDS when the stop is below the start, hashing
+    # end-anchored garbage k-grams — at w=1 one of them even survived
+    # the full-window filter.
+    df = spread(df).filter(F.length(F.col(text_col)) >= w + k - 1)
     pos = F.explode(
-        F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
+        F.sequence(
+            F.lit(1), F.length(F.col(text_col)) - (k - 1), F.lit(1)
+        )
     ).alias("p")
     kgrams = df.select(F.col(id_col), F.col(text_col), pos).select(
         F.col(id_col),
         F.col("p"),
-        F.conv(
-            F.substring(F.md5(F.expr(f"substr({text_col}, p, {k})")), 1, 15),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h"),
+        _md5_prefix60(F.expr(f"substr({text_col}, p, {k})")).alias("h"),
     )
     win = Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
     return (
@@ -248,9 +252,13 @@ def chunk_tokens(
     ``overlap`` tokens of context carried between consecutive chunks —
     the pre-embedding / pre-training chunking step. Chunk starts advance
     by ``chunk_size - overlap``; the final chunk may be short (never
-    empty). One explode; slicing and re-joining stay in codegen; chunk
-    provenance (doc id + 1-based chunk_idx + token offset) survives for
-    lineage joins back to the source doc."""
+    empty) but always carries at least one token BEYOND the previous
+    chunk — a trailing start landing within ``overlap`` tokens of the
+    end would re-emit a pure sub-span of the prior chunk (duplicate
+    training content), so it is suppressed. One explode; slicing and
+    re-joining stay in codegen; chunk provenance (doc id + 1-based
+    chunk_idx + token offset) survives for lineage joins back to the
+    source doc."""
     if not 0 <= overlap < chunk_size:
         raise ValueError(f"need 0 <= overlap < chunk_size: {overlap}")
     stride = chunk_size - overlap
@@ -262,7 +270,10 @@ def chunk_tokens(
     c = d.select(F.col(id_col), F.col("__toks__"), starts)
     chunk = F.slice(F.col("__toks__"), F.col("start"), chunk_size)
     return (
-        c.filter(F.col("start") <= F.size("__toks__"))
+        c.filter(
+            (F.col("start") == 1)
+            | (F.col("start") + overlap <= F.size("__toks__"))
+        )
         .select(
             F.col(id_col),
             ((F.col("start") - 1) / stride + 1).cast("int").alias("chunk_idx"),

@@ -15,8 +15,9 @@ Scale contracts (100 TB posture):
   construction, so the encode join broadcasts it; token positions never
   shuffle (the per-doc aggregate groups on the already-co-located doc id).
 - ``prune_hot_tokens`` — document frequency is one shuffle; the hot list
-  (df > frac * n_docs) is at most 1/frac tokens PER CORPUS — constant-size
-  — so it broadcasts, and pruning is a map-side join.
+  (df > frac * n_docs) is bounded by avg_distinct_tokens_per_doc / frac
+  (pigeonhole over sum-of-df) — independent of CORPUS SIZE, though not of
+  document length; size the broadcast for L/frac entries.
 - ``segment_dedup_stats`` — one shuffle on the segment hash (uniform by
   construction), segment payloads are fixed-width; first-occurrence pick
   is a row_number over (hash) — no global sort, no driver materialization.
@@ -127,9 +128,12 @@ def prune_hot_tokens(
     document frequency exceeds ``max_df_frac`` of the corpus are dropped
     from every document; the surviving text is reassembled in order.
 
-    The hot list has at most 1/max_df_frac entries by pigeonhole
-    (sum of df <= n_docs * doc_len), i.e. constant-size per corpus, so it
-    is broadcast and the prune itself never shuffles token payloads.
+    The hot list is bounded by L / max_df_frac entries where L is the
+    average DISTINCT tokens per document (pigeonhole over sum-of-df <=
+    n_docs * L): independent of corpus size, but NOT of document length —
+    with 10k-distinct-token docs and max_df_frac=0.001 that is up to 10M
+    entries, so size the broadcast (or raise max_df_frac) accordingly.
+    The prune itself never shuffles token payloads.
     """
     tk = pos_tokens(df, id_col, text_col)
     n_docs = df.agg(F.count("*").alias("n"))

@@ -29,7 +29,7 @@ BUDGET = 256
              list_slice(toks, s, least(s + {CHUNK} - 1, len(toks))) AS chunk
       FROM d, UNNEST(generate_series(1, greatest(len(toks), 1), {STRIDE}))
                AS u(s)
-      WHERE s <= len(toks)
+      WHERE s = 1 OR s + {OVERLAP} <= len(toks)
     )
     SELECT doc_id, chunk_idx, token_start,
            CAST(len(chunk) AS INTEGER) AS n_tokens,

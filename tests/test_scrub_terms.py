@@ -242,3 +242,39 @@ def test_plan_mixture_weight_col_and_validation(spark):
         plan_mixture(df, "source", alpha=1.5)
     with _pytest.raises(ValueError):
         plan_mixture(df, "source", budget_frac=0.0)
+
+
+def test_pii_counts_agree_with_replacements(spark):
+    """A phone/IP-shaped run inside an email local part is consumed by
+    the email redaction and must count as email ONLY."""
+    from certified_dogs_and_cats_spark.extensions.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "call 555-1234@corp.com now")], "doc_id long, text string"
+    )
+    r = redact_pii(df, "doc_id", "text").collect()[0]
+    assert r.n_email == 1 and r.n_phone == 0 and r.n_ip == 0
+    assert "<EMAIL>" in r.redacted and "<PHONE>" not in r.redacted
+
+
+def test_url_query_not_matched_inside_fragment(spark):
+    from certified_dogs_and_cats_spark.extensions.scrub import url_parts
+
+    df = spark.createDataFrame(
+        [(1, "https://h.com/path#section?tab=1"),
+         (2, "https://h.com/p?a=1#frag")],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.query for r in url_parts(df, "url").collect()}
+    assert got == {1: "", 2: "a=1"}
+
+
+def test_mixture_sample_rate_scales_with_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from certified_dogs_and_cats_spark.extensions.scrub import mixture_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    kept = mixture_sample(df, "doc_id", F.lit(300), n_buckets=100).count()
+    # ~30% regardless of bucket resolution (md5 is uniform).
+    assert 0.2 * 2000 < kept < 0.4 * 2000

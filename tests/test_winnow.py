@@ -81,3 +81,20 @@ def test_shared_pairs_finds_the_copied_pair_only(spark):
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     assert all(r.n_shared >= 2 for r in pairs)
+
+
+def test_fingerprints_short_doc_contracts(spark):
+    """Docs below the window threshold yield NO fingerprints (and never
+    crash): min_window needs k chars, winnowing needs w + k - 1."""
+    from certified_dogs_and_cats_spark.extensions.text import (
+        min_window_fingerprint,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "x" * 40)], "doc_id long, text string"
+    )
+    mw = min_window_fingerprint(df, "doc_id", "text", k=12)
+    assert [r.doc_id for r in mw.collect()] == [2]
+    wf = winnow_fingerprints(df, "doc_id", "text", k=8, w=1)
+    assert {r.doc_id for r in wf.collect()} == {2}
