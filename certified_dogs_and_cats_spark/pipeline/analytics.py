@@ -20,9 +20,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..functions.scalar import pct
+from ..functions.scalar import pct, safe_ratio
 from ..operators.windows import pivot_top_k, top_k_per_group
 from .catalog import Catalog
+from .schemas import ANIMAL_TYPES
 from .ingest import StageResult
 
 
@@ -30,7 +31,7 @@ def gold_src(silver: DataFrame) -> DataFrame:
     """Filtered/projected base for all gold views (gold.py:12-25): rows with
     a usable Year and whitelisted ANIMAL_TYPE; analytics columns only."""
     return silver.filter(
-        F.col("Year").isNotNull() & F.col("ANIMAL_TYPE").isin("DOG", "CAT")
+        F.col("Year").isNotNull() & F.col("ANIMAL_TYPE").isin(*ANIMAL_TYPES)
     ).select("Year", "ANIMAL_TYPE", "FSA", "FSA_VALID", "breed_standard",
              "breed_mapped", "ingestion_ts", "processed_ts")
 
@@ -109,9 +110,9 @@ def fsa_top3_breeds(src: DataFrame) -> DataFrame:
 
 def fsa2_top3_breeds(src: DataFrame) -> DataFrame:
     """FSA2 = substr(FSA,1,2) district granularity (gold.py:219-278)."""
-    return _topk_breeds_by_area(
-        src.filter(F.length("FSA") >= 2), F.substring("FSA", 1, 2), "FSA2"
-    )
+    # No length pre-filter: Silver nulls any FSA not matching the 3-char
+    # pattern, and NULL areas are excluded inside the helper.
+    return _topk_breeds_by_area(src, F.substring("FSA", 1, 2), "FSA2")
 
 
 def daily_totals(src: DataFrame) -> DataFrame:
@@ -163,7 +164,9 @@ def gold_quality(silver: DataFrame) -> DataFrame:
             "null_fsa_rows"
         ),
         mapped.alias("mapped_cnt"),
-        F.round(F.lit(100.0) * mapped / F.count("*"), 2).alias("pct_mapped"),
+        F.round(F.lit(100.0) * safe_ratio(mapped, F.count("*")), 2).alias(
+            "pct_mapped"
+        ),
         F.max("processed_ts").alias("freshness_ts"),
     )
 
@@ -189,7 +192,9 @@ def silver_health(silver: DataFrame) -> DataFrame:
         F.countDistinct("_id").alias("distinct_ids"),
         mapped.alias("mapped_cnt"),
         (F.count("*") - mapped).alias("unmapped_cnt"),
-        F.round(F.lit(100.0) * mapped / F.count("*"), 2).alias("pct_mapped"),
+        F.round(F.lit(100.0) * safe_ratio(mapped, F.count("*")), 2).alias(
+            "pct_mapped"
+        ),
         F.max("processed_ts").alias("max_processed_ts"),
     )
 

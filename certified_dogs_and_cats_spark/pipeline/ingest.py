@@ -103,6 +103,10 @@ def bronze_stage(
     raw = (
         spark.read.schema(RAW_SCHEMA)
         .option("header", True)
+        # Only .csv files: the presence gate above checks for them, so a
+        # stray notes.txt/json in the drop must not be parsed as CSV
+        # (its lines would fail the schema and trip the NULL-_id guard).
+        .option("pathGlobFilter", "*.csv")
         .csv(drop_dir)
     )
     batch = standardize(raw, ingestion_date, clock).cache()
@@ -113,21 +117,33 @@ def bronze_stage(
             unique=["_id"],
             domain={"ANIMAL_TYPE": ANIMAL_TYPES},
         )
+        from ..operators.joins import idempotent_new_rows
+
         existing = catalog.table("core.licensed_pets_bronze")
-        new_rows = batch.join(
-            existing.select("_id"), on="_id", how="left_anti"
-        ).cache()
+        new_rows = idempotent_new_rows(batch, existing, ["_id"]).cache()
+
+        def _mark_loaded() -> None:
+            ctrl_row = spark.createDataFrame(
+                [(DATASET, ingestion_date, clock)], LOAD_CONTROL_SCHEMA
+            )
+            catalog.append("core.load_control", ctrl_row)
+
         try:
             n = new_rows.count()
             if n == 0:
+                # DELIBERATELY not marked in load_control: a drop whose
+                # rows all duplicate earlier dates contributed nothing,
+                # and leaving the date unmarked lets a CORRECTED re-drop
+                # for it still load later (pinned by test_bronze). The
+                # trade: a crash between the data append and the control
+                # write re-reads this drop on every future run for this
+                # date — harmless (the anti-join inserts 0) but paid in
+                # scan cost until a corrected drop or manual mark lands.
                 return StageResult("skipped_no_new_rows")
             catalog.append("core.licensed_pets_bronze", new_rows)
         finally:
             new_rows.unpersist()
-        ctrl_row = spark.createDataFrame(
-            [(DATASET, ingestion_date, clock)], LOAD_CONTROL_SCHEMA
-        )
-        catalog.append("core.load_control", ctrl_row)
+        _mark_loaded()
         return StageResult("loaded", rows=n)
     finally:
         batch.unpersist()

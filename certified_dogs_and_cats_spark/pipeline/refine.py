@@ -2,7 +2,11 @@
 
 Semantics parity with notebooks/silver.py (SURVEY.md §3.1 step 3):
 - incremental scan: Bronze filtered to the run's ingestion_date (partition/
-  file pruning does the rest)
+  file pruning: the ingestion_date filter skips whole files via parquet
+  row-group min/max stats — Bronze's directories are keyed on
+  (Year, ANIMAL_TYPE) to mirror the reference, so this is stat-based,
+  not directory-based, pruning; repartition Bronze by ingestion_date if
+  the daily increment becomes the dominant read at scale)
 - re-standardize; invalid FSA -> NULL value but keep FSA_VALID flag
 - breed_raw + normalized breed_variant_key
 - broadcast left-join breed_mapping: breed_mapped flag MUST come from the
@@ -107,10 +111,10 @@ def silver_stage(
     silver_batch = silver_batch.cache()
     try:
         run_guards(silver_batch, no_nulls=["_id"], unique=["_id"])
+        from ..operators.joins import idempotent_new_rows
+
         existing = catalog.table("core.licensed_pets_silver")
-        new_rows = silver_batch.join(
-            existing.select("_id"), on="_id", how="left_anti"
-        ).cache()
+        new_rows = idempotent_new_rows(silver_batch, existing, ["_id"]).cache()
         try:
             n = new_rows.count()
             if n == 0:

@@ -183,7 +183,14 @@ def build_daily_pipeline(
     from .refine import silver_stage
 
     def _clock() -> datetime:
-        return clock or datetime.utcnow()
+        # Naive-UTC now: utcnow() is deprecated, and an AWARE datetime
+        # would be re-interpreted against the session timezone by
+        # F.lit(...). The session pins spark.sql.session.timeZone=UTC,
+        # so naive-UTC wall time is the one representation that stores
+        # the same instant on every machine.
+        from datetime import timezone
+
+        return clock or datetime.now(timezone.utc).replace(tzinfo=None)
 
     def fetch_fn(upstream: Mapping[str, StageResult], ingestion_date: date) -> Any:
         if fetch is None:

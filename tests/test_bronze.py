@@ -133,3 +133,17 @@ def test_malformed_csv_rows_are_caught_by_guards(catalog, raw_root):
         f.write("not_a_number,garbage,,,\n")  # unparseable _id -> null
     with pytest.raises(GuardError, match="NULL values in _id"):
         bronze_stage(catalog, raw_root, D1, clock=CLOCK1)
+
+
+def test_stray_non_csv_file_in_drop_is_ignored(catalog, raw_root):
+    """A notes.txt beside the CSV must not be parsed as CSV (its lines
+    would fail the schema and trip the NULL-_id guard, failing the day)."""
+    import os
+
+    write_drop(raw_root, D1, DROP1)
+    drop = os.path.join(raw_root, f"ingestion_date={D1.isoformat()}")
+    with open(os.path.join(drop, "notes.txt"), "w") as f:
+        f.write("operator notes, definitely not csv\nsecond line\n")
+    res = bronze_stage(catalog, raw_root, D1, CLOCK1)
+    assert res.status == "loaded" and res.rows == 6
+    assert catalog.table("core.licensed_pets_bronze").count() == 6
