@@ -1032,6 +1032,33 @@ class Catalog:
             prev = files
         return out
 
+    def version_at_timestamp(self, name: str, ts: str) -> int:
+        """Delta ``TIMESTAMP AS OF`` resolution: the LATEST version
+        committed at or before ``ts`` (ISO 'YYYY-MM-DD[ HH:MM:SS]',
+        interpreted as UTC — the session timezone). Raises if the table
+        has no commit that early."""
+        import datetime as _dt
+
+        try:
+            when = _dt.datetime.fromisoformat(ts)
+        except ValueError as e:
+            raise ValueError(f"bad TIMESTAMP AS OF literal {ts!r}") from e
+        if when.tzinfo is not None:
+            when = when.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        cutoff_ns = int(
+            when.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e9
+        )
+        candidates = [
+            e["version"]
+            for e in self._load_manifest(name)
+            if e["ts_ns"] <= cutoff_ns
+        ]
+        if not candidates:
+            raise ValueError(
+                f"{name}: no version committed at or before {ts!r}"
+            )
+        return max(candidates)
+
     def current_version(self, name: str) -> int:
         manifest = self._load_manifest(name)
         return manifest[-1]["version"] if manifest else 0

@@ -582,8 +582,9 @@ class DdlSession:
             )
         if u.startswith("RESTORE TABLE "):
             m = re.match(
-                r"RESTORE TABLE (?P<name>[\w.]+) TO VERSION AS OF"
-                r" (?P<v>\d+)\s*$",
+                r"RESTORE TABLE (?P<name>[\w.]+) TO"
+                r"(?: VERSION AS OF (?P<v>\d+)"
+                r"| TIMESTAMP AS OF '(?P<ts>[^']+)')\s*$",
                 s,
                 re.I,
             )
@@ -592,10 +593,20 @@ class DdlSession:
             name = self.resolve(m.group("name"))
             if name not in self.catalog.tables:
                 raise DdlError(f"table not found: {name}")
+            try:
+                v = (
+                    int(m.group("v"))
+                    if m.group("v")
+                    else self.catalog.version_at_timestamp(
+                        name, m.group("ts")
+                    )
+                )
+            except ValueError as e:
+                raise DdlError(str(e)) from e
             # Delta RESTORE semantics: the rollback is itself a new
             # version (history is never rewritten), so a restore can be
             # restored away again.
-            snapshot = self.catalog.table(name, version=int(m.group("v")))
+            snapshot = self.catalog.table(name, version=v)
             self.catalog.overwrite(name, snapshot)
             return None
         if u.startswith("SHOW PARTITIONS "):
@@ -1000,6 +1011,24 @@ class DdlSession:
         body = re.sub(
             r"table_changes\(\s*'([\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
             bind_cdf,
+            body,
+            flags=re.I,
+        )
+
+        # `tbl TIMESTAMP AS OF '<ts>'` binds before the literal split too
+        # (the timestamp lives inside a string literal).
+        def bind_ts(m: re.Match) -> str:
+            tbl = self.resolve(m.group(1))
+            if tbl not in self.catalog.tables:
+                return m.group(0)
+            v = self.catalog.version_at_timestamp(tbl, m.group(2))
+            alias = f"{_view_alias(tbl)}__v{v}"
+            self.catalog.table(tbl, version=v).createOrReplaceTempView(alias)
+            return alias
+
+        body = re.sub(
+            r"([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+            bind_ts,
             body,
             flags=re.I,
         )

@@ -156,3 +156,45 @@ def test_history_operation_metrics(catalog, spark):
     assert h[1]["n_added"] == 1 and h[1]["n_removed"] == 0
     assert h[2]["action"] == "overwrite"
     assert h[2]["n_removed"] == 2 and h[2]["n_added"] >= 1
+
+
+def test_timestamp_as_of_resolution(catalog, spark):
+    """TIMESTAMP AS OF resolves the latest version committed at or
+    before the timestamp (ts_ns in the manifest is the clock)."""
+    import datetime as dt
+
+    catalog.register("t.ts", SCHEMA)
+    catalog.append("t.ts", spark.createDataFrame([(1, "a")], SCHEMA))
+    mid = dt.datetime.utcnow()
+    import time as _time
+
+    _time.sleep(0.05)
+    catalog.append("t.ts", spark.createDataFrame([(2, "b")], SCHEMA))
+    v = catalog.version_at_timestamp("t.ts", mid.isoformat(sep=" "))
+    assert v == 1
+    now = dt.datetime.utcnow().isoformat(sep=" ")
+    assert catalog.version_at_timestamp("t.ts", now) == 2
+    with pytest.raises(ValueError, match="no version"):
+        catalog.version_at_timestamp("t.ts", "2000-01-01 00:00:00")
+    with pytest.raises(ValueError, match="bad TIMESTAMP"):
+        catalog.version_at_timestamp("t.ts", "not-a-time")
+
+
+def test_sql_timestamp_as_of_and_restore(catalog, spark):
+    import datetime as dt
+    import time as _time
+
+    from certified_dogs_and_cats_spark.pipeline import DdlSession
+
+    ddl = DdlSession(catalog)
+    ddl.execute(
+        "CREATE TABLE core.tt (k INT, v STRING) USING parquet;"
+        "INSERT INTO core.tt VALUES (1, 'a')"
+    )
+    mid = dt.datetime.utcnow().isoformat(sep=" ")
+    _time.sleep(0.05)
+    ddl.execute("INSERT INTO core.tt VALUES (2, 'b')")
+    [df] = ddl.execute(f"SELECT k FROM core.tt TIMESTAMP AS OF '{mid}'")
+    assert [r.k for r in df.collect()] == [1]
+    ddl.execute(f"RESTORE TABLE core.tt TO TIMESTAMP AS OF '{mid}'")
+    assert [r.k for r in catalog.table("core.tt").collect()] == [1]
