@@ -666,12 +666,19 @@ class DdlSession:
                             for k, v in sorted(spec.properties.items())
                         ),
                         n_dv,
+                        ",".join(sorted(spec.generated)),
+                        ",".join(sorted(spec.identity)),
+                        ",".join(
+                            f"{lg}->{ph}"
+                            for lg, ph in sorted(spec.column_map.items())
+                        ),
                     )
                 ],
                 "name string, format string, location string,"
                 " partition_columns string, num_files int, version int,"
                 " constraints string, properties string,"
-                " num_deletion_vectors int",
+                " num_deletion_vectors int, generated_columns string,"
+                " identity_columns string, column_mapping string",
             )
         if u.startswith("DESCRIBE HISTORY "):
             name = self.resolve(s.split()[-1])
