@@ -60,6 +60,8 @@ def safe_ratio(num: Column, den: Column) -> Column:
 
 
 def pct(num: Column, den: Column, digits: int = 2) -> Column:
-    """100*num/den rounded — the reference's share/percentage idiom
-    (notebooks/gold.py:69,115)."""
-    return F.round(F.lit(100.0) * num / den, digits)
+    """100*num/den rounded, NULL when den = 0 — the reference's share/
+    percentage idiom (notebooks/gold.py:69,115) with the same
+    divide-by-zero guard as :func:`safe_ratio` (Spark 4 runs ANSI mode
+    by default, where an unguarded /0 kills the job)."""
+    return F.round(F.lit(100.0) * safe_ratio(num, den), digits)

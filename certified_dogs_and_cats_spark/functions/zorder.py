@@ -26,8 +26,19 @@ def interleave_bits(cols: Sequence[Column], bits: int = 16) -> Column:
     bit (i * n_cols + j) = bit i of cols[j]. For two 16-bit buckets this
     yields the classic 32-bit Z-curve key. Expression-only (shift/and/or
     terms, n_cols * bits of them), so it inlines into whole-stage codegen.
+
+    Requires ``n_cols * bits <= 63``: bit 63 is the long's sign bit
+    (negative keys would sort the TOP bucket first) and Java shifts wrap
+    mod 64 beyond it (silent bucket-bit collisions). :func:`zorder_key`
+    auto-shrinks bits to fit; direct callers get a loud error.
     """
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"interleave_bits: {n} cols x {bits} bits = {n * bits} output"
+            " bits exceeds the 63 usable bits of a signed long — lower"
+            " bits (zorder_key does this automatically)"
+        )
     terms = []
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -55,6 +66,11 @@ def zorder_key(
     the standard Z-order choice: rank-based (equal-depth) buckets need a
     global sort or quantile sketch and buy little for clustering.
     """
+    # Fit within the 63 usable bits of a signed long: 2 cols keep the
+    # full 16-bit default (32 output bits); 4 cols drop to 15 bits each;
+    # 5 cols to 12 — resolution trades off against column count exactly
+    # as in Delta's OPTIMIZE ZORDER.
+    bits = min(bits, 63 // max(len(cols), 1))
     n_buckets = 1 << bits
     bounds = dict(bounds or {})
     missing = [c for c in cols if c not in bounds]
@@ -64,6 +80,12 @@ def zorder_key(
             aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
         row = df.agg(*aggs).collect()[0]
         for c in missing:
+            if row[f"__mn_{c}"] is None or row[f"__mx_{c}"] is None:
+                raise ValueError(
+                    f"zorder_key: no non-NULL values to derive bounds for"
+                    f" column {c!r} (empty table or all-NULL column) —"
+                    " pass explicit bounds"
+                )
             bounds[c] = (float(row[f"__mn_{c}"]), float(row[f"__mx_{c}"]))
     buckets = []
     for c in cols:

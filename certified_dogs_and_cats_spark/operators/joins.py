@@ -22,8 +22,18 @@ def idempotent_new_rows(
     key columns only (column pruning reaches the scan) and the anti join
     shuffles on the key; AQE converts to broadcast when the existing key set
     is small (e.g. incremental loads into a fresh partition).
+
+    The comparison is NULL-SAFE: a NULL-keyed batch row that already
+    exists must not re-append on every run (plain equality never matches
+    NULL = NULL, silently duplicating such rows each incremental load).
     """
-    return batch.join(existing.select(*keys), on=list(keys), how="left_anti")
+    b = batch.alias("b")
+    e = existing.select(*keys).alias("e")
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
+        cond = c if cond is None else (cond & c)
+    return b.join(e, cond, "left_anti").select("b.*")
 
 
 def dim_lookup(
@@ -79,16 +89,21 @@ def merge_upsert(
     """
     keys = list(keys)
     src = source.select(*keys, *update_cols)
-    t = target.alias("t")
-    s = src.alias("s")
+    # Side-presence markers, NOT keys[0].isNotNull(): the join condition
+    # is null-safe, so a NULL-keyed source row can legitimately match a
+    # NULL-keyed target row and must still count as a hit.
+    t = target.withColumn("__t_hit", F.lit(True)).alias("t")
+    s = src.withColumn("__s_hit", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
-    src_hit = F.col(f"s.{keys[0]}").isNotNull()
-    tgt_hit = F.col(f"t.{keys[0]}").isNotNull()
+    src_hit = F.col("s.__s_hit").isNotNull()
+    tgt_hit = F.col("t.__t_hit").isNotNull()
     cols = []
     for k in keys:
         cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k))
-    non_key_target = [c for c in target.columns if c not in keys]
+    non_key_target = [
+        c for c in target.columns if c not in keys and c != "__t_hit"
+    ]
     for c in non_key_target:
         if c in update_cols:
             cols.append(
@@ -162,9 +177,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [
-        F.last(F.col(f"__r_{c}"), ignorenulls=True)
-        .over(w)
-        .alias(f"{c}{suffix}")
+        # A NULL-timestamp left row matches NOTHING in either direction:
+        # under the forward (desc) ordering NULLs sort last and would
+        # otherwise be handed the earliest right row's values.
+        F.when(
+            F.col("__t").isNotNull(),
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w),
+        ).alias(f"{c}{suffix}")
         for c in [right_ts, *value_cols]
     ]
     return (

@@ -57,9 +57,12 @@ def interval_join(
     if overlap:
         raise ValueError(f"overlapping column names: {sorted(overlap)}")
     # Interval width in microseconds, derived JVM-side (epoch + interval).
+    # timestamp_seconds(0) is the tz-INDEPENDENT epoch: a string literal
+    # cast would parse in the session timezone, skewing the width by the
+    # zone offset (and dividing by zero outright at UTC+1 with the
+    # default 1-hour bins).
     width_us = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"INTERVAL {bin_width}")
+        F.timestamp_seconds(F.lit(0)) + F.expr(f"INTERVAL {bin_width}")
     )
     p_bin = F.floor(F.unix_micros(F.col(point_ts)) / width_us)
     lo_bin = F.floor(F.unix_micros(F.col(lo_ts)) / width_us)

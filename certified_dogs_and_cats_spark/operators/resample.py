@@ -37,7 +37,10 @@ def resample_ffill(
     determinism.
     """
     step = F.lit(step_seconds)
-    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("bigint")
+    # floor, not a truncating cast: pre-1970 timestamps have negative
+    # epoch seconds, and truncation toward zero would merge the two
+    # buckets either side of the epoch.
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("bigint")
     per_bucket = (
         df.select(
             F.col(key_col),
@@ -49,7 +52,13 @@ def resample_ffill(
         .groupBy(key_col, "__b")
         .agg(F.max("__tv").alias("__tv"))
         .select(
-            key_col, "__b", F.col("__tv.v").alias("__v")
+            key_col,
+            "__b",
+            F.col("__tv.v").alias("__v"),
+            # Presence marker: a bucket whose only event carries a NULL
+            # value is still OBSERVED (is_observed must mean "an event
+            # happened here", not "the value was non-null").
+            F.lit(True).alias("__obs"),
         )
     )
     spans = per_bucket.groupBy(key_col).agg(
@@ -69,5 +78,5 @@ def resample_ffill(
         F.col(key_col),
         F.timestamp_seconds(F.col("__b") * step).alias("bucket_start"),
         F.last("__v", ignorenulls=True).over(w).alias("value"),
-        F.col("__v").isNotNull().alias("is_observed"),
+        F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
     )

@@ -43,6 +43,10 @@ def top_k_per_group(
     (reference notebooks/gold.py:56-73). `method` row_number|rank matches the
     reference's deliberate choice per view (ROW_NUMBER at gold.py:56 vs RANK
     at gold.py:105 — they differ under ties)."""
+    if method not in ("row_number", "rank"):
+        raise ValueError(
+            f"method must be 'row_number' or 'rank': {method!r}"
+        )
     fn = F.row_number if method == "row_number" else F.rank
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return df.withColumn(rank_col, fn().over(w)).filter(F.col(rank_col) <= k)

@@ -450,7 +450,7 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY g.user_id ORDER BY g.b
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS value,
-           l.v IS NOT NULL AS is_observed
+           l.user_id IS NOT NULL AS is_observed
     FROM grid g LEFT JOIN latest l ON g.user_id = l.user_id AND g.b = l.b
     """,
 )

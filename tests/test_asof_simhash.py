@@ -310,3 +310,53 @@ def test_incremental_lsh_batch_pairs_option(spark):
     got = sorted((r.batch_id, r.corpus_id) for r in both.collect())
     # The two intra-batch near-dups (b2, b3) now surface as a candidate.
     assert got == [("b1", "c1"), ("b2", "b3")]
+
+
+def test_asof_null_timestamp_left_rows_match_nothing(spark):
+    """NULL-ts left rows must stay unmatched in BOTH directions (forward
+    ordering would otherwise hand them the earliest right row)."""
+    from certified_dogs_and_cats_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None), (1, "2024-01-05")],
+        "k int, ts string",
+    ).selectExpr("k", "cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-09", 90.0)],
+        "k int, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) as ts", "v")
+    for direction, want in (("backward", 10.0), ("forward", 90.0)):
+        got = {
+            (r.ts is None): r.v_asof
+            for r in asof_join(
+                left, right, ["k"], direction=direction
+            ).collect()
+        }
+        assert got[True] is None, direction
+        assert got[False] == want, direction
+
+
+def test_merge_upsert_null_key_rows(spark):
+    """NULL-keyed rows match null-safely and classify correctly."""
+    from certified_dogs_and_cats_spark.operators.joins import merge_upsert
+
+    t = spark.createDataFrame([(None, 1), (1, 10)], "k int, v int")
+    s = spark.createDataFrame([(None, 2), (2, 20)], "k int, v int")
+    got = {
+        r.k: (r.v, r.merge_action)
+        for r in merge_upsert(t, s, ["k"], ["v"]).collect()
+    }
+    assert got[None] == (2, "updated")
+    assert got[1] == (10, "kept")
+    assert got[2] == (20, "inserted")
+
+
+def test_idempotent_new_rows_null_keys(spark):
+    from certified_dogs_and_cats_spark.operators.joins import (
+        idempotent_new_rows,
+    )
+
+    batch = spark.createDataFrame([(None, "a"), (1, "b")], "k int, v string")
+    existing = spark.createDataFrame([(None, "x")], "k int, v string")
+    got = [r.k for r in idempotent_new_rows(batch, existing, ["k"]).collect()]
+    assert got == [1]  # the NULL-keyed row already exists: not re-appended
