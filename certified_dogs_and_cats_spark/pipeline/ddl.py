@@ -24,12 +24,15 @@ Supported statements (the reference's full DDL surface):
   reference's control-record spelling (notebooks/bronze.py:119-122);
   maps onto :meth:`Catalog.append` with positional cast to the declared
   schema.
-- ``[WITH ctes] MERGE INTO target [AS] t USING source [AS] s ON cond
-  WHEN MATCHED THEN UPDATE SET ... [WHEN NOT MATCHED THEN INSERT (...)
-  VALUES (...)]`` — the reference's upsert spelling
-  (sql/breed_mapping.py:596-618); executed as a full-outer-join rewrite
-  (one shuffle on the merge keys, same cost shape as Delta MERGE's join
-  phase) followed by a table overwrite.
+- ``[WITH ctes] MERGE INTO target [AS] t USING source [AS] s ON cond``
+  followed by Delta's full WHEN-clause surface — conditional multi-clause
+  ``WHEN MATCHED [AND c] THEN UPDATE SET ...|UPDATE SET *|DELETE``,
+  ``WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (...) VALUES
+  (...)|INSERT *``, ``WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET
+  ...|DELETE`` — the reference's upsert spelling
+  (sql/breed_mapping.py:596-618) plus the CDC-sync clauses; executed as a
+  join rewrite (one shuffle on the merge keys, same cost shape as Delta
+  MERGE's join phase) followed by a table overwrite.
 - ``DROP TABLE|VIEW [IF EXISTS] name``
 - ``ALTER TABLE name ADD COLUMN col TYPE`` — metadata-only schema
   evolution (old files read the new column as NULL).
@@ -179,6 +182,35 @@ def _mask_literals(sql: str) -> str:
     """Replace string-literal contents with spaces (same length, quotes
     kept) so positional regex matches never land inside a literal."""
     return _STR_LIT.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql)
+
+
+def _split_when_clauses(s: str) -> list[str]:
+    """Split a MERGE tail into ``[head, clause, clause, ...]`` at top-level
+    ``WHEN`` boundaries.
+
+    A ``WHEN`` only starts a merge clause when it is outside parentheses /
+    string literals AND is followed by ``MATCHED`` / ``NOT MATCHED`` — so a
+    top-level ``CASE WHEN x THEN y END`` inside an UPDATE SET expression
+    stays glued to its clause.
+    """
+    masked = _mask_literals(s).upper()
+    bounds: list[int] = []
+    depth = 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and masked.startswith(" WHEN ", i):
+            rest = masked[i + 6 :].lstrip()
+            if rest.startswith("MATCHED") or rest.startswith("NOT MATCHED"):
+                bounds.append(i)
+    if not bounds:
+        return [s]
+    parts = [s[: bounds[0]]]
+    for a, b in zip(bounds, bounds[1:] + [len(s)]):
+        parts.append(s[a + 1 : b])  # each part starts with "WHEN "
+    return parts
 
 
 def _split_top(s: str, sep: str) -> list[str]:
@@ -1298,14 +1330,27 @@ class DdlSession:
     # -- DML: MERGE INTO -------------------------------------------------------
     def _merge_into(self, stmt: str) -> None:
         """``[WITH ctes] MERGE INTO target [AS] t USING source [AS] s ON
-        cond WHEN MATCHED THEN UPDATE SET ... [WHEN NOT MATCHED THEN
-        INSERT (...) VALUES (...)]`` executed as a full-outer-join rewrite
-        (operators/joins.py merge_upsert shape) + table overwrite.
+        cond <when-clauses>`` with Delta's full clause surface:
+
+        - ``WHEN MATCHED [AND cond] THEN UPDATE SET ...|UPDATE SET *|DELETE``
+        - ``WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT (...)
+          VALUES (...)|INSERT *``
+        - ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ...|DELETE``
+
+        Multiple clauses per category evaluate in statement order and the
+        first whose condition holds wins (Delta's contract). Executed as a
+        join rewrite: one left join for the target side (safe because the
+        ambiguity probe raises when several source rows match a target row
+        an UPDATE/DELETE would touch), one anti join for the insert side —
+        the same join phases Delta MERGE runs — then an atomic overwrite.
+        ``NOT MATCHED BY SOURCE`` conditions/assignments must reference
+        target columns only (source columns are NULL there, and in the
+        no-MATCHED-clause fast path the frame has no source columns at all).
 
         Replays the reference's upsert statements near-verbatim
-        (sql/breed_mapping.py:596-618). One shuffle on the merge keys —
-        the same join phase Delta MERGE runs — then an atomic overwrite;
-        on Delta the overwrite becomes a transactional commit.
+        (sql/breed_mapping.py:596-618); the conditional/DELETE/BY SOURCE
+        clauses are beyond-reference Delta parity for CDC-style sync
+        (retire rows absent from the source in the same statement).
         """
         s = re.sub(r"\s+", " ", stmt).strip()
         masked = _mask_literals(s)
@@ -1327,22 +1372,23 @@ class DdlSession:
                 merge,
                 flags=re.I,
             )
-        masked_merge = _mask_literals(merge)
+        segments = _split_when_clauses(merge)
+        head, clause_txts = segments[0], segments[1:]
+        if not clause_txts:
+            raise DdlError(f"MERGE INTO without WHEN clauses: {s[:120]}")
+        masked_head = _mask_literals(head)
         m = re.match(
             r"MERGE INTO (?P<target>[\w.]+)(?: AS)? (?P<t_alias>\w+) "
             r"USING (?P<source>\((?:[^()]|\([^()]*\))*\)|[\w.]+)(?: AS)? "
-            r"(?P<s_alias>\w+) ON (?P<cond>.+?) "
-            r"WHEN MATCHED THEN UPDATE SET (?P<sets>.+?)"
-            r"(?: WHEN NOT MATCHED THEN INSERT \((?P<ins_cols>[^)]*)\) "
-            r"VALUES \((?P<ins_vals>.*)\))?\s*$",
-            masked_merge,
+            r"(?P<s_alias>\w+) ON (?P<cond>.+?)\s*$",
+            masked_head,
             re.I,
         )
         if not m:
             raise DdlError(f"bad MERGE INTO: {s[:120]}")
 
         def span(group: str) -> str:
-            return merge[m.start(group) : m.end(group)] if m.group(group) else ""
+            return head[m.start(group) : m.end(group)] if m.group(group) else ""
 
         target = self.resolve(span("target"))
         spec = self.catalog.tables.get(target)
@@ -1376,75 +1422,232 @@ class DdlSession:
                         target, T.StructField(f.name, f.dataType, True)
                     )
 
-        assignments: dict[str, str] = {}
-        for part in _split_top(span("sets"), ","):
-            lhs, _, rhs = part.partition("=")
-            if not rhs:
-                raise DdlError(f"bad UPDATE SET clause: {part!r}")
-            assignments[lhs.strip().split(".")[-1]] = rhs.strip()
-        insert_map: dict[str, str] = {}
-        has_insert = bool(m.group("ins_cols"))
-        if has_insert:
-            ins_cols = [c.strip().split(".")[-1] for c in span("ins_cols").split(",")]
-            ins_vals = [v.strip() for v in _split_top(span("ins_vals"), ",")]
-            if len(ins_cols) != len(ins_vals):
-                raise DdlError("MERGE INSERT column/value count mismatch")
-            insert_map = dict(zip(ins_cols, ins_vals))
+        # -- clause list: Delta's full MERGE surface ----------------------
+        # matched / nmbs entries: (cond_or_None, kind, assignments) where
+        # kind is "update" | "delete"; not_matched: (cond, "insert", map).
+        src_cols = set(source_df.columns)
+
+        def _star_map() -> dict[str, str]:
+            # UPDATE SET * / INSERT *: assign every target column that has
+            # a same-named source column (Delta's by-name resolution).
+            return {
+                f.name: f"{s_alias}.{f.name}"
+                for f in spec.schema.fields
+                if f.name in src_cols
+            }
+
+        def _parse_sets(body: str) -> dict[str, str]:
+            out: dict[str, str] = {}
+            for part in _split_top(body, ","):
+                lhs, _, rhs = part.partition("=")
+                if not rhs:
+                    raise DdlError(f"bad UPDATE SET clause: {part!r}")
+                out[lhs.strip().split(".")[-1]] = rhs.strip()
+            return out
+
+        matched: list[tuple[str | None, str, dict[str, str]]] = []
+        nmbs: list[tuple[str | None, str, dict[str, str]]] = []
+        not_matched: list[tuple[str | None, str, dict[str, str]]] = []
+        for cl in clause_txts:
+            mc = re.match(
+                r"WHEN (?P<head>MATCHED|NOT MATCHED BY SOURCE|"
+                r"NOT MATCHED(?: BY TARGET)?)"
+                r"(?: AND (?P<cond>.+?))? THEN "
+                r"(?P<act>(?:UPDATE SET|DELETE|INSERT)\b.*)$",
+                _mask_literals(cl),
+                re.I,
+            )
+            if not mc:
+                raise DdlError(f"bad MERGE clause: {cl[:120]}")
+            cond_txt = (
+                cl[mc.start("cond") : mc.end("cond")] if mc.group("cond") else None
+            )
+            act_txt = cl[mc.start("act") :].strip()
+            head_kw = re.sub(r"\s+", " ", mc.group("head").upper())
+            act_up = act_txt.upper()
+            if head_kw in ("MATCHED", "NOT MATCHED BY SOURCE"):
+                if act_up == "DELETE":
+                    entry = (cond_txt, "delete", {})
+                elif act_up.startswith("UPDATE SET"):
+                    body = act_txt[len("UPDATE SET") :].strip()
+                    if body == "*":
+                        if head_kw == "NOT MATCHED BY SOURCE":
+                            raise DdlError(
+                                "MERGE NOT MATCHED BY SOURCE cannot UPDATE"
+                                " SET * (no source row to copy)"
+                            )
+                        entry = (cond_txt, "update", _star_map())
+                    else:
+                        entry = (cond_txt, "update", _parse_sets(body))
+                else:
+                    raise DdlError(
+                        f"MERGE {head_kw} clause must UPDATE or DELETE:"
+                        f" {cl[:120]}"
+                    )
+                (matched if head_kw == "MATCHED" else nmbs).append(entry)
+            else:  # NOT MATCHED [BY TARGET] — insert only
+                if not act_up.startswith("INSERT"):
+                    raise DdlError(
+                        f"MERGE NOT MATCHED clause must INSERT: {cl[:120]}"
+                    )
+                body = act_txt[len("INSERT") :].strip()
+                if body == "*":
+                    not_matched.append((cond_txt, "insert", _star_map()))
+                else:
+                    mi = re.match(
+                        r"\((?P<cols>[^)]*)\) VALUES \((?P<vals>.*)\)\s*$",
+                        _mask_literals(body),
+                        re.I,
+                    )
+                    if not mi:
+                        raise DdlError(f"bad MERGE INSERT clause: {cl[:120]}")
+                    ins_cols = [
+                        c.strip().split(".")[-1]
+                        for c in body[mi.start("cols") : mi.end("cols")].split(",")
+                    ]
+                    ins_vals = [
+                        v.strip()
+                        for v in _split_top(
+                            body[mi.start("vals") : mi.end("vals")], ","
+                        )
+                    ]
+                    if len(ins_cols) != len(ins_vals):
+                        raise DdlError("MERGE INSERT column/value count mismatch")
+                    not_matched.append(
+                        (cond_txt, "insert", dict(zip(ins_cols, ins_vals)))
+                    )
 
         by_name = {f.name: f for f in spec.schema.fields}
-        for c in list(assignments) + list(insert_map):
-            if c not in by_name:
-                raise DdlError(f"MERGE INTO {target}: unknown column {c!r}")
+        for _, _, amap in matched + nmbs + not_matched:
+            for c in amap:
+                if c not in by_name:
+                    raise DdlError(f"MERGE INTO {target}: unknown column {c!r}")
 
-        t_df = (
-            self.catalog.table(target)
-            .withColumn("__t_hit", F.lit(True))
-            .alias(t_alias)
-        )
+        fields = spec.schema.fields
+        t_df = self.catalog.table(target).alias(t_alias)
         s_df = source_df.withColumn("__s_hit", F.lit(True)).alias(s_alias)
-        # Delta MERGE raises when several source rows match one target row
-        # (the update would be ambiguous and the full-outer rewrite would
-        # silently duplicate the target row). Reproduce that contract with
-        # an eager probe: tag target rows, inner-join on the merge
-        # condition, and fail if any tag matches more than once.
-        ambiguous = (
-            self.catalog.table(target)
-            .withColumn("__t_row", F.monotonically_increasing_id())
-            .alias(t_alias)
-            .join(s_df, F.expr(span("cond")), "inner")
-            .groupBy("__t_row")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if ambiguous:
-            raise DdlError(
-                f"MERGE INTO {target}: multiple source rows match a single"
-                " target row; deduplicate the source on the merge keys first"
+        cond_expr = F.expr(span("cond"))
+
+        def _tagged(entries, prefix, guard=None):
+            """First-true-wins clause tag: Delta evaluates WHEN clauses in
+            order and applies only the first whose condition holds."""
+            w = None
+            for i, (c_txt, _, _) in enumerate(entries):
+                g = F.expr(c_txt) if c_txt else F.lit(True)
+                if guard is not None:
+                    g = guard & g
+                tag = F.lit(f"{prefix}{i}")
+                w = F.when(g, tag) if w is None else w.when(g, tag)
+            return w
+
+        def _delete_tags(entries, prefix):
+            return [
+                f"{prefix}{i}"
+                for i, (_, kind, _) in enumerate(entries)
+                if kind == "delete"
+            ]
+
+        def _tag_entries(entries, prefix):
+            return [
+                (f"{prefix}{i}", kind, amap)
+                for i, (_, kind, amap) in enumerate(entries)
+            ]
+
+        def _apply_updates(act, tagged_entries, default):
+            """Per-column value under each clause's tag, else ``default``."""
+            cols = []
+            for f in fields:
+                val = default(f.name)
+                for tag, kind, amap in tagged_entries:
+                    if kind == "update" and f.name in amap:
+                        val = F.when(act == tag, F.expr(amap[f.name])).otherwise(
+                            val
+                        )
+                cols.append(val.cast(f.dataType).alias(f.name))
+            return cols
+
+        if matched:
+            # Delta MERGE raises when several source rows match one target
+            # row that an UPDATE/DELETE clause would touch (the rewrite
+            # would silently duplicate it). Eager probe before the join.
+            ambiguous = (
+                self.catalog.table(target)
+                .withColumn("__t_row", F.monotonically_increasing_id())
+                .alias(t_alias)
+                .join(s_df, cond_expr, "inner")
+                .groupBy("__t_row")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
             )
-        joined = t_df.join(s_df, F.expr(span("cond")), "full_outer")
-        t_hit = F.col(f"{t_alias}.__t_hit").isNotNull()
-        s_hit = F.col(f"{s_alias}.__s_hit").isNotNull()
-        cols = []
-        for f in spec.schema.fields:
-            c = f.name
-            tgt_val = F.col(f"{t_alias}.{c}")
-            matched_val = (
-                F.expr(assignments[c]) if c in assignments else tgt_val
+            if ambiguous:
+                raise DdlError(
+                    f"MERGE INTO {target}: multiple source rows match a single"
+                    " target row; deduplicate the source on the merge keys"
+                    " first"
+                )
+            # Probe guarantees <=1 source match per target row, so a left
+            # join yields exactly one output row per target row.
+            joined = t_df.join(s_df, cond_expr, "left_outer")
+            s_hit = F.col(f"{s_alias}.__s_hit").isNotNull()
+            act = F.coalesce(
+                _tagged(matched, "m", guard=s_hit),
+                _tagged(nmbs, "n", guard=~s_hit) if nmbs else F.lit(None),
+                F.lit("keep"),
             )
-            insert_val = (
-                F.expr(insert_map[c]) if c in insert_map else F.lit(None)
+            dels = _delete_tags(matched, "m") + _delete_tags(nmbs, "n")
+            kept = joined.filter(~act.isin(dels)) if dels else joined
+            target_side = kept.select(
+                *_apply_updates(
+                    act,
+                    _tag_entries(matched, "m") + _tag_entries(nmbs, "n"),
+                    lambda c: F.col(f"{t_alias}.{c}"),
+                )
             )
-            cols.append(
-                F.when(t_hit & s_hit, matched_val)
-                .when(t_hit, tgt_val)
-                .otherwise(insert_val)
-                .cast(f.dataType)
-                .alias(c)
+        elif nmbs:
+            # No matched clause: matched target rows pass through untouched
+            # (semi), unmatched ones get the BY SOURCE treatment (anti) —
+            # no join fan-out even when several source rows match.
+            semi = t_df.join(s_df, cond_expr, "left_semi")
+            anti = t_df.join(s_df, cond_expr, "left_anti")
+            act = F.coalesce(_tagged(nmbs, "n"), F.lit("keep"))
+            dels = _delete_tags(nmbs, "n")
+            kept = anti.filter(~act.isin(dels)) if dels else anti
+            ident = [
+                F.col(f"{t_alias}.{f.name}").cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+            target_side = semi.select(*ident).unionByName(
+                kept.select(
+                    *_apply_updates(
+                        act,
+                        _tag_entries(nmbs, "n"),
+                        lambda c: F.col(f"{t_alias}.{c}"),
+                    )
+                )
             )
-        out = joined if has_insert else joined.filter(t_hit)
-        self.catalog.overwrite(target, out.select(*cols))
+        else:
+            target_side = self.catalog.table(target)
+
+        if not_matched:
+            anti_s = s_df.join(t_df, cond_expr, "left_anti")
+            act = _tagged(not_matched, "i")  # NULL = no clause fired -> drop
+            ins = anti_s.filter(act.isNotNull())
+            insert_side = ins.select(
+                *_apply_updates(
+                    act,
+                    [
+                        (tag, "update", amap)
+                        for tag, _, amap in _tag_entries(not_matched, "i")
+                    ],
+                    lambda c: F.lit(None),
+                )
+            )
+            out = target_side.unionByName(insert_side)
+        else:
+            out = target_side
+        self.catalog.overwrite(target, out)
         return None
 
     def _drop(self, s: str) -> None:

@@ -751,3 +751,139 @@ def test_generated_column_api_append(spark, tmp_path):
     spec.generated["x2"] = "x * x"
     cat.append("core.g", spark.createDataFrame([(3,)], "x INT"))
     assert [(r.x, r.x2) for r in cat.table("core.g").collect()] == [(3, 9)]
+
+
+# -- Delta full MERGE clause surface ------------------------------------------
+
+ACCOUNTS_DDL = """
+CREATE SCHEMA IF NOT EXISTS pets.fin;
+CREATE TABLE pets.fin.accounts (id INT, bal DOUBLE, status STRING) USING DELTA;
+INSERT INTO pets.fin.accounts VALUES
+  (1, 10.0, 'open'), (2, 20.0, 'open'), (3, 30.0, 'frozen'), (4, 40.0, 'open');
+"""
+
+
+def _accounts(catalog):
+    return {
+        r.id: (r.bal, r.status)
+        for r in catalog.table("fin.accounts").collect()
+    }
+
+
+def test_merge_matched_delete_clause(ddl, catalog):
+    """WHEN MATCHED ... DELETE removes matched rows; unmatched survive."""
+    ddl.execute(ACCOUNTS_DDL)
+    ddl.execute("""
+      MERGE INTO pets.fin.accounts AS t
+      USING (SELECT 1 AS id UNION ALL SELECT 3 AS id) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN DELETE;
+    """)
+    assert set(_accounts(catalog)) == {2, 4}
+
+
+def test_merge_conditional_matched_clauses_first_wins(ddl, catalog):
+    """Two MATCHED clauses: the first whose AND-condition holds applies —
+    frozen rows delete, open rows update (Delta clause-order contract)."""
+    ddl.execute(ACCOUNTS_DDL)
+    ddl.execute("""
+      MERGE INTO pets.fin.accounts AS t
+      USING (SELECT 1 AS id, 5.0 AS amt UNION ALL SELECT 3, 5.0) AS s
+      ON t.id = s.id
+      WHEN MATCHED AND t.status = 'frozen' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET bal = t.bal + s.amt;
+    """)
+    got = _accounts(catalog)
+    assert 3 not in got               # frozen -> first clause deleted it
+    assert got[1] == (15.0, "open")   # open -> second clause updated
+    assert got[2] == (20.0, "open")   # untouched
+
+
+def test_merge_not_matched_by_source_delete(ddl, catalog):
+    """CDC full-sync shape: rows absent from the source retire in the same
+    statement (Delta WHEN NOT MATCHED BY SOURCE parity)."""
+    ddl.execute(ACCOUNTS_DDL)
+    ddl.execute("""
+      MERGE INTO pets.fin.accounts AS t
+      USING (SELECT 1 AS id, 11.0 AS bal, 'open' AS status
+             UNION ALL SELECT 5, 50.0, 'open') AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE;
+    """)
+    assert _accounts(catalog) == {1: (11.0, "open"), 5: (50.0, "open")}
+
+
+def test_merge_not_matched_by_source_conditional_update(ddl, catalog):
+    """BY SOURCE UPDATE touches only rows passing its AND-condition; other
+    unmatched target rows stay untouched."""
+    ddl.execute(ACCOUNTS_DDL)
+    ddl.execute("""
+      MERGE INTO pets.fin.accounts AS t
+      USING (SELECT 1 AS id) AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.status = 'open'
+        THEN UPDATE SET status = 'stale';
+    """)
+    got = _accounts(catalog)
+    assert got[1] == (10.0, "open")     # matched: untouched (no MATCHED clause)
+    assert got[2] == (20.0, "stale")
+    assert got[3] == (30.0, "frozen")   # condition false: untouched
+    assert got[4] == (40.0, "stale")
+
+
+def test_merge_insert_star_and_conditional_insert(ddl, catalog):
+    """INSERT * maps source columns by name; a conditional NOT MATCHED
+    clause drops source rows whose condition fails instead of inserting."""
+    ddl.execute(ACCOUNTS_DDL)
+    ddl.execute("""
+      MERGE INTO pets.fin.accounts AS t
+      USING (SELECT 7 AS id, 70.0 AS bal, 'open' AS status
+             UNION ALL SELECT 8, -1.0, 'open') AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED AND s.bal > 0 THEN INSERT *;
+    """)
+    got = _accounts(catalog)
+    assert got[7] == (70.0, "open")
+    assert 8 not in got                  # failed the insert condition
+    assert len(got) == 5
+
+
+def test_merge_update_star_requires_source_columns_by_name(ddl, catalog):
+    ddl.execute(ACCOUNTS_DDL)
+    # Source carries only (id, bal): UPDATE SET * updates bal, leaves status.
+    ddl.execute("""
+      MERGE INTO pets.fin.accounts AS t
+      USING (SELECT 2 AS id, 99.0 AS bal) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *;
+    """)
+    assert _accounts(catalog)[2] == (99.0, "open")
+
+
+def test_merge_nmbs_update_star_rejected(ddl, catalog):
+    ddl.execute(ACCOUNTS_DDL)
+    with pytest.raises(DdlError, match="BY SOURCE"):
+        ddl.execute("""
+          MERGE INTO pets.fin.accounts AS t
+          USING (SELECT 1 AS id, 2.0 AS bal, 'x' AS status) AS s
+          ON t.id = s.id
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *;
+        """)
+
+
+def test_merge_case_when_inside_update_set(ddl, catalog):
+    """A top-level CASE WHEN inside UPDATE SET must not be mistaken for a
+    merge-clause boundary by the WHEN splitter."""
+    ddl.execute(ACCOUNTS_DDL)
+    ddl.execute("""
+      MERGE INTO pets.fin.accounts AS t
+      USING (SELECT 1 AS id UNION ALL SELECT 3 AS id) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET
+        status = CASE WHEN t.bal >= 30.0 THEN 'vip' ELSE 'basic' END;
+    """)
+    got = _accounts(catalog)
+    assert got[1] == (10.0, "basic")
+    assert got[3] == (30.0, "vip")
