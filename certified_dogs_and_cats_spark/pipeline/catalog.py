@@ -44,6 +44,7 @@ import os
 import re
 import shutil
 import time
+import urllib.parse
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -870,6 +871,7 @@ class Catalog:
         self._check_constraints(name, df, spec.constraints)
         added = self._stage_files_in(spec, df)
         self._commit(name, "append", txn=txn, added=added)
+        self._maintain_blooms(name, added)
         if (
             spec.properties.get("delta.autoOptimize.autoCompact") == "true"
         ):
@@ -2008,6 +2010,170 @@ class Catalog:
             os.path.join(self._meta_dir(name), "file_stats.json"),
         )
 
+    # -- Bloom-filter file index (Delta BLOOMFILTER INDEX parity) ----------
+    _BLOOM_TYPES = (
+        T.StringType,
+        T.IntegerType,
+        T.LongType,
+        T.ShortType,
+        T.ByteType,
+        T.DateType,
+        T.BooleanType,
+    )
+
+    def _bloom_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "bloom.json")
+
+    def bloom_indexes(self, name: str) -> dict:
+        """The persisted index: {logical_col: {"fpp":..., "files": {rel:
+        {"m","k","bits"}}}} — metadata-sized, loaded per scan."""
+        p = self._bloom_path(name)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_blooms(self, name: str, blooms: dict) -> None:
+        p = self._bloom_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(blooms, f)
+        os.replace(tmp, p)
+
+    def _build_bloom_entries(
+        self, spec: TableSpec, col: str, files: list[str], fpp: float
+    ) -> dict[str, dict]:
+        """One column-projected Spark job over ``files``: distinct
+        (file, hash60) pairs — map-side partial dedup, one shuffle sized
+        by the column's ndv — then an Arrow-batched per-file pack on the
+        EXECUTORS (the driver only ever sees the finished bitsets, so the
+        index build is metadata-sized driver-side at any table size)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from .skipping import BLOOM_HASH_SQL, pack_bloom
+
+        if not files:
+            return {}
+        phys = spec.physical(col)
+        paths = [os.path.join(spec.path, rel) for rel in files]
+        # mergeSchema: era-mixed files may lack the column (it reads NULL
+        # there, and NULLs never enter a bloom — equality can't match them).
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .where(F.col(phys).isNotNull())
+            .select(
+                F.input_file_name().alias("__f"),
+                F.expr(BLOOM_HASH_SQL.format(col=f"`{phys}`"))
+                .cast("long")
+                .alias("__h"),
+            )
+            .distinct()
+        )
+
+        def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            entry = pack_bloom(pdf["__h"].tolist(), len(pdf), fpp)
+            return pd.DataFrame(
+                [
+                    {
+                        "file": pdf["__f"].iloc[0],
+                        "m": entry["m"],
+                        "k": entry["k"],
+                        "bits": entry["bits"],
+                    }
+                ]
+            )
+
+        rows = (
+            df.groupBy("__f")
+            .applyInPandas(_pack, "file string, m long, k long, bits string")
+            .collect()
+        )
+        root = os.path.realpath(spec.path)
+        out: dict[str, dict] = {}
+        for r in rows:
+            p = urllib.parse.unquote(urllib.parse.urlparse(r.file).path)
+            rel = os.path.relpath(os.path.realpath(p), root)
+            out[rel] = {"m": r.m, "k": r.k, "bits": r.bits}
+        # A file whose every value is NULL produces no row above; give it
+        # an explicit empty bloom so equality conjuncts can skip it.
+        for rel in files:
+            out.setdefault(
+                rel, pack_bloom([], 0, fpp)
+            )
+        return out
+
+    def create_bloom_index(
+        self, name: str, col: str, fpp: float = 0.01
+    ) -> int:
+        """CREATE BLOOMFILTER INDEX parity: per-file bloom bitsets for a
+        high-cardinality column, enabling point-lookup file skipping where
+        min/max ranges all overlap. Incremental: only live files missing
+        an entry are built (re-run after OPTIMIZE to re-index rewritten
+        files); :meth:`append` maintains the index for new files in-line.
+        Returns the number of file entries built."""
+        spec = self.tables[name]
+        field = {f.name: f for f in spec.schema.fields}.get(col)
+        if field is None:
+            raise KeyError(f"{name}: no such column {col!r}")
+        if not isinstance(field.dataType, self._BLOOM_TYPES):
+            raise ValueError(
+                f"{name}.{col}: bloom index requires a string/integer/"
+                f"date/boolean column, not {field.dataType.simpleString()}"
+                " (float canonicalization is not engine-portable)"
+            )
+        if col in spec.partition_by:
+            raise ValueError(
+                f"{name}.{col} is a partition column — path pruning is"
+                " already exact; a bloom index would add nothing"
+            )
+        if not 0 < fpp < 1:
+            raise ValueError(f"fpp must be in (0, 1): {fpp}")
+        blooms = self.bloom_indexes(name)
+        idx = blooms.setdefault(col, {"fpp": fpp, "files": {}})
+        manifest = self._load_manifest(name)
+        live = manifest[-1]["files"] if manifest else []
+        missing = [
+            rel
+            for rel in live
+            if rel not in idx["files"]
+            and os.path.isfile(os.path.join(spec.path, rel))
+        ]
+        idx["files"].update(
+            self._build_bloom_entries(spec, col, missing, idx["fpp"])
+        )
+        self._save_blooms(name, blooms)
+        return len(missing)
+
+    def drop_bloom_index(self, name: str, col: str | None = None) -> None:
+        """Drop one column's index, or the whole table's when col is
+        None (DROP BLOOMFILTER INDEX parity)."""
+        blooms = self.bloom_indexes(name)
+        if col is None:
+            blooms = {}
+        else:
+            blooms.pop(col, None)
+        self._save_blooms(name, blooms)
+
+    def _maintain_blooms(self, name: str, added: list[str]) -> None:
+        """Keep the index current for freshly committed files — cost is
+        proportional to the NEW data, never the table (Delta computes
+        blooms at write time; this is the post-commit equivalent)."""
+        if not added:
+            return
+        blooms = self.bloom_indexes(name)
+        if not blooms:
+            return
+        spec = self.tables[name]
+        for col, idx in blooms.items():
+            new = [rel for rel in added if rel not in idx["files"]]
+            idx["files"].update(
+                self._build_bloom_entries(spec, col, new, idx["fpp"])
+            )
+        self._save_blooms(name, blooms)
+
     def scan(self, name: str, predicate: str) -> DataFrame:
         """Predicate-pruned read: open ONLY the files whose footer stats
         (or partition-path values) admit a matching row, then apply the
@@ -2029,11 +2195,17 @@ class Catalog:
         head = manifest[-1]
         stats = self.file_stats(name)
         conjuncts = parse_conjuncts(predicate)
+        blooms = self.bloom_indexes(name)
         kept = [
             rel
             for rel in head["files"]
             if keep_file(
-                rel, stats.get(rel), conjuncts, spec.schema, spec.column_map
+                rel,
+                stats.get(rel),
+                conjuncts,
+                spec.schema,
+                spec.column_map,
+                blooms,
             )
         ]
         if not kept:
@@ -2053,11 +2225,17 @@ class Catalog:
         files = manifest[-1]["files"] if manifest else []
         stats = self.file_stats(name)
         conjuncts = parse_conjuncts(predicate)
+        blooms = self.bloom_indexes(name)
         kept = sum(
             1
             for rel in files
             if keep_file(
-                rel, stats.get(rel), conjuncts, spec.schema, spec.column_map
+                rel,
+                stats.get(rel),
+                conjuncts,
+                spec.schema,
+                spec.column_map,
+                blooms,
             )
         )
         return kept, len(files)

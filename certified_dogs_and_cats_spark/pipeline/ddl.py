@@ -524,6 +524,56 @@ class DdlSession:
                     [(n,)], "versions_to_purge int"
                 )
             return None
+        if u.startswith("CREATE BLOOMFILTER INDEX"):
+            # Databricks/Delta spelling: CREATE BLOOMFILTER INDEX ON TABLE
+            # t FOR COLUMNS (c [OPTIONS (fpp = 0.01)], ...)
+            m = re.match(
+                r"CREATE BLOOMFILTER INDEX ON TABLE (?P<name>[\w.]+) "
+                r"FOR COLUMNS\s*\((?P<cols>.+)\)\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise DdlError(f"bad CREATE BLOOMFILTER INDEX: {s[:120]}")
+            name = self.resolve(m.group("name"))
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            for part in _split_top(m.group("cols"), ","):
+                cm = re.match(
+                    r"\s*(?P<col>\w+)\s*(?:OPTIONS\s*\(\s*fpp\s*=?\s*"
+                    r"(?P<fpp>[\d.]+)\s*\))?\s*$",
+                    part,
+                    re.I,
+                )
+                if not cm:
+                    raise DdlError(f"bad BLOOMFILTER column clause: {part!r}")
+                try:
+                    self.catalog.create_bloom_index(
+                        name,
+                        cm.group("col"),
+                        float(cm.group("fpp")) if cm.group("fpp") else 0.01,
+                    )
+                except (KeyError, ValueError) as e:
+                    raise DdlError(str(e)) from e
+            return None
+        if u.startswith("DROP BLOOMFILTER INDEX"):
+            m = re.match(
+                r"DROP BLOOMFILTER INDEX ON TABLE (?P<name>[\w.]+)"
+                r"(?: FOR COLUMNS\s*\((?P<cols>[^)]+)\))?\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise DdlError(f"bad DROP BLOOMFILTER INDEX: {s[:120]}")
+            name = self.resolve(m.group("name"))
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            if m.group("cols"):
+                for col in m.group("cols").split(","):
+                    self.catalog.drop_bloom_index(name, col.strip())
+            else:
+                self.catalog.drop_bloom_index(name)
+            return None
         if u.startswith("ANALYZE TABLE "):
             m = re.match(
                 r"ANALYZE TABLE (?P<name>[\w.]+)"

@@ -26,8 +26,11 @@ files opened.
 
 from __future__ import annotations
 
+import base64
 import datetime
+import hashlib
 import json
+import math
 import os
 import re
 import urllib.parse
@@ -271,17 +274,98 @@ def _comparable(a, b) -> bool:
     return type(a) is type(b)
 
 
+# -- Bloom-filter file index (Delta BLOOMFILTER INDEX parity) -----------------
+#
+# Min/max stats cannot prune point lookups on a high-cardinality column
+# whose values are scattered across files (every file's [min, max] covers
+# everything). Delta's answer is a per-file bloom filter index; ours is the
+# same: one bitset per (indexed column, data file), sized from that file's
+# exact distinct count, stored beside the manifest. A membership miss
+# PROVES the file holds no matching row (no false negatives), so `=` / IN
+# conjuncts skip files footer stats cannot.
+#
+# Hashing must agree bit-for-bit between the Spark build job and the
+# Python query side, so both use md5 over the canonical CAST(col AS
+# STRING) form, and the k probe positions derive from that single 60-bit
+# hash by Kirsch-Mitzenmacher double hashing (h1 + i*h2 mod m) — the
+# build job computes ONE hash per value, never k.
+
+BLOOM_HASH_SQL = (
+    "conv(substring(md5(cast({col} AS STRING)), 1, 15), 16, 10)"
+)
+
+
+def bloom_hash60(canonical: str) -> int:
+    """60-bit md5 prefix of the canonical string — the Python twin of
+    :data:`BLOOM_HASH_SQL` (15 hex chars, so it fits signed 64-bit)."""
+    return int(hashlib.md5(canonical.encode()).hexdigest()[:15], 16)
+
+
+def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Textbook sizing: m = -n ln(fpp)/ln(2)^2 bits, k = (m/n) ln 2."""
+    n = max(1, n_items)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, min(16, int(round(m / n * math.log(2)))))
+    return m, k
+
+
+def bloom_positions(h60: int, m: int, k: int) -> list[int]:
+    h1 = h60 >> 30
+    h2 = (h60 & ((1 << 30) - 1)) | 1  # odd: never a degenerate stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def pack_bloom(hashes, n_items: int, fpp: float) -> dict:
+    """Build one file's bloom entry from its distinct value hashes."""
+    m, k = bloom_params(n_items, fpp)
+    bits = bytearray((m + 7) // 8)
+    for h in hashes:
+        for p in bloom_positions(int(h), m, k):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def bloom_canonical(value) -> str | None:
+    """The literal's canonical string, matching Spark's CAST(col AS
+    STRING) for the supported index types (string / integer / date /
+    boolean). None = not canonicalizable -> no pruning on this value."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None  # floats etc. — the builder refuses such columns anyway
+
+
+def bloom_might_contain(entry: dict, value) -> bool:
+    """False only when the bitset PROVES the value is absent."""
+    s = bloom_canonical(value)
+    if s is None:
+        return True
+    m, k = entry["m"], entry["k"]
+    bits = base64.b64decode(entry["bits"])
+    for p in bloom_positions(bloom_hash60(s), m, k):
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 def keep_file(
     rel: str,
     stats: dict | None,
     conjuncts: list[Conjunct],
     schema: T.StructType,
     column_map: dict[str, str] | None = None,
+    blooms: dict[str, dict] | None = None,
 ) -> bool:
     """False only when the stats PROVE no row in the file can satisfy the
     predicate. Missing stats for a referenced column keep the file.
     ``column_map`` translates logical predicate columns to the physical
-    names footer stats are keyed by (Delta column mapping)."""
+    names footer stats are keyed by (Delta column mapping). ``blooms``
+    maps indexed logical columns to ``{"fpp":..., "files": {rel:
+    entry}}``; a bloom miss on every value of an ``=`` / ``IN`` conjunct
+    skips the file even where min/max ranges overlap."""
     parts = _partition_values(rel, schema)
     rows = stats.get("rows") if stats else None
     cols = stats.get("cols", {}) if stats else {}
@@ -289,6 +373,20 @@ def keep_file(
     if rows == 0 and conjuncts:
         return False  # an empty part file can never satisfy a predicate
     for c in conjuncts:
+        # Partition-path values are authoritative — a file whose column
+        # lives in the PATH (old partition era) has an empty bloom, so the
+        # bloom may only speak for columns stored as data in this file.
+        if (
+            c.op in ("=", "in")
+            and blooms
+            and c.col in blooms
+            and c.col not in parts
+        ):
+            entry = blooms[c.col].get("files", {}).get(rel)
+            if entry is not None and not any(
+                bloom_might_contain(entry, v) for v in c.values
+            ):
+                return False
         phys = cmap.get(c.col, c.col)
         if c.col in parts:
             mn = mx = parts[c.col]

@@ -459,3 +459,56 @@ def clone_isolation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "bloom_skipping_end_to_end",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id IN (7, 211, 499)
+    ORDER BY doc_id
+    """,
+)
+def bloom_skipping_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file index under the driver (Delta BLOOMFILTER INDEX
+    parity): documents land hash-scattered across files, so every file's
+    doc_id [min, max] spans the whole domain and footer stats prune
+    NOTHING for a point lookup. CREATE BLOOMFILTER INDEX builds a
+    per-file bitset (one column-projected job, executor-side packing);
+    the same probe then opens only the files whose bloom admits a match.
+    The run asserts stats-only pruning kept everything, bloom pruning
+    skipped files, and the green hash row proves the pruned read is
+    row-identical to the full-scan SQL."""
+    from ..pipeline.catalog import Catalog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="cdc_bloom_skip_")
+    try:
+        cat = Catalog(spark, os.path.join(root, "wh"))
+        cat.register("core.docs_scattered", docs.schema)
+        # Hash-scatter = the adversarial layout for min/max skipping: the
+        # id space interleaves across every file.
+        cat.append("core.docs_scattered", docs.repartition(8, "doc_id"))
+        pred = "doc_id IN (7, 211, 499)"
+        kept_stats, total = cat.pruned_files("core.docs_scattered", pred)
+        if kept_stats != total:
+            raise AssertionError(
+                f"expected stats-blind layout, stats kept {kept_stats}/{total}"
+            )
+        cat.create_bloom_index("core.docs_scattered", "doc_id", fpp=0.001)
+        kept_bloom, total = cat.pruned_files("core.docs_scattered", pred)
+        if not kept_bloom < total:
+            raise AssertionError(
+                f"bloom pruning ineffective: kept {kept_bloom} of {total}"
+            )
+        got = (
+            cat.scan("core.docs_scattered", pred)
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
