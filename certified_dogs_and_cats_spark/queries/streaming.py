@@ -475,3 +475,113 @@ def resample_ffill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "is_observed",
     )
+
+
+@query(
+    "streaming_stream_join_outer",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    th AS (
+      SELECT least((SELECT max(view_ts) FROM v),
+                   (SELECT max(purchase_ts) FROM p))
+             - INTERVAL 9 HOUR AS cutoff
+    ),
+    j AS (
+      SELECT v.user_id, v.view_id, p.purchase_id
+      FROM v LEFT JOIN p ON p.user_id = v.user_id
+       AND p.purchase_ts >= v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 4 HOUR
+      WHERE v.view_ts < (SELECT cutoff FROM th)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(purchase_id) AS BIGINT) AS n_matched,
+           CAST(count(*) FILTER (WHERE purchase_id IS NULL) AS BIGINT)
+             AS n_unconverted
+    FROM j GROUP BY user_id
+    """,
+)
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join: views that never convert within the
+    4-hour window must still emit (with NULL purchase) — but only AFTER
+    the watermark proves no future purchase can match. That makes outer
+    emission watermark-gated: with a bounded AvailableNow drain, the final
+    watermark is min(max view_ts, max purchase_ts) - 4h delay, so only
+    views whose entire match window closed before it are GUARANTEED to
+    have emitted. Both engine and oracle therefore restrict to views older
+    than that data-derived cutoff (9h = 4h join bound + 4h delay + 1h
+    boundary margin) — the deterministic-comparable slice of an
+    inherently watermark-dependent result. The cutoff is computed from the
+    batch table in a single tiny pre-aggregate (guard-style driver
+    action, not a data-path collect)."""
+    from ..sources.testdata import load_table
+
+    configure_for_queries(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = (
+        ev.groupBy()
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "mv"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("mp"),
+        )
+        .collect()[0]
+    )
+    cutoff = min(bounds.mv, bounds.mp) - __import__("datetime").timedelta(
+        hours=9
+    )
+
+    def run() -> DataFrame:
+        views = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "4 hours")
+        )
+        purchases = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "4 hours")
+        )
+        pairs = views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 4 HOURS"
+            ),
+            "left_outer",
+        )
+        drained = _drain(pairs, "ck_ssjo_", "append")
+        return (
+            drained.filter(F.col("view_ts") < F.lit(cutoff))
+            .groupBy(F.col("v_user").alias("user_id"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count("purchase_id").alias("n_matched"),
+                F.count(
+                    F.when(F.col("purchase_id").isNull(), F.lit(1))
+                ).alias("n_unconverted"),
+            )
+        )
+
+    return _with_nanos_conf(spark, run, sf_dir)
