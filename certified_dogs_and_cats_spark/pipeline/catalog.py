@@ -109,6 +109,11 @@ class TableSpec:
     # logical column (metadata-only drops): reserved so a re-added column
     # can never resurrect old bytes.
     dropped_physical: list[str] = field(default_factory=list)
+    # Declared clustering key (Delta liquid clustering, CLUSTER BY):
+    # OPTIMIZE without an explicit ZORDER clause clusters by these.
+    # Metadata-only to set/alter; existing files recluster at the next
+    # OPTIMIZE, never eagerly. Persisted in _meta/<table>/clustering.json.
+    cluster_by: tuple[str, ...] = ()
 
     def physical(self, logical: str) -> str:
         return self.column_map.get(logical, logical)
@@ -148,10 +153,11 @@ class Catalog:
         )
         self.tables[name] = spec
         # Rehydrate any persisted column mapping (metadata-only renames
-        # survive sessions; the registered schema uses logical names) and
-        # evolved partitioning.
+        # survive sessions; the registered schema uses logical names),
+        # evolved partitioning, and declared clustering.
         self.load_column_map(name)
         self.load_layout(name)
+        self.load_clustering(name)
         return spec
 
     def exists(self, name: str) -> bool:
@@ -1718,6 +1724,27 @@ class Catalog:
         spec = self.tables[name]
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
+        if not cluster_by and not zorder_by and spec.cluster_by:
+            # Declared clustering (Delta liquid CLUSTER BY): every
+            # OPTIMIZE clusters without being told. Same routing as the
+            # SQL front door — 2+ numeric columns get the Morton key,
+            # anything else the lexicographic sort.
+            numeric = (
+                T.IntegerType,
+                T.LongType,
+                T.ShortType,
+                T.ByteType,
+                T.FloatType,
+                T.DoubleType,
+                T.DecimalType,
+            )
+            tby = {f.name: f.dataType for f in spec.schema.fields}
+            if len(spec.cluster_by) >= 2 and all(
+                isinstance(tby.get(c), numeric) for c in spec.cluster_by
+            ):
+                zorder_by = spec.cluster_by
+            else:
+                cluster_by = spec.cluster_by
         if where is not None:
             return self._compact_partitions(
                 name, where, target_files_per_partition, cluster_by, zorder_by
@@ -1810,6 +1837,45 @@ class Catalog:
         if os.path.isfile(self._layout_path(name)):
             with open(self._layout_path(name)) as f:
                 spec.partition_by = tuple(json.load(f)["partition_by"])
+
+    def _clustering_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "clustering.json")
+
+    def set_clustering(self, name: str, cluster_by: tuple[str, ...]) -> None:
+        """Delta liquid-clustering parity (``CLUSTER BY`` /
+        ``ALTER TABLE ... CLUSTER BY``): declare the clustering key so
+        every subsequent OPTIMIZE — explicit, ``maybe_compact``
+        auto-compaction, or partition-scoped — clusters by it without the
+        caller naming columns. Metadata-only (one JSON write): existing
+        files keep their order until the next OPTIMIZE rewrites them,
+        exactly Delta's incremental-clustering contract. Pass ``()`` for
+        ``CLUSTER BY NONE``."""
+        spec = self.tables[name]
+        declared = {f.name for f in spec.schema.fields}
+        missing = [c for c in cluster_by if c not in declared]
+        if missing:
+            raise ValueError(
+                f"{name}: clustering columns not in schema: {missing}"
+            )
+        overlap = [c for c in cluster_by if c in spec.partition_by]
+        if overlap:
+            raise ValueError(
+                f"{name}: {overlap} are partition columns — Delta liquid"
+                " clustering and directory partitioning are exclusive per"
+                " column"
+            )
+        spec.cluster_by = tuple(cluster_by)
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        tmp = self._clustering_path(name) + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"cluster_by": list(cluster_by)}, f)
+        os.replace(tmp, self._clustering_path(name))
+
+    def load_clustering(self, name: str) -> None:
+        spec = self.tables[name]
+        if os.path.isfile(self._clustering_path(name)):
+            with open(self._clustering_path(name)) as f:
+                spec.cluster_by = tuple(json.load(f)["cluster_by"])
 
     def _compact_partitions(
         self,

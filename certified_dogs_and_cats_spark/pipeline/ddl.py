@@ -14,9 +14,11 @@ Supported statements (the reference's full DDL surface):
 - ``USE CATALOG c`` / ``USE SCHEMA s``
 - ``CREATE SCHEMA [IF NOT EXISTS] name [COMMENT '...']``
 - ``CREATE TABLE [IF NOT EXISTS] name (col TYPE [NOT NULL], ...)
-  [USING fmt] [PARTITIONED BY (...)] [DEFAULT COLLATION ...]
-  [LOCATION '...']`` — LOCATION is advisory locally (tables live under
-  the catalog root); DELTA maps to parquet in this build.
+  [USING fmt] [PARTITIONED BY (...)] [CLUSTER BY (...)] [DEFAULT
+  COLLATION ...] [LOCATION '...']`` — LOCATION is advisory locally
+  (tables live under the catalog root); DELTA maps to parquet in this
+  build; CLUSTER BY declares liquid clustering (every OPTIMIZE clusters
+  by it; ``ALTER TABLE ... CLUSTER BY (...)|NONE`` changes it).
 - ``CREATE [OR REPLACE] VIEW name AS <select>`` — the SELECT may
   reference fully-qualified table names; they are resolved against the
   catalog and the view is registered for ``spark.sql`` use.
@@ -387,6 +389,26 @@ class DdlSession:
                 )
                 try:
                     self.catalog.set_partitioning(name, cols)
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
+            cm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) CLUSTER BY"
+                r" (?:NONE|\((?P<cols>[^)]*)\))\s*$",
+                s,
+                re.I,
+            )
+            if cm:
+                name = self.resolve(cm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                cols = tuple(
+                    c.strip()
+                    for c in (cm.group("cols") or "").split(",")
+                    if c.strip()
+                )
+                try:
+                    self.catalog.set_clustering(name, cols)
                 except ValueError as e:
                     raise DdlError(str(e)) from e
                 return None
@@ -852,6 +874,8 @@ class DdlSession:
         )
         if spec.partition_by:
             out += f"\nPARTITIONED BY ({', '.join(spec.partition_by)})"
+        if spec.cluster_by:
+            out += f"\nCLUSTER BY ({', '.join(spec.cluster_by)})"
         if spec.properties:
             props = ", ".join(
                 f"'{k}' = '{v}'" for k, v in sorted(spec.properties.items())
@@ -890,6 +914,7 @@ class DdlSession:
         m = re.match(
             r"(?: USING (?P<fmt>\w+))?"
             r"(?: PARTITIONED BY \((?P<parts>[^)]*)\))?"
+            r"(?: CLUSTER BY \((?P<cluster>[^)]*)\))?"
             r"(?: DEFAULT COLLATION \w+)?"
             r"(?: LOCATION '(?P<loc>[^']*)')?"
             r"(?: TBLPROPERTIES ?\((?P<props>[^)]*)\))?\s*$",
@@ -972,6 +997,16 @@ class DdlSession:
             spec.properties[pm.group(1)] = pm.group(2)
         spec.generated.update(generated)
         spec.identity.update(identity)
+        if m.group("cluster"):
+            cluster = tuple(
+                c.strip()
+                for c in m.group("cluster").split(",")
+                if c.strip()
+            )
+            try:
+                self.catalog.set_clustering(name, cluster)
+            except ValueError as e:
+                raise DdlError(str(e)) from e
         return None
 
     def _create_table_as(self, m: "re.Match[str]") -> None:
