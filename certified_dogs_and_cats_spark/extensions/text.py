@@ -29,35 +29,60 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc token statistics: counts, distinct, avg length, BPE-ish count."""
-    tk = tokens(df, id_col, text_col)
-    agg = tk.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("tok").alias("n_distinct"),
-        (F.sum(F.length("tok")).cast("double") / F.count("*")).alias(
-            "avg_token_len"
-        ),
-    )
-    bpe = df.select(
-        F.col(id_col),
-        F.size(
-            F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)")
+    """Per-doc token statistics: counts, distinct, avg length, BPE-ish count.
+
+    ZERO shuffles: the grouping key (the doc id) is the row key, so the
+    explode+groupBy shape re-aggregates rows that were never apart — every
+    metric is a per-row ARRAY expression instead (size / array_distinct /
+    aggregate fold), pure map-side whole-stage codegen. At 100 TB this is
+    a narrow scan; the old shape shuffled the exploded token stream (10-
+    100x the corpus row count). NULL texts drop, matching the explode
+    semantics (no token rows -> no output row)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    return (
+        spread(df)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            (
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / n
+            ).alias("avg_token_len"),
+            F.size(
+                F.expr(
+                    f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)"
+                )
+            )
+            .cast("long")
+            .alias("n_bpe_tokens"),
         )
-        .cast("long")
-        .alias("n_bpe_tokens"),
     )
-    return agg.join(bpe, id_col)
 
 
 def stopword_ratio(
     df: DataFrame, id_col: str, text_col: str, markers=EN_MARKERS
 ) -> DataFrame:
-    """(id, n_tokens, stop_ratio) — fraction of tokens in the marker set."""
-    tk = tokens(df, id_col, text_col)
-    hit = F.sum(F.when(F.col("tok").isin(*markers), 1).otherwise(0))
-    return tk.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        (hit.cast("double") / F.count("*")).alias("stop_ratio"),
+    """(id, n_tokens, stop_ratio) — fraction of tokens in the marker set.
+
+    Map-side (same reasoning as :func:`token_stats`): the per-row token
+    array filters against the marker set in one codegen expression, no
+    explode, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*markers)))
+    return (
+        spread(df)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            (hits.cast("double") / n).alias("stop_ratio"),
+        )
     )
 
 
