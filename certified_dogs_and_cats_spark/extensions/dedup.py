@@ -267,6 +267,184 @@ def lsh_candidate_pairs(
     )
 
 
+def shingle_hash_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh_arr): per-doc DISTINCT word n-gram shingles as 60-bit
+    integers, computed entirely MAP-SIDE as one array column — the
+    zero-shuffle sibling of ``word_shingles(as_hash=True)`` for consumers
+    that never need the corpus-wide shingle stream (MinHash signatures,
+    candidate verification via ``array_intersect``). Values are identical
+    to the exploded form (same md5 -> top-15-hex -> base-16 hash), so the
+    two representations interoperate and oracles replay either.
+
+    Docs with < n tokens are dropped (no shingles -> can never pair),
+    matching ``word_shingles``' row semantics. Docs whose text is NULL
+    drop with them (split(NULL) -> NULL -> size -1 < n).
+
+    At 100 TB this is the difference between shuffling the shingle stream
+    (10-100x the corpus bytes) to build signatures and shuffling nothing:
+    the array lives only inside the scan stage's projection unless a
+    downstream consumer explicitly keeps it.
+    """
+    toks = F.split(F.col(text_col), " ")
+    parts = ", ".join(f"__toks__[i+{j}]" for j in range(n))
+    shingle = F.expr(
+        f"transform(sequence(0, size(__toks__)-{n}), i -> concat_ws(' ', {parts}))"
+    )
+    hashed = F.array_distinct(
+        F.transform(
+            shingle,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        spread(df)
+        .select(F.col(id_col), toks.alias("__toks__"))
+        .filter(F.size("__toks__") >= n)
+        .select(F.col(id_col), hashed.alias("sh_arr"))
+    )
+
+
+def minhash_from_shingle_array(
+    df: DataFrame, id_col: str, arr_col: str = "sh_arr", num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature from a per-doc shingle-hash ARRAY: for each seeded
+    hash function i, min over the array of the 60-bit integer hash of
+    ``"{i}#{shingle}"`` — bit-identical to :func:`minhash_signatures` over
+    the exploded form, but ZERO shuffles: every min is an ``array_min``
+    over a ``transform``, pure map-side whole-stage codegen. The groupBy
+    the exploded form pays re-aggregates rows that were never apart.
+    """
+    def seeded(i: int):
+        # One-arg closure per seed: a two-parameter lambda (s, i=i) would
+        # make F.transform pass the ARRAY INDEX as the second argument,
+        # silently replacing the seed.
+        return lambda s: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}#"), s.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    mins = [
+        F.array_min(F.transform(F.col(arr_col), seeded(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *mins)
+
+
+def _simhash_hex(votes: DataFrame, id_col: str) -> DataFrame:
+    """Fold 64 vote-sum columns s0..s63 into the 16-hex-char signature."""
+    digits = [
+        F.substring(
+            F.lit(HEX),
+            sum(
+                (
+                    F.when(F.col(f"s{4 * i + j}") >= 0, F.lit(1 << j)).otherwise(
+                        F.lit(0)
+                    )
+                    for j in range(4)
+                ),
+                start=F.lit(0),
+            )
+            + 1,
+            1,
+        )
+        for i in range(16)
+    ]
+    return votes.select(F.col(id_col), F.concat(*digits).alias("simhash"))
+
+
+def simhash64_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Zero-shuffle set-SimHash: 64-bit signature per document computed
+    entirely map-side from the text column.
+
+    Bit-identical to ``simhash64(tokens(df).distinct(), ...)`` — one +1/-1
+    vote per DISTINCT token per bit of md5(token)'s first 64 bits — but
+    the distinct and the vote sums are array expressions
+    (``array_distinct`` + 64 ``aggregate`` folds over per-token md5
+    hi/lo words), so the exploded token stream never exists and nothing
+    shuffles: at 100 TB the whole computation is a narrow scan projection.
+    The md5 hex is parsed ONCE per token into two 32-bit integer words
+    (``conv``), replacing the exploded form's 16 string-position ops per
+    token with constant integer shifts.
+
+    NULL-text docs drop (explode semantics: no tokens -> no row).
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    # One signed 64-bit word per token carrying md5's first 64 bits
+    # (hi<<32|lo is bit-exact even when hi's top bit makes the long
+    # negative — only bit patterns matter below).
+    words = F.transform(
+        F.transform(toks, F.md5),
+        lambda h: F.shiftleft(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), 32
+        ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")),
+    )
+    base = (
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), words.alias("__hw__"))
+    )
+    # SWAR bit-plane counting: fold k accumulates the ones-counts of bit
+    # planes {k, k+16, k+32, k+48} in four independent 16-bit lanes of a
+    # single long ((h >> k) & 0x0001000100010001 adds 0 or 1 to each
+    # lane). 16 folds instead of 64 — higher-order-function lambdas are
+    # interpreted per element, so fold count is the dominant cost. The
+    # arithmetic shift's sign-extension only reaches bits > 48 for
+    # k <= 15, which the lane mask never selects. CONTRACT: < 65536
+    # distinct tokens per doc (16-bit lanes); chunk monster docs upstream.
+    lane_mask = 0x0001000100010001
+    # ONE fold with a 16-field struct accumulator (measured ~25% faster
+    # than 16 separate folds: higher-order lambdas are interpreted per
+    # element, so one traversal doing 16 adds beats 16 traversals).
+    init = F.struct(
+        *[F.lit(0).cast("bigint").alias(f"p{k}") for k in range(16)]
+    )
+    acc16 = F.aggregate(
+        F.col("__hw__"),
+        init,
+        lambda acc, x: F.struct(
+            *[
+                (
+                    acc[f"p{k}"]
+                    + F.shiftright(x, k).bitwiseAND(F.lit(lane_mask))
+                ).alias(f"p{k}")
+                for k in range(16)
+            ]
+        ),
+    )
+    planes = base.select(
+        F.col(id_col),
+        F.size("__hw__").alias("__n__"),
+        acc16.alias("__P__"),
+    ).select(
+        F.col(id_col),
+        F.col("__n__"),
+        *[F.col("__P__")[f"p{k}"].alias(f"p{k}") for k in range(16)],
+    )
+    # Vote sum for simhash bit b = 2*ones - n; its sign is all
+    # _simhash_hex needs. Bit-numbering parity with simhash64: simhash
+    # bit b is hex char b//4+1's LSB-first offset b%4, and hex char i+1
+    # covers bits 63-4i..60-4i of the 64-bit word — so b maps to word
+    # bit m = 4*(15 - b//4) + b%4, which lives in plane m%16, lane m//16.
+    def s(b: int):
+        m = 4 * (15 - b // 4) + b % 4
+        return (
+            F.shiftright(F.col(f"p{m % 16}"), 16 * (m // 16))
+            .bitwiseAND(F.lit(0xFFFF))
+            * 2
+            - F.col("__n__")
+        ).alias(f"s{b}")
+
+    votes = planes.select(F.col(id_col), *[s(b) for b in range(64)])
+    return _simhash_hex(votes, id_col)
+
+
 def simhash64(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
     """64-bit SimHash per document as a 16-char lowercase hex string.
 
@@ -312,24 +490,7 @@ def simhash64(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
             for b in range(64)
         ]
     )
-    digits = [
-        F.substring(
-            F.lit(HEX),
-            sum(
-                (
-                    F.when(F.col(f"s{4 * i + j}") >= 0, F.lit(1 << j)).otherwise(
-                        F.lit(0)
-                    )
-                    for j in range(4)
-                ),
-                start=F.lit(0),
-            )
-            + 1,
-            1,
-        )
-        for i in range(16)
-    ]
-    return votes.select(F.col(id_col), F.concat(*digits).alias("simhash"))
+    return _simhash_hex(votes, id_col)
 
 
 def embedding_near_dup_pairs(

@@ -13,12 +13,9 @@ from ..extensions.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
-    simhash64,
     word_shingles,
 )
 from ..cache import tracked_persist
-from ..extensions.text import tokens
 from .common import t
 from .registry import query
 
@@ -148,33 +145,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from ..extensions.dedup import minhash_from_shingle_array, shingle_hash_array
+
     docs = t(spark, sf_dir, "documents")
-    # Branched 4 ways (signatures, sizes, both verify sides) — persist, as
-    # Spark does not dedupe common subplans (see dedup_ngram_jaccard).
-    sh = tracked_persist(
-        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
-    )
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    # Per-doc shingle-hash ARRAYS: signatures and candidate verification
+    # both come from this one map-side frame — the corpus-wide shingle
+    # stream (10-100x the corpus bytes) never exists, so the only shuffles
+    # left are the band self-join and the candidate id-joins. Branched 3
+    # ways (signature, both verify sides) — persist, as Spark does not
+    # dedupe common subplans (see dedup_ngram_jaccard).
+    base = tracked_persist(shingle_hash_array(docs, "doc_id", "text", n=3))
+    sig = minhash_from_shingle_array(base, "doc_id", "sh_arr", num_hashes=8)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
     # Verify candidates with exact Jaccard (LSH = recall filter, not truth):
-    # join candidate pairs to both shingle sets on the shingle value.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    xs = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    ys = sh.select(F.col("doc_id").alias("b_id"), "shingle")
-    inter = (
-        cand.join(xs, "a_id")
-        .join(ys, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("a_n"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("b_n"))
+    # pull both docs' shingle arrays onto the candidate row and intersect
+    # in the projection — arrays are distinct by construction, so
+    # size(array_intersect) IS the exact intersection count.
+    a = base.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_arr"))
+    b = base.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_arr"))
+    inter = F.size(F.array_intersect(F.col("a_arr"), F.col("b_arr")))
     jac = F.col("inter").cast("double") / (
         F.col("a_n") + F.col("b_n") - F.col("inter")
     )
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            inter.alias("inter"),
+            F.size("a_arr").alias("a_n"),
+            F.size("b_arr").alias("b_n"),
+        )
         .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -210,9 +212,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import simhash64_text
+
     docs = t(spark, sf_dir, "documents")
-    tk = tokens(docs, "doc_id", "text").distinct()
-    return simhash64(tk, "doc_id", "tok")
+    # Zero-shuffle map-side signature (bit-identical to
+    # simhash64(tokens(docs).distinct()) — the oracle replays the
+    # exploded form and hash-matches).
+    return simhash64_text(docs, "doc_id", "text")
 
 
 # --- strategy 5: embedding-cosine near-dup (semantic dedup) -----------------
@@ -340,10 +346,10 @@ _SIMHASH_SIG_CTE = """
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup import simhash_near_dup_pairs
+    from ..extensions.dedup import simhash64_text, simhash_near_dup_pairs
 
     docs = t(spark, sf_dir, "documents")
-    sig = simhash64(tokens(docs, "doc_id", "text").distinct(), "doc_id", "tok")
+    sig = simhash64_text(docs, "doc_id", "text")
     return simhash_near_dup_pairs(
         sig, "doc_id", max_hamming=SIMHASH_MAX_HAMMING, n_bands=4
     )
@@ -564,13 +570,19 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in SQL."""
     from pyspark.sql import functions as F
 
-    from ..extensions.dedup import incremental_lsh_candidates
+    from ..extensions.dedup import (
+        incremental_lsh_candidates,
+        minhash_from_shingle_array,
+        shingle_hash_array,
+    )
 
     docs = t(spark, sf_dir, "documents")
-    sh = tracked_persist(
-        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
+    sig = minhash_from_shingle_array(
+        shingle_hash_array(docs, "doc_id", "text", n=3),
+        "doc_id",
+        "sh_arr",
+        num_hashes=8,
     )
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
     stack_args = []
     for b in range(4):
         cols = [f"mh{b * 2 + r}" for r in range(2)]
