@@ -366,12 +366,12 @@ def simhash64_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Bit-identical to ``simhash64(tokens(df).distinct(), ...)`` — one +1/-1
     vote per DISTINCT token per bit of md5(token)'s first 64 bits — but
     the distinct and the vote sums are array expressions
-    (``array_distinct`` + 64 ``aggregate`` folds over per-token md5
-    hi/lo words), so the exploded token stream never exists and nothing
-    shuffles: at 100 TB the whole computation is a narrow scan projection.
-    The md5 hex is parsed ONCE per token into two 32-bit integer words
-    (``conv``), replacing the exploded form's 16 string-position ops per
-    token with constant integer shifts.
+    (``array_distinct`` + one SWAR fold, see below), so the exploded
+    token stream never exists and nothing shuffles: at 100 TB the whole
+    computation is a narrow scan projection. The md5 hex is parsed ONCE
+    per token into a 64-bit integer word (``conv``), replacing the
+    exploded form's 16 string-position ops per token with constant
+    integer shifts.
 
     NULL-text docs drop (explode semantics: no tokens -> no row).
     """
@@ -390,14 +390,15 @@ def simhash64_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), words.alias("__hw__"))
     )
-    # SWAR bit-plane counting: fold k accumulates the ones-counts of bit
-    # planes {k, k+16, k+32, k+48} in four independent 16-bit lanes of a
-    # single long ((h >> k) & 0x0001000100010001 adds 0 or 1 to each
-    # lane). 16 folds instead of 64 — higher-order-function lambdas are
-    # interpreted per element, so fold count is the dominant cost. The
-    # arithmetic shift's sign-extension only reaches bits > 48 for
-    # k <= 15, which the lane mask never selects. CONTRACT: < 65536
-    # distinct tokens per doc (16-bit lanes); chunk monster docs upstream.
+    # SWAR bit-plane counting: plane word k accumulates the ones-counts
+    # of bit planes {k, k+16, k+32, k+48} in four independent 16-bit
+    # lanes of a single long ((h >> k) & 0x0001000100010001 adds 0 or 1
+    # to each lane) — 16 packed counters instead of 64 scalar ones.
+    # Higher-order-function lambdas are interpreted per element, so the
+    # work per element is the dominant cost. The arithmetic shift's
+    # sign-extension only reaches bits > 48 for k <= 15, which the lane
+    # mask never selects. CONTRACT: < 65536 distinct tokens per doc
+    # (16-bit lanes); chunk monster docs upstream.
     lane_mask = 0x0001000100010001
     # ONE fold with a 16-field struct accumulator (measured ~25% faster
     # than 16 separate folds: higher-order lambdas are interpreted per

@@ -265,3 +265,81 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = rec.filter(F.expr(QUERY_PRED))
     return cosine_topk(rec, q, k=K)
+
+
+def _recall_summary(
+    exact: DataFrame, approx: DataFrame, k: int, bound: float
+) -> DataFrame:
+    """(n_queries, k, recall_ok): aggregate recall@k of `approx` against
+    `exact`, asserted >= `bound` — the in-result self-verification that
+    gives trained-model searches (KMeans IVF, PQ codebooks) a real
+    hash-compared oracle row despite the model being non-SQL-expressible."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, subset=["n_hit"])
+    )
+    return per_q.agg(
+        F.count("*").cast("int").alias("n_queries"),
+        F.lit(k).alias("k"),
+        (F.sum("n_hit") / F.sum("n_exact") >= F.lit(bound)).alias(
+            "recall_ok"
+        ),
+    )
+
+
+# PQ compresses 64-dim float64 vectors (512 B) to 4 four-bit-ish codes
+# (4 B as ints) — reconstruction-based search is lossy, so the bound is
+# deliberately below the IVF one (IVF searches TRUE vectors in probed
+# lists; PQ searches centroid reconstructions of the whole corpus).
+PQ_RECALL_BOUND = 0.4
+
+
+@query(
+    "similarity_pq_topk",
+    oracle=f"""
+    SELECT CAST(count(*) AS INTEGER) AS n_queries,
+           {K} AS k,
+           TRUE AS recall_ok
+    FROM embeddings WHERE {QUERY_PRED}
+    """,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search (Jégou et al., TPAMI'11): per-subspace
+    KMeans codebooks -> m-byte codes per vector -> asymmetric top-k of
+    full-precision queries against centroid reconstructions. Like
+    similarity_ivf_ann, the trained codebooks are non-SQL-expressible, so
+    the query verifies ITSELF: recall@k against the in-Spark exact top-k,
+    asserted >= PQ_RECALL_BOUND, emitted as a hash-compared row."""
+    from ..extensions.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    # v feeds four branches (training sample, encode, query subset, exact
+    # baseline): persist so the scan+cast runs once.
+    v = tracked_persist(_vectors(spark, sf_dir))
+    # Shared codebook (one KMeans fit over all subvector slices): the
+    # synthetic embeddings are isotropic, so fine subspaces (m=32, 2 dims
+    # each) buy recall (0.72 measured at sf0.01 vs 0.12 at m=4) while the
+    # fit count stays 1. 32 codes @ ksub=16 pack to 16 bytes/vector —
+    # 32x smaller than the float64 corpus.
+    books = train_pq_codebooks(
+        v, m=32, ksub=16, max_iter=5, train_fraction=0.5, shared=True
+    )
+    codes = pq_encode(v, books).select("vec_id", "codes")
+    q = v.filter(F.expr(QUERY_PRED))
+    approx = pq_topk(codes, books, q, k=K)
+    exact = cosine_topk(v, q, k=K)
+    return _recall_summary(exact, approx, K, PQ_RECALL_BOUND)
