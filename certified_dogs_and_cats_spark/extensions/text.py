@@ -350,3 +350,74 @@ def pack_token_stream(
         F.col(id_col),
         contrib.cast("long").alias("tokens_in_bin"),
     )
+
+
+def bigram_fluency(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document —
+    the perplexity-proxy quality gate: documents whose word transitions
+    are common in the corpus score high, word-soup and shuffled
+    boilerplate score low.
+
+    The model is the corpus itself (KenLM-style counting, no external
+    artifact): C(w1,w2) bigram counts and C(w1) context counts over ALL
+    documents, vocabulary size V for add-one smoothing. Per document the
+    score is the MICRO-AVERAGED smoothed conditional probability
+
+        fluency = sum(C(w1,w2) + 1) / sum(C(w1) + V)
+
+    over its bigrams — pooled integer sums with ONE final division, so
+    the value is bit-reproducible across engines/partitionings (a mean of
+    per-bigram ratios would sum doubles in nondeterministic order; the
+    log-domain variant would additionally inherit libm differences).
+
+    Plan shape: bigram pairs are built MAP-SIDE (zip of the token array
+    with its own tail) and exploded once; one hash-aggregate each for
+    bigram counts, context counts (derived from bigram counts — no second
+    pass over the corpus), and V; the per-doc score is two shuffle joins
+    (on the bigram, then the context word) + one per-doc aggregate.
+    Nothing is driver-side except the scalar V, which rides a broadcast
+    cross join. Docs with < 2 tokens yield no row (no transitions to
+    judge).
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    base = spread(df).filter(F.size(toks) >= 2)
+    pairs = base.select(
+        F.col(id_col), F.explode(pairs_arr).alias("bg")
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # Corpus model: C(w1,w2); C(w1) as a rollup of the bigram counts
+    # (context counts of bigram FIRST words — exactly the denominator the
+    # conditional probability needs).
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # V = distinct tokens anywhere (including document-final tokens that
+    # never open a bigram).
+    vocab = (
+        spread(df)
+        .select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(F.col("c12") + 1).cast("double")
+                / F.sum(F.col("c1") + F.col("v"))
+            ).alias("__f__"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.round(F.col("__f__"), round_digits).alias("fluency"),
+    )

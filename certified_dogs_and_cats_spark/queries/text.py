@@ -139,3 +139,40 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return min_window_fingerprint(docs, "doc_id", "text", k=12, stride=4)
+
+
+@query(
+    "text_lm_fluency",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    )
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(c12 + 1) AS DOUBLE) / sum(c1 + v), 6) AS fluency
+    FROM pairs p
+    JOIN big USING (w1, w2)
+    JOIN ctx USING (w1)
+    CROSS JOIN vocab
+    GROUP BY 1
+    """,
+)
+def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency (perplexity-proxy quality gate):
+    micro-averaged add-one conditional probability of each doc's word
+    transitions under the corpus's own bigram counts — pooled integer
+    sums, one final division, so both engines agree bit-for-bit."""
+    from ..extensions.text import bigram_fluency
+
+    docs = t(spark, sf_dir, "documents")
+    return bigram_fluency(docs, "doc_id", "text")
