@@ -2352,7 +2352,7 @@ class Catalog:
     def _stats_path(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "stats.json")
 
-    def analyze(self, name: str) -> dict:
+    def analyze(self, name: str, version: int | None = None) -> dict:
         """ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS parity:
         one aggregation pass computes row count plus per-column null
         count, HLL-approximate distinct count, and min/max for orderable
@@ -2363,11 +2363,15 @@ class Catalog:
         join-side broadcast decisions and shuffle-partition sizing;
         min/max give partition-elimination bounds. One pass, one shuffle
         (a single global aggregate), never one job per column.
+
+        ``version`` analyzes a time-travel snapshot instead of the head;
+        snapshot stats are returned but NOT persisted (stats.json always
+        describes a head analysis, so staleness stays well-defined).
         """
         from pyspark.sql import functions as F
 
         spec = self.tables[name]
-        df = self.table(name)
+        df = self.table(name, version=version)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         cols = []
         for f in df.schema.fields:
@@ -2389,7 +2393,9 @@ class Catalog:
         row = df.agg(*aggs).collect()[0].asDict()
         stats = {
             "table": name,
-            "version": self.current_version(name),
+            "version": (
+                self.current_version(name) if version is None else version
+            ),
             "row_count": row["__rows"],
             "columns": {
                 c: {
@@ -2401,10 +2407,93 @@ class Catalog:
                 for c in cols
             },
         }
-        os.makedirs(self._meta_dir(name), exist_ok=True)
-        with open(self._stats_path(name), "w") as fh:
-            json.dump(stats, fh, indent=1)
+        if version is None:
+            os.makedirs(self._meta_dir(name), exist_ok=True)
+            with open(self._stats_path(name), "w") as fh:
+                json.dump(stats, fh, indent=1)
         return stats
+
+    def profile_drift(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> dict:
+        """Per-column statistical drift between two versions of a table —
+        the monitoring primitive that catches silent data regressions
+        between pipeline runs (null-rate spikes, cardinality collapse,
+        range blowouts) before a consumer does.
+
+        Runs the one-pass :meth:`analyze` aggregate against both
+        time-travel snapshots (two scans total, no joins) and reports,
+        per column present in either version:
+
+        - ``null_rate`` before/after and delta,
+        - ``approx_ndv`` before/after and ratio (None when before is 0),
+        - ``min``/``max`` before/after and whether the range widened,
+        - plus table-level ``row_count`` before/after/ratio and
+          added/removed column lists (schema evolution shows up here).
+
+        ``to_version=None`` compares against the current head.
+        """
+        before = self.analyze(name, version=from_version)
+        to_v = (
+            self.current_version(name) if to_version is None else to_version
+        )
+        # Always analyze by explicit version so profiling never overwrites
+        # the persisted head stats as a side effect.
+        after = self.analyze(name, version=to_v)
+        b_cols, a_cols = before["columns"], after["columns"]
+        b_rows, a_rows = before["row_count"], after["row_count"]
+
+        def rate(nulls: int, rows: int) -> float:
+            return round(nulls / rows, 6) if rows else 0.0
+
+        def lt(x: str, y: str) -> bool:
+            # min/max persist as strings; compare numerically when both
+            # parse ("10" must not sort below "9"), lexically otherwise.
+            try:
+                return float(x) < float(y)
+            except (TypeError, ValueError):
+                return x < y
+
+        columns: dict[str, dict] = {}
+        for c in sorted(set(b_cols) | set(a_cols)):
+            if c not in a_cols:
+                columns[c] = {"status": "removed"}
+                continue
+            if c not in b_cols:
+                columns[c] = {"status": "added"}
+                continue
+            b, a = b_cols[c], a_cols[c]
+            nb, na = rate(b["null_count"], b_rows), rate(a["null_count"], a_rows)
+            columns[c] = {
+                "status": "common",
+                "null_rate": {"before": nb, "after": na, "delta": round(na - nb, 6)},
+                "approx_ndv": {
+                    "before": b["approx_ndv"],
+                    "after": a["approx_ndv"],
+                    "ratio": (
+                        round(a["approx_ndv"] / b["approx_ndv"], 6)
+                        if b["approx_ndv"]
+                        else None
+                    ),
+                },
+                "min": {"before": b["min"], "after": a["min"]},
+                "max": {"before": b["max"], "after": a["max"]},
+                "range_widened": (
+                    (a["min"] is not None and b["min"] is not None and lt(a["min"], b["min"]))
+                    or (a["max"] is not None and b["max"] is not None and lt(b["max"], a["max"]))
+                ),
+            }
+        return {
+            "table": name,
+            "from_version": from_version,
+            "to_version": to_v,
+            "row_count": {
+                "before": b_rows,
+                "after": a_rows,
+                "ratio": round(a_rows / b_rows, 6) if b_rows else None,
+            },
+            "columns": columns,
+        }
 
     def stats(self, name: str) -> dict | None:
         """Stored statistics from the last :meth:`analyze`, or None. The
