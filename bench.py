@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "approx_top_k_check",
     "resample_ffill_6h",
     "shard_export_manifest",
+    # Corpus-as-model LM fluency (3 shuffles: bigram counts + two scoring
+    # joins over the persisted pair stream).
+    "text_lm_fluency",
 ]
 
 

@@ -379,29 +379,42 @@ def bigram_fluency(
     (on the bigram, then the context word) + one per-doc aggregate.
     Nothing is driver-side except the scalar V, which rides a broadcast
     cross join. Docs with < 2 tokens yield no row (no transitions to
-    judge).
+    judge). The tokenized base and the pair stream each feed two
+    branches (model counts + scoring / vocabulary), so both persist —
+    the corpus is scanned and tokenized exactly once.
     """
+    from ..cache import tracked_persist
+
     toks = F.split(F.col(text_col), " ")
+    base = tracked_persist(
+        spread(df).select(F.col(id_col), toks.alias("__toks__"))
+    )
+    tarr = F.col("__toks__")
     pairs_arr = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(tarr, 1, F.greatest(F.size(tarr) - 1, F.lit(0))),
+        F.slice(tarr, 2, F.greatest(F.size(tarr) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    base = spread(df).filter(F.size(toks) >= 2)
-    pairs = base.select(
-        F.col(id_col), F.explode(pairs_arr).alias("bg")
-    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = tracked_persist(
+        base.filter(F.size(tarr) >= 2)
+        .select(F.col(id_col), F.explode(pairs_arr).alias("bg"))
+        .select(
+            F.col(id_col),
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+    )
     # Corpus model: C(w1,w2); C(w1) as a rollup of the bigram counts
     # (context counts of bigram FIRST words — exactly the denominator the
     # conditional probability needs).
-    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    big = tracked_persist(
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
     ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # V = distinct tokens anywhere (including document-final tokens that
     # never open a bigram).
-    vocab = (
-        spread(df)
-        .select(F.explode(toks).alias("tok"))
-        .agg(F.countDistinct("tok").alias("v"))
+    vocab = base.select(F.explode(tarr).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
     )
     scored = (
         pairs.join(big, ["w1", "w2"])
