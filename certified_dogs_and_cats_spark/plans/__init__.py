@@ -119,3 +119,31 @@ def assert_partition_pruned(df: DataFrame, *column_names: str) -> str:
                 f"(PartitionFilters: [{filters}]):\n" + plan
             )
     return plan
+
+
+def runtime_bloom_filter_count(df: DataFrame) -> int:
+    """How many runtime bloom-filter probes (`might_contain`) Catalyst
+    injected into the plan.
+
+    Runtime row-level filtering (Spark 3.3+): when one join side carries a
+    selective filter, the optimizer can aggregate a bloom filter over its
+    join keys and probe it on the OTHER side's scan — rows that cannot
+    match are dropped before the shuffle, which is the difference between
+    shuffling a 100 TB fact table and shuffling the fraction that
+    survives the dim filter. Governed by
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` and the
+    creation/application-side size thresholds (tuned for real clusters —
+    tests lower them to exercise the path on toy data).
+    """
+    return plan_text(df, mode="simple").count("might_contain")
+
+
+def assert_runtime_bloom_filter(df: DataFrame) -> str:
+    """The plan must probe at least one runtime bloom filter."""
+    plan = plan_text(df, mode="simple")
+    if "might_contain" not in plan:
+        raise PlanAssertionError(
+            "expected a runtime bloom-filter probe (might_contain) in the"
+            " plan:\n" + plan
+        )
+    return plan
