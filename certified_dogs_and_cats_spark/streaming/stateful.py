@@ -58,3 +58,63 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_topk(
+    stream: DataFrame, key_col: str, value_col: str, k: int = 3
+) -> DataFrame:
+    """Per-key running top-k values maintained across micro-batches, on
+    the Spark-4 ``transformWithStateInPandas`` API (the successor to
+    ``applyInPandasWithState``): state lives in NAMED TYPED variables on a
+    ``StatefulProcessorHandle`` (here one ValueState holding the current
+    top-k list) instead of a single untyped tuple, and the same processor
+    shape extends to ListState/MapState, per-variable TTL, timers, and
+    initial state without re-plumbing the operator.
+
+    Emits one row per key per micro-batch in which the key appears, with
+    the top-k as of that batch (update semantics); the final emission per
+    key equals the batch-world top-k.
+
+    Scale contract: state is O(k) per key in the state store (RocksDB —
+    this API REQUIRES the RocksDB state-store provider; set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider``), one key-shuffle per
+    micro-batch, Arrow-batched transfer either side of the fold.
+
+    Dependency gate: the transformWithState protocol talks protobuf
+    between the JVM and the Python driver worker, so the ``protobuf``
+    package must be importable where Spark runs Python workers; without
+    it the STREAM fails at initialization (the pytest covering this
+    operator importorskips on it, same pattern as the Pillow-gated image
+    codec).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} long, topk array<double>"
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._vals = handle.getValueState("vals", "vals array<double>")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd  # executor-side import
+
+            cur = list(self._vals.get()[0]) if self._vals.exists() else []
+            for pdf in rows:
+                cur.extend(float(x) for x in pdf[value_col].dropna())
+            cur = sorted(cur, reverse=True)[:k]
+            self._vals.update((cur,))
+            yield pd.DataFrame({key_col: [key[0]], "topk": [cur]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=TopK(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

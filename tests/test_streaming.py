@@ -7,6 +7,7 @@ from __future__ import annotations
 import csv
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -265,3 +266,50 @@ def test_stream_merge_upsert_updates_and_inserts(spark, catalog, tmp_path):
         2: "upd",
         3: "ins",
     }
+
+
+def test_transform_with_state_topk_survives_microbatches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 API): named typed state must
+    accumulate across micro-batches; the final emission per key equals
+    the batch-world top-k. Requires the RocksDB state-store provider and
+    the protobuf package (the JVM <-> Python state protocol)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState requires the protobuf package",
+    )
+    from certified_dogs_and_cats_spark.streaming.stateful import stateful_topk
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+        write_csv(src, "d1.csv", [(1, "a", "2026-01-01 10:00:00", 5.0),
+                                  (1, "a", "2026-01-01 10:01:00", 1.0),
+                                  (2, "b", "2026-01-01 10:02:00", 7.0)])
+        write_csv(src, "d2.csv", [(1, "a", "2026-01-01 11:00:00", 9.0),
+                                  (1, "a", "2026-01-01 11:01:00", 3.0),
+                                  (2, "b", "2026-01-01 11:02:00", 2.0)])
+        stream = read_file_stream(
+            spark, src, SCHEMA, fmt="csv", max_files_per_trigger=1
+        ).select(F.col("_id").cast("long").alias("_id"), "value")
+        out = run_available_now_memory(
+            stateful_topk(stream, "_id", "value", k=2), ck,
+            output_mode="update",
+        )
+        # Last emission per key wins (update semantics; collect order is
+        # append order, so fold to the final state per key).
+        last = {}
+        for r in out.collect():
+            last[r._id] = list(r.topk)
+        assert last[1] == [9.0, 5.0]   # across batches, not within one
+        assert last[2] == [7.0, 2.0]
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
