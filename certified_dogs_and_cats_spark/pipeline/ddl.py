@@ -638,6 +638,9 @@ class DdlSession:
                 rows or [], "schema_name string, table_name string, format string"
             )
         if u.startswith("SELECT ") or u.startswith("WITH "):
+            mv = self._mv_rewrite(s)
+            if mv is not None:
+                return mv
             return self.catalog.spark.sql(self._resolve_refs(stmt))
         if u.startswith("EXPLAIN "):
             plan = (
@@ -1108,6 +1111,47 @@ class DdlSession:
         if view is None:
             raise DdlError(f"materialized view not found: {name}")
         view.refresh()
+        return None
+
+    def _mv_rewrite(self, s: str) -> DataFrame | None:
+        """Materialized-view query rewrite: a SELECT whose shape matches a
+        registered MV's definition over the same source is served from the
+        MV's backing table instead of re-aggregating the source — the
+        query-acceleration contract warehouses attach to MVs.
+
+        SOUNDNESS GATE: the rewrite only fires when the MV's applied CDC
+        watermark equals the source's current version (the view provably
+        reflects every committed source row). A stale MV falls through to
+        the real aggregation — results are always those of the query as
+        written, the MV only changes the plan.
+        """
+        m = re.match(
+            r"SELECT (?P<groups>[\w., ]+?), COUNT\(\*\) AS cnt, "
+            r"SUM\((?P<val>\w+)\) AS total "
+            r"FROM (?P<src>[\w.]+) GROUP BY (?P<gb>[\w., ]+)$",
+            s.strip(),
+            re.I,
+        )
+        if not m:
+            return None
+        groups = tuple(g.strip() for g in m.group("groups").split(","))
+        lowered = tuple(g.lower() for g in groups)
+        if lowered != tuple(
+            g.strip().lower() for g in m.group("gb").split(",")
+        ):
+            return None
+        src = self.resolve(m.group("src"))
+        for view in self.mviews.values():
+            if (
+                view.src == src
+                and tuple(g.lower() for g in view.group_cols) == lowered
+                and view.value_col.lower() == m.group("val").lower()
+                and view._applied_watermark()
+                == self.catalog.current_version(src)
+            ):
+                return self.catalog.table(view.dst).select(
+                    *view.group_cols, "cnt", "total"
+                )
         return None
 
     def _resolve_refs(self, body: str) -> str:

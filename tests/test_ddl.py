@@ -887,3 +887,50 @@ def test_merge_case_when_inside_update_set(ddl, catalog):
     got = _accounts(catalog)
     assert got[1] == (10.0, "basic")
     assert got[3] == (30.0, "vip")
+
+
+def test_mv_query_rewrite_serves_fresh_view(ddl, catalog):
+    """A SELECT matching a registered MV's definition is served from the
+    MV's backing table — but ONLY while the MV reflects every committed
+    source version; a stale MV falls through to the real aggregation, so
+    results are always those of the query as written."""
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE rw_src (grp STRING, amt DOUBLE);"
+        "INSERT INTO rw_src VALUES ('a', 1.0), ('a', 2.0), ('b', 5.0);"
+        "CREATE MATERIALIZED VIEW rw_mv AS "
+        "SELECT grp, COUNT(*) AS cnt, SUM(amt) AS total "
+        "FROM rw_src GROUP BY grp"
+    )
+    q = (
+        "SELECT grp, COUNT(*) AS cnt, SUM(amt) AS total "
+        "FROM rw_src GROUP BY grp"
+    )
+    # Fresh: the rewrite fires — the plan reads the MV's backing table,
+    # not rw_src.
+    df = ddl.execute(q)[-1]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Rewritten plan is a bare scan of the MV table (grp, cnt, total
+    # already materialized) — no aggregation runs.
+    assert "HashAggregate" not in plan
+    assert "cnt" in plan and "total" in plan
+    assert sorted((r.grp, r.cnt, r.total) for r in df.collect()) == [
+        ("a", 2, 3.0),
+        ("b", 1, 5.0),
+    ]
+    # Stale (source advanced, MV not refreshed): falls through to the
+    # real aggregation and the NEW rows are visible.
+    ddl.execute("INSERT INTO rw_src VALUES ('c', 7.0)")
+    df = ddl.execute(q)[-1]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan  # the real aggregation ran
+    assert ("c", 1, 7.0) in {(r.grp, r.cnt, r.total) for r in df.collect()}
+    # Refresh restores the rewrite.
+    ddl.execute("REFRESH MATERIALIZED VIEW rw_mv")
+    plan = ddl.execute(q)[-1]._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
+    # A different shape (other aggregate list) never rewrites.
+    other = ddl.execute(
+        "SELECT grp, SUM(amt) AS s FROM rw_src GROUP BY grp"
+    )[-1]
+    assert "HashAggregate" in other._jdf.queryExecution().executedPlan().toString()
