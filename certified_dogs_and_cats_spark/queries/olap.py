@@ -772,3 +772,50 @@ def approx_top_k_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forall(ex_items, x -> array_contains(sk_items, x))"
         ).alias("sketch_covers_exact_top"),
     )
+
+
+@query(
+    "recursive_ancestor_closure",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey // 2 AS ancestor, 1 AS depth
+      FROM customer WHERE c_custkey >= 2
+      UNION ALL
+      SELECT node, ancestor // 2, depth + 1 FROM anc WHERE ancestor >= 2
+    )
+    SELECT CAST(depth AS INTEGER) AS depth,
+           CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(sum(ancestor) AS BIGINT) AS ancestor_sum,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM anc GROUP BY depth
+    """,
+)
+def recursive_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`): transitive ancestor
+    closure over a deterministic binary-tree parent function
+    (parent(k) = k div 2) on the customer keys — the iterate-until-empty
+    query shape (hierarchies, reachability, BOM explosion) that needed a
+    driver-side loop before Spark 4. Each iteration is one self-free
+    level expansion; depth is O(log N) so the recursion terminates in
+    ~log2(|customer|) rounds. The closure is aggregated per depth so the
+    result stays small at any scale while still pinning every path
+    (count + ancestor-sum + max-node per level).
+    """
+    # The recursive CTE needs a SQL-visible relation; register the scan
+    # under a query-private name.
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__rac_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS node, c_custkey DIV 2 AS ancestor, 1 AS depth
+          FROM __rac_customer WHERE c_custkey >= 2
+          UNION ALL
+          SELECT node, ancestor DIV 2, depth + 1 FROM anc WHERE ancestor >= 2
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(sum(ancestor) AS BIGINT) AS ancestor_sum,
+               CAST(max(node) AS BIGINT) AS max_node
+        FROM anc GROUP BY depth
+        """
+    )
