@@ -819,3 +819,80 @@ def recursive_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY depth
         """
     )
+
+
+@query(
+    "pipe_syntax_priority_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pipe_syntax_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same relational
+    algebra as the classic SELECT, written as a top-to-bottom dataflow —
+    each stage consumes the previous stage's relation, which is how the
+    DataFrame API already reads. Semantics are identical (the oracle is
+    the classic spelling), so this pins the new surface, not new
+    behavior."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     round(avg(o_totalprice), 2) AS avg_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        |> SELECT o_orderpriority, n, avg_price
+        """
+    )
+
+
+@query(
+    "collated_group_count",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0
+                  THEN upper(o_orderpriority)
+                  ELSE lower(o_orderpriority) END AS pri
+      FROM orders
+    )
+    SELECT min(pri) AS pri_canonical, CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY lower(pri) ORDER BY pri_canonical
+    """,
+)
+def collated_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via string collation (Spark 4
+    `COLLATE UTF8_LCASE`): the mixed-case priority strings (deterministic
+    per-row case mangling) collapse into one group per logical value
+    WITHOUT a lower() projection — at scale the collation comparator
+    works on the raw bytes in codegen rather than materializing a
+    normalized copy of every key. The output key is pinned to the binary
+    min of the group members so the representative is deterministic (the
+    collated group's own representative is partition-order-dependent);
+    the oracle replays with GROUP BY lower(), equivalent for ASCII
+    keys."""
+    o = t(spark, sf_dir, "orders")
+    m = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("pri")
+    )
+    m.createOrReplaceTempView("__coll_orders")
+    return spark.sql(
+        """
+        SELECT min(CAST(pri AS STRING)) AS pri_canonical,
+               CAST(count(*) AS BIGINT) AS n
+        FROM __coll_orders
+        GROUP BY pri COLLATE UTF8_LCASE
+        ORDER BY pri_canonical
+        """
+    )
