@@ -2240,6 +2240,60 @@ class Catalog:
             )
         self._save_blooms(name, blooms)
 
+    def files_metadata(self, name: str, version: int | None = None) -> DataFrame:
+        """Per-file metadata relation (Iceberg's ``files`` table / the
+        per-file complement of DESCRIBE DETAIL): one row per live data
+        file of the requested version with its footer row count, size,
+        Hive-style partition values (JSON), and per-column min/max/null
+        stats (JSON) from the skipping cache. Metadata-sized — footers
+        are read once per file ever; nothing scans data. SQL spelling:
+        ``SELECT * FROM table_files('t'[, version])``.
+
+        Files of an older version that VACUUM already retired report NULL
+        stats (their footers are gone with the bytes)."""
+        from .skipping import collect_file_stats, hive_partition_segments
+
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        if version is None:
+            entry = manifest[-1] if manifest else {"files": [], "version": 0}
+        else:
+            matches = [e for e in manifest if e["version"] == version]
+            if not matches:
+                raise KeyError(f"{name}: no version {version} in manifest")
+            entry = matches[-1]
+        files = entry["files"]
+        stats = collect_file_stats(
+            spec.path,
+            files,
+            os.path.join(self._meta_dir(name), "file_stats.json"),
+        )
+        rows = []
+        for rel in files:
+            st = stats.get(rel)
+            parts = {
+                k: v for k, v in hive_partition_segments(rel) if v is not None
+            }
+            rows.append(
+                (
+                    rel,
+                    entry["version"],
+                    st["rows"] if st else None,
+                    st["size"] if st else None,
+                    json.dumps(parts, sort_keys=True) if parts else None,
+                    (
+                        json.dumps(st.get("cols", {}), sort_keys=True)
+                        if st
+                        else None
+                    ),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file string, version int, rows bigint, size_bytes bigint,"
+            " partition string, column_stats string",
+        )
+
     def scan(self, name: str, predicate: str) -> DataFrame:
         """Predicate-pruned read: open ONLY the files whose footer stats
         (or partition-path values) admit a matching row, then apply the

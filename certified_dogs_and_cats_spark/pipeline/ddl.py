@@ -1183,6 +1183,22 @@ class DdlSession:
             flags=re.I,
         )
 
+        # table_files('t'[, version]) — per-file metadata relation
+        # (footer row counts, sizes, partition values, column stats).
+        def bind_files(m: re.Match) -> str:
+            tbl = self.resolve(m.group(1))
+            v = int(m.group(2)) if m.group(2) else None
+            alias = f"{_view_alias(tbl)}__files_{v if v is not None else 'now'}"
+            self.catalog.files_metadata(tbl, v).createOrReplaceTempView(alias)
+            return alias
+
+        body = re.sub(
+            r"table_files\(\s*'([\w.]+)'\s*(?:,\s*(\d+)\s*)?\)",
+            bind_files,
+            body,
+            flags=re.I,
+        )
+
         # `tbl TIMESTAMP AS OF '<ts>'` binds before the literal split too
         # (the timestamp lives inside a string literal).
         def bind_ts(m: re.Match) -> str:

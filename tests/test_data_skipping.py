@@ -406,3 +406,50 @@ def test_fast_count_empty_and_after_compact(catalog, spark):
     catalog.delete_where("core.fcc", "k = 5")
     catalog.compact("core.fcc")  # materializes the DV into rewritten files
     assert catalog.fast_count("core.fcc") == 49
+
+
+def test_files_metadata_relation(catalog, spark):
+    """files_metadata: one row per live file with footer rows/size and
+    JSON column stats; per-file rows sum to the table count; an older
+    version reports its own (smaller) file set."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    catalog.register("t.filesmeta", schema)
+    catalog.append(
+        "t.filesmeta", spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    )
+    v1 = catalog.current_version("t.filesmeta")
+    catalog.append("t.filesmeta", spark.createDataFrame([(9, "c")], schema))
+    fm = catalog.files_metadata("t.filesmeta").collect()
+    assert sum(r.rows for r in fm) == 3
+    assert all(r.size_bytes > 0 for r in fm)
+    # Empty shuffle parts carry no column stats; check a non-empty file.
+    nonempty = next(r for r in fm if r.rows > 0)
+    stats = _json.loads(nonempty.column_stats)
+    assert "k" in stats  # [min, max, nulls] triple per column
+    old = catalog.files_metadata("t.filesmeta", version=v1).collect()
+    assert sum(r.rows for r in old) == 2
+    assert {r.file for r in old} < {r.file for r in fm}
+
+
+def test_table_files_tvf(catalog, spark):
+    from certified_dogs_and_cats_spark.pipeline.ddl import DdlSession
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    catalog.register("core.t_files", schema)
+    catalog.append(
+        "core.t_files", spark.createDataFrame([(i,) for i in range(5)], schema)
+    )
+    ddl = DdlSession(catalog)
+    rows = ddl.execute(
+        "SELECT count(*) AS n_files, sum(rows) AS n_rows "
+        "FROM table_files('core.t_files')"
+    )[-1].collect()
+    assert rows[0].n_rows == 5 and rows[0].n_files >= 1
