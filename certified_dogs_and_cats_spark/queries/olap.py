@@ -896,3 +896,126 @@ def collated_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY pri_canonical
         """
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS text_len,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
+           2 AS n_keys,
+           CAST(length(text) + len(string_split(text, ' ')) AS INTEGER)
+             AS vals_sum
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar family (§2.8): create_map / element_at(map, key) /
+    size(map) / map_values — the map column is built and consumed inside
+    one projection, and every OUTPUT is a plain scalar, so the oracle
+    replays the underlying logic directly (DuckDB's MAP type never needs
+    to round-trip the comparison)."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = F.create_map(
+        F.lit("len"), F.length("text"),
+        F.lit("toks"), F.size(F.split(F.col("text"), " ")),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(m, "len").cast("int").alias("text_len"),
+        F.element_at(m, "toks").cast("int").alias("n_toks"),
+        F.size(m).alias("n_keys"),
+        F.aggregate(
+            F.map_values(m), F.lit(0), lambda a, x: a + x
+        ).cast("int").alias("vals_sum"),
+    )
+
+
+@query(
+    "scalar_lambda_funcs",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 5)) AS INTEGER)
+             AS n_long,
+           CAST(len(list_filter(toks, t -> t SIMILAR TO '[0-9]+')) > 0
+                AS BOOLEAN) AS any_numeric,
+           CAST(len(list_filter(toks, t -> length(t) = 0)) = 0
+                AS BOOLEAN) AS all_nonempty,
+           CAST(list_sum(list_transform(toks, t -> length(t)))
+                AS INTEGER) AS total_chars
+    FROM tk
+    """,
+)
+def scalar_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function scalar family (§2.8): filter / exists /
+    forall / aggregate lambdas over the token array — the expression
+    forms that replace row explosions for per-row collection logic."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.exists(toks, lambda x: x.rlike("^[0-9]+$")).alias("any_numeric"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+        .cast("int")
+        .alias("total_chars"),
+    )
+
+
+@query(
+    "fuzzy_name_matches",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matches,
+           CAST(min(d) AS INTEGER) AS min_dist
+    FROM (
+      SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS d
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    ) GROUP BY p_brand
+    """,
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): candidate pairs come
+    from an equi-join on a BLOCKING key (the brand), then exact edit
+    distance (levenshtein) verifies near-identical names — the classic
+    two-phase shape that keeps string-similarity joins off the O(N^2)
+    cliff. Scale contract: pair count is sum over blocks of |block|^2,
+    so the blocking key must bound block size (compose keys — brand x
+    container — or fall back to winnow/MinHash candidates when a block
+    is hot); the distance only ever runs on candidates. Aggregated per
+    block so the result is one row per brand at any corpus size.
+    """
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    d = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("p_brand", d.alias("d"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("d") <= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matches"),
+            F.min("d").cast("int").alias("min_dist"),
+        )
+    )
