@@ -1019,3 +1019,132 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d").cast("int").alias("min_dist"),
         )
     )
+
+
+@query(
+    "rolling_zscore_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             CAST(value AS DECIMAL(18,6)) AS dv,
+             count(*) OVER win AS n,
+             sum(CAST(value AS DECIMAL(18,6))) OVER win AS s,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               OVER win AS s2
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+      SELECT event_type,
+             (value - CAST(s AS DOUBLE) / n)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) / n) / (n - 1)) AS zs
+      FROM w WHERE n = 20
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN abs(zs) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(abs(zs)), 6) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing-20 window's mean/std within its type, |z| > 2.5 flagged,
+    rolled up per type. The moments come from EXACT DECIMAL window sums
+    (sum, sum-of-squares) with one final double conversion — stddev via
+    the engines' own aggregate would accumulate doubles in
+    partition-dependent order and never hash-match; the decimal-sum
+    formulation is bit-reproducible at any parallelism (same contract as
+    functions.scalar.dsum). Full windows only (n = 20), so scores don't
+    depend on warm-up truncation."""
+    ev = t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    w = ev.select(
+        "event_type",
+        "value",
+        F.count("*").over(win).alias("n"),
+        F.sum(dv).over(win).alias("s"),
+        F.sum(dv * dv).over(win).alias("s2"),
+    ).filter(F.col("n") == 20)
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        w.select("event_type", z.alias("zs"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum(F.when(F.abs(F.col("zs")) > 2.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(F.max(F.abs(F.col("zs"))), 6).alias("max_abs_z"),
+        )
+    )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled plain-SQL replay of the fixed-point PageRank loop (the
+    iteration count is a literal, so recursion isn't needed — each round
+    is one chained CTE; integer arithmetic makes every round exact)."""
+    parts = [
+        "WITH mx AS (SELECT max(c_custkey) AS m FROM customer),",
+        "nodes AS (SELECT c_custkey AS node FROM customer),",
+        "ed AS (",
+        "  SELECT src, dst, count(*) OVER (PARTITION BY src) AS d FROM (",
+        "    SELECT c_custkey AS src, (c_custkey * 7) % m + 1 AS dst",
+        "    FROM customer, mx)",
+        "),",
+        "it0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    it{i} AS (
+      SELECT nodes.node,
+             CAST(150000000000 + COALESCE(c.s, 0) AS BIGINT) AS r
+      FROM nodes LEFT JOIN (
+        SELECT ed.dst AS node, sum((it{i - 1}.r // ed.d) * 85 // 100) AS s
+        FROM it{i - 1} JOIN ed ON it{i - 1}.node = ed.src
+        GROUP BY ed.dst
+      ) c ON nodes.node = c.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, r AS rank_fp FROM it{iterations}
+    ORDER BY r DESC, node LIMIT 10"""
+    )
+    return "\n".join(parts)
+
+
+@query("pagerank_top_nodes", oracle=_pagerank_oracle())
+def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (extensions/graph.py) over a deterministic
+    functional graph on the customer keys (each node links to
+    (7k mod N)+1): 5 contribute-aggregate-update rounds in exact integer
+    arithmetic, so the DataFrame loop and the oracle's unrolled SQL
+    rounds are bit-identical — the iterative-algorithm-under-the-
+    oracle-gate proof (the floating-point formulation could only ever
+    rows-match)."""
+    from ..extensions.graph import pagerank_fixed_point
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    mx = c.agg(F.max("c_custkey").alias("m"))
+    edges = c.crossJoin(F.broadcast(mx)).select(
+        F.col("c_custkey").alias("src"),
+        ((F.col("c_custkey") * 7) % F.col("m") + 1).alias("dst"),
+    )
+    nodes = c.select(F.col("c_custkey").alias("node"))
+    pr = pagerank_fixed_point(nodes, edges, iterations=5)
+    return pr.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(10)

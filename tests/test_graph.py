@@ -1,0 +1,57 @@
+"""Fixed-point PageRank (extensions/graph.py)."""
+
+from __future__ import annotations
+
+from certified_dogs_and_cats_spark.extensions.graph import (
+    SCALE,
+    pagerank_fixed_point,
+)
+
+TELEPORT = 15 * SCALE // 100
+
+
+def _g(spark, nodes, edges):
+    n = spark.createDataFrame([(x,) for x in nodes], "node BIGINT")
+    e = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    return n, e
+
+
+def test_two_node_cycle_is_symmetric(spark):
+    n, e = _g(spark, [1, 2], [(1, 2), (2, 1)])
+    r = {x.node: x.rank_fp for x in pagerank_fixed_point(n, e, 5).collect()}
+    assert r[1] == r[2]
+    assert r[1] > TELEPORT  # cycle keeps circulating mass above teleport
+
+
+def test_hub_outranks_leaves(spark):
+    # Leaves 2..5 all point at 1; 1 points back at 2.
+    n, e = _g(spark, [1, 2, 3, 4, 5], [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)])
+    r = {x.node: x.rank_fp for x in pagerank_fixed_point(n, e, 5).collect()}
+    assert r[1] > max(r[k] for k in (2, 3, 4, 5))
+    # 2 receives 1's damped mass; 3-5 receive nothing (bare teleport).
+    assert r[2] > r[3] == r[4] == r[5] == TELEPORT
+
+
+def test_out_degree_splits_contribution(spark):
+    # 1 fans out to 2 and 3: each gets (r DIV 2) damped; with 4 getting
+    # 1's full mass via a second source of the same rank, 4 > 2.
+    n, e = _g(spark, [1, 2, 3, 4, 5], [(1, 2), (1, 3), (5, 4)])
+    r = {x.node: x.rank_fp for x in pagerank_fixed_point(n, e, 1).collect()}
+    assert r[2] == r[3]
+    assert r[4] > r[2]
+    assert r[4] == TELEPORT + SCALE * 85 // 100
+
+
+def test_deterministic_across_partitionings(spark):
+    nodes = list(range(1, 101))
+    edges = [(k, (k * 7) % 100 + 1) for k in nodes]
+    n1, e1 = _g(spark, nodes, edges)
+    a = sorted(
+        (x.node, x.rank_fp) for x in pagerank_fixed_point(n1, e1, 4).collect()
+    )
+    n2 = spark.createDataFrame([(x,) for x in nodes], "node BIGINT").repartition(7)
+    e2 = spark.createDataFrame(edges, "src BIGINT, dst BIGINT").repartition(3)
+    b = sorted(
+        (x.node, x.rank_fp) for x in pagerank_fixed_point(n2, e2, 4).collect()
+    )
+    assert a == b
