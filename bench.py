@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     # Corpus-as-model LM fluency (3 shuffles: bigram counts + two scoring
     # joins over the persisted pair stream).
     "text_lm_fluency",
+    # Round-4 third wave: blocked fuzzy matching (composed blocking key +
+    # levenshtein verify), exact-decimal rolling z-scores, fixed-point
+    # PageRank (5 join+agg rounds).
+    "fuzzy_name_matches",
+    "rolling_zscore_anomaly",
+    "pagerank_top_nodes",
 ]
 
 
