@@ -226,6 +226,7 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 20,
     train_fraction: float = 1.0,
+    init_mode: str = "k-means||",
 ) -> tuple[DataFrame, DataFrame]:
     """Learned IVF index: KMeans centroids + per-vector inverted-list id.
 
@@ -246,7 +247,12 @@ def build_ivf_index(
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    # init_mode="random" halves the fit cost (k-means|| pays several
+    # extra passes for seeding); with enough iterations the centroid
+    # quality difference is marginal for list assignment.
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode
+    ).fit(train)
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

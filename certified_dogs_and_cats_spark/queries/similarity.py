@@ -127,7 +127,8 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vectors(spark, sf_dir)
     indexed, centroids = build_ivf_index(
-        v, n_centroids=16, max_iter=8, train_fraction=0.25
+        v, n_centroids=16, max_iter=8, train_fraction=0.25,
+        init_mode="random",
     )
     # The assigned corpus feeds four branches (query subset, IVF search,
     # exact search, recall join): persist so the parquet scan + KMeans
