@@ -2240,6 +2240,44 @@ class Catalog:
             )
         self._save_blooms(name, blooms)
 
+    def stats_informed_join(
+        self,
+        left: str,
+        right: str,
+        on: list[str] | str,
+        how: str = "inner",
+        broadcast_threshold_rows: int = 1_000_000,
+    ) -> DataFrame:
+        """Join two catalog tables with a statistics-driven side choice —
+        the loop-closer for :meth:`analyze`: the stored row counts decide
+        which side (if any) gets the broadcast hint, instead of trusting
+        Spark's file-size estimate (which a selective upstream filter or
+        a well-compressed dimension routinely fools in both directions).
+
+        Policy: if either side's ANALYZEd row count is at most
+        ``broadcast_threshold_rows`` AND at most the other side's, that
+        side broadcasts; a table with NO stored stats is treated as
+        unbounded (never broadcast on a guess — an OOM'd broadcast kills
+        the job, a shuffle merely slows it). With no qualifying side the
+        join is left entirely to AQE.
+        """
+        ldf, rdf = self.table(left), self.table(right)
+        ls, rs = self.stats(left), self.stats(right)
+        lrows = ls["row_count"] if ls else None
+        rrows = rs["row_count"] if rs else None
+        from pyspark.sql.functions import broadcast
+
+        def qualifies(rows, other):
+            return rows is not None and rows <= broadcast_threshold_rows and (
+                other is None or rows <= other
+            )
+
+        if qualifies(rrows, lrows):
+            rdf = broadcast(rdf)
+        elif qualifies(lrows, rrows):
+            ldf = broadcast(ldf)
+        return ldf.join(rdf, on, how)
+
     def files_metadata(self, name: str, version: int | None = None) -> DataFrame:
         """Per-file metadata relation (Iceberg's ``files`` table / the
         per-file complement of DESCRIBE DETAIL): one row per live data

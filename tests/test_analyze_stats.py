@@ -125,3 +125,45 @@ def test_profile_drift_reports_schema_evolution(catalog, spark):
     assert extra["null_rate"]["before"] == 1.0
     assert extra["null_rate"]["after"] < 1.0
     assert d["columns"]["k"]["status"] == "common"
+
+
+def test_stats_informed_join_broadcasts_analyzed_small_side(catalog, spark):
+    from certified_dogs_and_cats_spark.plans import (
+        assert_broadcast_join,
+        plan_text,
+    )
+
+    dim_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("nm", T.StringType())]
+    )
+    fact_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("x", T.DoubleType())]
+    )
+    catalog.register("t.sij_dim", dim_schema)
+    catalog.register("t.sij_fact", fact_schema)
+    catalog.append(
+        "t.sij_dim", spark.createDataFrame([(1, "a"), (2, "b")], dim_schema)
+    )
+    catalog.append(
+        "t.sij_fact",
+        spark.createDataFrame([(i % 2 + 1, float(i)) for i in range(200)], fact_schema),
+    )
+    # No stats yet: neither side qualifies -> no broadcast hint from us.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = catalog.stats_informed_join("t.sij_fact", "t.sij_dim", "k")
+        assert "BroadcastHashJoin" not in plan_text(j)
+        # ANALYZE both: the (small) dim side now broadcasts.
+        catalog.analyze("t.sij_dim")
+        catalog.analyze("t.sij_fact")
+        j = catalog.stats_informed_join("t.sij_fact", "t.sij_dim", "k")
+        assert_broadcast_join(j)
+        assert j.count() == 200
+        # A tiny threshold disqualifies everyone again.
+        j = catalog.stats_informed_join(
+            "t.sij_fact", "t.sij_dim", "k", broadcast_threshold_rows=1
+        )
+        assert "BroadcastHashJoin" not in plan_text(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
