@@ -114,6 +114,13 @@ class TableSpec:
     # Metadata-only to set/alter; existing files recluster at the next
     # OPTIMIZE, never eagerly. Persisted in _meta/<table>/clustering.json.
     cluster_by: tuple[str, ...] = ()
+    # Column DEFAULTs (Delta CURRENT DEFAULT parity): col -> SQL literal/
+    # expression string, materialized AT WRITE TIME when a writer omits
+    # the column (an explicitly provided NULL stays NULL — defaults are
+    # not NULL-coalescing). Rows written before the default existed keep
+    # their stored values (existing files are never rewritten); persisted
+    # in _meta/<table>/defaults.json.
+    defaults: dict[str, str] = field(default_factory=dict)
 
     def physical(self, logical: str) -> str:
         return self.column_map.get(logical, logical)
@@ -158,6 +165,7 @@ class Catalog:
         self.load_column_map(name)
         self.load_layout(name)
         self.load_clustering(name)
+        self.load_defaults(name)
         return spec
 
     def exists(self, name: str) -> bool:
@@ -457,6 +465,7 @@ class Catalog:
         from pyspark.sql import functions as F
 
         spec = self.tables[name]
+        df = self._apply_defaults(spec, df)
         df = self._apply_identity(spec, df)
         df = self._apply_generated(spec, df)
         stray = (
@@ -868,10 +877,14 @@ class Catalog:
                     # value".
                     and f.name not in spec.generated
                     and f.name not in spec.identity
+                    # DEFAULT columns stay absent so _apply_defaults
+                    # materializes the default, not a NULL.
+                    and f.name not in spec.defaults
                 ):
                     df = df.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
                     )
+        df = self._apply_defaults(spec, df)
         df = self._apply_identity(spec, df)
         df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)
@@ -966,6 +979,51 @@ class Catalog:
                 ),
             )
         return df
+
+    def _apply_defaults(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        """Delta column-DEFAULT write contract: a writer that OMITS a
+        default column gets the default expression materialized into the
+        written rows (write-time, so later DEFAULT changes never rewrite
+        history); a writer that provides the column — including explicit
+        NULLs — is taken at its word."""
+        from pyspark.sql import functions as F
+
+        for col, expr in spec.defaults.items():
+            if col not in df.columns:
+                typ = next(
+                    f.dataType for f in spec.schema.fields if f.name == col
+                )
+                df = df.withColumn(col, F.expr(expr).cast(typ))
+        return df
+
+    def _defaults_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "defaults.json")
+
+    def set_default(self, name: str, col: str, expr: str | None) -> None:
+        """Set (or, with ``expr=None``, drop) a column's write-time
+        DEFAULT; metadata-only, persisted beside the manifest."""
+        spec = self.tables[name]
+        if not any(f.name == col for f in spec.schema.fields):
+            raise ValueError(f"column not found: {col}")
+        if col in spec.generated or col in spec.identity:
+            raise ValueError(
+                f"column {col!r} is generated/identity: it cannot also "
+                "carry a DEFAULT"
+            )
+        if expr is None:
+            spec.defaults.pop(col, None)
+        else:
+            spec.defaults[col] = expr
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        with open(self._defaults_path(name), "w") as fh:
+            json.dump(spec.defaults, fh, indent=1)
+
+    def load_defaults(self, name: str) -> None:
+        spec = self.tables[name]
+        p = self._defaults_path(name)
+        if os.path.exists(p):
+            with open(p) as fh:
+                spec.defaults = json.load(fh)
 
     def _apply_generated(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         """Delta generated-column write contract: compute each generated
@@ -1677,6 +1735,7 @@ class Catalog:
         spec = self.tables[name]
         # Rewrite path: identity values round-trip (compact/restore/
         # rename rewrites re-stage already-assigned ids).
+        df = self._apply_defaults(spec, df)
         df = self._apply_identity(spec, df, strict=False)
         df = self._apply_generated(spec, df)
         self._check_constraints(name, df, spec.constraints)

@@ -444,9 +444,29 @@ class DdlSession:
                 except ValueError as e:
                     raise DdlError(str(e)) from e
                 return None
+            am = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) ALTER COLUMN (?P<col>\w+)"
+                r" (?:SET DEFAULT (?P<dflt>.+?)|(?P<drop>DROP DEFAULT))\s*$",
+                s,
+                re.I,
+            )
+            if am:
+                name = self.resolve(am.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                try:
+                    self.catalog.set_default(
+                        name,
+                        am.group("col"),
+                        None if am.group("drop") else am.group("dflt").strip(),
+                    )
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
             m = re.match(
                 r"ALTER TABLE (?P<name>[\w.]+) ADD COLUMNS? ?\(?"
-                r"(?P<col>\w+) (?P<type>\w+)\)?\s*$",
+                r"(?P<col>\w+) (?P<type>\w+)"
+                r"(?: DEFAULT (?P<dflt>.+?))?\)?\s*$",
                 s,
                 re.I,
             )
@@ -461,6 +481,13 @@ class DdlSession:
             self.catalog.add_column(
                 name, T.StructField(m.group("col"), _TYPE_MAP[ctype], True)
             )
+            if m.group("dflt"):
+                # Delta semantics: the DEFAULT applies to FUTURE writes
+                # that omit the column; rows in existing files read NULL
+                # (nothing is rewritten).
+                self.catalog.set_default(
+                    name, m.group("col"), m.group("dflt").strip().rstrip(")")
+                )
             return None
         if u.startswith("OPTIMIZE "):
             m = re.match(
@@ -860,6 +887,8 @@ class DdlSession:
             col = f"  {f.name} {t}"
             if f.name in spec.generated:
                 col += f" GENERATED ALWAYS AS ({spec.generated[f.name]})"
+            if f.name in spec.defaults:
+                col += f" DEFAULT {spec.defaults[f.name]}"
             if f.name in spec.identity:
                 ident = spec.identity[f.name]
                 col += (
@@ -934,6 +963,7 @@ class DdlSession:
         fields = []
         generated: dict[str, str] = {}
         identity: dict[str, dict] = {}
+        defaults: dict[str, str] = {}
         for coldef in _split_top_level(cols_text, ","):
             coldef = coldef.strip()
             im = re.match(
@@ -970,6 +1000,16 @@ class DdlSession:
                 if extra.strip():
                     raise DdlError(f"bad column def: {coldef!r}")
                 coldef = gm.group("rest")
+            dm = re.match(
+                r"(?P<rest>.*?)\s+DEFAULT\s+(?P<dflt>.+?)"
+                r"(?P<nn>\s+NOT NULL)?\s*$",
+                coldef,
+                re.I | re.S,
+            )
+            default_expr = None
+            if dm:
+                default_expr = dm.group("dflt").strip()
+                coldef = dm.group("rest") + (dm.group("nn") or "")
             toks = coldef.strip().split()
             if len(toks) < 2:
                 raise DdlError(f"bad column def: {coldef!r}")
@@ -980,6 +1020,8 @@ class DdlSession:
             fields.append(T.StructField(cname, _TYPE_MAP[ctype], nullable))
             if gm:
                 generated[cname] = expr.strip()
+            if default_expr is not None:
+                defaults[cname] = default_expr
         parts = tuple(
             p.strip() for p in (m.group("parts") or "").split(",") if p.strip()
         )
@@ -1000,6 +1042,11 @@ class DdlSession:
             spec.properties[pm.group(1)] = pm.group(2)
         spec.generated.update(generated)
         spec.identity.update(identity)
+        for dc, de in defaults.items():
+            try:
+                self.catalog.set_default(name, dc, de)
+            except ValueError as e:
+                raise DdlError(str(e)) from e
         if m.group("cluster"):
             cluster = tuple(
                 c.strip()
@@ -1358,10 +1405,14 @@ class DdlSession:
         full = aligned
         for f in spec.schema.fields:
             if f.name not in target_cols:
-                # Unlisted generated/identity columns stay absent so the
-                # catalog computes them (Delta lets INSERT column lists
-                # omit them); other unlisted columns fill with NULL.
-                if f.name in spec.generated or f.name in spec.identity:
+                # Unlisted generated/identity/DEFAULT columns stay absent
+                # so the catalog computes them (Delta lets INSERT column
+                # lists omit them); other unlisted columns fill with NULL.
+                if (
+                    f.name in spec.generated
+                    or f.name in spec.identity
+                    or f.name in spec.defaults
+                ):
                     continue
                 full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
         self.catalog.append(name, full)
