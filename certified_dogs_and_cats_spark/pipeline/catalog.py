@@ -191,6 +191,8 @@ class Catalog:
         nulls for it — parquet schema evolution without rewriting data.
         """
         spec = self.tables[name]
+        if isinstance(version, str):
+            version = self.resolve_tag(name, version)
         if version is not None:
             return self._read_version(spec, version)
         if not self.exists(name):
@@ -1125,6 +1127,59 @@ class Catalog:
             )
         return max(candidates)
 
+    def _tags_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "tags.json")
+
+    def tags(self, name: str) -> dict[str, int]:
+        """Named version refs (Iceberg tag analog): {"tag": version}."""
+        p = self._tags_path(name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def set_tag(
+        self, name: str, tag: str, version: int | None = None
+    ) -> int:
+        """Pin a human-readable name to a committed version (Iceberg tag
+        parity) — the reproducibility primitive for training corpora:
+        "the corpus run X trained on" becomes ``table(t, version='x')``
+        instead of a number in a notebook. Tags PROTECT their version
+        from :meth:`vacuum` (retention never breaks a named ref); drop
+        the tag to release the files. Defaults to the current head;
+        re-pointing an existing tag raises (drop it first — silent moves
+        defeat the reproducibility point)."""
+        v = self.current_version(name) if version is None else version
+        if not any(
+            e["version"] == v for e in self._load_manifest(name)
+        ):
+            raise ValueError(f"{name}: no committed version {v} to tag")
+        cur = self.tags(name)
+        if tag in cur and cur[tag] != v:
+            raise ValueError(
+                f"{name}: tag {tag!r} already points at version"
+                f" {cur[tag]}; drop it before re-pointing"
+            )
+        cur[tag] = v
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        with open(self._tags_path(name), "w") as fh:
+            json.dump(cur, fh, indent=1)
+        return v
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        cur = self.tags(name)
+        if tag not in cur:
+            raise ValueError(f"{name}: no tag {tag!r}")
+        del cur[tag]
+        with open(self._tags_path(name), "w") as fh:
+            json.dump(cur, fh, indent=1)
+
+    def resolve_tag(self, name: str, tag: str) -> int:
+        cur = self.tags(name)
+        if tag not in cur:
+            raise ValueError(f"{name}: no tag {tag!r}")
+        return cur[tag]
+
     def current_version(self, name: str) -> int:
         manifest = self._load_manifest(name)
         return manifest[-1]["version"] if manifest else 0
@@ -2044,6 +2099,15 @@ class Catalog:
         trash = self._trash_dir(name)
         cutoff_ns = time.time_ns() - int(retain_hours * 3600 * 1e9)
         removed = 0
+        # Tagged versions are PROTECTED: retention never deletes a file a
+        # named ref still needs (Iceberg's expire-snapshots contract) —
+        # a trash stamp survives while it holds any tagged version's file.
+        manifest = self._load_manifest(name)
+        tagged = set(self.tags(name).values())
+        needed: set[str] = set()
+        for e in manifest:
+            if e["version"] in tagged:
+                needed.update(e["files"])
         if os.path.isdir(trash):
             for entry in sorted(os.listdir(trash)):
                 full = os.path.join(trash, entry)
@@ -2052,6 +2116,17 @@ class Catalog:
                 except ValueError:
                     continue
                 if version_ns < cutoff_ns:
+                    if needed:
+                        held = any(
+                            os.path.relpath(
+                                os.path.join(dirpath, fn), full
+                            )
+                            in needed
+                            for dirpath, _, fns in os.walk(full)
+                            for fn in fns
+                        )
+                        if held:
+                            continue
                     if not dry_run:
                         shutil.rmtree(full)
                     removed += 1

@@ -444,6 +444,30 @@ class DdlSession:
                 except ValueError as e:
                     raise DdlError(str(e)) from e
                 return None
+            tm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+)"
+                r" (?:CREATE TAG '(?P<tag>[^']+)'"
+                r"(?: AS OF VERSION (?P<v>\d+))?"
+                r"|DROP TAG '(?P<dtag>[^']+)')\s*$",
+                s,
+                re.I,
+            )
+            if tm:
+                name = self.resolve(tm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                try:
+                    if tm.group("dtag"):
+                        self.catalog.drop_tag(name, tm.group("dtag"))
+                    else:
+                        self.catalog.set_tag(
+                            name,
+                            tm.group("tag"),
+                            int(tm.group("v")) if tm.group("v") else None,
+                        )
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
             am = re.match(
                 r"ALTER TABLE (?P<name>[\w.]+) ALTER COLUMN (?P<col>\w+)"
                 r" (?:SET DEFAULT (?P<dflt>.+?)|(?P<drop>DROP DEFAULT))\s*$",
@@ -1230,6 +1254,26 @@ class DdlSession:
             flags=re.I,
         )
 
+        # `tbl VERSION AS OF 'tag'` — the TAG ref is a quoted string, so
+        # it must bind before the literal split protects it (same reason
+        # as table_changes above). Numeric `VERSION AS OF n` binds later
+        # inside code segments.
+        def bind_tag(m: re.Match) -> str:
+            tbl = self.resolve(m.group(1))
+            if tbl not in self.catalog.tables:
+                raise DdlError(f"table not found: {tbl}")
+            v = self.catalog.resolve_tag(tbl, m.group(2))
+            alias = f"{_view_alias(tbl)}__v{v}"
+            self.catalog.table(tbl, version=v).createOrReplaceTempView(alias)
+            return alias
+
+        body = re.sub(
+            r"(?<![\w.])([\w.]+)\s+VERSION\s+AS\s+OF\s+'([^']+)'",
+            bind_tag,
+            body,
+            flags=re.I,
+        )
+
         # table_files('t'[, version]) — per-file metadata relation
         # (footer row counts, sizes, partition values, column stats).
         def bind_files(m: re.Match) -> str:
@@ -1276,7 +1320,12 @@ class DdlSession:
             # spelling) binds a snapshot view before the bare-name rewrite
             # could strip the table reference out from under it.
             for tbl in sorted(self.catalog.tables, key=len, reverse=True):
-                for prefix in (f"{self.current_catalog}.{tbl}", tbl):
+                tt_prefixes = [f"{self.current_catalog}.{tbl}", tbl]
+                # Bare name resolves against the current schema, same as
+                # the plain-reference rewrite below.
+                if tbl.startswith(f"{self.current_schema}."):
+                    tt_prefixes.append(tbl[len(self.current_schema) + 1 :])
+                for prefix in tt_prefixes:
                     pat = (
                         rf"(?<![\w.]){re.escape(prefix)}"
                         r"\s+VERSION\s+AS\s+OF\s+(\d+)(?![\w.])"

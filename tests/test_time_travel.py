@@ -198,3 +198,48 @@ def test_sql_timestamp_as_of_and_restore(catalog, spark):
     assert [r.k for r in df.collect()] == [1]
     ddl.execute(f"RESTORE TABLE core.tt TO TIMESTAMP AS OF '{mid}'")
     assert [r.k for r in catalog.table("core.tt").collect()] == [1]
+
+
+def test_tags_pin_versions_and_survive_vacuum(catalog, spark):
+    """Named tags (Iceberg refs): pin a version by name, read it back by
+    tag, and retention NEVER deletes a tagged version's files — drop the
+    tag and the same vacuum reclaims them."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    catalog.register("t.tags", schema)
+    catalog.append("t.tags", spark.createDataFrame([(1,)], schema))
+    v1 = catalog.set_tag("t.tags", "run-a")  # defaults to head
+    catalog.overwrite("t.tags", spark.createDataFrame([(2,)], schema))
+    assert catalog.resolve_tag("t.tags", "run-a") == v1
+    assert [r.k for r in catalog.table("t.tags", version="run-a").collect()] == [1]
+    # Zero-retention vacuum spares the tagged snapshot...
+    catalog.vacuum("t.tags", retain_hours=0)
+    assert [r.k for r in catalog.table("t.tags", version="run-a").collect()] == [1]
+    # ...re-pointing without dropping raises...
+    with pytest.raises(ValueError, match="drop it before re-pointing"):
+        catalog.set_tag("t.tags", "run-a", catalog.current_version("t.tags"))
+    # ...and dropping the tag releases the files to the next vacuum.
+    catalog.drop_tag("t.tags", "run-a")
+    assert catalog.vacuum("t.tags", retain_hours=0) >= 1
+    with pytest.raises(ValueError, match="no tag"):
+        catalog.resolve_tag("t.tags", "run-a")
+
+
+def test_tag_sql_surface(catalog, spark):
+    from certified_dogs_and_cats_spark.pipeline.ddl import DdlSession
+
+    ddl = DdlSession(catalog)
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE tt (k INT);"
+        "INSERT INTO tt VALUES (1);"
+        "ALTER TABLE tt CREATE TAG 'baseline';"
+        "INSERT INTO tt VALUES (2)"
+    )
+    rows = ddl.execute("SELECT * FROM tt VERSION AS OF 'baseline'")[-1].collect()
+    assert [r.k for r in rows] == [1]
+    ddl.execute("ALTER TABLE tt DROP TAG 'baseline'")
+    ddl.execute("ALTER TABLE tt CREATE TAG 'v2' AS OF VERSION 2")
+    assert catalog.resolve_tag("core.tt", "v2") == 2
