@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..extensions.text import ngram_repetition
 from .common import t
@@ -119,4 +120,54 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.max("cnt") * F.count("*") / F.sum("cnt"), 6
         ).alias("skew_ratio"),
+    )
+
+
+@query(
+    "k_anonymity_report",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS grp_n,
+             count(DISTINCT c_acctbal) AS n_sensitive
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(grp_n) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS k_violating_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS l_violating_groups
+    FROM g
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for releasable datasets: k-anonymity (every
+    quasi-identifier combination must describe >= k individuals — a
+    smaller group re-identifies its members by joining public attributes)
+    and l-diversity (a group whose sensitive attribute takes < l distinct
+    values leaks it even at k-anonymous size). One hash aggregate over
+    the quasi-identifier columns, one rollup — the shape scales to any
+    corpus, and the report is what a release gate asserts on before a
+    training corpus ships. Here: quasi = (nation, market segment),
+    sensitive = account balance, k=5, l=2."""
+    c = t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("grp_n"),
+        F.countDistinct("c_acctbal").alias("n_sensitive"),
+    )
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.min("grp_n").alias("min_group_size"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_violating_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.sum(F.when(F.col("n_sensitive") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("l_violating_groups"),
     )
