@@ -767,6 +767,14 @@ class DdlSession:
             snapshot = self.catalog.table(name, version=v)
             self.catalog.overwrite(name, snapshot)
             return None
+        if u.startswith("SHOW TAGS FOR "):
+            name = self.resolve(s.split()[-1])
+            if name not in self.catalog.tables:
+                raise DdlError(f"table not found: {name}")
+            return self.catalog.spark.createDataFrame(
+                sorted(self.catalog.tags(name).items()) or [],
+                "tag string, version int",
+            )
         if u.startswith("SHOW PARTITIONS "):
             name = self.resolve(s.split()[-1])
             spec = self.catalog.tables.get(name)

@@ -243,3 +243,19 @@ def test_tag_sql_surface(catalog, spark):
     ddl.execute("ALTER TABLE tt DROP TAG 'baseline'")
     ddl.execute("ALTER TABLE tt CREATE TAG 'v2' AS OF VERSION 2")
     assert catalog.resolve_tag("core.tt", "v2") == 2
+
+
+def test_show_tags_sql(catalog, spark):
+    from certified_dogs_and_cats_spark.pipeline.ddl import DdlSession
+
+    ddl = DdlSession(catalog)
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE tshow (k INT);"
+        "INSERT INTO tshow VALUES (1);"
+        "ALTER TABLE tshow CREATE TAG 'a';"
+        "INSERT INTO tshow VALUES (2);"
+        "ALTER TABLE tshow CREATE TAG 'b'"
+    )
+    rows = ddl.execute("SHOW TAGS FOR tshow")[-1].collect()
+    assert [(r.tag, r.version) for r in rows] == [("a", 1), ("b", 2)]
