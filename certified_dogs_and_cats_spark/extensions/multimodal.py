@@ -158,6 +158,43 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def decode_features_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """:func:`decode_features` on the ``mapInArrow`` boundary: the
+    extractor consumes ``pyarrow.RecordBatch`` directly — no
+    Arrow-to-pandas materialization on either side of the Python
+    crossing, which skips a per-batch copy of every payload byte string
+    into Python objects (pandas object-dtype) and back. Same output
+    schema and values as the pandas variant; pick this one when the
+    per-batch work is itself Arrow/numpy-friendly, the pandas one when
+    the extractor wants Series ergonomics.
+    """
+    import pyarrow as pa  # noqa: F401
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), "payload")
+
+    def extract(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            payloads = batch.column("payload").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array([len(b) for b in payloads], pa.int64()),
+                    pa.array(
+                        [b[0] if len(b) else -1 for b in payloads],
+                        pa.int32(),
+                    ),
+                    pa.array(
+                        [b.count(b" ") for b in payloads], pa.int64()
+                    ),
+                ],
+                names=["doc_id", "byte_len", "first_byte", "space_count"],
+            )
+
+    return src.mapInArrow(extract, schema=FEATURE_SCHEMA)
+
+
 #: Output schema of :func:`decode_image` (real codec path, Pillow-gated).
 IMAGE_SCHEMA = T.StructType(
     [

@@ -205,3 +205,29 @@ def test_ingest_binary_dir(spark, tmp_path):
     assert [r.media_id for r in only_png.collect()] == ["a.png"]
     small = ingest_binary_dir(spark, str(d), max_bytes=10)
     assert {r.media_id for r in small.collect()} == {"d.bin"}
+
+
+def test_arrow_decode_matches_pandas_decode(spark):
+    """mapInArrow variant: value-identical to the mapInPandas boundary
+    (same schema, same features) with no pandas materialization."""
+    from certified_dogs_and_cats_spark.extensions.multimodal import (
+        decode_features,
+        decode_features_arrow,
+        pack_payload,
+    )
+
+    df = pack_payload(
+        spark.createDataFrame(
+            [(i, f"text body {i} with spaces") for i in range(40)],
+            "doc_id BIGINT, text STRING",
+        )
+    )
+    a = {
+        r.doc_id: (r.byte_len, r.first_byte, r.space_count)
+        for r in decode_features(df).collect()
+    }
+    b = {
+        r.doc_id: (r.byte_len, r.first_byte, r.space_count)
+        for r in decode_features_arrow(df).collect()
+    }
+    assert a == b and len(a) == 40
