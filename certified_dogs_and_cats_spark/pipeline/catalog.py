@@ -1816,6 +1816,7 @@ class Catalog:
         cluster_by: tuple[str, ...] = (),
         zorder_by: tuple[str, ...] = (),
         where: str | None = None,
+        target_file_mb: float | None = None,
     ) -> None:
         """OPTIMIZE-style file compaction (reference docs/runbook.md:55-58):
         rewrite the table coalesced. ``cluster_by`` sorts lexicographically
@@ -1834,8 +1835,38 @@ class Catalog:
         files carry DISJOINT key ranges — that is what lets stat-based
         skipping (:meth:`scan`) open one file for a selective range
         predicate instead of every file containing a shard of the range.
+
+        ``target_file_mb`` SIZES the output instead of counting it: the
+        live bytes (from the footer-stats cache — metadata, no scan) are
+        divided by the target to derive the file count, so OPTIMIZE
+        produces right-sized files as the table grows instead of ever-
+        fatter fixed-count ones. Hive-partitioned tables split the count
+        across their partitions evenly (a skew-aware per-partition size
+        would need per-partition byte rollups; use ``where=`` to compact
+        hot partitions separately).
         """
         spec = self.tables[name]
+        if target_file_mb is not None:
+            import math
+
+            total = sum(
+                st.get("size", 0) for st in self.file_stats(name).values()
+            )
+            n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+            n_parts = 1
+            if spec.partition_by:
+                head = self._load_manifest(name)
+                if head and head[-1]["files"]:
+                    n_parts = max(
+                        1,
+                        len(
+                            {
+                                os.path.dirname(rel)
+                                for rel in head[-1]["files"]
+                            }
+                        ),
+                    )
+            target_files_per_partition = max(1, round(n_files / n_parts))
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
         if not cluster_by and not zorder_by and spec.cluster_by:

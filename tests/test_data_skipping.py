@@ -453,3 +453,33 @@ def test_table_files_tvf(catalog, spark):
         "FROM table_files('core.t_files')"
     )[-1].collect()
     assert rows[0].n_rows == 5 and rows[0].n_files >= 1
+
+
+def test_compact_target_file_mb_sizes_output(catalog, spark):
+    """OPTIMIZE sized by bytes, not by a fixed file count: the live bytes
+    (footer-stats cache) divided by the target derive the output file
+    count, so the same call keeps producing right-sized files as the
+    table grows."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("s", T.StringType())]
+    )
+    catalog.register("t.sized", schema)
+    # ~40 KB of rows across several appends (small files).
+    for batch in range(4):
+        catalog.append(
+            "t.sized",
+            spark.createDataFrame(
+                [(batch * 1000 + i, "x" * 100) for i in range(100)], schema
+            ),
+        )
+    total = sum(st.get("size", 0) for st in catalog.file_stats("t.sized").values())
+    # Target ~1/3 of the table per file -> ~3 output files.
+    catalog.compact("t.sized", target_file_mb=total / 3 / 1024 / 1024)
+    n_files = len(catalog._load_manifest("t.sized")[-1]["files"])
+    assert 2 <= n_files <= 5, n_files
+    assert catalog.table("t.sized").count() == 400
+    # A huge target collapses to one file.
+    catalog.compact("t.sized", target_file_mb=1024)
+    assert len(catalog._load_manifest("t.sized")[-1]["files"]) == 1
