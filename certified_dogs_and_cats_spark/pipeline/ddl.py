@@ -1435,24 +1435,27 @@ class DdlSession:
         if spec is None:
             raise DdlError(f"table not found: {name}")
         body = m.group("body")
-        if body.upper().startswith("VALUES"):
-            src = self.catalog.spark.sql(f"SELECT * FROM {body}")
-        else:
-            src = self.catalog.spark.sql(self._resolve_refs(body))
         target_cols = (
             [c.strip() for c in m.group("cols").split(",")]
             if m.group("cols")
             else [f.name for f in spec.schema.fields]
         )
+        by_name = {f.name: f for f in spec.schema.fields}
+        unknown = [c for c in target_cols if c not in by_name]
+        if unknown:
+            raise DdlError(f"INSERT INTO {name}: unknown columns {unknown}")
+        if body.upper().startswith("VALUES"):
+            body = self._substitute_default_keyword(
+                body, spec, target_cols, name
+            )
+            src = self.catalog.spark.sql(f"SELECT * FROM {body}")
+        else:
+            src = self.catalog.spark.sql(self._resolve_refs(body))
         if len(src.columns) != len(target_cols):
             raise DdlError(
                 f"INSERT INTO {name}: {len(src.columns)} values for "
                 f"{len(target_cols)} columns"
             )
-        by_name = {f.name: f for f in spec.schema.fields}
-        unknown = [c for c in target_cols if c not in by_name]
-        if unknown:
-            raise DdlError(f"INSERT INTO {name}: unknown columns {unknown}")
         aligned = src.select(
             *[
                 F.col(src_c).cast(by_name[tgt_c].dataType).alias(tgt_c)
@@ -1474,6 +1477,41 @@ class DdlSession:
                 full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
         self.catalog.append(name, full)
         return None
+
+    def _substitute_default_keyword(
+        self, body: str, spec, target_cols: list[str], name: str
+    ) -> str:
+        """Replace bare ``DEFAULT`` keywords inside a VALUES body with the
+        positional column's default expression (SQL-standard
+        ``INSERT ... VALUES (1, DEFAULT)``). Errors when the column
+        carries no default — silently writing NULL would hide a typo."""
+        if not re.search(r"\bDEFAULT\b", body, re.I):
+            return body
+        tuples = _split_top_level(body[len("VALUES") :].strip(), ",")
+        out_tuples = []
+        for tup in tuples:
+            tup = tup.strip()
+            if not (tup.startswith("(") and tup.endswith(")")):
+                raise DdlError(f"bad VALUES tuple: {tup[:80]}")
+            vals = _split_top_level(tup[1:-1], ",")
+            if len(vals) != len(target_cols):
+                raise DdlError(
+                    f"INSERT INTO {name}: {len(vals)} values for "
+                    f"{len(target_cols)} columns"
+                )
+            subbed = []
+            for v, col in zip(vals, target_cols):
+                if v.strip().upper() == "DEFAULT":
+                    if col not in spec.defaults:
+                        raise DdlError(
+                            f"INSERT INTO {name}: column {col!r} has no "
+                            "DEFAULT to substitute"
+                        )
+                    subbed.append(spec.defaults[col])
+                else:
+                    subbed.append(v)
+            out_tuples.append("(" + ", ".join(s.strip() for s in subbed) + ")")
+        return "VALUES " + ", ".join(out_tuples)
 
     # -- DML: DELETE / UPDATE --------------------------------------------------
     def _delete_from(self, stmt: str) -> None:

@@ -88,3 +88,20 @@ def test_sql_front_door_defaults(catalog, spark):
     assert "DEFAULT 5" in stmt
     with pytest.raises(DdlError):
         ddl.execute("ALTER TABLE nope ALTER COLUMN x SET DEFAULT 1")
+
+
+def test_insert_values_default_keyword(catalog, spark):
+    """SQL-standard INSERT ... VALUES (1, DEFAULT): the keyword
+    substitutes the column's default expression positionally; a column
+    without a default raises instead of silently writing NULL."""
+    ddl = DdlSession(catalog)
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE dk (k INT, src STRING DEFAULT 'manual');"
+        "INSERT INTO dk VALUES (1, DEFAULT), (2, 'api');"
+        "INSERT INTO dk (k, src) VALUES (3, DEFAULT)"
+    )
+    rows = {r.k: r.src for r in ddl.execute("SELECT * FROM dk")[-1].collect()}
+    assert rows == {1: "manual", 2: "api", 3: "manual"}
+    with pytest.raises(DdlError, match="no DEFAULT"):
+        ddl.execute("INSERT INTO dk VALUES (DEFAULT, 'x')")
