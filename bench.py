@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "fuzzy_name_matches",
     "rolling_zscore_anomaly",
     "pagerank_top_nodes",
+    # Trained-codebook compression search (1 KMeans fit + encode + two
+    # searches + recall join — the cost is model training, not the scan).
+    "similarity_pq_topk",
 ]
 
 
