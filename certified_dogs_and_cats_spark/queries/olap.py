@@ -1159,3 +1159,72 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = c.select(F.col("c_custkey").alias("node"))
     pr = pagerank_fixed_point(nodes, edges, iterations=5)
     return pr.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(10)
+
+
+# Finite-memory EWMA: weights 0.75^j are EXACT doubles for j < 34
+# (mantissa 3^j fits in 53 bits), so embedding them as literals sidesteps
+# pow()'s cross-libm rounding; both engines fold the same values in the
+# same order -> bit-identical scores.
+_EWMA_HORIZON = 32
+_EWMA_W = [0.75**j for j in range(_EWMA_HORIZON)]
+
+
+@query(
+    "trailing_ewma_smooth",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             array_agg(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_HORIZON - 1} PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM events
+    )
+    SELECT event_id, event_type,
+           round(
+             list_sum(list_transform(range(1, len(arr) + 1),
+               i -> arr[i] * ([{", ".join(map(repr, _EWMA_W))}])[len(arr) - i + 1]))
+             /
+             list_sum(list_transform(range(1, len(arr) + 1),
+               i -> ([{", ".join(map(repr, _EWMA_W))}])[i])),
+             6) AS ewma
+    FROM w
+    """,
+)
+def trailing_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average with FINITE memory (trailing
+    {H} events): smoothed_n = sum_j x_(n-j)*0.75^j / sum_j 0.75^j. True
+    EWMA is a sequential recurrence no relational engine expresses; the
+    trailing-horizon form differs by < 0.75^{H} (~1e-4 of the oldest
+    term) and is a pure window + array fold — at 100 TB it runs as one
+    doc-keyed window per partition with O(horizon) state per row and no
+    Python boundary. Weights are exact-double literals (see _EWMA_W), so
+    the fold is bit-identical across engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_HORIZON - 1), 0)
+    )
+    wlit = F.expr(
+        "array(" + ", ".join(repr(x) + "D" for x in _EWMA_W) + ")"
+    )
+    arr = F.collect_list("value").over(win)
+    base = ev.select("event_id", "event_type", arr.alias("__arr__"))
+    m = F.size("__arr__")
+    num = F.aggregate(
+        F.zip_with(
+            F.col("__arr__"),
+            F.reverse(F.slice(wlit, 1, m)),
+            lambda x, w: x * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.slice(wlit, 1, m), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return base.select(
+        "event_id", "event_type", F.round(num / den, 6).alias("ewma")
+    )
