@@ -1228,3 +1228,96 @@ def trailing_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "event_id", "event_type", F.round(num / den, 6).alias("ewma")
     )
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ORDER BY relationship
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per declared
+    parent-child relationship via left joins (no engine enforces FKs at
+    warehouse scale — Delta/Snowflake keep them informational — so the
+    audit IS the enforcement, run as a post-load gate). One shuffle join
+    per relationship; orphan rows would be surfaced by swapping the
+    count for the keys."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+
+    def audit(child, ck, parent, pk, label):
+        j = child.join(parent, child[ck] == parent[pk], "left")
+        return j.agg(
+            F.lit(label).alias("relationship"),
+            F.count("*").alias("n_child"),
+            F.sum(F.when(parent[pk].isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+    return (
+        audit(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionByName(
+            audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        )
+        .orderBy("relationship")
+    )
+
+
+@query(
+    "seasonality_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(value AS DECIMAL(18,6)) AS dv
+      FROM events
+    )
+    SELECT event_type, CAST(hod AS INTEGER) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(dv) AS DOUBLE) / count(*), 6) AS avg_value,
+           round(CAST(sum(dv) AS DOUBLE) / count(*)
+                 - CAST(sum(sum(dv)) OVER (PARTITION BY event_type)
+                        AS DOUBLE)
+                   / sum(count(*)) OVER (PARTITION BY event_type),
+                 6) AS hour_effect
+    FROM h GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: the per-hour mean and its
+    deviation from the type's overall mean (the additive hour effect a
+    seasonal-adjustment step subtracts). Means come from exact DECIMAL
+    sums divided once (the dsum contract), and the overall mean is a
+    window over the per-hour aggregates — the corpus is read and
+    aggregated exactly once."""
+    ev = t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    g = (
+        ev.select(
+            "event_type", F.hour("ts").alias("hod"), dv.alias("dv")
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count("*").alias("n"), F.sum("dv").alias("s"))
+    )
+    w = Window.partitionBy("event_type")
+    avg_v = F.col("s").cast("double") / F.col("n")
+    overall = F.sum("s").over(w).cast("double") / F.sum("n").over(w)
+    return g.select(
+        "event_type",
+        F.col("hod").cast("int").alias("hod"),
+        "n",
+        F.round(avg_v, 6).alias("avg_value"),
+        F.round(avg_v - overall, 6).alias("hour_effect"),
+    ).orderBy("event_type", "hod")
