@@ -89,3 +89,57 @@ def pagerank_fixed_point(
     return ranks.select(
         F.col("__n__").alias(node_col), F.col("__r__").alias("rank_fp")
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, label) after ``rounds`` SYNCHRONOUS label-propagation
+    steps: every node simultaneously adopts the most frequent label among
+    its neighbors, ties broken to the SMALLEST label — fully
+    deterministic (the classic async/random variant is not), so the
+    rounds replay exactly in plain SQL. Labels start as the node ids;
+    dense regions converge to shared labels (communities), and a node
+    with no neighbors keeps its own.
+
+    Pass symmetric edges for undirected semantics (union both
+    directions) — the operator propagates along ``src -> dst`` as given.
+
+    Plan shape per round: one join of the label frame with the edge frame
+    on the source, one (dst, label) count aggregate, one argmax window
+    per node, one left join back onto the node list — O(N) loop state,
+    same scale contract as :func:`pagerank_fixed_point`.
+    """
+    from pyspark.sql import Window
+
+    ed = edges.select(
+        F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+    )
+    base = nodes.select(F.col(node_col).alias("__n__"))
+    labels = base.select("__n__", F.col("__n__").alias("__l__"))
+    w = Window.partitionBy("__n2__").orderBy(
+        F.col("__cnt__").desc(), F.col("__l__").asc()
+    )
+    for _ in range(rounds):
+        best = (
+            labels.join(ed, labels["__n__"] == ed["__src__"])
+            .groupBy(F.col("__dst__").alias("__n2__"), "__l__")
+            .agg(F.count("*").alias("__cnt__"))
+            .withColumn("__rk__", F.row_number().over(w))
+            .filter(F.col("__rk__") == 1)
+            .select("__n2__", F.col("__l__").alias("__new__"))
+        )
+        labels = base.join(
+            best, base["__n__"] == best["__n2__"], "left"
+        ).select(
+            "__n__",
+            F.coalesce(F.col("__new__"), F.col("__n__")).alias("__l__"),
+        )
+    return labels.select(
+        F.col("__n__").alias(node_col), F.col("__l__").alias("label")
+    )

@@ -1321,3 +1321,79 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_v, 6).alias("avg_value"),
         F.round(avg_v - overall, 6).alias("hour_effect"),
     ).orderBy("event_type", "hod")
+
+
+def _lp_oracle(rounds: int = 3) -> str:
+    """Unrolled plain-SQL replay of synchronous label propagation (the
+    deterministic max-count/min-label update is pure relational algebra
+    per round, so a fixed round count needs no recursion)."""
+    parts = [
+        "WITH nodes AS (SELECT c_custkey AS node FROM customer),",
+        "e AS (",
+        "  SELECT c_custkey AS src, c_custkey // 2 AS dst FROM customer",
+        "  WHERE c_custkey >= 2",
+        "  UNION ALL",
+        "  SELECT c_custkey // 2, c_custkey FROM customer",
+        "  WHERE c_custkey >= 2",
+        "),",
+        "lp0 AS (SELECT node, node AS l FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    best{r} AS (
+      SELECT node, l FROM (
+        SELECT e.dst AS node, lp{r - 1}.l AS l, count(*) AS cnt,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, lp{r - 1}.l ASC)
+                 AS rk
+        FROM lp{r - 1} JOIN e ON lp{r - 1}.node = e.src
+        GROUP BY e.dst, lp{r - 1}.l
+      ) WHERE rk = 1
+    ),
+    lp{r} AS (
+      SELECT nodes.node, COALESCE(b.l, nodes.node) AS l
+      FROM nodes LEFT JOIN best{r} b ON nodes.node = b.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT l AS label, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM lp{rounds} GROUP BY l ORDER BY label"""
+    )
+    return "\n".join(parts)
+
+
+@query("label_propagation_communities", oracle=_lp_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (extensions/graph.py) over the undirected customer-key tree
+    (k <-> k div 2): 3 deterministic max-count/min-label rounds,
+    communities rolled up to (label, size, min member). The oracle
+    replays the identical rounds as unrolled SQL — like
+    pagerank_top_nodes, an iterative algorithm with a hash-matched
+    oracle, possible because the update rule is integer-deterministic."""
+    from ..extensions.graph import label_propagation
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    child = c.filter(F.col("c_custkey") >= 2)
+    edges = child.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("dst"),
+    ).unionByName(
+        child.select(
+            (F.col("c_custkey") / 2).cast("bigint").alias("src"),
+            F.col("c_custkey").alias("dst"),
+        )
+    )
+    nodes = c.select(F.col("c_custkey").alias("node"))
+    lp = label_propagation(nodes, edges, rounds=3)
+    return (
+        lp.groupBy(F.col("label"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy("label")
+    )

@@ -55,3 +55,45 @@ def test_deterministic_across_partitionings(spark):
         (x.node, x.rank_fp) for x in pagerank_fixed_point(n2, e2, 4).collect()
     )
     assert a == b
+
+
+def test_label_propagation_star_collapses_to_hub_min_label(spark):
+    from certified_dogs_and_cats_spark.extensions.graph import (
+        label_propagation,
+    )
+
+    # Undirected star around 1 plus an isolated node 9.
+    nodes = spark.createDataFrame([(x,) for x in (1, 2, 3, 4, 9)], "node BIGINT")
+    star = [(1, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        star + [(b, a) for a, b in star], "src BIGINT, dst BIGINT"
+    )
+    out = {r.node: r.label for r in label_propagation(nodes, edges, 2).collect()}
+    # Round 1: leaves adopt 1 (their only neighbor); hub adopts min leaf 2.
+    # Round 2: leaves see hub's label 2... after two synchronous rounds
+    # every star member carries a label from {1, 2}; the isolated node
+    # keeps its own forever.
+    assert out[9] == 9
+    assert set(out[n] for n in (1, 2, 3, 4)) <= {1, 2}
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from certified_dogs_and_cats_spark.extensions.graph import (
+        label_propagation,
+    )
+
+    nodes = list(range(1, 81))
+    edges = [(k, k // 2) for k in nodes if k >= 2]
+    edges = edges + [(b, a) for a, b in edges]
+    n1 = spark.createDataFrame([(x,) for x in nodes], "node BIGINT")
+    e1 = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    a = sorted(
+        (r.node, r.label) for r in label_propagation(n1, e1, 3).collect()
+    )
+    b = sorted(
+        (r.node, r.label)
+        for r in label_propagation(
+            n1.repartition(5), e1.repartition(3), 3
+        ).collect()
+    )
+    assert a == b
