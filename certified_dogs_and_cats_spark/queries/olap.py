@@ -1397,3 +1397,68 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label")
     )
+
+
+# Time-based split for the seasonal backtest: the train window must end
+# strictly before the eval window starts so no eval-period information
+# reaches the model (the leakage rule every temporal backtest lives by).
+_BACKTEST_SPLIT = "2024-01-22 00:00:00"
+
+
+@query(
+    "seasonal_backtest_mae",
+    oracle=f"""
+    WITH train AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(value AS DECIMAL(18,6)) AS dv
+      FROM events WHERE ts < TIMESTAMP '{_BACKTEST_SPLIT}'
+    ),
+    model AS (
+      SELECT event_type, hod,
+             CAST(sum(dv) AS DOUBLE) / count(*) AS pred
+      FROM train GROUP BY 1, 2
+    ),
+    eval AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod, value
+      FROM events WHERE ts >= TIMESTAMP '{_BACKTEST_SPLIT}'
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(CAST(sum(CAST(abs(e.value - m.pred) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mae
+    FROM eval e JOIN model m
+      ON e.event_type = m.event_type AND e.hod = m.hod
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def seasonal_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free temporal backtest of the hour-of-day baseline: the
+    model (per-type-per-hour mean) is fit ONLY on events before the
+    split, then scored by mean absolute error on events after it — the
+    evaluation shape every forecasting pipeline needs, with the split
+    enforced by predicate so no eval-period value can reach the model.
+    The model side is tiny (types x 24) and broadcasts onto the eval
+    scan; errors are DECIMAL-summed for cross-engine exactness."""
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(_BACKTEST_SPLIT).cast("timestamp")
+    dv = F.col("value").cast("decimal(18,6)")
+    model = (
+        ev.filter(F.col("ts") < split)
+        .groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg((F.sum(dv).cast("double") / F.count("*")).alias("pred"))
+    )
+    ev_eval = ev.filter(F.col("ts") >= split).select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    err = F.abs(F.col("value") - F.col("pred")).cast("decimal(18,6)")
+    return (
+        ev_eval.join(F.broadcast(model), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.round(F.sum(err).cast("double") / F.count("*"), 6).alias(
+                "mae"
+            ),
+        )
+        .orderBy("event_type")
+    )
