@@ -143,3 +143,60 @@ def label_propagation(
     return labels.select(
         F.col("__n__").alias(node_col), F.col("__l__").alias("label")
     )
+
+
+def hits_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, hub, auth) after ``rounds`` HITS iterations (Kleinberg's
+    hubs-and-authorities) in EXACT integer arithmetic: auth'(v) = sum of
+    hub over in-neighbors, hub'(v) = sum of auth' over out-neighbors,
+    starting from all-ones — pure integer sums, so the rounds replay
+    bit-identically in plain SQL.
+
+    UNNORMALIZED by contract: the classic per-round L2 normalization only
+    rescales the ranking but costs a global scalar per round; without it
+    scores grow ~(max degree)^rounds, so keep ``rounds`` small on
+    high-degree graphs (or rescale the RESULT). Bounded-degree graphs
+    (trees, k-NN graphs) are safe for any practical round count.
+
+    Plan shape per round: two join+aggregate passes over the edge frame
+    (persisted once by the caller if reused) — O(N) loop state like the
+    other iterative operators here.
+    """
+    ed = edges.select(
+        F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+    )
+    base = nodes.select(F.col(node_col).alias("__n__"))
+    hub = base.select("__n__", F.lit(1).cast("bigint").alias("__h__"))
+    auth = None
+    for _ in range(rounds):
+        a_in = (
+            hub.join(ed, hub["__n__"] == ed["__src__"])
+            .groupBy(F.col("__dst__").alias("__n2__"))
+            .agg(F.sum("__h__").alias("__a__"))
+        )
+        auth = base.join(a_in, base["__n__"] == a_in["__n2__"], "left").select(
+            "__n__", F.coalesce(F.col("__a__"), F.lit(0)).alias("__a__")
+        )
+        h_out = (
+            auth.join(ed, auth["__n__"] == ed["__dst__"])
+            .groupBy(F.col("__src__").alias("__n2__"))
+            .agg(F.sum("__a__").alias("__h__"))
+        )
+        hub = base.join(h_out, base["__n__"] == h_out["__n2__"], "left").select(
+            "__n__", F.coalesce(F.col("__h__"), F.lit(0)).alias("__h__")
+        )
+    return (
+        hub.join(auth, "__n__")
+        .select(
+            F.col("__n__").alias(node_col),
+            F.col("__h__").alias("hub"),
+            F.col("__a__").alias("auth"),
+        )
+    )

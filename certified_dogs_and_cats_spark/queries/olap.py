@@ -1462,3 +1462,58 @@ def seasonal_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _hits_oracle(rounds: int = 3) -> str:
+    """Unrolled plain-SQL replay of the integer HITS rounds."""
+    parts = [
+        "WITH nodes AS (SELECT c_custkey AS node FROM customer),",
+        "e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst",
+        "      FROM customer WHERE c_custkey >= 2),",
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{r} AS (
+      SELECT nodes.node, COALESCE(s.a, 0) AS a
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(h{r - 1}.h) AS a
+        FROM h{r - 1} JOIN e ON h{r - 1}.node = e.src GROUP BY e.dst
+      ) s ON nodes.node = s.node
+    ),
+    h{r} AS (
+      SELECT nodes.node, COALESCE(s.h, 0) AS h
+      FROM nodes LEFT JOIN (
+        SELECT e.src AS node, sum(a{r}.a) AS h
+        FROM a{r} JOIN e ON a{r}.node = e.dst GROUP BY e.src
+      ) s ON nodes.node = s.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT h{rounds}.node AS node, CAST(h{rounds}.h AS BIGINT) AS hub,
+           CAST(a{rounds}.a AS BIGINT) AS auth
+    FROM h{rounds} JOIN a{rounds} ON h{rounds}.node = a{rounds}.node
+    ORDER BY auth DESC, h{rounds}.node LIMIT 10"""
+    )
+    return "\n".join(parts)
+
+
+@query("hits_top_authorities", oracle=_hits_oracle())
+def hits_top_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (extensions/graph.py) over the directed
+    customer-key tree (k -> k div 2): 3 unnormalized integer rounds
+    (bounded degree keeps growth tame), top-10 authorities — the third
+    iterative graph algorithm replayed exactly by an unrolled-SQL
+    oracle."""
+    from ..extensions.graph import hits_fixed_point
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    edges = c.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("dst"),
+    )
+    nodes = c.select(F.col("c_custkey").alias("node"))
+    out = hits_fixed_point(nodes, edges, rounds=3)
+    return out.orderBy(F.col("auth").desc(), F.col("node").asc()).limit(10)
