@@ -1,10 +1,11 @@
 """Iterative graph algorithms as DataFrame loops.
 
 Complements the pairs-to-clusters connected components in
-:mod:`extensions.dedup`: PageRank here is the canonical fixed-iteration
-message-passing shape (contribute along edges -> aggregate at the target ->
-update), the template for influence scoring, label propagation, and
-damped diffusion generally.
+:mod:`extensions.dedup` with the fixed-iteration message-passing family —
+PageRank (damped diffusion), synchronous label propagation (community
+detection), and HITS (hubs/authorities) — all on one template: contribute
+along edges -> aggregate at the target -> update, O(N) loop state, exact
+integer/deterministic update rules so unrolled-SQL oracles hash-match.
 
 All rank arithmetic is FIXED-POINT INTEGER (rank x 10^12 as BIGINT):
 multiply by the damping factor is integer multiply + floor division, sums

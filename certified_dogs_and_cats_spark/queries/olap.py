@@ -1517,3 +1517,103 @@ def hits_top_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = c.select(F.col("c_custkey").alias("node"))
     out = hits_fixed_point(nodes, edges, rounds=3)
     return out.orderBy(F.col("auth").desc(), F.col("node").asc()).limit(10)
+
+
+@query(
+    "graph_motif_stats",
+    oracle="""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    raw AS (
+      SELECT c_custkey AS a, (c_custkey % m) + 1 AS b FROM customer, mx
+      UNION ALL
+      SELECT c_custkey, ((c_custkey + 1) % m) + 1 FROM customer, mx
+    ),
+    e AS (
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM raw WHERE a <> b
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS n FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           CAST(tri.n AS BIGINT) AS n_triangles,
+           round(3.0 * tri.n
+                 / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+             AS clustering_coeff
+    FROM tri
+    """,
+)
+def graph_motif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient — the motif
+    census every distributed-graph benchmark leads with. Edges are the
+    customer-key double ring (k ~ k+1, k ~ k+2 mod N — every consecutive
+    triple closes a triangle), canonicalized a < b so each undirected
+    edge exists once; triangles come from the standard two-join pattern
+    over ordered edges (e1=(a,b), e2=(b,c), e3=(a,c) with a<b<c — each
+    triangle counted exactly once, never six times), wedges from the
+    degree sequence, clustering coefficient = 3*triangles / wedges.
+    Scale contract: the e1-e2 join fans out per shared vertex, so degree
+    skew is the enemy — cap or sample hot vertices upstream on power-law
+    graphs (same df-cap argument as the shingle self-join)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    mx = c.agg(F.max("c_custkey").alias("m"))
+    k = F.col("c_custkey")
+    raw = (
+        c.crossJoin(F.broadcast(mx))
+        .select(k.alias("a"), ((k % F.col("m")) + 1).alias("b"))
+        .unionByName(
+            c.crossJoin(F.broadcast(mx)).select(
+                k.alias("a"), (((k + 1) % F.col("m")) + 1).alias("b")
+            )
+        )
+    )
+    from ..cache import tracked_persist
+
+    e = tracked_persist(
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("w")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    edges_n = e.agg(F.count("*").alias("ne"))
+    return (
+        edges_n.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("ne").cast("bigint").alias("n_edges"),
+            F.col("w").alias("n_wedges"),
+            F.col("n").cast("bigint").alias("n_triangles"),
+            F.round(3.0 * F.col("n") / F.col("w"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
