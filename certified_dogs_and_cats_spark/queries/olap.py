@@ -1617,3 +1617,133 @@ def graph_motif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "correlation_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT count(*) AS n,
+             {", ".join(f"sum(CAST({c} AS DECIMAL(18,6))) AS s_{c}" for c in _CORR_COLS)},
+             {", ".join(f"sum(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(18,6))) AS p_{a}_{b}" for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:])}
+      FROM lineitem
+    )
+    SELECT col_a, col_b, round(corr_v, 6) AS pearson FROM (
+      {" UNION ALL ".join(
+        f'''SELECT '{a}' AS col_a, '{b}' AS col_b,
+             (n * CAST(p_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+             / sqrt((n * CAST(p_{a}_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                  * (n * CAST(p_{b}_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))
+             AS corr_v FROM s'''
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+      )}
+    ) ORDER BY col_a, col_b
+    """,
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the numeric lineitem columns in
+    ONE aggregation pass: every sum / sum-of-products is an exact DECIMAL
+    aggregate (n, Σx, Σxy for all pairs), the correlation formula runs on
+    the resulting scalars — so unlike the engines' own corr() (a
+    float accumulator folded in partition order) the matrix is
+    bit-reproducible at any parallelism. 4 columns = 14 aggregates, one
+    shuffle-free global pass; at 100 TB this is the cheapest possible
+    profile of a wide fact table."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    d = {c: F.col(c).cast("decimal(18,6)") for c in cols}
+    # Products widen one factor to DECIMAL(19,6): a (18,6)x(18,6) product
+    # overflows DuckDB's int64 decimal storage; precision 19 forces the
+    # int128 path and lands both engines on DECIMAL(38,12) exactly.
+    dw = {c: F.col(c).cast("decimal(19,6)") for c in cols}
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(d[c]).alias(f"s_{c}") for c in cols]
+    aggs += [
+        F.sum(dw[a] * d[b]).alias(f"p_{a}_{b}")
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ]
+    s = li.agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = F.col("n")
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            pab = F.col(f"p_{a}_{b}").cast("double")
+            paa = F.col(f"p_{a}_{a}").cast("double")
+            pbb = F.col(f"p_{b}_{b}").cast("double")
+            corr = (n * pab - sa * sb) / F.sqrt(
+                (n * paa - sa * sa) * (n * pbb - sb * sb)
+            )
+            rows.append(
+                s.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(corr, 6).alias("pearson"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")
+
+
+@query(
+    "categorical_gini_profile",
+    oracle="""
+    WITH c AS (
+      SELECT 'o_orderpriority' AS col, o_orderpriority AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+    ),
+    g AS (SELECT col, val, count(*) AS n FROM c GROUP BY 1, 2),
+    tot AS (SELECT col, sum(n) AS t, count(*) AS n_values FROM g GROUP BY 1)
+    SELECT g.col, CAST(tot.n_values AS BIGINT) AS n_values,
+           round(1.0 - sum(CAST(g.n AS DOUBLE) * g.n)
+                       / (CAST(tot.t AS DOUBLE) * tot.t), 6) AS gini
+    FROM g JOIN tot ON g.col = tot.col
+    GROUP BY g.col, tot.n_values, tot.t
+    ORDER BY g.col
+    """,
+)
+def categorical_gini_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity (1 - sum p_i^2) per categorical column — the
+    diversity metric a data profile wants where entropy would drag in
+    libm log() (whose last-bit rounding is not engine-portable); Gini is
+    a pure rational of the value counts, so both engines agree exactly.
+    One stack + one aggregate per column family, integer counts until
+    the final division."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        F.lit("o_orderpriority").alias("col"),
+        F.col("o_orderpriority").alias("val"),
+    ).unionByName(
+        o.select(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("val"),
+        )
+    )
+    g = c.groupBy("col", "val").agg(F.count("*").alias("n"))
+    return (
+        g.groupBy("col")
+        .agg(
+            F.count("*").alias("n_values"),
+            (
+                1.0
+                - F.sum(F.col("n").cast("double") * F.col("n"))
+                / (
+                    F.sum("n").cast("double")
+                    * F.sum("n").cast("double")
+                )
+            ).alias("__g__"),
+        )
+        .select(
+            "col",
+            "n_values",
+            F.round("__g__", 6).alias("gini"),
+        )
+        .orderBy("col")
+    )
