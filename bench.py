@@ -115,6 +115,15 @@ BENCH_QUERIES = [
     # Trained-codebook compression search (1 KMeans fit + encode + two
     # searches + recall join — the cost is model training, not the scan).
     "similarity_pq_topk",
+    # Round-4 fourth wave: trailing exponential smoothing (window +
+    # ordered array fold), leakage-free temporal backtest, triangle/wedge
+    # motif census, label-propagation communities, one-pass correlation
+    # moments.
+    "trailing_ewma_smooth",
+    "seasonal_backtest_mae",
+    "graph_motif_stats",
+    "label_propagation_communities",
+    "correlation_matrix",
 ]
 
 

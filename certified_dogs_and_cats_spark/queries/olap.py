@@ -1652,7 +1652,11 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible at any parallelism. 4 columns = 14 aggregates, one
     shuffle-free global pass; at 100 TB this is the cheapest possible
     profile of a wide fact table."""
-    li = t(spark, sf_dir, "lineitem")
+    from ..operators.partitioning import spread
+
+    # BigDecimal products are CPU-dense: spread low-partition-count scans
+    # so the single aggregate pass parallelizes.
+    li = spread(t(spark, sf_dir, "lineitem"))
     cols = _CORR_COLS
     d = {c: F.col(c).cast("decimal(18,6)") for c in cols}
     # Products widen one factor to DECIMAL(19,6): a (18,6)x(18,6) product
@@ -1667,7 +1671,10 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in cols[i:]
     ]
     s = li.agg(*aggs)
-    rows = []
+    # All pairs come off the SAME one-row aggregate via one exploded
+    # struct array — a union of per-pair selects would recompute the
+    # corpus aggregate once per pair (measured 6 scans).
+    pairs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
             n = F.col("n")
@@ -1678,17 +1685,18 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             corr = (n * pab - sa * sb) / F.sqrt(
                 (n * paa - sa * sa) * (n * pbb - sb * sb)
             )
-            rows.append(
-                s.select(
+            pairs.append(
+                F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
                     F.round(corr, 6).alias("pearson"),
                 )
             )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("col_a", "col_b")
+    return (
+        s.select(F.explode(F.array(*pairs)).alias("r"))
+        .select("r.*")
+        .orderBy("col_a", "col_b")
+    )
 
 
 @query(

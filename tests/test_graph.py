@@ -97,3 +97,41 @@ def test_label_propagation_deterministic_across_partitionings(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_hits_authority_concentrates_at_sinks(spark):
+    from certified_dogs_and_cats_spark.extensions.graph import (
+        hits_fixed_point,
+    )
+
+    # Star pointing INTO node 1: 1 is the only authority, leaves the hubs.
+    nodes = spark.createDataFrame([(x,) for x in (1, 2, 3, 4)], "node BIGINT")
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1)], "src BIGINT, dst BIGINT"
+    )
+    out = {r.node: (r.hub, r.auth) for r in hits_fixed_point(nodes, edges, 2).collect()}
+    assert out[1][1] > 0 and all(out[k][1] == 0 for k in (2, 3, 4))
+    assert all(out[k][0] > 0 for k in (2, 3, 4)) and out[1][0] == 0
+    assert out[2] == out[3] == out[4]  # symmetric hubs
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    from certified_dogs_and_cats_spark.extensions.graph import (
+        hits_fixed_point,
+    )
+
+    nodes = list(range(1, 61))
+    edges = [(k, k // 2) for k in nodes if k >= 2]
+    n1 = spark.createDataFrame([(x,) for x in nodes], "node BIGINT")
+    e1 = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    a = sorted(
+        (r.node, r.hub, r.auth)
+        for r in hits_fixed_point(n1, e1, 3).collect()
+    )
+    b = sorted(
+        (r.node, r.hub, r.auth)
+        for r in hits_fixed_point(
+            n1.repartition(7), e1.repartition(4), 3
+        ).collect()
+    )
+    assert a == b
