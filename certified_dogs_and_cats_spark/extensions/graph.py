@@ -201,3 +201,54 @@ def hits_fixed_point(
             F.col("__a__").alias("auth"),
         )
     )
+
+
+def bfs_depths(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 16,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, depth): breadth-first shortest-path depth from ``source``
+    along directed edges (pass symmetric edges for undirected), bounded
+    by ``max_depth``; unreached nodes are absent. The traversal loop
+    shape: a FRONTIER frame expands one hop per round and a VISITED
+    frame (the accumulated answer) both prunes re-expansion and is the
+    result — unlike the message-passing operators, state grows with the
+    reached set, so the visited frame is the thing to checkpoint on deep
+    graphs (lineage doubles per round otherwise). Early exit: an empty
+    frontier stops the loop with a limit-1 probe, so shallow graphs
+    never pay ``max_depth`` rounds.
+    """
+    spark = nodes.sparkSession
+    ed = edges.select(
+        F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+    )
+    visited = spark.createDataFrame(
+        [(source, 0)], "__n__ BIGINT, __d__ INT"
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(ed, frontier["__n__"] == ed["__src__"])
+            .select(F.col("__dst__").alias("__n__"))
+            .distinct()
+            .join(visited.select("__n__"), "__n__", "left_anti")
+            .select("__n__", F.lit(depth).cast("int").alias("__d__"))
+        )
+        # Checkpoint ONLY the frontier: visited is a union of already-
+        # materialized frontiers, so its lineage stays shallow without
+        # its own checkpoint (same localCheckpoint trade as
+        # connected_components — swap in reliable checkpointing for
+        # executor-loss safety at cluster scale).
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.join(
+        nodes.select(F.col(node_col).alias("__n__")), "__n__"
+    ).select(F.col("__n__").alias(node_col), F.col("__d__").alias("depth"))

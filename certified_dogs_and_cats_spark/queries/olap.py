@@ -1755,3 +1755,49 @@ def categorical_gini_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@query(
+    "bfs_depth_histogram",
+    oracle="""
+    SELECT CAST(length(bin(c_custkey)) - 1 AS INTEGER) AS depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(c_custkey) AS BIGINT) AS min_node
+    FROM customer WHERE c_custkey >= 1 GROUP BY 1 ORDER BY 1
+    """,
+)
+def bfs_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first traversal (extensions/graph.py:bfs_depths) from the
+    root of the undirected customer-key tree, rolled up to nodes per
+    depth. The ORACLE needs no iteration at all: on the k <-> k div 2
+    tree, BFS depth from node 1 is exactly the key's bit length minus
+    one — an independently-derived closed form, which makes this a
+    stronger check than replaying the algorithm (the traversal must
+    REDISCOVER a known answer, not mirror the same steps)."""
+    from ..extensions.graph import bfs_depths
+
+    # Key 0 exists in the testdata but sits outside the k <-> k div 2
+    # tree (0 div 2 = 0 is a self-loop): exclude it on both sides.
+    c = t(spark, sf_dir, "customer").select("c_custkey").filter(
+        F.col("c_custkey") >= 1
+    )
+    child = c.filter(F.col("c_custkey") >= 2)
+    edges = child.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("dst"),
+    ).unionByName(
+        child.select(
+            (F.col("c_custkey") / 2).cast("bigint").alias("src"),
+            F.col("c_custkey").alias("dst"),
+        )
+    )
+    nodes = c.select(F.col("c_custkey").alias("node"))
+    d = bfs_depths(nodes, edges, source=1, max_depth=24)
+    return (
+        d.groupBy("depth")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy("depth")
+    )

@@ -135,3 +135,35 @@ def test_hits_deterministic_across_partitionings(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_bfs_depths_on_path_with_branch(spark):
+    from certified_dogs_and_cats_spark.extensions.graph import bfs_depths
+
+    # 1 -> 2 -> 3 -> 4 plus a branch 2 -> 5; node 9 is unreachable.
+    nodes = spark.createDataFrame(
+        [(x,) for x in (1, 2, 3, 4, 5, 9)], "node BIGINT"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5)], "src BIGINT, dst BIGINT"
+    )
+    out = {r.node: r.depth for r in bfs_depths(nodes, edges, 1).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}  # 9 absent
+
+
+def test_bfs_early_exit_and_max_depth_cap(spark):
+    from certified_dogs_and_cats_spark.extensions.graph import bfs_depths
+
+    nodes = spark.createDataFrame([(x,) for x in (1, 2, 3)], "node BIGINT")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src BIGINT, dst BIGINT")
+    # max_depth=1 truncates: node 3 (depth 2) must be absent.
+    capped = {
+        r.node: r.depth for r in bfs_depths(nodes, edges, 1, max_depth=1).collect()
+    }
+    assert capped == {1: 0, 2: 1}
+    # Cycle: revisiting 1 must not loop or relabel it.
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src BIGINT, dst BIGINT"
+    )
+    out = {r.node: r.depth for r in bfs_depths(nodes, cyc, 1, max_depth=10).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
