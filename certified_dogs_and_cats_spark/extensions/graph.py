@@ -252,3 +252,66 @@ def bfs_depths(
     return visited.join(
         nodes.select(F.col(node_col).alias("__n__")), "__n__"
     ).select(F.col("__n__").alias(node_col), F.col("__d__").alias("depth"))
+
+
+def sssp_distances(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source: int,
+    max_rounds: int = 20,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(node, dist): weighted single-source shortest-path distances from
+    ``source`` by Bellman-Ford relaxation (integer weights — sums stay
+    exact, so the result is deterministic across partitionings and an
+    independent oracle can hash-match it). Each round relaxes EVERY edge
+    from the currently-settled frame: candidate = dist(src) + weight,
+    then a min-aggregate per node folds candidates into the running
+    distances — O(N) loop state like the other message-passing
+    operators, NOT the O(frontier) state of :func:`bfs_depths`, because
+    a weighted graph can improve an already-visited node's distance in
+    a later round. Convergence: a limit-1 probe on the improved set
+    exits as soon as a round changes nothing (<= diameter rounds on any
+    graph, not ``max_rounds``); hitting ``max_rounds`` with improvements
+    still pending raises rather than returning wrong distances.
+    Unreached nodes are absent from the result.
+    """
+    spark = nodes.sparkSession
+    ed = edges.select(
+        F.col(src_col).alias("__src__"),
+        F.col(dst_col).alias("__dst__"),
+        F.col(weight_col).cast("bigint").alias("__w__"),
+    )
+    dist = spark.createDataFrame([(source, 0)], "__n__ BIGINT, __d__ BIGINT")
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.join(ed, dist["__n__"] == ed["__src__"])
+            .select(
+                F.col("__dst__").alias("__n__"),
+                (F.col("__d__") + F.col("__w__")).alias("__d__"),
+            )
+            .unionByName(dist)
+            .groupBy("__n__")
+            .agg(F.min("__d__").alias("__d__"))
+            .localCheckpoint(eager=True)
+        )
+        improved = relaxed.join(
+            dist.withColumnRenamed("__d__", "__old__"), "__n__", "left"
+        ).filter(
+            F.col("__old__").isNull() | (F.col("__d__") < F.col("__old__"))
+        )
+        if improved.limit(1).count() == 0:
+            dist = relaxed
+            break
+        dist = relaxed
+    else:
+        raise RuntimeError(
+            f"sssp_distances: still relaxing after {max_rounds} rounds;"
+            " raise max_rounds (graph has a longer shortest-path chain)"
+        )
+    return dist.join(
+        nodes.select(F.col(node_col).alias("__n__")), "__n__"
+    ).select(F.col("__n__").alias(node_col), F.col("__d__").alias("dist"))

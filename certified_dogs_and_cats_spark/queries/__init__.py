@@ -38,6 +38,7 @@ from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import vocab  # noqa: E402,F401
 from . import shards  # noqa: E402,F401
+from . import graphx  # noqa: E402,F401
 
 # ORDER MATTERS for driver evidence: the driver's correctness run checks
 # only the FIRST 50 registry entries in insertion order. Entries that

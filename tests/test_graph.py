@@ -167,3 +167,45 @@ def test_bfs_early_exit_and_max_depth_cap(spark):
     )
     out = {r.node: r.depth for r in bfs_depths(nodes, cyc, 1, max_depth=10).collect()}
     assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_sssp_shortcut_beats_longer_tree_path(spark):
+    from certified_dogs_and_cats_spark.extensions.graph import sssp_distances
+
+    # Chain 1-2-3-4 with weight 5 each, plus a shortcut 1->4 of weight 6:
+    # the relaxation must prefer 6 over 15, and 3 keeps its chain dist.
+    nodes = spark.createDataFrame([(x,) for x in (1, 2, 3, 4)], "node BIGINT")
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (3, 4, 5), (1, 4, 6)],
+        "src BIGINT, dst BIGINT, weight BIGINT",
+    )
+    out = {r.node: r.dist for r in sssp_distances(nodes, edges, 1).collect()}
+    assert out == {1: 0, 2: 5, 3: 10, 4: 6}
+
+
+def test_sssp_later_round_improves_visited_node(spark):
+    from certified_dogs_and_cats_spark.extensions.graph import sssp_distances
+
+    # 1->3 weight 10 settles 3 in round 1; the 1->2->3 path (4+4=8) must
+    # still overwrite it in round 2 — the case plain BFS state can't fix.
+    nodes = spark.createDataFrame([(x,) for x in (1, 2, 3)], "node BIGINT")
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 4), (2, 3, 4)],
+        "src BIGINT, dst BIGINT, weight BIGINT",
+    )
+    out = {r.node: r.dist for r in sssp_distances(nodes, edges, 1).collect()}
+    assert out == {1: 0, 2: 4, 3: 8}
+
+
+def test_sssp_raises_when_rounds_exhausted(spark):
+    import pytest
+
+    from certified_dogs_and_cats_spark.extensions.graph import sssp_distances
+
+    nodes = spark.createDataFrame([(x,) for x in (1, 2, 3, 4)], "node BIGINT")
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)],
+        "src BIGINT, dst BIGINT, weight BIGINT",
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        sssp_distances(nodes, edges, 1, max_rounds=2)
