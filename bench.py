@@ -124,6 +124,12 @@ BENCH_QUERIES = [
     "graph_motif_stats",
     "label_propagation_communities",
     "correlation_matrix",
+    # Traversal pair: BFS depths and Bellman-Ford SSSP. Cost is
+    # ROUND-dominated (one join+aggregate job per hop of graph depth,
+    # ~14 rounds at sf0.1), not row-dominated — the sf0.01 -> sf0.1
+    # ratio stays near 1 because depth grows with log2(rows).
+    "bfs_depth_histogram",
+    "sssp_weighted_histogram",
 ]
 
 
