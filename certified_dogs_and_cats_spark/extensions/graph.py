@@ -22,6 +22,29 @@ from pyspark.sql import functions as F
 
 SCALE = 10**12
 
+# Rows below which a traversal-loop state frame gets a broadcast hint
+# ((bigint, int/bigint) rows -> ~32 MB at the cap, well under the 8 GB
+# broadcast hard limit and typical executor headroom).
+_BCAST_ROWS = 2_000_000
+
+
+def _round_ckpt(spark, reliable_checkpoint_dir: str | None):
+    """LAZY per-round lineage truncation for the traversal loops.
+
+    Returns a function that marks a frame for checkpointing WITHOUT
+    launching the materialization job: the caller's next action (the
+    convergence probe, always a full-scan count/aggregate here) computes
+    every partition, which materializes the checkpoint as a side effect —
+    one job per round where the old eager-checkpoint + limit(1).count()
+    pair paid two. With ``reliable_checkpoint_dir`` set, rounds persist to
+    a durable store and survive executor loss (the option a 1000-executor
+    run needs; executor-local blocks die with their executor).
+    """
+    if reliable_checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=False)
+    spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+    return lambda df: df.checkpoint(eager=False)
+
 
 def pagerank_fixed_point(
     nodes: DataFrame,
@@ -31,6 +54,8 @@ def pagerank_fixed_point(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    reliable_checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """(node, rank_fp): PageRank after ``iterations`` rounds, ranks in
     fixed point (true rank x 10^12, un-normalized: teleport mass is
@@ -51,9 +76,22 @@ def pagerank_fixed_point(
     list. The edge frame and out-degrees are computed once and persisted;
     the loop only iterates the (node, rank) frame — O(N) state per round,
     never edge-count state.
+
+    ``checkpoint_every=k`` truncates the rank frame's lineage every k
+    rounds (0 = never: at the default 5 iterations the unrolled plan is
+    small; at 20+ iterations on a cluster, pass k=2-5 and a
+    ``reliable_checkpoint_dir`` so analysis cost stays flat and rounds
+    survive executor loss). Checkpointing never changes values — the
+    arithmetic is exact integer, so oracle hashes are unaffected.
     """
     from ..cache import tracked_persist
 
+    ckpt = (
+        _round_ckpt(nodes.sparkSession, reliable_checkpoint_dir)
+        if checkpoint_every > 0 or reliable_checkpoint_dir is not None
+        else None
+    )
+    every = checkpoint_every or 1
     teleport = (100 - damping_pct) * SCALE // 100
     deg = edges.groupBy(src_col).agg(F.count("*").alias("__deg__"))
     ed = tracked_persist(
@@ -65,7 +103,7 @@ def pagerank_fixed_point(
     )
     base = tracked_persist(nodes.select(F.col(node_col).alias("__n__")))
     ranks = base.select("__n__", F.lit(SCALE).cast("bigint").alias("__r__"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ranks.join(ed, ranks["__n__"] == ed["__src__"])
             .select(
@@ -87,6 +125,8 @@ def pagerank_fixed_point(
                 ).alias("__r__"),
             )
         )
+        if ckpt is not None and (it + 1) % every == 0:
+            ranks = ckpt(ranks)
     return ranks.select(
         F.col("__n__").alias(node_col), F.col("__r__").alias("rank_fp")
     )
@@ -99,6 +139,8 @@ def label_propagation(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    reliable_checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """(node, label) after ``rounds`` SYNCHRONOUS label-propagation
     steps: every node simultaneously adopts the most frequent label among
@@ -114,10 +156,18 @@ def label_propagation(
     Plan shape per round: one join of the label frame with the edge frame
     on the source, one (dst, label) count aggregate, one argmax window
     per node, one left join back onto the node list — O(N) loop state,
-    same scale contract as :func:`pagerank_fixed_point`.
+    same scale contract as :func:`pagerank_fixed_point`, including the
+    same ``checkpoint_every`` / ``reliable_checkpoint_dir`` lineage and
+    durability options (value-neutral: the update rule is deterministic).
     """
     from pyspark.sql import Window
 
+    ckpt = (
+        _round_ckpt(nodes.sparkSession, reliable_checkpoint_dir)
+        if checkpoint_every > 0 or reliable_checkpoint_dir is not None
+        else None
+    )
+    every = checkpoint_every or 1
     ed = edges.select(
         F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
     )
@@ -126,7 +176,7 @@ def label_propagation(
     w = Window.partitionBy("__n2__").orderBy(
         F.col("__cnt__").desc(), F.col("__l__").asc()
     )
-    for _ in range(rounds):
+    for rd in range(rounds):
         best = (
             labels.join(ed, labels["__n__"] == ed["__src__"])
             .groupBy(F.col("__dst__").alias("__n2__"), "__l__")
@@ -141,6 +191,8 @@ def label_propagation(
             "__n__",
             F.coalesce(F.col("__new__"), F.col("__n__")).alias("__l__"),
         )
+        if ckpt is not None and (rd + 1) % every == 0:
+            labels = ckpt(labels)
     return labels.select(
         F.col("__n__").alias(node_col), F.col("__l__").alias("label")
     )
@@ -211,44 +263,72 @@ def bfs_depths(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, depth): breadth-first shortest-path depth from ``source``
     along directed edges (pass symmetric edges for undirected), bounded
-    by ``max_depth``; unreached nodes are absent. The traversal loop
-    shape: a FRONTIER frame expands one hop per round and a VISITED
-    frame (the accumulated answer) both prunes re-expansion and is the
-    result — unlike the message-passing operators, state grows with the
-    reached set, so the visited frame is the thing to checkpoint on deep
-    graphs (lineage doubles per round otherwise). Early exit: an empty
-    frontier stops the loop with a limit-1 probe, so shallow graphs
-    never pay ``max_depth`` rounds.
+    by ``max_depth``; unreached nodes are absent. Loop state is ONE
+    consolidated VISITED frame, re-checkpointed each round with the new
+    depth layer unioned in — one job per round (the lazy checkpoint's
+    ``count()`` both materializes it and, compared against the previous
+    round's count, is the convergence probe), and the state keeps a
+    CONSTANT partition count across rounds. The tempting alternative —
+    checkpoint only each round's frontier and keep visited as the union
+    of those checkpoints — accumulates partitions linearly in depth, so
+    the per-round task count (and a cluster's scheduler load) grows
+    quadratically over the traversal; consolidation pays O(|reached|)
+    checkpoint writes per round instead, a constant factor on the
+    per-round join work, bounded by diameter rounds. The frontier is
+    re-derived lazily as the latest depth layer of the checkpointed
+    state. If ``max_depth`` rounds pass with the frontier still
+    expandable, raises rather than returning silently-truncated depths
+    (the bounded-result-with-absent-nodes contract only holds when the
+    traversal actually drained).
     """
+    from ..cache import tracked_persist
+
     spark = nodes.sparkSession
-    ed = edges.select(
-        F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+    ckpt = _round_ckpt(spark, reliable_checkpoint_dir)
+    # The edge frame is touched every round: persist it ONCE, hash-
+    # partitioned on the join key, so each round's frontier join reuses
+    # the cached layout (InMemoryRelation reports its outputPartitioning)
+    # instead of re-shuffling the edges per hop — the frontier side is
+    # the only thing that moves.
+    ed = tracked_persist(
+        edges.select(
+            F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+        ).repartition(F.col("__src__"))
     )
     visited = spark.createDataFrame(
         [(source, 0)], "__n__ BIGINT, __d__ INT"
-    )
-    frontier = visited
-    for depth in range(1, max_depth + 1):
-        nxt = (
+    ).localCheckpoint(eager=True)
+
+    def expand(depth: int) -> DataFrame:
+        frontier = visited.filter(F.col("__d__") == depth - 1).select("__n__")
+        return (
             frontier.join(ed, frontier["__n__"] == ed["__src__"])
             .select(F.col("__dst__").alias("__n__"))
             .distinct()
             .join(visited.select("__n__"), "__n__", "left_anti")
             .select("__n__", F.lit(depth).cast("int").alias("__d__"))
         )
-        # Checkpoint ONLY the frontier: visited is a union of already-
-        # materialized frontiers, so its lineage stays shallow without
-        # its own checkpoint (same localCheckpoint trade as
-        # connected_components — swap in reliable checkpointing for
-        # executor-loss safety at cluster scale).
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+
+    prev_n = 1
+    for depth in range(1, max_depth + 1):
+        visited = ckpt(visited.unionByName(expand(depth)))
+        n = visited.count()
+        if n == prev_n:
             break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+        prev_n = n
+    else:
+        # Cap reached with the last layer non-empty: one extra probe
+        # hop distinguishes "exactly max_depth deep" from truncation.
+        if expand(max_depth + 1).limit(1).count() > 0:
+            raise RuntimeError(
+                f"bfs_depths: frontier still expanding after max_depth="
+                f"{max_depth} rounds; raise max_depth (deeper nodes would"
+                " be silently absent otherwise)"
+            )
     return visited.join(
         nodes.select(F.col(node_col).alias("__n__")), "__n__"
     ).select(F.col("__n__").alias(node_col), F.col("__d__").alias("depth"))
@@ -263,6 +343,7 @@ def sssp_distances(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "weight",
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, dist): weighted single-source shortest-path distances from
     ``source`` by Bellman-Ford relaxation (integer weights — sums stay
@@ -273,17 +354,29 @@ def sssp_distances(
     distances — O(N) loop state like the other message-passing
     operators, NOT the O(frontier) state of :func:`bfs_depths`, because
     a weighted graph can improve an already-visited node's distance in
-    a later round. Convergence: a limit-1 probe on the improved set
-    exits as soon as a round changes nothing (<= diameter rounds on any
-    graph, not ``max_rounds``); hitting ``max_rounds`` with improvements
-    still pending raises rather than returning wrong distances.
-    Unreached nodes are absent from the result.
+    a later round. One job per round: the relaxed frame carries an
+    improved-this-round flag (old dist absent or shrunk), is LAZILY
+    checkpointed, and a full-scan sum of the flag both materializes the
+    checkpoint and decides convergence — exits as soon as a round
+    changes nothing (<= diameter rounds on any graph, not
+    ``max_rounds``); hitting ``max_rounds`` with improvements still
+    pending raises rather than returning wrong distances. Unreached
+    nodes are absent from the result. ``reliable_checkpoint_dir``
+    switches round checkpoints to a durable store (see
+    :func:`_round_ckpt`).
     """
+    from ..cache import tracked_persist
+
     spark = nodes.sparkSession
-    ed = edges.select(
-        F.col(src_col).alias("__src__"),
-        F.col(dst_col).alias("__dst__"),
-        F.col(weight_col).cast("bigint").alias("__w__"),
+    ckpt = _round_ckpt(spark, reliable_checkpoint_dir)
+    # Same once-per-traversal edge persist as bfs_depths: hash-partition
+    # on the join key so only the O(N) distance frame moves per round.
+    ed = tracked_persist(
+        edges.select(
+            F.col(src_col).alias("__src__"),
+            F.col(dst_col).alias("__dst__"),
+            F.col(weight_col).cast("bigint").alias("__w__"),
+        ).repartition(F.col("__src__"))
     )
     dist = spark.createDataFrame([(source, 0)], "__n__ BIGINT, __d__ BIGINT")
     for _ in range(max_rounds):
@@ -296,17 +389,25 @@ def sssp_distances(
             .unionByName(dist)
             .groupBy("__n__")
             .agg(F.min("__d__").alias("__d__"))
-            .localCheckpoint(eager=True)
         )
-        improved = relaxed.join(
-            dist.withColumnRenamed("__d__", "__old__"), "__n__", "left"
-        ).filter(
-            F.col("__old__").isNull() | (F.col("__d__") < F.col("__old__"))
+        flagged = ckpt(
+            relaxed.join(
+                dist.withColumnRenamed("__d__", "__old__"), "__n__", "left"
+            ).select(
+                "__n__",
+                "__d__",
+                (
+                    F.col("__old__").isNull()
+                    | (F.col("__d__") < F.col("__old__"))
+                )
+                .cast("int")
+                .alias("__imp__"),
+            )
         )
-        if improved.limit(1).count() == 0:
-            dist = relaxed
+        improved = flagged.agg(F.sum("__imp__")).first()[0]
+        dist = flagged.select("__n__", "__d__")
+        if not improved:
             break
-        dist = relaxed
     else:
         raise RuntimeError(
             f"sssp_distances: still relaxing after {max_rounds} rounds;"

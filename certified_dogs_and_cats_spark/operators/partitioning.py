@@ -24,15 +24,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _physical_num_partitions(df: DataFrame) -> int | None:
+    """Partition count of ``df``'s physical plan WITHOUT the
+    DataFrame->RDD conversion ``df.rdd`` pays (a Python RDD wrapper plus
+    an extra deserializer plan per probe). Reads the JVM QueryExecution
+    handle directly; ``executedPlan`` is a cached lazy val on the frame's
+    own QueryExecution, so the planning work is shared with the frame's
+    eventual execution, not duplicated.
+
+    Returns None — "already wide enough, leave it alone" — when the plan
+    contains any exchange: a shuffle output already carries
+    ``spark.sql.shuffle.partitions`` partitions, and under AQE the
+    executed plan is an AdaptiveSparkPlanExec whose ``execute()`` would
+    MATERIALIZE the query stages (a real job), which a partition-count
+    probe must never do. On the exchange-free scan plans spread() exists
+    for, ``execute().getNumPartitions()`` is pure metadata (file splits),
+    never a job.
+    """
+    jplan = df._jdf.queryExecution().executedPlan()
+    tree = jplan.toString()
+    if "Exchange" in tree or "AdaptiveSparkPlan" in tree:
+        return None
+    return jplan.execute().getNumPartitions()
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``min_partitions`` (default: the session's
     ``sparkContext.defaultParallelism``) iff it currently has fewer
     partitions; no-op otherwise (and on streaming frames, whose
-    partitioning the source controls)."""
+    partitioning the source controls, and on post-shuffle frames, whose
+    width the shuffle config already set)."""
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = int(min_partitions or sc.defaultParallelism)
-    if df.rdd.getNumPartitions() >= target:
+    current = _physical_num_partitions(df)
+    if current is None or current >= target:
         return df
     return df.repartition(target)

@@ -1849,23 +1849,36 @@ class Catalog:
         if target_file_mb is not None:
             import math
 
-            total = sum(
-                st.get("size", 0) for st in self.file_stats(name).values()
-            )
+            stats = self.file_stats(name)
+            if where is not None and spec.partition_by:
+                # Subset compaction: size from the MATCHING partitions'
+                # bytes, not the whole table — a where= that rewrites
+                # one hot partition of a thousand must not inherit the
+                # full-table byte count (it would produce files ~1000x
+                # off the requested size).
+                match_dirs = self._matching_partition_dirs(name, where)
+                total = sum(
+                    st.get("size", 0)
+                    for rel, st in stats.items()
+                    if os.path.dirname(rel) in match_dirs
+                )
+                n_parts = max(1, len(match_dirs))
+            else:
+                total = sum(st.get("size", 0) for st in stats.values())
+                n_parts = 1
+                if spec.partition_by:
+                    head = self._load_manifest(name)
+                    if head and head[-1]["files"]:
+                        n_parts = max(
+                            1,
+                            len(
+                                {
+                                    os.path.dirname(rel)
+                                    for rel in head[-1]["files"]
+                                }
+                            ),
+                        )
             n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-            n_parts = 1
-            if spec.partition_by:
-                head = self._load_manifest(name)
-                if head and head[-1]["files"]:
-                    n_parts = max(
-                        1,
-                        len(
-                            {
-                                os.path.dirname(rel)
-                                for rel in head[-1]["files"]
-                            }
-                        ),
-                    )
             target_files_per_partition = max(1, round(n_files / n_parts))
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
@@ -2021,6 +2034,43 @@ class Catalog:
         if os.path.isfile(self._clustering_path(name)):
             with open(self._clustering_path(name)) as f:
                 spec.cluster_by = tuple(json.load(f)["cluster_by"])
+
+    def _matching_partition_dirs(self, name: str, where: str) -> set[str]:
+        """Relative partition directories whose hive-encoded values
+        satisfy ``where``. Evaluated by Spark on a tiny driver-built
+        frame of the DISTINCT partition tuples — one row per live
+        partition, metadata-sized — with each value cast to its declared
+        column type so numeric/date predicates compare typed, not
+        lexicographic. Hive URL-escaping and the null sentinel are
+        decoded before the cast."""
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        files = manifest[-1]["files"] if manifest else []
+        dirs = sorted({os.path.dirname(rel) for rel in files})
+        if not dirs:
+            return set()
+        rows = []
+        for d in dirs:
+            vals = {}
+            for seg in d.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    v = unquote(v)
+                    vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            rows.append(tuple([d] + [vals.get(c) for c in spec.partition_by]))
+        schema = T.StructType(
+            [T.StructField("__dir__", T.StringType())]
+            + [T.StructField(c, T.StringType()) for c in spec.partition_by]
+        )
+        df = self.spark.createDataFrame(rows, schema)
+        tby = {f.name: f.dataType for f in spec.schema.fields}
+        for c in spec.partition_by:
+            df = df.withColumn(c, F.col(c).cast(tby[c]))
+        return {r["__dir__"] for r in df.filter(F.expr(where)).collect()}
 
     def _compact_partitions(
         self,

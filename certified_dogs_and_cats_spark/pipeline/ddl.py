@@ -487,10 +487,20 @@ class DdlSession:
                 except ValueError as e:
                     raise DdlError(str(e)) from e
                 return None
+            # Two explicit forms — parenthesized ADD COLUMNS (...) and
+            # bare ADD COLUMN ... — so the wrapper paren is matched
+            # structurally and a DEFAULT expression's own trailing parens
+            # (DEFAULT upper('x')) survive intact.
             m = re.match(
-                r"ALTER TABLE (?P<name>[\w.]+) ADD COLUMNS? ?\(?"
-                r"(?P<col>\w+) (?P<type>\w+)"
-                r"(?: DEFAULT (?P<dflt>.+?))?\)?\s*$",
+                r"ALTER TABLE (?P<name>[\w.]+) ADD COLUMNS?\s*\("
+                r"(?P<col>\w+)\s+(?P<type>\w+)"
+                r"(?:\s+DEFAULT\s+(?P<dflt>.+?))?\s*\)\s*$",
+                s,
+                re.I,
+            ) or re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) ADD COLUMNS?\s+"
+                r"(?P<col>\w+)\s+(?P<type>\w+)"
+                r"(?:\s+DEFAULT\s+(?P<dflt>.+?))?\s*$",
                 s,
                 re.I,
             )
@@ -510,7 +520,7 @@ class DdlSession:
                 # that omit the column; rows in existing files read NULL
                 # (nothing is rewritten).
                 self.catalog.set_default(
-                    name, m.group("col"), m.group("dflt").strip().rstrip(")")
+                    name, m.group("col"), m.group("dflt").strip()
                 )
             return None
         if u.startswith("OPTIMIZE "):

@@ -483,3 +483,44 @@ def test_compact_target_file_mb_sizes_output(catalog, spark):
     # A huge target collapses to one file.
     catalog.compact("t.sized", target_file_mb=1024)
     assert len(catalog._load_manifest("t.sized")[-1]["files"]) == 1
+
+
+def test_compact_where_target_file_mb_sizes_from_subset(catalog, spark):
+    """OPTIMIZE ... WHERE with target_file_mb must size from the MATCHING
+    partitions' bytes: compacting one small partition of a table whose
+    other partition is much larger used to inherit the full-table byte
+    count and emit far more files than the subset warrants."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("part", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    catalog.register("t.subsz", schema, partition_by=("part",))
+    big = [(1, "x" * 200) for _ in range(2000)]
+    small = [(2, "y" * 200) for _ in range(50)]
+    catalog.append("t.subsz", spark.createDataFrame(big + small, schema))
+    stats = catalog.file_stats("t.subsz")
+    import os as _os
+
+    small_bytes = sum(
+        st.get("size", 0)
+        for rel, st in stats.items()
+        if _os.path.dirname(rel).endswith("part=2")
+    )
+    # Target = the small partition's own size -> exactly 1 output file
+    # there; sizing from the whole table would have demanded many.
+    catalog.compact(
+        "t.subsz", where="part = 2", target_file_mb=small_bytes / 1024 / 1024
+    )
+    files = catalog._load_manifest("t.subsz")[-1]["files"]
+    n_small = sum(
+        1 for rel in files if _os.path.dirname(rel).endswith("part=2")
+    )
+    assert n_small == 1, files
+    assert catalog.table("t.subsz").count() == 2050
+    assert catalog._matching_partition_dirs("t.subsz", "part = 2") == {
+        "part=2"
+    }

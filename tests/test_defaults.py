@@ -105,3 +105,23 @@ def test_insert_values_default_keyword(catalog, spark):
     assert rows == {1: "manual", 2: "api", 3: "manual"}
     with pytest.raises(DdlError, match="no DEFAULT"):
         ddl.execute("INSERT INTO dk VALUES (DEFAULT, 'x')")
+
+
+def test_add_column_function_call_default_keeps_parens(catalog, spark):
+    """ADD COLUMN with an EXPRESSION default whose text ends in ')' —
+    both the bare and the parenthesized ADD COLUMNS (...) forms must
+    store the expression intact (a paren-greedy parse used to truncate
+    upper('x') to upper('x' and fail at write time)."""
+    ddl = DdlSession(catalog)
+    ddl.execute("USE SCHEMA core")
+    ddl.execute("CREATE TABLE fd (k INT)")
+    ddl.execute("ALTER TABLE fd ADD COLUMN a STRING DEFAULT upper('x')")
+    ddl.execute(
+        "ALTER TABLE fd ADD COLUMNS (b STRING DEFAULT concat('a', 'b'))"
+    )
+    spec = catalog.tables["core.fd"]
+    assert spec.defaults["a"] == "upper('x')"
+    assert spec.defaults["b"] == "concat('a', 'b')"
+    ddl.execute("INSERT INTO fd (k) VALUES (1)")
+    row = ddl.execute("SELECT * FROM fd")[-1].collect()[0]
+    assert (row.a, row.b) == ("X", "ab")

@@ -156,11 +156,18 @@ def test_bfs_early_exit_and_max_depth_cap(spark):
 
     nodes = spark.createDataFrame([(x,) for x in (1, 2, 3)], "node BIGINT")
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src BIGINT, dst BIGINT")
-    # max_depth=1 truncates: node 3 (depth 2) must be absent.
-    capped = {
-        r.node: r.depth for r in bfs_depths(nodes, edges, 1, max_depth=1).collect()
+    # max_depth=1 would silently truncate (node 3 lives at depth 2):
+    # the traversal must refuse rather than return a partial answer.
+    import pytest
+
+    with pytest.raises(RuntimeError, match="frontier still expanding"):
+        bfs_depths(nodes, edges, 1, max_depth=1).collect()
+    # Cap exactly at the true depth: drained, no raise, full answer.
+    exact = {
+        r.node: r.depth
+        for r in bfs_depths(nodes, edges, 1, max_depth=2).collect()
     }
-    assert capped == {1: 0, 2: 1}
+    assert exact == {1: 0, 2: 1, 3: 2}
     # Cycle: revisiting 1 must not loop or relabel it.
     cyc = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1)], "src BIGINT, dst BIGINT"
@@ -209,3 +216,64 @@ def test_sssp_raises_when_rounds_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="max_rounds"):
         sssp_distances(nodes, edges, 1, max_rounds=2)
+
+
+def test_iterative_graph_ops_reliable_checkpoint(spark, tmp_path):
+    """Every iterative graph op survives rounds under durable (reliable)
+    checkpointing with values identical to the executor-local default —
+    checkpointing is a lineage/durability choice, never a semantics one."""
+    from certified_dogs_and_cats_spark.extensions.graph import (
+        bfs_depths,
+        label_propagation,
+        pagerank_fixed_point,
+        sssp_distances,
+    )
+
+    nodes = spark.createDataFrame([(x,) for x in range(1, 9)], "node BIGINT")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 6), (6, 7), (7, 8)],
+        "src BIGINT, dst BIGINT",
+    )
+    wedges = edges.selectExpr("src", "dst", "CAST(src + dst AS BIGINT) AS weight")
+    ck = str(tmp_path / "gckpt")
+
+    base_bfs = {r.node: r.depth for r in bfs_depths(nodes, edges, 1).collect()}
+    rel_bfs = {
+        r.node: r.depth
+        for r in bfs_depths(
+            nodes, edges, 1, reliable_checkpoint_dir=ck
+        ).collect()
+    }
+    assert rel_bfs == base_bfs and base_bfs[8] == 4
+
+    base_sp = {r.node: r.dist for r in sssp_distances(nodes, wedges, 1).collect()}
+    rel_sp = {
+        r.node: r.dist
+        for r in sssp_distances(
+            nodes, wedges, 1, reliable_checkpoint_dir=ck
+        ).collect()
+    }
+    assert rel_sp == base_sp
+
+    base_pr = {
+        r.node: r.rank_fp for r in pagerank_fixed_point(nodes, edges).collect()
+    }
+    rel_pr = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(
+            nodes, edges, reliable_checkpoint_dir=ck, checkpoint_every=2
+        ).collect()
+    }
+    assert rel_pr == base_pr
+
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    base_lp = {
+        r.node: r.label for r in label_propagation(nodes, sym).collect()
+    }
+    rel_lp = {
+        r.node: r.label
+        for r in label_propagation(
+            nodes, sym, reliable_checkpoint_dir=ck, checkpoint_every=1
+        ).collect()
+    }
+    assert rel_lp == base_lp

@@ -34,3 +34,21 @@ def test_spread_noop_on_streaming_frames(spark, tmp_path):
     spark.range(0, 10).write.parquet(src)
     sdf = spark.readStream.schema("id LONG").parquet(src)
     assert spread(sdf) is sdf
+
+
+def test_spread_probe_never_converts_to_rdd(spark, monkeypatch):
+    """The partition probe must read plan metadata, not build a Python
+    RDD: df.rdd would add a deserializer plan per call and, under AQE,
+    detach from the adaptive plan. Poison the .rdd property to prove
+    spread() never touches it."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("spread() must not convert DataFrame -> RDD")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    df = spark.range(0, 1000).coalesce(1)
+    out = spread(df)
+    assert out.count() == 1000
+    wide = spark.range(0, 1000).repartition(4)
+    assert spread(wide) is wide  # exchange in plan: hands-off no-op
