@@ -390,6 +390,29 @@ def simhash64_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), words.alias("__hw__"))
     )
+    # ENFORCED contract (not just a comment): the 16-bit SWAR lanes
+    # below overflow into the adjacent bit-plane counter at 65536
+    # distinct tokens, which would produce a silently-wrong signature —
+    # raise with the offending doc id instead. The guard sits in the
+    # data path (the value IS the guarded column), so the optimizer
+    # cannot prune it away.
+    base = base.select(
+        F.col(id_col),
+        F.when(F.size("__hw__") < 65536, F.col("__hw__"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "simhash64_text: document has >= 65536 distinct"
+                        " tokens (16-bit SWAR lane contract); chunk it"
+                        " upstream: id="
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+        .alias("__hw__"),
+    )
     # SWAR bit-plane counting: plane word k accumulates the ones-counts
     # of bit planes {k, k+16, k+32, k+48} in four independent 16-bit
     # lanes of a single long ((h >> k) & 0x0001000100010001 adds 0 or 1

@@ -55,8 +55,12 @@ def export_all(
 
 def latest_year_fsa_counts(src: DataFrame, animal_type: str) -> DataFrame:
     """The choropleth dataset (reference README.md:84-86): per-FSA license
-    counts for ONE animal type in the LATEST year present. One aggregate
-    with a windowed max-year filter — no second scan for the year lookup."""
+    counts for ONE animal type in the LATEST year present. One scan: counts
+    are aggregated per (Year, FSA) FIRST, then the latest-year filter runs
+    as a global window over the AGGREGATED frame — years x FSAs rows, so
+    the single-partition window touches a dimension-sized frame, never the
+    raw rows (the raw-row version would funnel the whole filtered fact
+    table through one task at scale)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -65,10 +69,11 @@ def latest_year_fsa_counts(src: DataFrame, animal_type: str) -> DataFrame:
         src.filter(
             (F.col("ANIMAL_TYPE") == animal_type) & F.col("FSA").isNotNull()
         )
+        .groupBy("Year", "FSA")
+        .agg(F.count("*").alias("cnt"))
         .withColumn("max_year", F.max("Year").over(w))
         .filter(F.col("Year") == F.col("max_year"))
-        .groupBy("FSA")
-        .agg(F.count("*").alias("cnt"))
+        .select("FSA", "cnt")
         .orderBy("FSA")
     )
 

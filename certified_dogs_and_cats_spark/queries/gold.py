@@ -178,3 +178,120 @@ def quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(100.0) * high / F.count("*"), 2).alias("pct_high"),
         F.max("ts").alias("freshness_ts"),
     )
+
+
+# --- v_totals_by_year_type EXACT OUTPUT SHAPE (notebooks/gold.py:32-73):
+# the reference's flagship view emits totals x ranked top-10 breeds in ONE
+# 7-column relation. Re-keyed: Year -> order year, ANIMAL_TYPE ->
+# o_orderstatus, breed_standard -> o_orderpriority. The Spark side gets
+# total_count from a window over the breed-count aggregate (one scan, one
+# shuffle) where the reference scans twice and joins — same rows, better
+# plan. ----------------------------------------------------------------
+@query(
+    "totals_top_breeds_joined",
+    oracle="""
+    WITH breed_counts AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             o_orderstatus, o_orderpriority, count(*) AS breed_count
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    totals AS (
+      SELECT o_year, o_orderstatus, sum(breed_count) AS total_count
+      FROM breed_counts GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT o_year, o_orderstatus, o_orderpriority, breed_count,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderstatus, o_year
+               ORDER BY breed_count DESC, o_orderpriority ASC
+             ) AS INTEGER) AS popularity
+      FROM breed_counts
+    )
+    SELECT t.o_year, t.o_orderstatus,
+           CAST(t.total_count AS BIGINT) AS total_count,
+           r.popularity,
+           r.o_orderpriority AS top_breed,
+           r.breed_count,
+           round(100.0::DOUBLE * r.breed_count / t.total_count, 2)
+             AS top_breed_pct
+    FROM totals t JOIN ranked r
+      ON t.o_year = r.o_year AND t.o_orderstatus = r.o_orderstatus
+    WHERE r.popularity <= 10
+    """,
+)
+def totals_top_breeds_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    breed_counts = o.groupBy("o_year", "o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("breed_count")
+    )
+    wtot = Window.partitionBy("o_orderstatus", "o_year")
+    wrank = wtot.orderBy(
+        F.col("breed_count").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        breed_counts.select(
+            "o_year",
+            "o_orderstatus",
+            F.sum("breed_count").over(wtot).alias("total_count"),
+            F.row_number().over(wrank).alias("popularity"),
+            F.col("o_orderpriority").alias("top_breed"),
+            "breed_count",
+        )
+        .filter(F.col("popularity") <= 10)
+        .select(
+            "o_year",
+            "o_orderstatus",
+            "total_count",
+            "popularity",
+            "top_breed",
+            "breed_count",
+            F.round(
+                F.lit(100.0) * F.col("breed_count") / F.col("total_count"), 2
+            ).alias("top_breed_pct"),
+        )
+    )
+
+
+# --- S11 data side (pipeline/export.py:latest_year_fsa_counts, reference
+# README.md:84-86): latest-year per-FSA counts for one type — the exact
+# frame the choropleth renders. Re-keyed: FSA -> nation name (via customer),
+# ANIMAL_TYPE -> o_orderstatus, Year -> order year. Calls the REAL export
+# helper so the driver's oracle pins the production code path. ----------
+@query(
+    "fsa_choropleth_data",
+    oracle="""
+    WITH src AS (
+      SELECT n_name AS FSA, CAST(year(o_orderdate) AS INTEGER) AS Year
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F'
+    ),
+    agg AS (SELECT Year, FSA, count(*) AS cnt FROM src GROUP BY 1, 2)
+    SELECT FSA, CAST(cnt AS BIGINT) AS cnt
+    FROM agg WHERE Year = (SELECT max(Year) FROM agg)
+    ORDER BY FSA
+    """,
+)
+def fsa_choropleth_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.export import latest_year_fsa_counts
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", F.year("o_orderdate").alias("Year")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    src = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("FSA"),
+            F.col("o_orderstatus").alias("ANIMAL_TYPE"),
+            "Year",
+        )
+    )
+    return latest_year_fsa_counts(src, "F")

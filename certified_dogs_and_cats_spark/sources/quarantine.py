@@ -42,18 +42,25 @@ def read_csv_quarantine(
     on the corrupt column requires the parsed frame to be cached first —
     Spark refuses the referenced-only-corrupt-column query otherwise;
     the cache is also what makes good/bad one read instead of two.
+
+    The cached parse is registered with :mod:`cache`'s tracked registry:
+    long-lived sessions that ingest many drops call
+    ``cache.release_cached()`` after consuming good/bad to free each
+    parse, instead of accumulating cached relations for the session
+    lifetime.
     """
+    from ..cache import tracked_persist
+
     full = T.StructType(
         [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
-    parsed = (
+    parsed = tracked_persist(
         spark.read.schema(full)
         .option("header", header)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
         .withColumn("__src__", F.col("_metadata.file_path"))
-        .cache()
     )
     good = (
         parsed.filter(F.col(CORRUPT_COL).isNull())

@@ -360,3 +360,21 @@ def test_idempotent_new_rows_null_keys(spark):
     existing = spark.createDataFrame([(None, "x")], "k int, v string")
     got = [r.k for r in idempotent_new_rows(batch, existing, ["k"]).collect()]
     assert got == [1]  # the NULL-keyed row already exists: not re-appended
+
+
+def test_simhash64_text_raises_on_monster_doc(spark):
+    """The 16-bit SWAR lanes hold counts < 65536: a doc with more
+    distinct tokens must raise (with the doc id) instead of silently
+    overflowing into the adjacent bit-plane counter."""
+    import pytest
+
+    from certified_dogs_and_cats_spark.extensions.dedup import simhash64_text
+
+    ok = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "id BIGINT, text STRING"
+    )
+    assert simhash64_text(ok, "id", "text").count() == 2
+    monster = " ".join(str(i) for i in range(65536))
+    bad = spark.createDataFrame([(7, monster)], "id BIGINT, text STRING")
+    with pytest.raises(Exception, match="65536 distinct tokens.*id=7"):
+        simhash64_text(bad, "id", "text").collect()
