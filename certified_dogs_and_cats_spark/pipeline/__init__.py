@@ -15,15 +15,18 @@ from .catalog import Catalog, ChangeCursor, ConcurrentWriteConflict
 from .ddl import DdlError, DdlSession
 from .incremental import IncrementalAggregate
 from .runner import PipelineRunner, SkipRun, build_daily_pipeline
+from .schedule import CronSchedule, ScheduledJob
 
 __all__ = [
     "Catalog",
     "ChangeCursor",
     "ConcurrentWriteConflict",
+    "CronSchedule",
     "DdlError",
     "DdlSession",
     "IncrementalAggregate",
     "PipelineRunner",
+    "ScheduledJob",
     "SkipRun",
     "build_daily_pipeline",
 ]
