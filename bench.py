@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     # ratio stays near 1 because depth grows with log2(rows).
     "bfs_depth_histogram",
     "sssp_weighted_histogram",
+    # Round-5 additions: the reference flagship view's exact 7-column
+    # output (window-sum plan, 2 exchanges) and the choropleth data
+    # frame (broadcast dims, pre-aggregated latest-year window).
+    "totals_top_breeds_joined",
+    "fsa_choropleth_data",
 ]
 
 

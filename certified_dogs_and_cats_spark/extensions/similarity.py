@@ -218,6 +218,66 @@ def lsh_bucketed_topk(
     return _rank_topk(pairs, k, round_digits)
 
 
+def _lloyd_fit_local(rows, k: int, seed: int, max_iter: int):
+    """Driver-side kmeans++ seeding + Lloyd iterations over a BOUNDED
+    training sample (plain float lists). Deterministic given (rows, k,
+    seed). This is the FAISS-style trainer shape: centroid quality
+    saturates on a small sample, so when the sample fits the driver the
+    whole fit is a few ms of numpy instead of several distributed MLlib
+    jobs — the distributed fit only earns its overhead when the training
+    sample itself must stay distributed (see the callers' caps).
+    Assignment is chunked so memory stays at chunk*k, never n*k."""
+    import numpy as np
+
+    x = np.asarray(rows, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    k = min(k, n)
+    centers = np.empty((k, x.shape[1]))
+    centers[0] = x[int(rng.integers(n))]
+    d2 = ((x - centers[0]) ** 2).sum(1)
+    for i in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            centers[i] = x[int(rng.integers(n))]
+        else:
+            centers[i] = x[int(rng.choice(n, p=d2 / tot))]
+        d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(1))
+    assign = np.empty(n, dtype=np.int64)
+    for _ in range(max_iter):
+        for s in range(0, n, 8192):
+            blk = x[s : s + 8192]
+            d = ((blk[:, None, :] - centers[None, :, :]) ** 2).sum(2)
+            assign[s : s + 8192] = d.argmin(1)
+        new = centers.copy()
+        for i in range(k):
+            members = assign == i
+            if members.any():
+                new[i] = x[members].mean(0)
+            else:  # deterministic reseed of an emptied cluster
+                new[i] = x[int(rng.integers(n))]
+        if np.array_equal(new, centers):
+            break
+        centers = new
+    return [[float(v) for v in c] for c in centers]
+
+
+def _assign_nearest(vec_col: str, centers: list[list[float]]):
+    """centroid_id column: argmin of squared L2 against the centroid
+    literal — a pure map-side projection (the model IS the literal, no
+    join, no shuffle), first-min tie-break for determinism."""
+    cb = _pq_literal(centers)
+    dists = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def build_ivf_index(
     corpus: DataFrame,
     n_centroids: int,
@@ -227,6 +287,7 @@ def build_ivf_index(
     max_iter: int = 20,
     train_fraction: float = 1.0,
     init_mode: str = "k-means||",
+    local_train_cap: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Learned IVF index: KMeans centroids + per-vector inverted-list id.
 
@@ -240,20 +301,45 @@ def build_ivf_index(
     ``centroid_id`` becomes the shuffle/partition/bucketing key for all
     subsequent searches — the learned-quantizer upgrade of sign_bucket's
     data-independent hyperplanes.
+
+    Trainer routing: when the (sampled) training set has at most
+    ``local_train_cap`` rows it is collected and fit with the
+    driver-side seeded Lloyd (:func:`_lloyd_fit_local` — a 100k x 64
+    sample is ~50 MB and fits in ms, where the distributed fit pays
+    several whole-cluster jobs), and corpus assignment becomes a pure
+    map-side argmin projection against the centroid literal. Larger
+    samples keep the distributed MLlib fit.
     """
+    spark = corpus.sparkSession
+    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if train_fraction < 1.0:
+        sample = sample.sample(fraction=train_fraction, seed=seed)
+    probe = sample.limit(local_train_cap + 1).collect()
+    if len(probe) <= local_train_cap:
+        # Not truncated -> `probe` IS the full (deterministic) sample.
+        rows = [r["v"] for r in probe]
+        if not rows:
+            raise ValueError("empty corpus: nothing to train on")
+        centers = _lloyd_fit_local(rows, n_centroids, seed, max_iter)
+        centroids = spark.createDataFrame(
+            list(enumerate(centers)), "centroid_id INT, centroid ARRAY<DOUBLE>"
+        )
+        indexed = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _assign_nearest(vec_col, centers).alias("centroid_id"),
+        )
+        return indexed, centroids
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    if train_fraction < 1.0:
-        train = train.sample(fraction=train_fraction, seed=seed)
+    train = sample.select(array_to_vector(F.col("v")).alias("features"))
     # init_mode="random" halves the fit cost (k-means|| pays several
     # extra passes for seeding); with enough iterations the centroid
     # quality difference is marginal for list assignment.
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode
     ).fit(train)
-    spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "centroid_id INT, centroid ARRAY<DOUBLE>",
@@ -358,6 +444,7 @@ def train_pq_codebooks(
     max_iter: int = 10,
     train_fraction: float = 1.0,
     shared: bool = False,
+    local_train_cap: int = 100_000,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al., TPAMI'11): split the
     vector into ``m`` contiguous subspaces and train an independent
@@ -385,6 +472,12 @@ def train_pq_codebooks(
     right trade when m is large (fine subspaces are what buys recall on
     unstructured embeddings). Per-subspace (default) is the textbook PQ
     that adapts to anisotropic dimensions.
+
+    Trainer routing mirrors :func:`build_ivf_index`: a sample within
+    ``local_train_cap`` rows is collected ONCE and all m subspace fits
+    run driver-side (:func:`_lloyd_fit_local` over numpy slices — m
+    distributed fits collapse into ms of local work); larger samples
+    keep the distributed MLlib fits.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -399,6 +492,25 @@ def train_pq_codebooks(
     sample = corpus.select(F.col(vec_col))
     if train_fraction < 1.0:
         sample = sample.sample(fraction=train_fraction, seed=seed)
+    probe = (
+        sample.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(local_train_cap + 1)
+        .collect()
+    )
+    if len(probe) <= local_train_cap:
+        import numpy as np
+
+        x = np.asarray([r["v"] for r in probe], dtype=np.float64)
+        if shared:
+            stacked = x.reshape(-1, dsub)
+            book = _lloyd_fit_local(stacked, ksub, seed, max_iter)
+            return [book for _ in range(m)]
+        return [
+            _lloyd_fit_local(
+                x[:, j * dsub : (j + 1) * dsub], ksub, seed + j, max_iter
+            )
+            for j in range(m)
+        ]
     if shared:
         subs = sample.select(
             F.explode(

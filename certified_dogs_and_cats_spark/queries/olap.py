@@ -307,17 +307,13 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows <= the approx value must sit within (1/accuracy + 2/n) of 0.5
     (rank guarantee + discretization of a size-n group). The 5-row stats
     frame broadcasts back onto the scan, so the re-rank pass is
-    shuffle-light at any scale. The pruned 2-column projection is
-    persisted so the estimate pass and the self-check pass share one
-    materialization instead of two parquet scans (MEMORY_AND_DISK — the
-    cache spills rather than OOMs at large SF, and it is exactly the
-    projection both passes need). Oracle reproduces the exact continuous
-    median and a literal TRUE."""
-    from ..cache import tracked_persist
-
-    o = tracked_persist(
-        t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    )
+    shuffle-light at any scale. The self-check deliberately RE-SCANS the
+    pruned 2-column projection rather than persisting it: at warehouse
+    scale a second column-pruned parquet scan is cheaper than
+    materializing the whole projection into cache (measured locally too:
+    persist+read costs more than the re-scan at every sf). Oracle
+    reproduces the exact continuous median and a literal TRUE."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
     stats = o.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_raw"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)")

@@ -126,8 +126,15 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import build_ivf_index, ivf_topk
 
     v = _vectors(spark, sf_dir)
+    # List count matched to the corpus's ~10 natural clusters (the
+    # labeled testdata): 16 lists OVERSPLIT them, leaving a query's true
+    # neighbors scattered across sub-lists and making recall a seed
+    # lottery (measured 0.36-0.68 across seeds); 8 lists with nprobe=4
+    # holds recall >= 0.64 for every seed tried at both sf steps. The
+    # general sizing rule at scale is lists ~ sqrt(N) BUT never finer
+    # than the corpus's cluster structure when nprobe must stay small.
     indexed, centroids = build_ivf_index(
-        v, n_centroids=16, max_iter=8, train_fraction=0.25,
+        v, n_centroids=8, max_iter=8, train_fraction=0.25,
         init_mode="random",
     )
     # The assigned corpus feeds four branches (query subset, IVF search,
