@@ -16,6 +16,8 @@ the subset that behaves identically under Java regex (Spark) and RE2
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -79,6 +81,67 @@ def url_parts(df: DataFrame, url_col: str) -> DataFrame:
             "path": F.regexp_extract(u, URL_PATH_RE, 1),
             "query": F.regexp_extract(u, URL_QUERY_RE, 1),
         }
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "canonical_url",
+    tracking_prefixes: tuple[str, ...] = ("utm_", "fbclid", "gclid"),
+) -> DataFrame:
+    """Append the canonical form of ``url_col`` — the dedup key a crawl
+    pipeline groups on before fetching/storing, where raw URLs differ
+    only in noise:
+
+    - scheme and host lowercased; default ports (:80 http, :443 https)
+      stripped;
+    - fragment dropped (regexes below never cross ``#``);
+    - tracking parameters removed (any param whose name starts with a
+      ``tracking_prefixes`` entry), remaining params SORTED so parameter
+      order never splits a group;
+    - trailing slashes stripped from the path ('' = root).
+
+    Pure narrow projection (regex + array ops, no shuffle) with
+    regexp/array semantics chosen to replay identically in ANSI-SQL
+    oracles.
+    """
+    u = F.col(url_col)
+    # Scheme matching must be case-insensitive here (the whole point is
+    # that raw URLs arrive in mixed case); the shared URL_*_RE constants
+    # stay case-sensitive for the already-normalized parsing paths.
+    ci_scheme = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+    ci_host = r"^(?i:[a-z][a-z0-9+.-]*)://([^/?#]+)"
+    ci_path = r"^(?i:[a-z][a-z0-9+.-]*)://[^/?#]+(/[^?#]*)"
+    scheme = F.lower(F.regexp_extract(u, ci_scheme, 1))
+    hostport = F.lower(F.regexp_extract(u, ci_host, 1))
+    host = (
+        F.when(
+            scheme == "https", F.regexp_replace(hostport, ":443$", "")
+        )
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(F.regexp_extract(u, ci_path, 1), "/+$", "")
+    rawq = F.regexp_extract(u, URL_QUERY_RE, 1)
+    keep = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "")
+        & ~reduce(
+            lambda a, b: a | b,
+            [p.startswith(pre) for pre in tracking_prefixes],
+        ),
+    )
+    qs = F.array_join(F.array_sort(keep), "&")
+    return df.withColumn(
+        out_col,
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ),
     )
 
 

@@ -512,3 +512,165 @@ def bloom_skipping_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(got.collect(), got.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "incremental_mv_end_to_end",
+    oracle="""
+    WITH final_src(grp, amt) AS (
+      VALUES ('a', 2.5), ('a', 4.0), ('c', 7.5), ('c', 0.5), ('d', 9.0)
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(amt), 2) AS total
+    FROM final_src GROUP BY grp
+    """,
+)
+def incremental_mv_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance under the driver's
+    oracle: the MV (count/sum per group) is maintained purely by CDC
+    delta application (pipeline/incremental.py) across two appends, an
+    idle refresh, and a whole-table overwrite (delete+insert deltas) —
+    never by re-aggregating the source. The oracle aggregates the FINAL
+    source state directly, so any error in the +/- delta algebra (or in
+    the exactly-once watermark) leaves the MV diverged and fails the
+    hash. Applied-row counts are asserted per refresh; amounts are 0.5
+    multiples so incremental float addition is exact."""
+    from pyspark.sql import types as T
+
+    from ..pipeline import Catalog, IncrementalAggregate
+
+    root = tempfile.mkdtemp(prefix="cdc_incr_mv_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        schema = T.StructType(
+            [
+                T.StructField("grp", T.StringType(), False),
+                T.StructField("amt", T.DoubleType(), True),
+            ]
+        )
+        catalog.register("core.src", schema)
+        view = IncrementalAggregate(
+            catalog, "core.src", "core.agg", ("grp",), "amt"
+        )
+
+        def _append(rows):
+            catalog.append("core.src", spark.createDataFrame(rows, schema))
+
+        _append([("a", 1.0), ("a", 2.0), ("b", 5.0)])
+        if view.refresh() != 3:
+            raise RuntimeError("refresh 1 must apply the 3 seeded rows")
+        if view.refresh() != 0:
+            raise RuntimeError("idle refresh must apply nothing")
+        _append([("b", 1.5), ("c", 7.5)])
+        if view.refresh() != 2:
+            raise RuntimeError("refresh 2 must apply the 2 appended rows")
+        # Overwrite: b disappears, a shrinks, d appears — the feed emits
+        # delete+insert deltas and the MV must subtract/drop/insert.
+        catalog.overwrite(
+            "core.src",
+            spark.createDataFrame(
+                [("a", 2.5), ("a", 4.0), ("c", 7.5), ("c", 0.5), ("d", 9.0)],
+                schema,
+            ),
+        )
+        if view.refresh() <= 0:
+            raise RuntimeError("overwrite must surface as change rows")
+        out = (
+            catalog.table("core.agg")
+            .select(
+                "grp",
+                F.col("cnt").cast("bigint").alias("cnt"),
+                F.round("total", 2).alias("total"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "cdf_time_travel_end_to_end",
+    oracle="""
+    WITH expected(_change_type, _commit_version, n, val_sum) AS (
+      VALUES ('insert', 1, 3, 60.0),   -- seed append
+             ('insert', 2, 2, 70.0),   -- second append
+             ('delete', 3, 4, 90.0),   -- DELETE WHERE val < 40
+             ('v1_snapshot', 1, 3, 60.0),
+             ('v2_snapshot', 2, 5, 130.0),
+             ('current', 3, 1, 40.0)
+    )
+    SELECT _change_type, CAST(_commit_version AS INTEGER) AS _commit_version,
+           CAST(n AS BIGINT) AS n, val_sum
+    FROM expected
+    """,
+)
+def cdf_time_travel_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed + time travel under the driver's oracle: three
+    commits (append, append, keyed DELETE), then (a) the full change feed
+    from v0 aggregated per (_change_type, _commit_version) and (b) a
+    snapshot read AT EACH VERSION — every row the oracle pins is an
+    independent replay of what the commit log must contain. A wrong
+    delete attribution, a feed that re-emits old files, or a version read
+    that sees the wrong snapshot each lands on a different oracle row."""
+    from pyspark.sql import types as T
+
+    from ..pipeline import Catalog
+
+    root = tempfile.mkdtemp(prefix="cdc_cdf_tt_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        schema = T.StructType(
+            [
+                T.StructField("k", T.IntegerType(), False),
+                T.StructField("val", T.DoubleType(), True),
+            ]
+        )
+        catalog.register("core.t", schema)
+        catalog.append(
+            "core.t",
+            spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], schema),
+        )
+        catalog.append(
+            "core.t", spark.createDataFrame([(4, 30.0), (5, 40.0)], schema)
+        )
+        catalog.delete_where("core.t", "val < 40")
+
+        feed = (
+            catalog.changes("core.t", from_version=0)
+            .groupBy("_change_type", "_commit_version")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("val"), 2).alias("val_sum"),
+            )
+        )
+        snaps = []
+        for label, ver in (("v1_snapshot", 1), ("v2_snapshot", 2), ("current", None)):
+            snap = catalog.table("core.t", version=ver)
+            agg = snap.agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("val"), 2).alias("val_sum"),
+            ).select(
+                F.lit(label).alias("_change_type"),
+                F.lit(ver if ver is not None else 3).alias("_commit_version"),
+                "n",
+                "val_sum",
+            )
+            snaps.append(agg)
+        out = feed.select(
+            "_change_type",
+            F.col("_commit_version").cast("int").alias("_commit_version"),
+            F.col("n").cast("bigint").alias("n"),
+            "val_sum",
+        )
+        for s in snaps:
+            out = out.unionByName(
+                s.select(
+                    "_change_type",
+                    F.col("_commit_version").cast("int").alias("_commit_version"),
+                    F.col("n").cast("bigint").alias("n"),
+                    "val_sum",
+                )
+            )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -191,3 +191,49 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
     )
+
+
+_MESSY_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+    " 'H', doc_id % 7, '.Example.COM',"
+    " CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,"
+    " '/', source, '/p', doc_id % 13,"
+    " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,"
+    " '?utm_source=u', doc_id % 5, '&q=', lang,"
+    " '#s', doc_id % 4)"
+)
+
+
+@query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH fx AS (
+      SELECT doc_id,
+             'https://h' || doc_id % 7 || '.example.com/' || source ||
+             '/p' || doc_id % 13 || '?q=' || lang AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM fx GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization -> exact dedup, the crawl-frontier collapse
+    step: the fixture URLs vary in scheme/host CASE, default :443 port,
+    trailing slash, utm_* tracking params, and fragment — all noise the
+    canonicalizer must strip. The ORACLE derives each canonical form in
+    CLOSED FORM from the fixture's generative parts (never running the
+    canonicalizer), so the operator must REDISCOVER the clean key from
+    the messy string: any mishandled case/port/param/fragment splits a
+    group and fails rows+hash. Narrow projection + one hash aggregate."""
+    from ..extensions.scrub import canonicalize_urls
+
+    docs = t(spark, sf_dir, "documents")
+    fx = docs.select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url"))
+    canon = canonicalize_urls(fx, "url")
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )

@@ -278,3 +278,31 @@ def test_mixture_sample_rate_scales_with_buckets(spark):
     kept = mixture_sample(df, "doc_id", F.lit(300), n_buckets=100).count()
     # ~30% regardless of bucket resolution (md5 is uniform).
     assert 0.2 * 2000 < kept < 0.4 * 2000
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    from certified_dogs_and_cats_spark.extensions.scrub import (
+        canonicalize_urls,
+    )
+
+    urls = [
+        (1, "HTTP://Host.COM:80/a/"),                 # default port + case
+        (2, "http://host.com:8080/a"),                # non-default port kept
+        (3, "https://h.com/x?b=2&a=1#frag"),          # param sort + fragment
+        (4, "https://h.com/x?utm_source=s&gclid=g&a=1"),  # tracking strip
+        (5, "https://h.com/x?utm_source=z&a=1&b=2"),  # collapses with 3
+        (6, "https://h.com"),                         # no path, no query
+        (7, "https://h.com/x?utm_source=only"),       # all params stripped
+    ]
+    df = spark.createDataFrame(urls, "id BIGINT, url STRING")
+    got = {
+        r.id: r.canonical_url
+        for r in canonicalize_urls(df, "url").collect()
+    }
+    assert got[1] == "http://host.com/a"
+    assert got[2] == "http://host.com:8080/a"
+    assert got[3] == "https://h.com/x?a=1&b=2"
+    assert got[4] == "https://h.com/x?a=1"
+    assert got[5] == got[3]
+    assert got[6] == "https://h.com"
+    assert got[7] == "https://h.com/x"
