@@ -1805,3 +1805,72 @@ def bfs_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+@query(
+    "group_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, m.med,
+             abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, max(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.o_orderpriority,
+           round(a.med, 4) AS med,
+           round(a.mad, 4) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, a.med, a.mad
+    """,
+)
+def group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group via MEDIAN ABSOLUTE DEVIATION —
+    the profiling metric stddev-based z-scores can't provide (one wild
+    value inflates stddev and hides itself; the median pair is immune).
+    Exact interpolated medians both levels, so DuckDB's quantile_cont
+    replays bit-for-bit after round(4). Plan: two aggregate passes with
+    the 5-row stats frames BROADCAST back onto the scan — at 100 TB the
+    fact table is scanned twice and shuffled never (both joins are
+    broadcasts, both aggregates partial+final on the group key)."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    return (
+        dev.select("o_orderpriority", "adev")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "o_orderpriority",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )

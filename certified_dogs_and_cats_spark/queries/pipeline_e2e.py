@@ -674,3 +674,87 @@ def cdf_time_travel_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "bucketed_join_zero_shuffle",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (sources/bucketed.py): both tables are
+    written bucketed on the join key, so the join itself runs with NO
+    exchange — the pay-the-shuffle-once-at-ingest pattern for fact
+    tables repeatedly joined on a stable key. The query ASSERTS the plan
+    shape it claims: exactly one Exchange may appear (the post-join
+    aggregate's, which groups on a non-bucket column); a second exchange
+    means bucketing metadata did not reach the planner and the query
+    fails rather than silently measuring a shuffled join. Oracle is the
+    plain join+aggregate."""
+    import uuid
+
+    from ..sources.bucketed import read_table, write_bucketed
+
+    db = f"bkt_{uuid.uuid4().hex[:10]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    # Broadcast would win at test scale and ignore buckets entirely — the
+    # pattern under test is the BIG-big join where broadcast is off the
+    # table, so pin that regime and restore the thresholds after.
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        o = t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        )
+        c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        write_bucketed(o, f"{db}.orders_b", ["o_custkey"], 8, ["o_custkey"])
+        write_bucketed(
+            c, f"{db}.customer_b", ["c_custkey"], 8, ["c_custkey"]
+        )
+        ob = read_table(spark, f"{db}.orders_b")
+        cb = read_table(spark, f"{db}.customer_b")
+        joined = ob.join(cb, ob["o_custkey"] == cb["c_custkey"])
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        rows = out.collect()
+        plan = (
+            out._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        if "SortMergeJoin" not in plan or "Bucketed: true" not in plan:
+            raise RuntimeError(
+                "bucketed join did not plan as a bucketed sort-merge join"
+            )
+        if n_shuffles > 1:
+            raise RuntimeError(
+                f"bucketed join shuffled: {n_shuffles} shuffle exchanges in"
+                " the final plan (expected <= 1, the post-join aggregate's)"
+            )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

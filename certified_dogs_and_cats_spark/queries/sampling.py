@@ -161,3 +161,67 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "token_budget_sample",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source
+                              ORDER BY hkey, doc_id) AS running,
+             sum(n_tok) OVER (PARTITION BY source) AS src_total
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+           CAST(max(src_total) AS BIGINT) AS tokens_available
+    FROM cum
+    WHERE running <= CAST(src_total * 0.5 AS BIGINT)
+    GROUP BY source
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET mixture sampling — the other half of corpus mixing
+    (mixture_sample reweights by RATE; training runs are provisioned by
+    TOKENS): each source keeps documents, in deterministic md5-of-id
+    order, until 50% of its token mass is spent. The hash order makes the
+    selection a pure function of the ids — re-runs and backfills keep
+    exactly the same docs — and the greedy prefix is replayed in SQL as a
+    running-sum window. One shuffle on source; at 100 TB the window
+    partitions by source, so budget accounting never concentrates beyond
+    a source's own rows (salt the running sum per shard and pre-aggregate
+    if a single source dominates the corpus)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    wall = Window.partitionBy("source")
+    cum = toks.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w).alias("running"),
+        F.sum("n_tok").over(wall).alias("src_total"),
+    )
+    kept = cum.filter(
+        F.col("running")
+        <= (F.col("src_total") * F.lit(0.5)).cast("bigint")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+        F.max("src_total").cast("bigint").alias("tokens_available"),
+    )
