@@ -1874,3 +1874,48 @@ def group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "trailing_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+      SELECT d.day, du.user_id
+      FROM days d JOIN du
+        ON du.day <= d.day AND du.day >= d.day - INTERVAL 6 DAY
+    )
+    SELECT day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib GROUP BY day
+    """,
+)
+def trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day (WAU) — the sliding-window
+    COUNT DISTINCT that plain window frames cannot express (distinct is
+    not decomposable over frames). Spark shape: dedup to (day, user)
+    pairs first (the only big aggregate), then EXPLODE each pair onto
+    the <= 7 target days it contributes to and count-distinct per day —
+    fan-out is a fixed x7 on the already-deduped daily actives, never on
+    raw events, so at 100 TB the explode input is |days x users|, orders
+    of magnitude below the event count. The oracle replays the window
+    as a range self-join."""
+    e = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    du = e.distinct()
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )

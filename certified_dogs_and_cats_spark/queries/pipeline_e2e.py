@@ -758,3 +758,55 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+@query(
+    "schema_merge_scan_end_to_end",
+    oracle="""
+    WITH old_files(k, v) AS (VALUES (1, 10.0), (2, 20.0), (3, 30.0)),
+         new_files(k, v, quality) AS (
+           VALUES (4, 40.0, 'hi'), (5, 50.0, 'lo'), (6, 60.0, 'hi')
+         ),
+         unioned AS (
+           SELECT k, v, NULL AS quality FROM old_files
+           UNION ALL SELECT k, v, quality FROM new_files
+         )
+    SELECT coalesce(quality, '<pre-evolution>') AS quality,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(v), 2) AS v_sum
+    FROM unioned GROUP BY 1
+    """,
+)
+def schema_merge_scan_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON READ: files written before a column existed
+    and files written after it scan as ONE relation via mergeSchema,
+    with the missing column NULL for pre-evolution files — the
+    add-a-column-without-rewriting-history behavior every long-lived
+    corpus needs (reference tables evolve the same way via ADD COLUMN;
+    this pins the raw-parquet read path). The oracle replays the union
+    algebra; a reader that drops old files, fails on the width mismatch,
+    or misaligns columns by position lands on wrong rows."""
+    root = tempfile.mkdtemp(prefix="cdc_schema_merge_")
+    try:
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k INT, v DOUBLE"
+        ).coalesce(1).write.mode("append").parquet(root)
+        spark.createDataFrame(
+            [(4, 40.0, "hi"), (5, 50.0, "lo"), (6, 60.0, "hi")],
+            "k INT, v DOUBLE, quality STRING",
+        ).coalesce(1).write.mode("append").parquet(root)
+        merged = spark.read.option("mergeSchema", "true").parquet(root)
+        out = (
+            merged.groupBy(
+                F.coalesce(F.col("quality"), F.lit("<pre-evolution>")).alias(
+                    "quality"
+                )
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("v"), 2).alias("v_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
