@@ -585,3 +585,106 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_nanos_conf(spark, run, sf_dir)
+
+
+@query(
+    "streaming_late_drop",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    bounds AS (
+      SELECT max(ts) - INTERVAL 2 DAY AS wm,
+             max(ts) - INTERVAL 23 DAY AS strag_cut
+      FROM e
+    ),
+    ontime AS (
+      SELECT ts, event_type FROM e, bounds
+      WHERE NOT (event_id % 11 = 0 AND ts < bounds.strag_cut)
+    )
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ontime, bounds
+    WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY <= bounds.wm
+    GROUP BY 1, 2
+    """,
+)
+def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark behavior none of the single-batch drains can show:
+    LATE DATA IS DROPPED. Events are split into four files replayed as
+    four ordered micro-batches (maxFilesPerTrigger=1, modification times
+    pinned ascending): three on-time tranches in event-time order, then a
+    straggler file whose rows are all >23 days older than the stream's
+    maximum event time — old enough that EVERY prefix of the replay has
+    already closed their windows, so the result does not depend on how
+    the runtime lags watermark updates across micro-batches. With a 2-day watermark in APPEND mode, every
+    straggler arrives after its day-window's state was finalized and is
+    discarded, and only windows the final watermark closed are emitted.
+    The oracle replays BOTH rules in closed form — counts exclude the
+    straggler subset, windows cut at max(ts) - 2 days — so a stream that
+    leaks late rows into finalized windows, or emits unclosed windows,
+    fails rows+hash."""
+    import glob as _glob
+    from datetime import timedelta
+
+    from ..sources.testdata import load_table
+
+    configure_for_queries(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    mx = e.agg(F.max("ts")).first()[0]
+    strag_cut = mx - timedelta(days=23)
+    t1 = mx - timedelta(days=20)
+    t2 = mx - timedelta(days=10)
+    strag = (F.col("event_id") % 11 == 0) & (F.col("ts") < F.lit(strag_cut))
+    tranches = [
+        ~strag & (F.col("ts") < F.lit(t1)),
+        ~strag & (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)),
+        ~strag & (F.col("ts") >= F.lit(t2)),
+        strag,
+    ]
+    src = tempfile.mkdtemp(prefix="cdc_late_src_")
+    try:
+        base_t = 1_700_000_000
+        for i, cond in enumerate(tranches):
+            part_dir = os.path.join(src, f"_stage{i}")
+            e.filter(cond).coalesce(1).write.parquet(part_dir)
+            part = _glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"f{i}.parquet")
+            os.replace(part, dst)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            # The file source orders new files by modification time: pin
+            # an ascending sequence so the replay order is the design,
+            # not filesystem luck.
+            os.utime(dst, (base_t + i, base_t + i))
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        )
+        stream = read_file_stream(
+            spark,
+            src,
+            schema,
+            fmt="parquet",
+            max_files_per_trigger=1,
+            path_glob="f*.parquet",
+        )
+        agg = (
+            stream.withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        res = _drain(agg, "ck_late_", "append")
+        out = res.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
