@@ -810,3 +810,122 @@ def schema_merge_scan_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "replace_where_rename_end_to_end",
+    oracle="""
+    WITH final_rows(region_name, amt) AS (
+      VALUES ('jan', 10.0), ('jan', 11.0), ('feb', 3.0), ('mar', 4.0)
+    )
+    SELECT region_name,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(amt), 2) AS amt_sum,
+           CAST((SELECT count(*) FROM final_rows) AS BIGINT) AS n_total
+    FROM final_rows GROUP BY region_name
+    """,
+)
+def replace_where_rename_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic row-range replacement (Delta replaceWhere parity) plus
+    metadata-only column RENAME, chained: seed three months, swap exactly
+    the 'jan' range for new rows in one commit (the query asserts the
+    replaced-row count), then rename the partition-ish column WITHOUT
+    rewriting a single data file — the post-rename read must still
+    resolve the old files' physical column. A replace that leaks rows
+    outside its predicate, or a rename that breaks old-file reads, lands
+    off the VALUES oracle."""
+    from pyspark.sql import types as T
+
+    from ..pipeline import Catalog
+
+    root = tempfile.mkdtemp(prefix="cdc_rw_ren_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        schema = T.StructType(
+            [
+                T.StructField("month", T.StringType()),
+                T.StructField("amt", T.DoubleType()),
+            ]
+        )
+        catalog.register("core.m", schema)
+        catalog.append(
+            "core.m",
+            spark.createDataFrame(
+                [("jan", 1.0), ("jan", 2.0), ("feb", 3.0), ("mar", 4.0)],
+                schema,
+            ),
+        )
+        n = catalog.replace_where(
+            "core.m",
+            "month = 'jan'",
+            spark.createDataFrame([("jan", 10.0), ("jan", 11.0)], schema),
+        )
+        if n != 2:
+            raise RuntimeError(f"replace_where must replace 2 rows, got {n}")
+        catalog.rename_column("core.m", "month", "region_name")
+        out = (
+            catalog.table("core.m")
+            .groupBy("region_name")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("amt"), 2).alias("amt_sum"),
+            )
+            .withColumn(
+                "n_total",
+                F.lit(4).cast("bigint"),
+            )
+        )
+        rows = out.collect()
+        got_total = sum(r["n"] for r in rows)
+        if got_total != 4:
+            raise RuntimeError(
+                f"post-rename read returned {got_total} rows, expected 4"
+            )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "check_constraint_end_to_end",
+    oracle="""
+    WITH kept(k, amt) AS (VALUES (1, 5.0), (2, 0.0), (3, 9.5))
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(amt), 2) AS amt_sum,
+           CAST(1 AS BIGINT) AS n_rejected_batches
+    FROM kept
+    """,
+)
+def check_constraint_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint write enforcement through the SQL front door:
+    ADD CONSTRAINT, a conforming insert lands, a violating insert is
+    REJECTED ATOMICALLY (no partial rows), and a post-rejection
+    conforming insert still lands — the table never holds a row the
+    constraint forbids. The oracle pins the surviving rows plus the
+    rejected-batch count the query itself tallies."""
+    from ..pipeline import Catalog, DdlSession
+
+    root = tempfile.mkdtemp(prefix="cdc_check_e2e_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        ddl = DdlSession(catalog)
+        ddl.execute("USE SCHEMA core")
+        ddl.execute("CREATE TABLE cchk (k INT, amt DOUBLE)")
+        ddl.execute("ALTER TABLE cchk ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+        ddl.execute("INSERT INTO cchk VALUES (1, 5.0), (2, 0.0)")
+        rejected = 0
+        try:
+            ddl.execute("INSERT INTO cchk VALUES (7, 7.0), (8, -1.0)")
+        except Exception:  # noqa: BLE001 — the rejection IS the behavior
+            rejected += 1
+        ddl.execute("INSERT INTO cchk VALUES (3, 9.5)")
+        out = ddl.execute("SELECT * FROM cchk")[-1].agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("amt"), 2).alias("amt_sum"),
+        ).withColumn("n_rejected_batches", F.lit(rejected).cast("bigint"))
+        rows = out.collect()
+        if rejected != 1:
+            raise RuntimeError("violating insert must be rejected")
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
