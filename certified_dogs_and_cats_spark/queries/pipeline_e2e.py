@@ -702,7 +702,11 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.bucketed import read_table, write_bucketed
 
     db = f"bkt_{uuid.uuid4().hex[:10]}"
-    spark.sql(f"CREATE DATABASE {db}")
+    # Pin the database location: the hosting session's default warehouse
+    # dir may not be writable (driver-owned sessions), and the bucketed
+    # write must go through saveAsTable for bucket metadata.
+    db_loc = tempfile.mkdtemp(prefix="cdc_bkt_wh_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{db_loc}'")
     # Broadcast would win at test scale and ignore buckets entirely — the
     # pattern under test is the BIG-big join where broadcast is off the
     # table, so pin that regime and restore the thresholds after.
@@ -758,6 +762,7 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(db_loc, ignore_errors=True)
 
 
 @query(
