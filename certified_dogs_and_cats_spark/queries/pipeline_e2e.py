@@ -934,3 +934,154 @@ def check_constraint_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "restore_copy_into_end_to_end",
+    oracle="""
+    WITH final_rows(k, v) AS (
+      VALUES (1, 1.5), (2, 2.5), (3, 3.5), (4, 10.0), (5, 20.0)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           round(sum(v), 2) AS v_sum,
+           CAST(2 AS BIGINT) AS files_loaded,
+           CAST(5 AS BIGINT) AS rows_inserted,
+           CAST(0 AS BIGINT) AS rerun_loaded
+    FROM final_rows
+    """,
+)
+def restore_copy_into_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO exactly-once + RESTORE TABLE in one lifecycle: two
+    file-level incremental loads (a re-run in between must load
+    nothing), then a destructive UPDATE, then RESTORE back to the
+    pre-update version — history stays append-only (the pre-restore
+    state remains readable at its version, asserted in-query) and the
+    restored table must byte-match the loaded rows. The oracle pins the
+    final rows plus the exactly-once load counters."""
+    from ..pipeline import Catalog, DdlSession
+
+    root = tempfile.mkdtemp(prefix="cdc_restore_ci_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        ddl = DdlSession(catalog)
+        ddl.execute("USE SCHEMA core")
+        ddl.execute("CREATE TABLE ci (k INT, v DOUBLE)")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        with open(os.path.join(drop, "a.csv"), "w") as f:
+            f.write("k,v\n1,1.5\n2,2.5\n3,3.5\n")
+        out1 = ddl.execute(
+            f"COPY INTO ci FROM '{drop}' FILEFORMAT = CSV"
+            " FORMAT_OPTIONS ('header' = 'true')"
+        )[0].collect()[0]
+        rerun = ddl.execute(f"COPY INTO ci FROM '{drop}'")[0].collect()[0]
+        with open(os.path.join(drop, "b.csv"), "w") as f:
+            f.write("k,v\n4,10.0\n5,20.0\n")
+        out2 = ddl.execute(f"COPY INTO ci FROM '{drop}'")[0].collect()[0]
+        files_loaded = out1.num_files_loaded + out2.num_files_loaded
+        rows_inserted = out1.num_rows_inserted + out2.num_rows_inserted
+        v_good = catalog.current_version("core.ci")
+        ddl.execute("UPDATE ci SET k = k * 100")
+        v_bad = catalog.current_version("core.ci")
+        ddl.execute(f"RESTORE TABLE ci TO VERSION AS OF {v_good}")
+        # Append-only history: the clobbered state is still readable.
+        bad_sum = (
+            catalog.table("core.ci", version=v_bad)
+            .agg(F.sum("k"))
+            .first()[0]
+        )
+        if bad_sum != (1 + 2 + 3 + 4 + 5) * 100:
+            raise RuntimeError("pre-restore version must remain readable")
+        out = catalog.table("core.ci").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.round(F.sum("v"), 2).alias("v_sum"),
+        ).select(
+            "n_rows",
+            "k_sum",
+            "v_sum",
+            F.lit(int(files_loaded)).cast("bigint").alias("files_loaded"),
+            F.lit(int(rows_inserted)).cast("bigint").alias("rows_inserted"),
+            F.lit(int(rerun.num_files_loaded)).cast("bigint").alias(
+                "rerun_loaded"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "mv_rewrite_end_to_end",
+    oracle="""
+    WITH src(grp, amt) AS (
+      VALUES ('a', 1.0), ('a', 2.0), ('b', 5.0), ('c', 7.0)
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS cnt, round(sum(amt), 2) AS total,
+           'rewrite:fresh,fallthrough:stale,rewrite:refreshed' AS phases
+    FROM src GROUP BY grp
+    """,
+)
+def mv_rewrite_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view QUERY REWRITE with its freshness gate, phase by
+    phase: a matching SELECT is served from the MV's backing table only
+    while the MV reflects every committed source version (plan asserted
+    aggregation-free); after a source insert the SAME query falls
+    through to the real aggregation (plan asserted to aggregate, new row
+    visible); REFRESH restores the rewrite. The returned relation is the
+    query's answer in the final state plus the phase transcript the run
+    actually observed — a rewrite that serves stale data returns the
+    wrong counts, a gate that never fires returns the wrong transcript."""
+    from ..pipeline import Catalog, DdlSession
+
+    root = tempfile.mkdtemp(prefix="cdc_mv_rw_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        ddl = DdlSession(catalog)
+        ddl.execute("USE SCHEMA core")
+        ddl.execute(
+            "CREATE TABLE rw_src (grp STRING, amt DOUBLE);"
+            "INSERT INTO rw_src VALUES ('a', 1.0), ('a', 2.0), ('b', 5.0);"
+            "CREATE MATERIALIZED VIEW rw_mv AS "
+            "SELECT grp, COUNT(*) AS cnt, SUM(amt) AS total "
+            "FROM rw_src GROUP BY grp"
+        )
+        q = (
+            "SELECT grp, COUNT(*) AS cnt, SUM(amt) AS total "
+            "FROM rw_src GROUP BY grp"
+        )
+
+        def served_from_mv() -> bool:
+            plan = (
+                ddl.execute(q)[-1]
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            return "HashAggregate" not in plan
+
+        phases = []
+        phases.append("rewrite" if served_from_mv() else "aggregated")
+        phases.append("fresh")
+        ddl.execute("INSERT INTO rw_src VALUES ('c', 7.0)")
+        phases.append(
+            "fallthrough" if not served_from_mv() else "stale-served"
+        )
+        phases.append("stale")
+        ddl.execute("REFRESH MATERIALIZED VIEW rw_mv")
+        phases.append("rewrite" if served_from_mv() else "aggregated")
+        phases.append("refreshed")
+        transcript = (
+            f"{phases[0]}:{phases[1]},{phases[2]}:{phases[3]},"
+            f"{phases[4]}:{phases[5]}"
+        )
+        out = ddl.execute(q)[-1].select(
+            "grp",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round("total", 2).alias("total"),
+            F.lit(transcript).alias("phases"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
