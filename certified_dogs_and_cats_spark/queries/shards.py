@@ -69,3 +69,62 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+WDS_SHARDS = 4
+
+# export_webdataset assigns md5(id) over the FIRST 15 hex chars (60 bits);
+# mirror exactly (shards.py's parquet exporter uses 8 — keep them distinct).
+_WDS_SHARD = (
+    f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {WDS_SHARDS})"
+)
+
+
+@query(
+    "webdataset_export_manifest",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST({_WDS_SHARD} AS INTEGER) AS shard, doc_id
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(2 * count(*) AS BIGINT) AS n_members,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM s GROUP BY 1
+    """,
+)
+def webdataset_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard sink (extensions.webdataset.export_webdataset)
+    under the oracle gate: pack documents into (payload, media), write
+    shard-NNNNN.tar files with deterministic member bytes, then build the
+    result from the READ-BACK manifest — per-shard sample counts, member
+    counts (payload + .json pairing attested by reopening every tar), and
+    id ranges. The oracle replays the md5 shard assignment in DuckDB, so
+    a green row proves the assignment math AND that the tars carry
+    exactly the source corpus."""
+    import glob as _glob
+    import os as _os
+    import tarfile as _tarfile
+
+    from ..extensions.multimodal import pack_payload
+    from ..extensions.webdataset import export_webdataset
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = tempfile.mkdtemp(prefix="wds_export_")
+    try:
+        export_webdataset(pack_payload(docs), out_dir, n_shards=WDS_SHARDS)
+        rows = []
+        for tar_path in sorted(_glob.glob(_os.path.join(out_dir, "shard-*.tar"))):
+            shard = int(_os.path.basename(tar_path)[6:-4])
+            with _tarfile.open(tar_path) as tf:
+                names = tf.getnames()
+            ids = {int(_os.path.splitext(n)[0]) for n in names}
+            rows.append((shard, len(ids), len(names), min(ids), max(ids)))
+        return spark.createDataFrame(
+            rows, "shard INT, n_samples BIGINT, n_members BIGINT, min_id BIGINT, max_id BIGINT"
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -351,3 +351,40 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_topk(codes, books, q, k=K)
     exact = cosine_topk(v, q, k=K)
     return _recall_summary(exact, approx, K, PQ_RECALL_BOUND)
+
+
+@query(
+    "embedding_pool_max",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id % 25 AS grp,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    ),
+    m AS (SELECT grp, pos, max(v) AS pv FROM x GROUP BY 1, 2)
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(count(*) AS INTEGER) AS dim,
+           list(pv ORDER BY pos) AS pooled
+    FROM m GROUP BY 1
+    """,
+)
+def embedding_pool_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise MAX pooling of many vectors per group — the
+    chunk-embeddings -> document-embedding fold (extensions.similarity.
+    pool_embeddings). Max mode is the cross-engine-exact variant to pin
+    under the oracle: the pooled value is ONE of the inputs bit-for-bit,
+    so no summation-order concern exists (the mean path is pytest-pinned
+    with tolerance instead). Plan: one posexplode, one (grp, dim) hash
+    aggregate with map-side partials, one collect back to an ordered
+    array — per-dimension rows keep every aggregation buffer bounded no
+    matter how many vectors one group holds."""
+    from ..extensions.similarity import pool_embeddings
+
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "grp", (F.col("vec_id") % 25).cast("bigint")
+    )
+    pooled = pool_embeddings(vecs, "grp", vec_col="e", mode="max")
+    return pooled.select(
+        "grp", F.size("pooled").cast("int").alias("dim"), "pooled"
+    )
