@@ -135,6 +135,12 @@ BENCH_QUERIES = [
     # frame (broadcast dims, pre-aggregated latest-year window).
     "totals_top_breeds_joined",
     "fsa_choropleth_data",
+    # Pooling fold, mergeable-sketch rollup, and the tar sink (real
+    # foreachPartition write + read-back attest — measures the sink, not
+    # just a plan).
+    "embedding_pool_max",
+    "sketch_union_rollup",
+    "webdataset_export_manifest",
 ]
 
 

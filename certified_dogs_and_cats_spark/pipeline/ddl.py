@@ -245,6 +245,7 @@ class DdlSession:
     schemas: set[str] = field(default_factory=lambda: {"core"})
     views: dict[str, str] = field(default_factory=dict)
     mviews: dict[str, object] = field(default_factory=dict)
+    functions: dict[str, str] = field(default_factory=dict)
 
     # -- name resolution -----------------------------------------------------
     def resolve(self, name: str) -> str:
@@ -303,6 +304,17 @@ class DdlSession:
             return None
         if u.startswith("CREATE SCHEMA"):
             return self._create_schema(s)
+        if re.match(r"CREATE (OR REPLACE )?FUNCTION\b", u):
+            return self._create_function(s)
+        if u.startswith("DROP FUNCTION"):
+            return self._drop_function(s)
+        if u.startswith("SHOW USER FUNCTIONS"):
+            rows = [
+                (n, self.functions[n]) for n in sorted(self.functions)
+            ]
+            return self.catalog.spark.createDataFrame(
+                rows, "function string, definition string"
+            )
         if u.startswith("CREATE MATERIALIZED VIEW "):
             return self._create_materialized_view(s)
         if u.startswith("REFRESH MATERIALIZED VIEW "):
@@ -1129,6 +1141,90 @@ class DdlSession:
             fmt="parquet" if fmt == "delta" else fmt,
         )
         self.catalog.append(name, df)
+        return None
+
+    # -- SQL-language functions (scalar + table-valued) ----------------------
+    def _create_function(self, s: str) -> None:
+        """``CREATE [OR REPLACE] FUNCTION [IF NOT EXISTS] name(p type, ...)
+        RETURNS type RETURN <expr>`` and the table-valued form ``RETURNS
+        TABLE(col type, ...) RETURN SELECT ...`` — SQL-language UDFs, the
+        only UDF path that stays inside Catalyst: the body is parsed once
+        and INLINED into every calling plan as a column expression (or a
+        lateral subquery for table functions), so calls keep whole-stage
+        codegen, constant folding, and predicate pushdown — none of which
+        survive a Python UDF boundary. The scale posture for reusable
+        business logic at 100 TB is exactly this: ship the logic to the
+        plan, never rows to Python.
+
+        Functions are session-scoped like views (re-run the DDL script to
+        re-register on attach); Spark temporary functions are single-part
+        names, so the bare name must be unique across schemas — a clash
+        is an error, not a silent rebind. A table-function body may
+        reference catalog tables; references resolve through the same
+        rewriter as views.
+        """
+        m = re.match(
+            r"CREATE (?P<rep>OR REPLACE )?FUNCTION (?P<ine>IF NOT EXISTS )?"
+            r"(?P<name>[\w.]+)\s*\((?P<params>.*?)\)\s+"
+            r"RETURNS\s+(?P<ret>TABLE\s*\(.*?\)|.+?)\s+"
+            r"RETURN\s+(?P<body>.+)$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise DdlError(f"bad CREATE FUNCTION: {s[:120]}")
+        if m.group("rep") and m.group("ine"):
+            raise DdlError(
+                "CREATE FUNCTION: OR REPLACE and IF NOT EXISTS "
+                "cannot be combined"
+            )
+        name = self.resolve(m.group("name"))
+        bare = name.split(".")[-1]
+        clash = [
+            q
+            for q in self.functions
+            if q.split(".")[-1] == bare and q != name
+        ]
+        if clash:
+            raise DdlError(
+                f"function name {bare!r} already bound by {clash[0]} "
+                "(temporary functions are single-part names)"
+            )
+        if name in self.functions and not m.group("rep"):
+            if m.group("ine"):
+                return None
+            raise DdlError(f"function exists: {name}")
+        ret = m.group("ret").strip()
+        body = m.group("body").strip().rstrip(";").strip()
+        if ret.upper().startswith("TABLE"):
+            body = self._resolve_refs(body)
+        ddl = (
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {bare}"
+            f"({m.group('params')}) RETURNS {ret} RETURN {body}"
+        )
+        try:
+            self.catalog.spark.sql(ddl)
+        except Exception as e:  # surface parse/analysis errors as DDL errors
+            raise DdlError(f"CREATE FUNCTION {name}: {e}") from e
+        self.functions[name] = ddl
+        return None
+
+    def _drop_function(self, s: str) -> None:
+        m = re.match(
+            r"DROP FUNCTION (?P<ine>IF EXISTS )?(?P<name>[\w.]+)\s*$",
+            s,
+            re.I,
+        )
+        if not m:
+            raise DdlError(f"bad DROP FUNCTION: {s[:120]}")
+        name = self.resolve(m.group("name"))
+        if name not in self.functions:
+            if m.group("ine"):
+                return None
+            raise DdlError(f"function not found: {name}")
+        bare = name.split(".")[-1]
+        self.catalog.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {bare}")
+        del self.functions[name]
         return None
 
     def _create_view(self, stmt: str) -> DataFrame:

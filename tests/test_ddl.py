@@ -934,3 +934,83 @@ def test_mv_query_rewrite_serves_fresh_view(ddl, catalog):
         "SELECT grp, SUM(amt) AS s FROM rw_src GROUP BY grp"
     )[-1]
     assert "HashAggregate" in other._jdf.queryExecution().executedPlan().toString()
+
+
+# -- SQL-language functions (scalar + table-valued) ---------------------------
+
+
+def test_create_scalar_function_and_call(ddl, catalog, spark):
+    ddl.execute(
+        "CREATE FUNCTION taxed(amount DOUBLE, rate DOUBLE) "
+        "RETURNS DOUBLE RETURN amount * (1.0 + rate)"
+    )
+    assert "core.taxed" in ddl.functions
+    [row] = spark.sql("SELECT taxed(100.0, 0.10) AS v").collect()
+    assert abs(row.v - 110.0) < 1e-9
+    # function-call default: paren-terminated body survives intact
+    ddl.execute(
+        "CREATE FUNCTION shout(s STRING) RETURNS STRING "
+        "RETURN upper(concat(s, '!'))"
+    )
+    [row] = spark.sql("SELECT shout('hi') AS v").collect()
+    assert row.v == "HI!"
+
+
+def test_create_function_replace_exists_and_drop(ddl, spark):
+    ddl.execute("CREATE FUNCTION one() RETURNS INT RETURN 1")
+    with pytest.raises(DdlError, match="function exists"):
+        ddl.execute("CREATE FUNCTION one() RETURNS INT RETURN 2")
+    # IF NOT EXISTS: silent no-op keeps the original body
+    ddl.execute("CREATE FUNCTION IF NOT EXISTS one() RETURNS INT RETURN 3")
+    assert spark.sql("SELECT one() AS v").collect()[0].v == 1
+    ddl.execute("CREATE OR REPLACE FUNCTION one() RETURNS INT RETURN 2")
+    assert spark.sql("SELECT one() AS v").collect()[0].v == 2
+    shown = ddl.execute("SHOW USER FUNCTIONS")[0].collect()
+    assert [r.function for r in shown] == ["core.one"]
+    ddl.execute("DROP FUNCTION one")
+    assert ddl.functions == {}
+    with pytest.raises(DdlError, match="function not found"):
+        ddl.execute("DROP FUNCTION one")
+    ddl.execute("DROP FUNCTION IF EXISTS one")  # no-op
+
+
+def test_cross_schema_bare_name_clash_is_error(ddl):
+    ddl.execute("CREATE SCHEMA IF NOT EXISTS pets.ref")
+    ddl.execute("CREATE FUNCTION core.twice(x INT) RETURNS INT RETURN x * 2")
+    with pytest.raises(DdlError, match="already bound"):
+        ddl.execute(
+            "CREATE FUNCTION ref.twice(x INT) RETURNS INT RETURN x + x"
+        )
+
+
+def test_table_function_over_catalog_table(ddl, catalog, spark):
+    ddl.execute(BRONZE_DDL)
+    from datetime import date, datetime
+
+    catalog.append(
+        "core.licensed_pets_bronze",
+        spark.createDataFrame(
+            [
+                (1, 2023, "M5V", True, "Dog", "POODLE",
+                 datetime(2023, 1, 1), date(2023, 1, 1)),
+                (2, 2023, "M5V", True, "Cat", "TABBY",
+                 datetime(2023, 1, 1), date(2023, 1, 1)),
+            ],
+            catalog.tables["core.licensed_pets_bronze"].schema,
+        ),
+    )
+    ddl.execute(
+        "CREATE FUNCTION pets_of(kind STRING) "
+        "RETURNS TABLE(_id INT, breed STRING) "
+        "RETURN SELECT _id, PRIMARY_BREED FROM pets.core.licensed_pets_bronze "
+        "WHERE ANIMAL_TYPE = kind"
+    )
+    rows = spark.sql("SELECT * FROM pets_of('Dog')").collect()
+    assert [(r._id, r.breed) for r in rows] == [(1, "POODLE")]
+
+
+def test_function_body_parse_error_is_ddl_error(ddl):
+    with pytest.raises(DdlError, match="CREATE FUNCTION"):
+        ddl.execute(
+            "CREATE FUNCTION bad(x INT) RETURNS INT RETURN x +* 2"
+        )

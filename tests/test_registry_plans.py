@@ -243,3 +243,24 @@ def test_funnel_conversion_prunes_events_scan(spark):
 def test_retention_cohorts_prunes_events_scan(spark):
     plan = plan_text(QUERIES["retention_cohorts"](spark, SF))
     assert set(read_schema_cols(plan, "events")) <= {"user_id", "ts"}
+
+
+def test_embedding_pool_max_prunes_scan(spark):
+    """Pooling touches only (vec_id, embedding) — the label column must
+    not be read from the embeddings scan."""
+    plan = plan_text(QUERIES["embedding_pool_max"](spark, SF))
+    assert set(read_schema_cols(plan, "embeddings")) <= {
+        "vec_id",
+        "embedding",
+    }
+
+
+def test_sketch_union_rollup_prunes_events_scan(spark):
+    """The two-level sketch rollup reads only (event_type, ts, user_id) —
+    value/props never leave the parquet footer."""
+    plan = plan_text(QUERIES["sketch_union_rollup"](spark, SF))
+    assert set(read_schema_cols(plan, "events")) <= {
+        "event_type",
+        "ts",
+        "user_id",
+    }
