@@ -121,6 +121,14 @@ class TableSpec:
     # their stored values (existing files are never rewritten); persisted
     # in _meta/<table>/defaults.json.
     defaults: dict[str, str] = field(default_factory=dict)
+    # Read-time governance (Unity/Snowflake-style): a row-filter SQL
+    # predicate and per-column mask expressions, applied by
+    # :meth:`Catalog.governed_table` (the SQL front door reads through
+    # it); raw :meth:`Catalog.table` stays policy-free so maintenance
+    # (OPTIMIZE, MERGE internals, constraint checks) operates on the
+    # actual data. Persisted in _meta/<table>/governance.json.
+    row_filter: str | None = None
+    column_masks: dict[str, str] = field(default_factory=dict)
 
     def physical(self, logical: str) -> str:
         return self.column_map.get(logical, logical)
@@ -166,6 +174,7 @@ class Catalog:
         self.load_layout(name)
         self.load_clustering(name)
         self.load_defaults(name)
+        self.load_governance(name)
         return spec
 
     def exists(self, name: str) -> bool:
@@ -2034,6 +2043,110 @@ class Catalog:
         if os.path.isfile(self._clustering_path(name)):
             with open(self._clustering_path(name)) as f:
                 spec.cluster_by = tuple(json.load(f)["cluster_by"])
+
+    # -- read-time governance: row filters + column masks ---------------------
+    def _governance_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "governance.json")
+
+    def _persist_governance(self, name: str) -> None:
+        spec = self.tables[name]
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        tmp = self._governance_path(name) + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "row_filter": spec.row_filter,
+                    "column_masks": spec.column_masks,
+                },
+                f,
+            )
+        os.replace(tmp, self._governance_path(name))
+
+    def load_governance(self, name: str) -> None:
+        spec = self.tables[name]
+        if os.path.isfile(self._governance_path(name)):
+            with open(self._governance_path(name)) as f:
+                data = json.load(f)
+            spec.row_filter = data.get("row_filter")
+            spec.column_masks = dict(data.get("column_masks", {}))
+
+    def set_row_filter(self, name: str, expr: str | None) -> None:
+        """Declare (or clear, with ``None``) a row-filter predicate every
+        governed read applies. Metadata-only: one JSON write, no data
+        rewrite — the filter evaluates inside each reader's scan, so it
+        pushes down into parquet like any literal predicate (the governed
+        path costs what the user's own WHERE would). Validated against
+        the declared schema at declare time, not first-read time."""
+        spec = self.tables[name]
+        if expr is not None:
+            empty = self.spark.createDataFrame([], spec.schema)
+            try:
+                empty.filter(expr).schema
+            except Exception as e:
+                raise ValueError(
+                    f"{name}: bad row filter {expr!r}: {e}"
+                ) from e
+        spec.row_filter = expr
+        self._persist_governance(name)
+
+    def set_column_mask(self, name: str, col: str, expr: str | None) -> None:
+        """Declare (or clear) a mask expression for ``col``. The mask may
+        reference any of the row's columns; its result is cast back to
+        the column's declared type so the governed schema is IDENTICAL to
+        the raw schema (downstream consumers can't tell a masked read
+        from a raw one by shape). Masks see pre-mask values — one mask
+        referencing another masked column composes on raw data, never on
+        another mask's output (no ordering ambiguity)."""
+        spec = self.tables[name]
+        declared = {f.name: f.dataType for f in spec.schema.fields}
+        if col not in declared:
+            raise ValueError(f"{name}: no such column {col!r}")
+        if expr is None:
+            spec.column_masks.pop(col, None)
+        else:
+            from pyspark.sql import functions as F
+
+            empty = self.spark.createDataFrame([], spec.schema)
+            try:
+                empty.select(
+                    F.expr(expr).cast(declared[col]).alias(col)
+                ).schema
+            except Exception as e:
+                raise ValueError(
+                    f"{name}: bad mask for {col!r}: {expr!r}: {e}"
+                ) from e
+            spec.column_masks[col] = expr
+        self._persist_governance(name)
+
+    def governed_table(
+        self, name: str, version: int | None = None
+    ) -> DataFrame:
+        """The policy-applying read: row filter first (evaluated on RAW
+        values), then every column mask in one projection (each mask also
+        sees raw values). Raw :meth:`table` remains the maintenance door;
+        the SQL surface (DdlSession) binds THIS one, so ad-hoc readers
+        get governed data while OPTIMIZE/MERGE/constraints keep operating
+        on what is actually stored. Time travel reads enforce the
+        CURRENT policy (policies govern access, not history)."""
+        from pyspark.sql import functions as F
+
+        df = self.table(name, version=version)
+        spec = self.tables[name]
+        if spec.row_filter:
+            df = df.filter(spec.row_filter)
+        if spec.column_masks:
+            declared = {f.name: f.dataType for f in spec.schema.fields}
+            df = df.select(
+                *[
+                    F.expr(spec.column_masks[c])
+                    .cast(declared[c])
+                    .alias(c)
+                    if c in spec.column_masks
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df
 
     def _matching_partition_dirs(self, name: str, where: str) -> set[str]:
         """Relative partition directories whose hive-encoded values

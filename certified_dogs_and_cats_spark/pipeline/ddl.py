@@ -359,6 +359,38 @@ class DdlSession:
         if u.startswith("DROP TABLE") or u.startswith("DROP VIEW"):
             return self._drop(s)
         if u.startswith("ALTER TABLE "):
+            gm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+)"
+                r" (?:SET ROW FILTER \((?P<expr>.+)\)|DROP ROW FILTER)\s*$",
+                s,
+                re.I,
+            )
+            if gm:
+                name = self.resolve(gm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                try:
+                    self.catalog.set_row_filter(name, gm.group("expr"))
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
+            gm = re.match(
+                r"ALTER TABLE (?P<name>[\w.]+) ALTER COLUMN (?P<col>\w+)"
+                r" (?:SET MASK \((?P<expr>.+)\)|DROP MASK)\s*$",
+                s,
+                re.I,
+            )
+            if gm:
+                name = self.resolve(gm.group("name"))
+                if name not in self.catalog.tables:
+                    raise DdlError(f"table not found: {name}")
+                try:
+                    self.catalog.set_column_mask(
+                        name, gm.group("col"), gm.group("expr")
+                    )
+                except ValueError as e:
+                    raise DdlError(str(e)) from e
+                return None
             cm = re.match(
                 r"ALTER TABLE (?P<name>[\w.]+) ADD CONSTRAINT (?P<c>\w+)"
                 r" CHECK \((?P<expr>.+)\)\s*$",
@@ -1378,7 +1410,9 @@ class DdlSession:
                 raise DdlError(f"table not found: {tbl}")
             v = self.catalog.resolve_tag(tbl, m.group(2))
             alias = f"{_view_alias(tbl)}__v{v}"
-            self.catalog.table(tbl, version=v).createOrReplaceTempView(alias)
+            self.catalog.governed_table(tbl, version=v).createOrReplaceTempView(
+                alias
+            )
             return alias
 
         body = re.sub(
@@ -1412,7 +1446,9 @@ class DdlSession:
                 return m.group(0)
             v = self.catalog.version_at_timestamp(tbl, m.group(2))
             alias = f"{_view_alias(tbl)}__v{v}"
-            self.catalog.table(tbl, version=v).createOrReplaceTempView(alias)
+            self.catalog.governed_table(tbl, version=v).createOrReplaceTempView(
+                alias
+            )
             return alias
 
         body = re.sub(
@@ -1448,7 +1484,7 @@ class DdlSession:
                     def bind(m: re.Match, tbl: str = tbl) -> str:
                         v = int(m.group(1))
                         alias = f"{_view_alias(tbl)}__v{v}"
-                        self.catalog.table(
+                        self.catalog.governed_table(
                             tbl, version=v
                         ).createOrReplaceTempView(alias)
                         return alias
@@ -1464,7 +1500,12 @@ class DdlSession:
                 for prefix in prefixes:
                     if re.search(rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", code):
                         alias = _view_alias(tbl)
-                        self.catalog.table(tbl).createOrReplaceTempView(alias)
+                        # Governed read: the SQL surface sees row filters
+                        # and masks; raw Catalog.table stays the
+                        # maintenance door (see governed_table docstring).
+                        self.catalog.governed_table(tbl).createOrReplaceTempView(
+                            alias
+                        )
                         code = re.sub(
                             rf"(?<![\w.]){re.escape(prefix)}(?![\w.])", alias, code
                         )

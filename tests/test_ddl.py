@@ -1014,3 +1014,103 @@ def test_function_body_parse_error_is_ddl_error(ddl):
         ddl.execute(
             "CREATE FUNCTION bad(x INT) RETURNS INT RETURN x +* 2"
         )
+
+
+# -- read-time governance: row filters + column masks -------------------------
+
+
+@pytest.fixture
+def governed(ddl, catalog, spark):
+    ddl.execute(BRONZE_DDL)
+    from datetime import date, datetime
+
+    catalog.append(
+        "core.licensed_pets_bronze",
+        spark.createDataFrame(
+            [
+                (1, 2023, "M5V", True, "Dog", "POODLE",
+                 datetime(2023, 1, 1), date(2023, 1, 1)),
+                (2, 2023, "M4C", True, "Cat", "TABBY",
+                 datetime(2023, 1, 1), date(2023, 1, 1)),
+                (3, 2022, "M5V", True, "Dog", "LAB",
+                 datetime(2023, 1, 1), date(2023, 1, 1)),
+            ],
+            catalog.tables["core.licensed_pets_bronze"].schema,
+        ),
+    )
+    return ddl
+
+
+def test_row_filter_applies_to_sql_reads_not_raw(governed, catalog):
+    governed.execute(
+        "ALTER TABLE licensed_pets_bronze SET ROW FILTER (Year >= 2023)"
+    )
+    [sql_rows] = governed.execute(
+        "SELECT count(*) AS n FROM licensed_pets_bronze"
+    )
+    assert sql_rows.collect()[0].n == 2
+    # maintenance door unaffected
+    assert catalog.table("core.licensed_pets_bronze").count() == 3
+    governed.execute("ALTER TABLE licensed_pets_bronze DROP ROW FILTER")
+    [sql_rows] = governed.execute(
+        "SELECT count(*) AS n FROM licensed_pets_bronze"
+    )
+    assert sql_rows.collect()[0].n == 3
+
+
+def test_column_mask_preserves_schema_and_sees_raw_values(governed, catalog):
+    governed.execute(
+        "ALTER TABLE licensed_pets_bronze ALTER COLUMN FSA "
+        "SET MASK (concat(substr(FSA, 1, 1), '**'))"
+    )
+    df = catalog.governed_table("core.licensed_pets_bronze")
+    assert df.schema == catalog.table("core.licensed_pets_bronze").schema
+    assert {r.FSA for r in df.select("FSA").collect()} == {"M**"}
+    # masks + filter compose; filter evaluates on RAW values
+    governed.execute(
+        "ALTER TABLE licensed_pets_bronze SET ROW FILTER (FSA = 'M5V')"
+    )
+    rows = governed.execute(
+        "SELECT _id, FSA FROM licensed_pets_bronze ORDER BY _id"
+    )[0].collect()
+    assert [(r._id, r.FSA) for r in rows] == [(1, "M**"), (3, "M**")]
+    governed.execute(
+        "ALTER TABLE licensed_pets_bronze ALTER COLUMN FSA DROP MASK"
+    )
+    assert catalog.tables["core.licensed_pets_bronze"].column_masks == {}
+
+
+def test_governance_persists_and_rehydrates(governed, catalog, spark):
+    governed.execute(
+        "ALTER TABLE licensed_pets_bronze SET ROW FILTER (Year = 2022);"
+        "ALTER TABLE licensed_pets_bronze ALTER COLUMN PRIMARY_BREED "
+        "SET MASK ('REDACTED')"
+    )
+    from certified_dogs_and_cats_spark.pipeline import Catalog
+
+    fresh = Catalog(spark, catalog.root)
+    spec0 = catalog.tables["core.licensed_pets_bronze"]
+    fresh.register(
+        "core.licensed_pets_bronze", spec0.schema,
+        partition_by=spec0.partition_by,
+    )
+    df = fresh.governed_table("core.licensed_pets_bronze")
+    rows = df.select("_id", "PRIMARY_BREED").collect()
+    assert [(r._id, r.PRIMARY_BREED) for r in rows] == [(3, "REDACTED")]
+
+
+def test_bad_policy_expressions_raise(governed):
+    with pytest.raises(DdlError, match="bad row filter"):
+        governed.execute(
+            "ALTER TABLE licensed_pets_bronze SET ROW FILTER (nope > 1)"
+        )
+    with pytest.raises(DdlError, match="bad mask"):
+        governed.execute(
+            "ALTER TABLE licensed_pets_bronze ALTER COLUMN FSA "
+            "SET MASK (no_such_col)"
+        )
+    with pytest.raises(DdlError, match="no such column"):
+        governed.execute(
+            "ALTER TABLE licensed_pets_bronze ALTER COLUMN ghost "
+            "SET MASK ('x')"
+        )
