@@ -1,0 +1,92 @@
+"""Read-time governance lifecycle under the oracle gate.
+
+Registered after corpus_profile (LAST) so it queues behind the entries
+still awaiting driver evidence — see queries/__init__.py's rotation note.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+
+
+@query(
+    "governance_end_to_end",
+    oracle="""
+    WITH visible(k, region, salary) AS (
+      VALUES (1, 'emea', 'XXX'), (2, 'emea', 'XXX')
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_visible,
+           CAST(count(DISTINCT salary) AS BIGINT) AS n_mask_values,
+           CAST(4 AS BIGINT) AS n_raw,
+           CAST(2 AS BIGINT) AS n_travel,
+           CAST(4 AS BIGINT) AS n_after_drop
+    FROM visible
+    """,
+)
+def governance_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-filter + column-mask lifecycle through the SQL front door:
+    policies are metadata-only (no data rewrite), every governed read —
+    current AND time-travel — applies them, the raw maintenance door
+    does not, and DROPping the policies restores full visibility without
+    touching a file. The oracle pins the governed row count, the masked
+    column's collapsed cardinality, the untouched raw count, the
+    governed time-travel count, and the post-drop count."""
+    from ..pipeline import Catalog, DdlSession
+
+    root = tempfile.mkdtemp(prefix="gov_e2e_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        ddl = DdlSession(catalog)
+        ddl.execute("USE SCHEMA core")
+        ddl.execute(
+            "CREATE TABLE emp (k INT, region STRING, salary STRING)"
+        )
+        ddl.execute(
+            "INSERT INTO emp VALUES (1, 'emea', '50k'), (2, 'emea', '60k')"
+        )
+        ddl.execute(
+            "INSERT INTO emp VALUES (3, 'apac', '70k'), (4, 'apac', '80k')"
+        )
+        ddl.execute(
+            "ALTER TABLE emp SET ROW FILTER (region = 'emea');"
+            "ALTER TABLE emp ALTER COLUMN salary SET MASK ('XXX')"
+        )
+        governed = ddl.execute("SELECT k, region, salary FROM emp")[-1]
+        rows = governed.collect()
+        n_visible = len(rows)
+        n_mask_values = len({r.salary for r in rows})
+        # maintenance door: policies must NOT hide stored rows
+        n_raw = catalog.table("core.emp").count()
+        # governed time travel: version 1 held only the first insert
+        n_travel = ddl.execute(
+            "SELECT * FROM emp VERSION AS OF 1"
+        )[-1].count()
+        ddl.execute(
+            "ALTER TABLE emp DROP ROW FILTER;"
+            "ALTER TABLE emp ALTER COLUMN salary DROP MASK"
+        )
+        n_after_drop = ddl.execute("SELECT * FROM emp")[-1].count()
+        if {r.salary for r in rows} != {"XXX"}:
+            raise RuntimeError("mask must collapse every visible salary")
+        return spark.createDataFrame(
+            [
+                (
+                    n_visible,
+                    n_mask_values,
+                    n_raw,
+                    n_travel,
+                    n_after_drop,
+                )
+            ],
+            "n_visible bigint, n_mask_values bigint, n_raw bigint, "
+            "n_travel bigint, n_after_drop bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
