@@ -80,3 +80,75 @@ def resample_ffill(
         F.last("__v", ignorenulls=True).over(w).alias("value"),
         F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Like :func:`resample_ffill` but gap values LINEARLY INTERPOLATE
+    between the neighboring observed buckets (pandas
+    ``Series.interpolate('linear')`` semantics on a per-key grid):
+    ``v = v0 + (v1 - v0) * (b - b0) / (b1 - b0)``.
+
+    The grid spans each key's first..last observed bucket, so every gap
+    row has both neighbors by construction — no edge policy needed.
+    The interpolation arithmetic is IEEE-exact (+,-,*,/ on doubles and
+    integer bucket indices), so results are bit-identical across
+    engines and partitionings. One shuffle (the key-wise window sort);
+    the backward- and forward-looking frames share it.
+    """
+    step = F.lit(step_seconds)
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("bigint")
+    per_bucket = (
+        df.select(
+            F.col(key_col),
+            bucket.alias("__b"),
+            F.struct(
+                F.col(ts_col).alias("ts"), F.col(value_col).alias("v")
+            ).alias("__tv"),
+        )
+        .groupBy(key_col, "__b")
+        .agg(F.max("__tv").alias("__tv"))
+        .select(
+            key_col,
+            "__b",
+            F.col("__tv.v").alias("__v"),
+            F.lit(True).alias("__obs"),
+        )
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(F.sequence("__lo", "__hi")).alias("__b"),
+    )
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    joined = grid.join(per_bucket, [key_col, "__b"], "left")
+    v = F.col("__v").cast("double")
+    b = F.col("__b").cast("double")
+    ob = F.when(F.col("__obs"), F.col("__b")).cast("double")
+    pv = F.last(v, ignorenulls=True).over(back)
+    pb = F.last(ob, ignorenulls=True).over(back)
+    nv = F.first(v, ignorenulls=True).over(fwd)
+    nb = F.first(ob, ignorenulls=True).over(fwd)
+    interp = pv + (nv - pv) * (b - pb) / (nb - pb)
+    return joined.select(
+        F.col(key_col),
+        F.timestamp_seconds(F.col("__b") * step).alias("bucket_start"),
+        F.when(F.col("__obs"), v).otherwise(interp).alias("value"),
+        F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
+    )

@@ -328,3 +328,89 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("double") / F.sum("n_chunks")
         ).alias("mean_tokens_per_chunk"),
     )
+
+
+@query(
+    "resample_interpolate_6h",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 21600) AS BIGINT) AS b,
+             ts, value
+      FROM events WHERE user_id < 5
+    ),
+    latest AS (
+      SELECT user_id, b, value AS v FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (
+                 PARTITION BY user_id, b
+                 ORDER BY ts DESC, value DESC
+               ) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    spans AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM latest GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.user_id, gs.g AS b
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi)) AS g
+      ) gs
+    ),
+    g AS (
+      SELECT g.user_id, g.b,
+             l.v,
+             l.user_id IS NOT NULL AS obs
+      FROM grid g LEFT JOIN latest l
+        ON g.user_id = l.user_id AND g.b = l.b
+    ),
+    n AS (
+      SELECT user_id, b, v, obs,
+             last_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN obs THEN CAST(b AS DOUBLE) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             first_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN obs THEN CAST(b AS DOUBLE) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM g
+    )
+    SELECT user_id,
+           CAST(b * 21600 AS BIGINT) AS bucket_epoch,
+           CASE WHEN obs THEN CAST(v AS DOUBLE)
+                ELSE pv + (nv - pv) * (CAST(b AS DOUBLE) - pb) / (nb - pb)
+           END AS value,
+           obs AS is_observed
+    FROM n
+    """,
+)
+def resample_interpolate_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (pandas `.interpolate('linear')`
+    on a distributed per-key grid — operators.resample.
+    resample_interpolate): dense 6-hour grid per user, latest-in-bucket
+    reduction, gap values interpolated between neighboring observed
+    buckets with IEEE-exact arithmetic (bit-identical to the DuckDB
+    replay, no rounding needed). One key-wise window sort serves both
+    the backward and forward neighbor lookups."""
+    from ..operators.resample import resample_interpolate
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", "ts", "value")
+    )
+    out = resample_interpolate(ev, "user_id", "ts", "value", step_seconds=21600)
+    return out.select(
+        "user_id",
+        F.col("bucket_start").cast("long").alias("bucket_epoch"),
+        "value",
+        "is_observed",
+    )

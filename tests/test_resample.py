@@ -50,3 +50,31 @@ def test_latest_in_bucket_tie_break_is_deterministic(spark):
     df = spark.createDataFrame(rows, ["k", "ts", "v"])
     out = resample_ffill(df, "k", "ts", "v", step_seconds=3600).collect()
     assert len(out) == 1 and out[0].value == 5.0
+
+
+def test_interpolate_linear_gap_values(spark):
+    """Gap between observed (b=0, v=10.0) and (b=4, v=30.0) interpolates
+    at exactly 15/20/25; edges stay observed; is_observed marks gaps."""
+    from certified_dogs_and_cats_spark.operators.resample import (
+        resample_interpolate,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(hours=4), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = resample_interpolate(df, "k", "ts", "v", step_seconds=3600)
+    got = [
+        (r.value, r.is_observed)
+        for r in out.orderBy("bucket_start").collect()
+    ]
+    assert got == [
+        (10.0, True),
+        (15.0, False),
+        (20.0, False),
+        (25.0, False),
+        (30.0, True),
+    ]
