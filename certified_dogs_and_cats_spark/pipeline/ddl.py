@@ -1289,6 +1289,9 @@ class DdlSession:
         resumes maintenance where the last one stopped."""
         from .incremental import IncrementalAggregate
 
+        from .incremental import IncrementalExtrema
+
+        kind = IncrementalAggregate
         m = re.match(
             r"CREATE MATERIALIZED VIEW (?P<name>[\w.]+) AS "
             r"SELECT (?P<groups>[\w., ]+?), COUNT\(\*\) AS cnt, "
@@ -1298,10 +1301,28 @@ class DdlSession:
             re.I,
         )
         if not m:
+            m = re.match(
+                r"CREATE MATERIALIZED VIEW (?P<name>[\w.]+) AS "
+                r"SELECT (?P<groups>[\w., ]+?), COUNT\(\*\) AS cnt, "
+                r"MIN\((?P<val>\w+)\) AS vmin, "
+                r"MAX\((?P<val2>\w+)\) AS vmax "
+                r"FROM (?P<src>[\w.]+) GROUP BY (?P<gb>[\w., ]+)$",
+                s,
+                re.I,
+            )
+            if m and m.group("val").lower() != m.group("val2").lower():
+                raise DdlError(
+                    "MIN and MAX must aggregate the same column: "
+                    f"{m.group('val')} vs {m.group('val2')}"
+                )
+            kind = IncrementalExtrema
+        if not m:
             raise DdlError(
-                "bad CREATE MATERIALIZED VIEW (supported shape: SELECT "
-                "<group cols>, COUNT(*) AS cnt, SUM(<col>) AS total FROM "
-                f"<table> GROUP BY <group cols>): {s[:120]}"
+                "bad CREATE MATERIALIZED VIEW (supported shapes: SELECT "
+                "<group cols>, COUNT(*) AS cnt, SUM(<col>) AS total ... "
+                "| SELECT <group cols>, COUNT(*) AS cnt, MIN(<col>) AS "
+                "vmin, MAX(<col>) AS vmax FROM <table> GROUP BY "
+                f"<group cols>): {s[:120]}"
             )
         groups = tuple(g.strip() for g in m.group("groups").split(","))
         gb = tuple(g.strip() for g in m.group("gb").split(","))
@@ -1315,9 +1336,7 @@ class DdlSession:
             raise DdlError(f"table not found: {src}")
         if name in self.mviews:
             raise DdlError(f"materialized view exists: {name}")
-        view = IncrementalAggregate(
-            self.catalog, src, name, groups, m.group("val")
-        )
+        view = kind(self.catalog, src, name, groups, m.group("val"))
         self.mviews[name] = view
         view.refresh()  # initial population
         return None
@@ -1342,6 +1361,8 @@ class DdlSession:
         the real aggregation — results are always those of the query as
         written, the MV only changes the plan.
         """
+        from .incremental import IncrementalAggregate, IncrementalExtrema
+
         m = re.match(
             r"SELECT (?P<groups>[\w., ]+?), COUNT\(\*\) AS cnt, "
             r"SUM\((?P<val>\w+)\) AS total "
@@ -1349,8 +1370,18 @@ class DdlSession:
             s.strip(),
             re.I,
         )
+        out_cols, kind = ("cnt", "total"), IncrementalAggregate
         if not m:
-            return None
+            m = re.match(
+                r"SELECT (?P<groups>[\w., ]+?), COUNT\(\*\) AS cnt, "
+                r"MIN\((?P<val>\w+)\) AS vmin, MAX\((?P<val2>\w+)\) AS vmax "
+                r"FROM (?P<src>[\w.]+) GROUP BY (?P<gb>[\w., ]+)$",
+                s.strip(),
+                re.I,
+            )
+            if not m or m.group("val").lower() != m.group("val2").lower():
+                return None
+            out_cols, kind = ("cnt", "vmin", "vmax"), IncrementalExtrema
         groups = tuple(g.strip() for g in m.group("groups").split(","))
         lowered = tuple(g.lower() for g in groups)
         if lowered != tuple(
@@ -1360,14 +1391,16 @@ class DdlSession:
         src = self.resolve(m.group("src"))
         for view in self.mviews.values():
             if (
-                view.src == src
+                isinstance(view, kind)
+                and type(view) is kind
+                and view.src == src
                 and tuple(g.lower() for g in view.group_cols) == lowered
                 and view.value_col.lower() == m.group("val").lower()
                 and view._applied_watermark()
                 == self.catalog.current_version(src)
             ):
                 return self.catalog.table(view.dst).select(
-                    *view.group_cols, "cnt", "total"
+                    *view.group_cols, *out_cols
                 )
         return None
 

@@ -149,3 +149,156 @@ class IncrementalAggregate:
             return n
         finally:
             changes.unpersist()
+
+
+@dataclass
+class IncrementalExtrema:
+    """Incrementally-maintained ``SELECT group_cols, count(*), min(value),
+    max(value) FROM src GROUP BY group_cols`` table.
+
+    MIN/MAX are insert-monotone but NOT subtractable, so maintenance is
+    two-path (the classic IVM treatment):
+
+    - **insert-only groups**: cheap algebraic merge — ``least``/
+      ``greatest`` against the stored extrema, never touching the source.
+    - **delete-touched groups**: the stored extremum may have been the
+      deleted row, so those groups — and ONLY those — recompute from the
+      source snapshot **time-traveled to the applied watermark** (a newer
+      snapshot would pre-apply later commits whose deltas then re-apply
+      on the next refresh = double-count). The recompute is a semi-join
+      on the affected keys: cost scales with the touched groups' rows,
+      not the table.
+
+    Shares the exactly-once txn-watermark scheme with
+    :class:`IncrementalAggregate` (snapshot + ``cdc_applied`` marker in
+    one commit; crash between commit and ack repairs by fast-forward).
+    """
+
+    catalog: Catalog
+    src: str
+    dst: str
+    group_cols: tuple[str, ...]
+    value_col: str
+
+    @property
+    def consumer(self) -> str:
+        return f"__incremental_extrema__{self.dst}"
+
+    def __post_init__(self) -> None:
+        if self.dst not in self.catalog.tables:
+            src_schema = self.catalog.tables[self.src].schema
+            by_name = {f.name: f for f in src_schema.fields}
+            fields = [
+                T.StructField(c, by_name[c].dataType, True)
+                for c in self.group_cols
+            ]
+            vtype = by_name[self.value_col].dataType
+            fields.append(T.StructField("cnt", T.LongType(), False))
+            fields.append(T.StructField("vmin", vtype, True))
+            fields.append(T.StructField("vmax", vtype, True))
+            self.catalog.register(self.dst, T.StructType(fields))
+        self._cursor = self.catalog.change_cursor(self.src, self.consumer)
+
+    def _applied_watermark(self) -> int:
+        return max(
+            (
+                e["txn"]["cdc_applied"]
+                for e in self.catalog._load_manifest(self.dst)
+                if e.get("txn", {}).get("cdc_applied") is not None
+            ),
+            default=0,
+        )
+
+    def refresh(self) -> int:
+        applied = self._applied_watermark()
+        if applied > self._cursor.position():
+            self._cursor.ack(applied)
+        changes, end = self._cursor.poll()
+        changes = changes.persist()
+        affected = None
+        try:
+            n = changes.count()
+            if n == 0:
+                if end > self._cursor.position():
+                    self._cursor.ack(end)
+                return 0
+            keys = list(self.group_cols)
+            is_ins = F.col("_change_type") == "insert"
+            # Groups any delete touched: their stored extrema are suspect.
+            affected = (
+                changes.filter(~is_ins).select(*keys).distinct().persist()
+            )
+            kp = [f"__d_{c}" for c in keys]
+
+            def keyed(df, names):
+                return df.select(
+                    *[F.col(c).alias(a) for c, a in zip(keys, names)],
+                    *[c for c in df.columns if c not in keys],
+                )
+
+            def null_safe_cond(left, right, names):
+                cond = None
+                for c, a in zip(keys, names):
+                    e = left[c].eqNullSafe(right[a])
+                    cond = e if cond is None else (cond & e)
+                return cond
+
+            ins = changes.filter(is_ins).groupBy(*keys).agg(
+                F.count("*").cast("long").alias("_dcnt"),
+                F.min(self.value_col).alias("_dmin"),
+                F.max(self.value_col).alias("_dmax"),
+            )
+            d = keyed(ins, kp)
+            cur = self.catalog.table(self.dst)
+            merged = (
+                cur.join(d, null_safe_cond(cur, d, kp), "full_outer")
+                .select(
+                    *[
+                        F.coalesce(cur[c], d[a]).alias(c)
+                        for c, a in zip(keys, kp)
+                    ],
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0))
+                        + F.coalesce(F.col("_dcnt"), F.lit(0))
+                    ).alias("cnt"),
+                    F.least(F.col("vmin"), F.col("_dmin")).alias("vmin"),
+                    F.greatest(F.col("vmax"), F.col("_dmax")).alias("vmax"),
+                )
+            )
+            if affected.limit(1).count() > 0:
+                # Recompute ONLY the delete-touched groups, from the
+                # snapshot at the applied range's END (see class doc).
+                src_at = self.catalog.table(self.src, version=end)
+                a = keyed(affected, kp)
+                recomputed = (
+                    src_at.join(
+                        F.broadcast(a),
+                        null_safe_cond(src_at, a, kp),
+                        "left_semi",
+                    )
+                    .groupBy(*keys)
+                    .agg(
+                        F.count("*").cast("long").alias("cnt"),
+                        F.min(self.value_col).alias("vmin"),
+                        F.max(self.value_col).alias("vmax"),
+                    )
+                )
+                ab = keyed(affected, kp)
+                merged = (
+                    merged.join(
+                        F.broadcast(ab),
+                        null_safe_cond(merged, ab, kp),
+                        "left_anti",
+                    )
+                    .unionByName(recomputed)
+                )
+            merged = merged.filter(F.col("cnt") > 0)
+            self.catalog.overwrite(
+                self.dst, merged, txn={"cdc_applied": end}
+            )
+            self._cursor.ack(end)
+            return n
+        finally:
+            changes.unpersist()
+            if affected is not None:
+                affected.unpersist()

@@ -195,3 +195,154 @@ def test_no_net_change_commit_advances_cursor(catalog, spark):
     assert agg._cursor.position() > pos  # acked past the compact commit
     # And idempotent thereafter.
     assert agg.refresh() == 0
+
+
+# -- IncrementalExtrema: MIN/MAX with delete-triggered group recompute --------
+
+
+def _ext_snapshot(cat):
+    return sorted(
+        (r.grp, r.cnt, r.vmin, r.vmax)
+        for r in cat.table("core.ext").collect()
+    )
+
+
+def _ext_expected(cat):
+    from pyspark.sql import functions as F
+
+    return sorted(
+        (r.grp, r.cnt, r.vmin, r.vmax)
+        for r in cat.table("core.src")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("amt").alias("vmin"),
+            F.max("amt").alias("vmax"),
+        )
+        .collect()
+    )
+
+
+def test_extrema_insert_only_cheap_path(spark, tmp_path):
+    from certified_dogs_and_cats_spark.pipeline.incremental import (
+        IncrementalExtrema,
+    )
+
+    cat = _mk(spark, tmp_path)
+    view = IncrementalExtrema(cat, "core.src", "core.ext", ("grp",), "amt")
+    cat.append("core.src", _rows(spark, [("a", 1.0), ("a", 5.0), ("b", 3.0)]))
+    assert view.refresh() == 3
+    assert _ext_snapshot(cat) == _ext_expected(cat) == [
+        ("a", 2, 1.0, 5.0),
+        ("b", 1, 3.0, 3.0),
+    ]
+    cat.append("core.src", _rows(spark, [("a", 0.5), ("b", 9.0)]))
+    view.refresh()
+    assert _ext_snapshot(cat) == _ext_expected(cat) == [
+        ("a", 3, 0.5, 5.0),
+        ("b", 2, 3.0, 9.0),
+    ]
+    assert view.refresh() == 0
+
+
+def test_extrema_delete_of_min_recomputes_group(spark, tmp_path):
+    """Deleting the stored minimum must surface the NEXT-smallest value —
+    the case a subtract-style merge cannot handle."""
+    from certified_dogs_and_cats_spark.pipeline.incremental import (
+        IncrementalExtrema,
+    )
+
+    cat = _mk(spark, tmp_path)
+    view = IncrementalExtrema(cat, "core.src", "core.ext", ("grp",), "amt")
+    cat.append(
+        "core.src",
+        _rows(spark, [("a", 1.0), ("a", 5.0), ("a", 3.0), ("b", 2.0)]),
+    )
+    view.refresh()
+    # overwrite drops a's min (1.0) and b entirely
+    cat.overwrite("core.src", _rows(spark, [("a", 5.0), ("a", 3.0)]))
+    view.refresh()
+    assert _ext_snapshot(cat) == _ext_expected(cat) == [("a", 2, 3.0, 5.0)]
+
+
+def test_extrema_delete_and_insert_same_refresh(spark, tmp_path):
+    """One refresh carrying both deletes and inserts for the same group:
+    the recompute at the watermark snapshot must reflect both."""
+    from certified_dogs_and_cats_spark.pipeline.incremental import (
+        IncrementalExtrema,
+    )
+
+    cat = _mk(spark, tmp_path)
+    view = IncrementalExtrema(cat, "core.src", "core.ext", ("grp",), "amt")
+    cat.append("core.src", _rows(spark, [("a", 1.0), ("a", 7.0)]))
+    view.refresh()
+    cat.overwrite("core.src", _rows(spark, [("a", 7.0), ("a", 4.0), ("c", 2.0)]))
+    view.refresh()
+    assert _ext_snapshot(cat) == _ext_expected(cat) == [
+        ("a", 2, 4.0, 7.0),
+        ("c", 1, 2.0, 2.0),
+    ]
+
+
+def test_extrema_watermark_version_not_newer_snapshot(spark, tmp_path):
+    """A commit AFTER the polled range must not leak into the recompute
+    (recompute reads the source AT the watermark, else its rows would
+    apply twice — once early via the recompute, once via their own
+    delta on the next refresh)."""
+    from certified_dogs_and_cats_spark.pipeline.incremental import (
+        IncrementalExtrema,
+    )
+
+    cat = _mk(spark, tmp_path)
+    view = IncrementalExtrema(cat, "core.src", "core.ext", ("grp",), "amt")
+    cat.append("core.src", _rows(spark, [("a", 1.0), ("a", 5.0)]))
+    view.refresh()
+    cat.overwrite("core.src", _rows(spark, [("a", 5.0)]))  # delete the min
+    view.refresh()
+    assert _ext_snapshot(cat) == [("a", 1, 5.0, 5.0)]
+    # next commit after the applied watermark
+    cat.append("core.src", _rows(spark, [("a", 0.1)]))
+    view.refresh()
+    assert _ext_snapshot(cat) == _ext_expected(cat) == [("a", 2, 0.1, 5.0)]
+
+
+def test_extrema_mv_through_ddl_with_rewrite(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW ... MIN/MAX shape through the SQL front
+    door, REFRESH applies deltas, and the matching SELECT is served from
+    the MV when (and only when) its watermark is current."""
+    from certified_dogs_and_cats_spark.pipeline import Catalog, DdlSession
+
+    cat = _mk(spark, tmp_path)
+    ddl = DdlSession(cat)
+    ddl.execute("USE SCHEMA core")
+    cat.append("core.src", _rows(spark, [("a", 1.0), ("a", 5.0), ("b", 2.0)]))
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW ext AS SELECT grp, COUNT(*) AS cnt, "
+        "MIN(amt) AS vmin, MAX(amt) AS vmax FROM src GROUP BY grp"
+    )
+    rows = sorted(
+        (r.grp, r.cnt, r.vmin, r.vmax)
+        for r in ddl.execute(
+            "SELECT grp, COUNT(*) AS cnt, MIN(amt) AS vmin, "
+            "MAX(amt) AS vmax FROM src GROUP BY grp"
+        )[-1].collect()
+    )
+    assert rows == [("a", 2, 1.0, 5.0), ("b", 1, 2.0, 2.0)]
+    # stale MV must fall through to the real aggregation, then refresh
+    cat.overwrite("core.src", _rows(spark, [("a", 5.0)]))
+    rows = sorted(
+        (r.grp, r.cnt, r.vmin, r.vmax)
+        for r in ddl.execute(
+            "SELECT grp, COUNT(*) AS cnt, MIN(amt) AS vmin, "
+            "MAX(amt) AS vmax FROM src GROUP BY grp"
+        )[-1].collect()
+    )
+    assert rows == [("a", 1, 5.0, 5.0)]
+    ddl.execute("REFRESH MATERIALIZED VIEW ext")
+    assert _ext_snapshot_named(cat, "core.ext") == [("a", 1, 5.0, 5.0)]
+
+
+def _ext_snapshot_named(cat, name):
+    return sorted(
+        (r.grp, r.cnt, r.vmin, r.vmax) for r in cat.table(name).collect()
+    )
