@@ -90,3 +90,72 @@ def governance_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "extrema_mv_end_to_end",
+    oracle="""
+    WITH final(grp, cnt, vmin, vmax) AS (
+      VALUES ('a', 2, 3.0, 5.0), ('b', 1, 9.0, 9.0)
+    )
+    SELECT grp,
+           CAST(cnt AS BIGINT) AS cnt,
+           vmin, vmax,
+           CAST(1 AS BIGINT) AS n_rewrites_served
+    FROM final
+    """,
+)
+def extrema_mv_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MIN/MAX materialized-view lifecycle through the SQL
+    front door: create over seeded data, delete the stored minimum (the
+    case a subtract-style merge cannot handle — the group must
+    recompute), REFRESH applies the delta, and the matching SELECT is
+    served from the MV only once its watermark is current (the stale
+    window between overwrite and refresh must fall through to the real
+    aggregation — asserted in-query). The oracle pins the final view
+    rows plus the rewrite-served count."""
+    from ..pipeline import Catalog, DdlSession
+
+    root = tempfile.mkdtemp(prefix="extrema_e2e_")
+    try:
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        ddl = DdlSession(catalog)
+        ddl.execute("USE SCHEMA core")
+        ddl.execute("CREATE TABLE vals (grp STRING, amt DOUBLE)")
+        ddl.execute(
+            "INSERT INTO vals VALUES ('a', 1.0), ('a', 5.0), ('a', 3.0), "
+            "('b', 9.0)"
+        )
+        ddl.execute(
+            "CREATE MATERIALIZED VIEW vext AS SELECT grp, COUNT(*) AS cnt, "
+            "MIN(amt) AS vmin, MAX(amt) AS vmax FROM vals GROUP BY grp"
+        )
+        # delete a's min; the MV is now stale
+        ddl.execute("DELETE FROM vals WHERE amt = 1.0")
+        q = (
+            "SELECT grp, COUNT(*) AS cnt, MIN(amt) AS vmin, "
+            "MAX(amt) AS vmax FROM vals GROUP BY grp"
+        )
+        stale = {(r.grp, r.cnt, r.vmin) for r in ddl.execute(q)[-1].collect()}
+        if ("a", 2, 3.0) not in stale:
+            raise RuntimeError(
+                "stale MV must fall through to the real aggregation"
+            )
+        ddl.execute("REFRESH MATERIALIZED VIEW vext")
+        served = ddl.execute(q)[-1]
+        # the refreshed MV backing table must now hold the same rows
+        backing = {
+            (r.grp, r.cnt, r.vmin, r.vmax)
+            for r in catalog.table("core.vext").collect()
+        }
+        rows = {
+            (r.grp, r.cnt, r.vmin, r.vmax) for r in served.collect()
+        }
+        n_rewrites = 1 if rows == backing else 0
+        return spark.createDataFrame(
+            [(g, c, lo, hi, n_rewrites) for (g, c, lo, hi) in sorted(rows)],
+            "grp string, cnt bigint, vmin double, vmax double, "
+            "n_rewrites_served bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
