@@ -164,3 +164,29 @@ def export_view_jsonl(
         .json(out)
     )
     return out
+
+
+def export_view_orc(
+    df: DataFrame,
+    export_root: str,
+    view_name: str,
+    export_date: date,
+    single_file: bool = False,
+    compression: str = "zstd",
+) -> str:
+    """ORC export sink — the columnar interchange format for warehouse
+    consumers that aren't parquet-native (Hive/Trino/Presto estates).
+    Same layout contract as :func:`export_view_csv`
+    (``exports/<view>/export_date=D/``, overwrite-idempotent); ORC is a
+    first-class Spark source, so the write is distributed columnar
+    encoding with predicate-pushdown-capable footers — a reader gets
+    min/max stripe skipping for free. Default codec zstd (best
+    size/speed on modern hardware; 'snappy'/'zlib'/'lz4' accepted)."""
+    out = os.path.join(
+        export_root, view_name, f"export_date={export_date.isoformat()}"
+    )
+    writer = df.coalesce(1) if single_file else df
+    writer.write.mode("overwrite").option("compression", compression).orc(
+        out
+    )
+    return out
