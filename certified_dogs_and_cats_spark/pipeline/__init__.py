@@ -13,7 +13,8 @@ format for Delta on a real deployment).
 
 from .catalog import Catalog, ChangeCursor, ConcurrentWriteConflict
 from .ddl import DdlError, DdlSession
-from .incremental import IncrementalAggregate
+from .incremental import IncrementalAggregate, IncrementalExtrema
+from .scd import Scd2Dimension
 from .runner import PipelineRunner, SkipRun, build_daily_pipeline
 from .schedule import CronSchedule, ScheduledJob
 
@@ -25,6 +26,8 @@ __all__ = [
     "DdlError",
     "DdlSession",
     "IncrementalAggregate",
+    "IncrementalExtrema",
+    "Scd2Dimension",
     "PipelineRunner",
     "ScheduledJob",
     "SkipRun",

@@ -159,3 +159,78 @@ def extrema_mv_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "scd2_dimension_end_to_end",
+    oracle="""
+    WITH dim(k, city, valid_from, valid_to, is_current) AS (
+      VALUES (1, 'nyc',     1, 2,    FALSE),
+             (1, 'boston',  2, NULL, TRUE),
+             (2, 'sf',      1, 3,    FALSE),
+             (3, 'la',      3, NULL, TRUE)
+    )
+    SELECT k, city,
+           CAST(valid_from AS INTEGER) AS valid_from,
+           CAST(valid_to AS INTEGER) AS valid_to,
+           is_current,
+           CAST(2 AS BIGINT) AS n_at_v1,
+           CAST(2 AS BIGINT) AS n_at_v3
+    FROM dim
+    """,
+)
+def scd2_dimension_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension lifecycle (pipeline/scd.py): three source
+    commits — load, attribute change, delete+new-key — maintained
+    incrementally from the change feed; the result is the FULL versioned
+    dimension (validity chains exactly as a batch rebuild would produce,
+    asserted in-query by building one) plus point-in-time row counts at
+    two historical versions. The oracle pins every validity interval."""
+    from ..pipeline import Catalog, Scd2Dimension
+
+    root = tempfile.mkdtemp(prefix="scd2_e2e_")
+    try:
+        from pyspark.sql import types as T
+
+        catalog = Catalog(spark, os.path.join(root, "warehouse"))
+        schema = T.StructType(
+            [
+                T.StructField("k", T.IntegerType(), False),
+                T.StructField("city", T.StringType(), True),
+            ]
+        )
+        catalog.register("core.src", schema)
+
+        def rows(data):
+            return spark.createDataFrame(data, schema)
+
+        dim = Scd2Dimension(catalog, "core.src", "core.dim", ("k",), ("city",))
+        catalog.append("core.src", rows([(1, "nyc"), (2, "sf")]))       # v1
+        dim.refresh()
+        catalog.overwrite("core.src", rows([(1, "boston"), (2, "sf")]))  # v2
+        dim.refresh()
+        catalog.overwrite("core.src", rows([(1, "boston"), (3, "la")]))  # v3
+        dim.refresh()
+        # incremental == batch rebuild (the invariant that makes SCD2
+        # trustworthy as an audit surface)
+        rebuild = Scd2Dimension(
+            catalog, "core.src", "core.dim_rebuild", ("k",), ("city",)
+        )
+        rebuild.refresh()
+        key = ("k", "city", "valid_from", "valid_to", "is_current")
+        a = sorted(tuple(r[c] for c in key) for r in catalog.table("core.dim").collect())
+        b = sorted(
+            tuple(r[c] for c in key)
+            for r in catalog.table("core.dim_rebuild").collect()
+        )
+        if a != b:
+            raise RuntimeError("incremental SCD2 != batch rebuild")
+        n1 = dim.at_version(1).count()
+        n3 = dim.at_version(3).count()
+        return spark.createDataFrame(
+            [(*row, n1, n3) for row in a],
+            "k int, city string, valid_from int, valid_to int, "
+            "is_current boolean, n_at_v1 bigint, n_at_v3 bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
