@@ -944,3 +944,52 @@ def incremental_lsh_candidates(
         )
         out = out.unionByName(intra)
     return out.distinct()
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int,
+) -> DataFrame:
+    """Typo-tolerant pair matching: exact Levenshtein refinement over
+    BLOCKED candidates — the fuzzy-join shape that survives scale.
+
+    Never all-pairs: candidates form only inside a blocking key (pair
+    count is sum over blocks of n_b^2, bounded by the largest block, not
+    the corpus — choose block_cols so blocks stay small, and measure
+    with key_skew_report). Two cheap pre-filters prune before the
+    O(len*len) distance evaluates: ``id_a < id_b`` halves the join, and
+    the length-difference bound (edit distance >= abs(len(a) - len(b)),
+    so a pair whose lengths differ by more than ``max_dist`` can never
+    match) drops most candidates inside the join condition itself,
+    before the expensive predicate runs.
+
+    Output: (id_a, id_b, dist) for pairs with dist <= max_dist.
+    """
+    cols = [F.col(c) for c in block_cols]
+    a = df.select(
+        *cols,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__ta"),
+        F.length(text_col).alias("__la"),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("__tb"),
+        F.length(text_col).alias("__lb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    cond = cond & (
+        F.abs(F.col("__la") - F.col("__lb")) <= F.lit(max_dist)
+    )
+    return (
+        a.join(b, cond)
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

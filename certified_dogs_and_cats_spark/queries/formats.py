@@ -61,3 +61,50 @@ def export_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+    pairs AS (
+      SELECT a.p_brand,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+       AND abs(len(a.p_name) - len(b.p_name)) <= 12
+      WHERE levenshtein(a.p_name, b.p_name) <= 12
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(dist) AS INTEGER) AS min_dist,
+           CAST(sum(dist) AS BIGINT) AS dist_sum
+    FROM pairs GROUP BY 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant fuzzy matching at scale (extensions.dedup.
+    blocked_edit_distance_pairs): Levenshtein refinement over
+    (brand, size)-blocked candidates — never all-pairs; the
+    length-difference bound prunes inside the join condition before the
+    quadratic distance runs. Levenshtein is integer-exact on both
+    engines, so the oracle hash-pins every distance."""
+    from ..extensions.dedup import blocked_edit_distance_pairs
+
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"), "p_name", "p_brand", "p_size"
+    )
+    pairs = blocked_edit_distance_pairs(
+        p, "pid", "p_name", ["p_brand", "p_size"], max_dist=12
+    )
+    brands = p.select(F.col("pid").alias("id_a"), "p_brand")
+    return (
+        pairs.join(brands, "id_a")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("dist").cast("int").alias("min_dist"),
+            F.sum("dist").cast("bigint").alias("dist_sum"),
+        )
+    )

@@ -229,3 +229,30 @@ def test_connected_components_empty_and_selfloop_edges(spark):
     loops = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(loops).collect()}
     assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_blocked_edit_distance_pairs(spark):
+    """Blocking: cross-block pairs never form even at distance 0; the
+    length-difference prune cannot drop a true pair (edit distance is
+    lower-bounded by the length difference)."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        blocked_edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "kitten", "x"),
+            (2, "sitting", "x"),
+            (3, "kitten", "y"),  # same text, other block
+            (4, "kit", "x"),     # len diff 3 from kitten, dist 3
+            (5, "a" * 40, "x"),  # len diff too large for any partner
+        ],
+        "id long, name string, blk string",
+    )
+    out = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_edit_distance_pairs(
+            df, "id", "name", ["blk"], max_dist=3
+        ).collect()
+    )
+    assert out == [(1, 2, 3), (1, 4, 3)]
