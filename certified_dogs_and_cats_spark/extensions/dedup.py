@@ -966,7 +966,10 @@ def blocked_edit_distance_pairs(
     match) drops most candidates inside the join condition itself,
     before the expensive predicate runs.
 
-    Output: (id_a, id_b, dist) for pairs with dist <= max_dist.
+    Output: (*block_cols, id_a, id_b, dist) for pairs with
+    dist <= max_dist — the block key rides along (it is constant within
+    a pair by construction), so per-block rollups need no re-join
+    against the source.
     """
     cols = [F.col(c) for c in block_cols]
     a = df.select(
@@ -991,5 +994,5 @@ def blocked_edit_distance_pairs(
         a.join(b, cond)
         .withColumn("dist", F.levenshtein("__ta", "__tb"))
         .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "dist")
+        .select(*block_cols, "id_a", "id_b", "dist")
     )

@@ -1,4 +1,5 @@
-"""Time-series resampling: dense per-key time grids with forward fill.
+"""Time-series resampling: dense per-key time grids with forward fill
+or linear interpolation.
 
 The missing-gap problem every metrics/warehouse pipeline hits: events
 arrive irregularly, dashboards and joins need one row per (key, bucket)
@@ -8,9 +9,9 @@ Plan shape (scale contract): bucketing is a map-side projection; the
 last-value-per-bucket reduction is one hash aggregate on (key, bucket);
 the grid is an explode of ``sequence(min_bucket, max_bucket)`` per key —
 rows materialize at the grid size, never joined against raw events; the
-forward fill is one window pass per key ordered by bucket. Two shuffles
-total, both on the key. Grid width is bounded by (span / step) per key —
-at 100 TB, step and retention bound the blowup, and the per-key window
+fill is one window pass per key ordered by bucket. Two shuffles total,
+both on the key. Grid width is bounded by (span / step) per key — at
+100 TB, step and retention bound the blowup, and the per-key window
 never sees raw event volume.
 """
 
@@ -20,22 +21,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def resample_ffill(
+def _per_bucket_grid(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
-    step_seconds: int = 3600,
+    step_seconds: int,
 ) -> DataFrame:
-    """One row per (key, bucket) from the key's first to last event
-    bucket, carrying the latest in-bucket value, forward-filled across
-    empty buckets.
-
-    Output: (key, bucket_start TIMESTAMP, value, is_observed BOOLEAN) —
-    ``is_observed`` FALSE marks gap rows whose value was carried forward.
-    In-bucket "latest" ties on (ts, value) take the greater value for
-    determinism.
-    """
+    """Shared stage of both resamplers: latest-in-bucket reduction plus
+    the dense per-key grid, left-joined — (key, __b, __v, __obs) with
+    ``__obs`` NULL on gap rows. One copy so the bucket math and the
+    tie-break can never drift between the ffill and interpolate
+    variants."""
     step = F.lit(step_seconds)
     # floor, not a truncating cast: pre-1970 timestamps have negative
     # epoch seconds, and truncation toward zero would merge the two
@@ -45,6 +42,8 @@ def resample_ffill(
         df.select(
             F.col(key_col),
             bucket.alias("__b"),
+            # In-bucket "latest" ties on (ts, value) take the greater
+            # value for determinism.
             F.struct(
                 F.col(ts_col).alias("ts"), F.col(value_col).alias("v")
             ).alias("__tv"),
@@ -68,12 +67,30 @@ def resample_ffill(
         F.col(key_col),
         F.explode(F.sequence("__lo", "__hi")).alias("__b"),
     )
+    return grid.join(per_bucket, [key_col, "__b"], "left")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """One row per (key, bucket) from the key's first to last event
+    bucket, carrying the latest in-bucket value, forward-filled across
+    empty buckets.
+
+    Output: (key, bucket_start TIMESTAMP, value, is_observed BOOLEAN) —
+    ``is_observed`` FALSE marks gap rows whose value was carried forward.
+    """
+    step = F.lit(step_seconds)
+    joined = _per_bucket_grid(df, key_col, ts_col, value_col, step_seconds)
     w = (
         Window.partitionBy(key_col)
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = grid.join(per_bucket, [key_col, "__b"], "left")
     return joined.select(
         F.col(key_col),
         F.timestamp_seconds(F.col("__b") * step).alias("bucket_start"),
@@ -90,43 +107,28 @@ def resample_interpolate(
     step_seconds: int = 3600,
 ) -> DataFrame:
     """Like :func:`resample_ffill` but gap values LINEARLY INTERPOLATE
-    between the neighboring observed buckets (pandas
+    between the neighboring ANCHOR buckets (pandas
     ``Series.interpolate('linear')`` semantics on a per-key grid):
     ``v = v0 + (v1 - v0) * (b - b0) / (b1 - b0)``.
 
-    The grid spans each key's first..last observed bucket, so every gap
-    row has both neighbors by construction — no edge policy needed.
+    An anchor is an observed bucket with a NON-NULL value — a bucket
+    whose only events carry NULL values is not an anchor and its value
+    interpolates too (exactly pandas: NaN observations are themselves
+    filled), though ``is_observed`` stays true for it. Value and bucket
+    anchors are taken from the same rows by construction, so a
+    NULL-valued observed bucket can never skew a neighboring gap's
+    slope. Grid edges hold by span definition at least one observed
+    bucket, but if the EDGE bucket's value is NULL there is no anchor on
+    that side and the affected rows stay NULL (pandas' leading/trailing
+    NaN behavior).
+
     The interpolation arithmetic is IEEE-exact (+,-,*,/ on doubles and
     integer bucket indices), so results are bit-identical across
     engines and partitionings. One shuffle (the key-wise window sort);
     the backward- and forward-looking frames share it.
     """
     step = F.lit(step_seconds)
-    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("bigint")
-    per_bucket = (
-        df.select(
-            F.col(key_col),
-            bucket.alias("__b"),
-            F.struct(
-                F.col(ts_col).alias("ts"), F.col(value_col).alias("v")
-            ).alias("__tv"),
-        )
-        .groupBy(key_col, "__b")
-        .agg(F.max("__tv").alias("__tv"))
-        .select(
-            key_col,
-            "__b",
-            F.col("__tv.v").alias("__v"),
-            F.lit(True).alias("__obs"),
-        )
-    )
-    spans = per_bucket.groupBy(key_col).agg(
-        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
-    )
-    grid = spans.select(
-        F.col(key_col),
-        F.explode(F.sequence("__lo", "__hi")).alias("__b"),
-    )
+    joined = _per_bucket_grid(df, key_col, ts_col, value_col, step_seconds)
     back = (
         Window.partitionBy(key_col)
         .orderBy("__b")
@@ -137,18 +139,22 @@ def resample_interpolate(
         .orderBy("__b")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    joined = grid.join(per_bucket, [key_col, "__b"], "left")
     v = F.col("__v").cast("double")
     b = F.col("__b").cast("double")
-    ob = F.when(F.col("__obs"), F.col("__b")).cast("double")
-    pv = F.last(v, ignorenulls=True).over(back)
+    # Anchor = observed AND non-null value; the bucket anchor uses the
+    # SAME predicate as the value anchor so pb/pv (and nb/nv) always
+    # come from one row.
+    is_anchor = F.col("__obs") & F.col("__v").isNotNull()
+    ob = F.when(is_anchor, F.col("__b")).cast("double")
+    av = F.when(is_anchor, v)
+    pv = F.last(av, ignorenulls=True).over(back)
     pb = F.last(ob, ignorenulls=True).over(back)
-    nv = F.first(v, ignorenulls=True).over(fwd)
+    nv = F.first(av, ignorenulls=True).over(fwd)
     nb = F.first(ob, ignorenulls=True).over(fwd)
     interp = pv + (nv - pv) * (b - pb) / (nb - pb)
     return joined.select(
         F.col(key_col),
         F.timestamp_seconds(F.col("__b") * step).alias("bucket_start"),
-        F.when(F.col("__obs"), v).otherwise(interp).alias("value"),
+        F.when(is_anchor, v).otherwise(interp).alias("value"),
         F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
     )

@@ -2118,19 +2118,13 @@ class Catalog:
             spec.column_masks[col] = expr
         self._persist_governance(name)
 
-    def governed_table(
-        self, name: str, version: int | None = None
-    ) -> DataFrame:
-        """The policy-applying read: row filter first (evaluated on RAW
-        values), then every column mask in one projection (each mask also
-        sees raw values). Raw :meth:`table` remains the maintenance door;
-        the SQL surface (DdlSession) binds THIS one, so ad-hoc readers
-        get governed data while OPTIMIZE/MERGE/constraints keep operating
-        on what is actually stored. Time travel reads enforce the
-        CURRENT policy (policies govern access, not history)."""
+    def _apply_policies(self, df: DataFrame, name: str) -> DataFrame:
+        """Row filter first (evaluated on RAW values), then every column
+        mask in one projection (each mask also sees raw values). Columns
+        the policy doesn't know (e.g. the change feed's ``_change_type``
+        / ``_commit_version``) pass through untouched."""
         from pyspark.sql import functions as F
 
-        df = self.table(name, version=version)
         spec = self.tables[name]
         if spec.row_filter:
             df = df.filter(spec.row_filter)
@@ -2147,6 +2141,29 @@ class Catalog:
                 ]
             )
         return df
+
+    def governed_table(
+        self, name: str, version: int | None = None
+    ) -> DataFrame:
+        """The policy-applying read. Raw :meth:`table` remains the
+        maintenance door; the SQL surface (DdlSession) binds THIS one, so
+        ad-hoc readers get governed data while OPTIMIZE/MERGE/constraints
+        keep operating on what is actually stored. Time travel reads
+        enforce the CURRENT policy (policies govern access, not
+        history)."""
+        return self._apply_policies(self.table(name, version=version), name)
+
+    def governed_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Policy-applying change feed: the SQL surface's
+        ``table_changes()`` binds this, so the CDC audit view can never
+        leak rows or values the table's own reads would hide (the change
+        rows carry the full data columns — an unguarded feed would be a
+        trivial policy bypass). The metadata columns pass through."""
+        return self._apply_policies(
+            self.changes(name, from_version, to_version), name
+        )
 
     def _matching_partition_dirs(self, name: str, where: str) -> set[str]:
         """Relative partition directories whose hive-encoded values

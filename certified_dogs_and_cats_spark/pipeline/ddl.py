@@ -246,6 +246,10 @@ class DdlSession:
     views: dict[str, str] = field(default_factory=dict)
     mviews: dict[str, object] = field(default_factory=dict)
     functions: dict[str, str] = field(default_factory=dict)
+    # qualified fn name -> catalog tables its TABLE body references; used
+    # to re-bind those tables' temp-view aliases before any statement
+    # that calls the function (see _rebind_function_tables).
+    function_tables: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
     # -- name resolution -----------------------------------------------------
     def resolve(self, name: str) -> str:
@@ -746,6 +750,7 @@ class DdlSession:
             mv = self._mv_rewrite(s)
             if mv is not None:
                 return mv
+            self._rebind_function_tables(s)
             return self.catalog.spark.sql(self._resolve_refs(stmt))
         if u.startswith("EXPLAIN "):
             plan = (
@@ -1229,6 +1234,14 @@ class DdlSession:
         ret = m.group("ret").strip()
         body = m.group("body").strip().rstrip(";").strip()
         if ret.upper().startswith("TABLE"):
+            # Record which catalog tables the body references BEFORE the
+            # rewrite replaces them with alias views: a later call whose
+            # statement names no table must still re-bind these aliases
+            # (fresh data + current governance), else the function would
+            # serve the snapshot frozen at CREATE time.
+            self.function_tables[name] = tuple(
+                tbl for tbl in self.catalog.tables if self._refers_to(body, tbl)
+            )
             body = self._resolve_refs(body)
         ddl = (
             f"CREATE OR REPLACE TEMPORARY FUNCTION {bare}"
@@ -1240,6 +1253,35 @@ class DdlSession:
             raise DdlError(f"CREATE FUNCTION {name}: {e}") from e
         self.functions[name] = ddl
         return None
+
+    def _refers_to(self, body: str, tbl: str) -> bool:
+        """True when ``body`` references catalog table ``tbl`` under any
+        of the spellings the reference rewriter accepts (3-part, 2-part,
+        bare under the current schema)."""
+        prefixes = [f"{self.current_catalog}.{tbl}", tbl]
+        if tbl.startswith(f"{self.current_schema}."):
+            prefixes.append(tbl[len(self.current_schema) + 1 :])
+        return any(
+            re.search(rf"(?<![\w.]){re.escape(p)}(?![\w.])", body)
+            for p in prefixes
+        )
+
+    def _rebind_function_tables(self, stmt: str) -> None:
+        """Re-bind the alias views behind every table function the
+        statement calls, so the call reads the table's CURRENT committed
+        state under its CURRENT governance policies (temp-view bodies
+        re-resolve at call analysis time — validated against Spark 4's
+        SQL-function semantics). Without this, a call statement that
+        names no catalog table would serve whatever snapshot happened to
+        be bound when the function was created."""
+        for fname, tables in self.function_tables.items():
+            bare = fname.split(".")[-1]
+            if not re.search(rf"(?<!\w){re.escape(bare)}\s*\(", stmt, re.I):
+                continue
+            for tbl in tables:
+                self.catalog.governed_table(tbl).createOrReplaceTempView(
+                    _view_alias(tbl)
+                )
 
     def _drop_function(self, s: str) -> None:
         m = re.match(
@@ -1257,6 +1299,7 @@ class DdlSession:
         bare = name.split(".")[-1]
         self.catalog.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {bare}")
         del self.functions[name]
+        self.function_tables.pop(name, None)
         return None
 
     def _create_view(self, stmt: str) -> DataFrame:
@@ -1391,8 +1434,7 @@ class DdlSession:
         src = self.resolve(m.group("src"))
         for view in self.mviews.values():
             if (
-                isinstance(view, kind)
-                and type(view) is kind
+                type(view) is kind
                 and view.src == src
                 and tuple(g.lower() for g in view.group_cols) == lowered
                 and view.value_col.lower() == m.group("val").lower()
@@ -1423,7 +1465,11 @@ class DdlSession:
                 f"{_view_alias(tbl)}__cdf_{lo}_"
                 f"{hi if hi is not None else 'now'}"
             )
-            self.catalog.changes(tbl, lo, hi).createOrReplaceTempView(alias)
+            # Governed: the CDC audit surface applies the same row
+            # filter + masks as every other SQL read of the table.
+            self.catalog.governed_changes(tbl, lo, hi).createOrReplaceTempView(
+                alias
+            )
             return alias
 
         body = re.sub(

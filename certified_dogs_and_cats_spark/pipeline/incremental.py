@@ -28,8 +28,66 @@ from pyspark.sql import types as T
 from .catalog import Catalog
 
 
+class CdcMaintenance:
+    """Shared exactly-once machinery for CDC-maintained destination
+    tables (:class:`IncrementalAggregate`, :class:`IncrementalExtrema`,
+    :class:`~certified_dogs_and_cats_spark.pipeline.scd.Scd2Dimension`).
+
+    The contract lives in ONE place so a protocol fix cannot silently
+    miss a consumer: the applied watermark is read from the
+    destination's own committed txn markers (crash-safe truth);
+    ``_begin_refresh`` fast-forwards a cursor that died between commit
+    and ack, polls, persists the batch, and acks no-net-change ranges;
+    ``_commit_refresh`` writes the new snapshot and the watermark in one
+    atomic commit, then acks. Subclasses provide ``catalog``, ``dst``,
+    and ``_cursor``.
+    """
+
+    def _applied_watermark(self) -> int:
+        """Highest source version whose delta is COMMITTED into dst (the
+        txn markers in dst's own manifest — crash-safe truth)."""
+        return max(
+            (
+                e["txn"]["cdc_applied"]
+                for e in self.catalog._load_manifest(self.dst)
+                if e.get("txn", {}).get("cdc_applied") is not None
+            ),
+            default=0,
+        )
+
+    def _begin_refresh(self):
+        """Crash repair + poll. Returns ``(changes, end, n)``; the batch
+        is persisted iff ``n > 0`` (the caller owns the unpersist).
+        ``n == 0`` means nothing to apply — a no-net-change source
+        commit (compact, no-op rewrite) still advances the cursor, or
+        every future refresh would re-diff the same versions forever."""
+        applied = self._applied_watermark()
+        if applied > self._cursor.position():
+            # A prior refresh committed its snapshot but died before
+            # acking the cursor — fast-forward, don't re-apply.
+            self._cursor.ack(applied)
+        changes, end = self._cursor.poll()
+        # One evaluation of the feed backs every downstream use (for
+        # rewrite commits the feed is a two-sided snapshot diff —
+        # reading it twice would double a real cost).
+        changes = changes.persist()
+        n = changes.count()
+        if n == 0:
+            changes.unpersist()
+            if end > self._cursor.position():
+                self._cursor.ack(end)
+        return changes, end, n
+
+    def _commit_refresh(self, new_frame, end: int) -> None:
+        """Snapshot + applied-watermark in ONE commit, then ack."""
+        self.catalog.overwrite(
+            self.dst, new_frame, txn={"cdc_applied": end}
+        )
+        self._cursor.ack(end)
+
+
 @dataclass
-class IncrementalAggregate:
+class IncrementalAggregate(CdcMaintenance):
     """Incrementally-maintained ``SELECT group_cols, count(*), sum(value)
     FROM src GROUP BY group_cols`` table.
 
@@ -71,38 +129,11 @@ class IncrementalAggregate:
             self.catalog.register(self.dst, T.StructType(fields))
         self._cursor = self.catalog.change_cursor(self.src, self.consumer)
 
-    def _applied_watermark(self) -> int:
-        """Highest source version whose delta is COMMITTED into dst (the
-        txn markers in dst's own manifest — crash-safe truth)."""
-        return max(
-            (
-                e["txn"]["cdc_applied"]
-                for e in self.catalog._load_manifest(self.dst)
-                if e.get("txn", {}).get("cdc_applied") is not None
-            ),
-            default=0,
-        )
-
     def refresh(self) -> int:
-        # Crash repair: a prior refresh may have committed its snapshot
-        # but died before acking the cursor — fast-forward, don't re-apply.
-        applied = self._applied_watermark()
-        if applied > self._cursor.position():
-            self._cursor.ack(applied)
-        changes, end = self._cursor.poll()
-        # One evaluation of the feed backs both the count and the delta
-        # aggregation below (for rewrite commits the feed is a two-sided
-        # snapshot diff — reading it twice would double a real cost).
-        changes = changes.persist()
+        changes, end, n = self._begin_refresh()
+        if n == 0:
+            return 0
         try:
-            n = changes.count()
-            if n == 0:
-                # A no-net-change source commit (compact, no-op rewrite)
-                # still advances the range: ack it, or every future
-                # refresh re-diffs the same versions forever.
-                if end > self._cursor.position():
-                    self._cursor.ack(end)
-                return 0
             sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
             keys = list(self.group_cols)
             delta = changes.groupBy(*keys).agg(
@@ -141,18 +172,14 @@ class IncrementalAggregate:
                 )
                 .filter(F.col("cnt") > 0)
             )
-            # Snapshot + applied-watermark in ONE commit (see module doc).
-            self.catalog.overwrite(
-                self.dst, merged, txn={"cdc_applied": end}
-            )
-            self._cursor.ack(end)
+            self._commit_refresh(merged, end)
             return n
         finally:
             changes.unpersist()
 
 
 @dataclass
-class IncrementalExtrema:
+class IncrementalExtrema(CdcMaintenance):
     """Incrementally-maintained ``SELECT group_cols, count(*), min(value),
     max(value) FROM src GROUP BY group_cols`` table.
 
@@ -199,29 +226,12 @@ class IncrementalExtrema:
             self.catalog.register(self.dst, T.StructType(fields))
         self._cursor = self.catalog.change_cursor(self.src, self.consumer)
 
-    def _applied_watermark(self) -> int:
-        return max(
-            (
-                e["txn"]["cdc_applied"]
-                for e in self.catalog._load_manifest(self.dst)
-                if e.get("txn", {}).get("cdc_applied") is not None
-            ),
-            default=0,
-        )
-
     def refresh(self) -> int:
-        applied = self._applied_watermark()
-        if applied > self._cursor.position():
-            self._cursor.ack(applied)
-        changes, end = self._cursor.poll()
-        changes = changes.persist()
+        changes, end, n = self._begin_refresh()
+        if n == 0:
+            return 0
         affected = None
         try:
-            n = changes.count()
-            if n == 0:
-                if end > self._cursor.position():
-                    self._cursor.ack(end)
-                return 0
             keys = list(self.group_cols)
             is_ins = F.col("_change_type") == "insert"
             # Groups any delete touched: their stored extrema are suspect.
@@ -293,10 +303,7 @@ class IncrementalExtrema:
                     .unionByName(recomputed)
                 )
             merged = merged.filter(F.col("cnt") > 0)
-            self.catalog.overwrite(
-                self.dst, merged, txn={"cdc_applied": end}
-            )
-            self._cursor.ack(end)
+            self._commit_refresh(merged, end)
             return n
         finally:
             changes.unpersist()

@@ -37,10 +37,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import Catalog
+from .incremental import CdcMaintenance
 
 
 @dataclass
-class Scd2Dimension:
+class Scd2Dimension(CdcMaintenance):
     catalog: Catalog
     src: str
     dst: str
@@ -65,16 +66,6 @@ class Scd2Dimension:
             self.catalog.register(self.dst, T.StructType(fields))
         self._cursor = self.catalog.change_cursor(self.src, self.consumer)
 
-    def _applied_watermark(self) -> int:
-        return max(
-            (
-                e["txn"]["cdc_applied"]
-                for e in self.catalog._load_manifest(self.dst)
-                if e.get("txn", {}).get("cdc_applied") is not None
-            ),
-            default=0,
-        )
-
     def at_version(self, version: int):
         """Point-in-time view of the dimension as of source ``version`` —
         the validity-interval predicate every PIT join uses."""
@@ -88,17 +79,11 @@ class Scd2Dimension:
         ).drop("valid_from", "valid_to", "is_current")
 
     def refresh(self) -> int:
-        applied = self._applied_watermark()
-        if applied > self._cursor.position():
-            self._cursor.ack(applied)
-        changes, end = self._cursor.poll()
-        changes = changes.persist()
+        changes, end, n = self._begin_refresh()
+        if n == 0:
+            return 0
+        evs = None
         try:
-            n = changes.count()
-            if n == 0:
-                if end > self._cursor.position():
-                    self._cursor.ack(end)
-                return 0
             keys = list(self.key_cols)
             tracked = list(self.tracked_cols)
             is_ins = F.col("_change_type") == "insert"
@@ -158,14 +143,9 @@ class Scd2Dimension:
                 ).alias("is_current"),
             )
             new_dim = untouched_or_closed.unionByName(opened)
-            self.catalog.overwrite(
-                self.dst, new_dim, txn={"cdc_applied": end}
-            )
-            self._cursor.ack(end)
+            self._commit_refresh(new_dim, end)
             return n
         finally:
             changes.unpersist()
-            try:
+            if evs is not None:
                 evs.unpersist()
-            except NameError:
-                pass

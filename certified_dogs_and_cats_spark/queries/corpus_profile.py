@@ -366,18 +366,26 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON g.user_id = l.user_id AND g.b = l.b
     ),
     n AS (
+      -- anchor = observed AND non-null value (matches the operator:
+      -- value and bucket anchors always come from the same rows)
       SELECT user_id, b, v, obs,
-             last_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER (
+             last_value(CASE WHEN obs AND v IS NOT NULL
+                             THEN CAST(v AS DOUBLE) END
+                        IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY b
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-             last_value(CASE WHEN obs THEN CAST(b AS DOUBLE) END
+             last_value(CASE WHEN obs AND v IS NOT NULL
+                             THEN CAST(b AS DOUBLE) END
                         IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY b
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
-             first_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER (
+             first_value(CASE WHEN obs AND v IS NOT NULL
+                              THEN CAST(v AS DOUBLE) END
+                         IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY b
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-             first_value(CASE WHEN obs THEN CAST(b AS DOUBLE) END
+             first_value(CASE WHEN obs AND v IS NOT NULL
+                              THEN CAST(b AS DOUBLE) END
                          IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY b
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
@@ -385,7 +393,7 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(b * 21600 AS BIGINT) AS bucket_epoch,
-           CASE WHEN obs THEN CAST(v AS DOUBLE)
+           CASE WHEN obs AND v IS NOT NULL THEN CAST(v AS DOUBLE)
                 ELSE pv + (nv - pv) * (CAST(b AS DOUBLE) - pb) / (nb - pb)
            END AS value,
            obs AS is_observed

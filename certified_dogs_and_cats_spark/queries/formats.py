@@ -98,10 +98,9 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = blocked_edit_distance_pairs(
         p, "pid", "p_name", ["p_brand", "p_size"], max_dist=12
     )
-    brands = p.select(F.col("pid").alias("id_a"), "p_brand")
+    # the block key rides along on every pair — no re-join needed
     return (
-        pairs.join(brands, "id_a")
-        .groupBy("p_brand")
+        pairs.groupBy("p_brand")
         .agg(
             F.count("*").alias("n_pairs"),
             F.min("dist").cast("int").alias("min_dist"),

@@ -1114,3 +1114,55 @@ def test_bad_policy_expressions_raise(governed):
             "ALTER TABLE licensed_pets_bronze ALTER COLUMN ghost "
             "SET MASK ('x')"
         )
+
+
+def test_table_changes_tvf_is_governed(governed, catalog):
+    """The CDC audit surface must not leak what the table's own reads
+    hide: table_changes() applies the row filter and masks."""
+    governed.execute(
+        "ALTER TABLE licensed_pets_bronze SET ROW FILTER (Year >= 2023);"
+        "ALTER TABLE licensed_pets_bronze ALTER COLUMN PRIMARY_BREED "
+        "SET MASK ('HIDDEN')"
+    )
+    rows = governed.execute(
+        "SELECT _id, PRIMARY_BREED, _change_type "
+        "FROM table_changes('licensed_pets_bronze', 0)"
+    )[0].collect()
+    assert {r._id for r in rows} == {1, 2}  # Year=2022 row filtered out
+    assert {r.PRIMARY_BREED for r in rows} == {"HIDDEN"}
+    assert {r._change_type for r in rows} == {"insert"}
+
+
+def test_table_function_sees_fresh_data_and_policies(ddl, catalog, spark):
+    """A table-function call whose statement names no catalog table must
+    still read the table's CURRENT rows under CURRENT policies — the
+    alias views re-bind at call time, not once at CREATE time."""
+    ddl.execute(BRONZE_DDL)
+    from datetime import date, datetime
+
+    def row(i, year, fsa):
+        return (i, year, fsa, True, "Dog", "POODLE",
+                datetime(2023, 1, 1), date(2023, 1, 1))
+
+    schema = catalog.tables["core.licensed_pets_bronze"].schema
+    catalog.append(
+        "core.licensed_pets_bronze",
+        spark.createDataFrame([row(1, 2023, "M5V")], schema),
+    )
+    ddl.execute(
+        "CREATE FUNCTION dogs() RETURNS TABLE(_id INT) "
+        "RETURN SELECT _id FROM pets.core.licensed_pets_bronze "
+        "WHERE ANIMAL_TYPE = 'Dog'"
+    )
+    assert ddl.execute("SELECT count(*) AS n FROM dogs()")[0].collect()[0].n == 1
+    # data committed AFTER the function existed must be visible
+    catalog.append(
+        "core.licensed_pets_bronze",
+        spark.createDataFrame([row(2, 2022, "M4C")], schema),
+    )
+    assert ddl.execute("SELECT count(*) AS n FROM dogs()")[0].collect()[0].n == 2
+    # a policy declared AFTER the function existed must apply
+    ddl.execute(
+        "ALTER TABLE licensed_pets_bronze SET ROW FILTER (Year >= 2023)"
+    )
+    assert ddl.execute("SELECT count(*) AS n FROM dogs()")[0].collect()[0].n == 1

@@ -250,9 +250,9 @@ def test_blocked_edit_distance_pairs(spark):
         "id long, name string, blk string",
     )
     out = sorted(
-        (r.id_a, r.id_b, r.dist)
+        (r.blk, r.id_a, r.id_b, r.dist)
         for r in blocked_edit_distance_pairs(
             df, "id", "name", ["blk"], max_dist=3
         ).collect()
     )
-    assert out == [(1, 2, 3), (1, 4, 3)]
+    assert out == [("x", 1, 2, 3), ("x", 1, 4, 3)]

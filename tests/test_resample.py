@@ -78,3 +78,35 @@ def test_interpolate_linear_gap_values(spark):
         (25.0, False),
         (30.0, True),
     ]
+
+
+def test_interpolate_null_valued_observed_bucket_is_not_an_anchor(spark):
+    """A bucket whose only event carries a NULL value must neither anchor
+    the slope nor keep NULL: observed (b0, 0.0), (b2, NULL), (b4, 4.0)
+    interpolates b1=1.0, b2=2.0, b3=3.0 — the NULL observation fills
+    like pandas NaN, and the b3 slope uses the b0/b4 anchors, never the
+    NULL bucket's position."""
+    from certified_dogs_and_cats_spark.operators.resample import (
+        resample_interpolate,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 0.0),
+        (1, base + dt.timedelta(hours=2), None),
+        (1, base + dt.timedelta(hours=4), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = resample_interpolate(df, "k", "ts", "v", step_seconds=3600)
+    got = [
+        (r.value, r.is_observed)
+        for r in out.orderBy("bucket_start").collect()
+    ]
+    assert got == [
+        (0.0, True),
+        (1.0, False),
+        (2.0, True),   # observed event, value interpolated over the NULL
+        (3.0, False),
+        (4.0, True),
+    ]
