@@ -996,3 +996,94 @@ def blocked_edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select(*block_cols, "id_a", "id_b", "dist")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-threshold Jaccard pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs family — Xiao et al. WWW'08, Bayardo et al. WWW'07):
+    the candidate generator that replaces :func:`jaccard_pairs`' df-cap
+    heuristic with a lossless bound.
+
+    Sets sharing Jaccard >= t MUST share a token inside each other's
+    PREFIX — the first ``|T| - ceil(t*|T|) + 1`` tokens when every set is
+    ordered by ascending global document frequency. Joining on prefix
+    tokens (instead of all tokens) shrinks the candidate blow-up to the
+    RAREST tokens' df^2, provably missing no qualifying pair; the size
+    bound ``t*|B| <= |A|`` (ceil, integer form) prunes further inside the
+    join. Survivors verify with an exact map-side
+    ``array_intersect`` — one pass, no re-join against the token stream.
+
+    (a_id, b_id, inter, union, jaccard) with a_id < b_id and
+    jaccard >= threshold; inter/union are exact integers, jaccard their
+    IEEE-exact quotient — hash-stable across engines.
+    """
+    toks = shingles.select(F.col(id_col).alias("__id"), "shingle").distinct()
+    # Global frequency ordering: rare tokens first, ties on the token
+    # itself — a TOTAL order that needs no global rank assignment (no
+    # single-partition row_number over the vocab, which would be the
+    # scale bottleneck): sorting each doc's (df, token) structs yields
+    # the same order distributedly.
+    vocab = toks.groupBy("shingle").agg(F.count("*").alias("__df"))
+    per_id = (
+        toks.join(vocab, "shingle")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__ordered"),
+        )
+        .select(
+            "__id",
+            F.col("__ordered.shingle").alias("__toks"),
+            F.size("__ordered").alias("__n"),
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1
+    plen = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast(
+        "int"
+    ) + F.lit(1)
+    prefixes = per_id.select(
+        "__id",
+        "__toks",
+        "__n",
+        F.explode(F.slice("__toks", F.lit(1), plen)).alias("__ptok"),
+    )
+    a = prefixes.select(
+        F.col("__id").alias("a_id"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+        "__ptok",
+    )
+    b = prefixes.select(
+        F.col("__id").alias("b_id"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+        "__ptok",
+    )
+    cands = (
+        a.join(b, "__ptok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # size bound: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+        .filter(
+            F.least("__na", "__nb").cast("double")
+            >= F.lit(threshold) * F.greatest("__na", "__nb")
+        )
+        .select("a_id", "b_id", "__ta", "__tb", "__na", "__nb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.col("__na") + F.col("__nb") - inter
+    return (
+        cands.select(
+            "a_id",
+            "b_id",
+            inter.cast("bigint").alias("inter"),
+            union.cast("bigint").alias("union"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

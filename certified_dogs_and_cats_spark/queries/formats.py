@@ -107,3 +107,61 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dist").cast("bigint").alias("dist_sum"),
         )
     )
+
+
+# Shared with queries/dedup.py's oracles: distinct word-3-gram shingles
+# hashed to the same 60-bit integers the Spark side emits. (Lives here,
+# not in queries/dedup.py, because this module registers AFTER the
+# driver-window tail — see queries/__init__.py's rotation note.)
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]),
+                             1, 15))::BIGINT AS shingle
+      FROM toks, UNNEST(range(0, len(a) - 2)) AS u(i)
+      WHERE len(a) >= 3
+    )
+"""
+
+PPJOIN_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - inter AS BIGINT) AS "union",
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+          >= {PPJOIN_THRESHOLD}
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-family set-similarity join (extensions.dedup.
+    prefix_filter_jaccard_pairs): prefix filtering is LOSSLESS — unlike
+    dedup_ngram_jaccard's df-cap heuristic, the oracle here is the
+    uncapped exact all-pairs computation, and the prefix-filtered plan
+    must reproduce it row-for-row. Candidates join only on each set's
+    rarest tokens (prefix length n - ceil(t*n) + 1), the integer size
+    bound prunes inside the join, and survivors verify with one map-side
+    array_intersect."""
+    from ..extensions.dedup import prefix_filter_jaccard_pairs, word_shingles
+    from ..cache import tracked_persist
+
+    docs = t(spark, sf_dir, "documents")
+    sh = tracked_persist(
+        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
+    )
+    return prefix_filter_jaccard_pairs(sh, "doc_id", PPJOIN_THRESHOLD)

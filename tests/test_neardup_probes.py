@@ -256,3 +256,33 @@ def test_blocked_edit_distance_pairs(spark):
         ).collect()
     )
     assert out == [("x", 1, 2, 3), ("x", 1, 4, 3)]
+
+
+def test_prefix_filter_jaccard_is_lossless(spark):
+    """Prefix filtering must find EXACTLY the pairs the uncapped
+    all-pairs computation finds — it is a lossless bound, not a
+    heuristic like the df cap."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "an entirely different document about spark plans"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, "an entirely different document about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df, "doc_id", "text", n=3, as_hash=True)
+    exact = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in jaccard_pairs(sh, "doc_id", 0.5, max_shingle_df=None).collect()
+    }
+    pf = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in prefix_filter_jaccard_pairs(sh, "doc_id", 0.5).collect()
+    }
+    assert pf == exact and exact  # non-empty and identical
