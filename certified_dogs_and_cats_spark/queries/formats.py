@@ -165,3 +165,105 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
     )
     return prefix_filter_jaccard_pairs(sh, "doc_id", PPJOIN_THRESHOLD)
+
+
+FUNNEL_GAP_HOURS = 6
+
+
+@query(
+    "sequence_match_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id,
+             first(struct_pack(ts := ts, eid := event_id)
+                   ORDER BY ts, event_id)
+               FILTER (WHERE event_type = 'view') AS vkey
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id,
+             first(struct_pack(ts := e.ts, eid := e.event_id)
+                   ORDER BY e.ts, e.event_id) AS ckey
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND v.vkey IS NOT NULL
+        AND struct_pack(ts := e.ts, eid := e.event_id) > v.vkey
+        AND e.ts <= v.vkey.ts + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id,
+             first(struct_pack(ts := e.ts, eid := e.event_id)
+                   ORDER BY e.ts, e.event_id) AS pkey
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND struct_pack(ts := e.ts, eid := e.event_id) > c.ckey
+        AND e.ts <= c.ckey.ts + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+      GROUP BY 1
+    )
+    SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                WHEN v.vkey IS NOT NULL THEN 1
+                ELSE 0 END AS INTEGER) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    GROUP BY 1
+    """,
+)
+def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel with a per-step time bound (the
+    sequence-match operator product analytics engines ship): how deep
+    does each user get through view -> click -> purchase when every next
+    step must land within {gap}h of the previous one? FIRST-TOUCH
+    anchoring, documented: the funnel anchors at the user's earliest
+    view, then the earliest qualifying click, then the earliest
+    qualifying purchase — a well-defined product-analytics semantic
+    (NOT maximal matching: a later view that would complete the chain
+    does not resurrect it), identical in both engines because every
+    step is a min over (ts, event_id) structs — total order, no ties.
+    Three narrow per-type aggregates + two key-wise joins; nothing
+    touches the full event stream more than once per step."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.struct(F.col("ts"), F.col("event_id").alias("eid")).alias("k"),
+    )
+    gap = F.expr(f"INTERVAL {FUNNEL_GAP_HOURS} HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("k").alias("vkey"))
+    )
+    allv = ev.select("user_id").distinct().join(v, "user_id", "left")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("k") > F.col("vkey"))
+            & (F.col("k.ts") <= F.col("vkey.ts") + gap)
+        )
+        .groupBy("user_id")
+        .agg(F.min("k").alias("ckey"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("k") > F.col("ckey"))
+            & (F.col("k.ts") <= F.col("ckey.ts") + gap)
+        )
+        .groupBy("user_id")
+        .agg(F.min("k").alias("pkey"))
+    )
+    depth = (
+        F.when(F.col("pkey").isNotNull(), 3)
+        .when(F.col("ckey").isNotNull(), 2)
+        .when(F.col("vkey").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        allv.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(depth.cast("int").alias("depth"))
+        .groupBy("depth")
+        .agg(F.count("*").alias("n_users"))
+    )
