@@ -267,3 +267,80 @@ def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("depth")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "per_group_ols_trend",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(h) AS BIGINT) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(sum(h * h) AS BIGINT) AS sxx,
+             CAST(sum(CAST(h AS DECIMAL(38,9)) * CAST(y AS DECIMAL(38,9)))
+                  AS DOUBLE) AS sxy
+      FROM x GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((nd * sxy - sxd * sy) / (nd * sxxd - sxd * sxd), 9)
+             AS slope_per_hour,
+           round((sy - ((nd * sxy - sxd * sy) / (nd * sxxd - sxd * sxd))
+                       * sxd) / nd, 6) AS intercept
+    FROM (SELECT *,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sxx AS DOUBLE) AS sxxd
+          FROM stats)
+    """,
+)
+def per_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model fitting done the way 100 TB demands: per-group
+    OLS (value vs. epoch-hour) via SUFFICIENT STATISTICS — five map-side
+    partial sums per group (n, Σx, Σy, Σx², Σxy), then the closed-form
+    slope/intercept on the driver-sized aggregate. No per-group collect,
+    no Python, state O(groups). Σy and Σxy fold through exact DECIMAL
+    sums (x is integer, y decimal-widened) so the statistics are
+    order-independent; the final division is shared IEEE arithmetic,
+    rounded to absorb nothing — it is deterministic, the rounding just
+    keeps the printed precision stable."""
+    x = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+            F.col("value").alias("y"),
+        )
+    )
+    yd = F.col("y").cast("decimal(38,9)")
+    stats = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("h").cast("bigint").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(F.col("h") * F.col("h")).cast("bigint").alias("sxx"),
+        F.sum(F.col("h").cast("decimal(38,9)") * yd)
+        .cast("double")
+        .alias("sxy"),
+    )
+    # All arithmetic in DOUBLE on both engines: the integer sufficient
+    # statistics stay exact through aggregation, then convert ONCE
+    # (IEEE round-to-nearest, identical cross-engine) — n * sxx in
+    # BIGINT would overflow beyond ~1e5 rows/group with epoch-hour x.
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(slope, 9).alias("slope_per_hour"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
