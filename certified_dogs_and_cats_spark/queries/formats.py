@@ -344,3 +344,65 @@ def per_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("slope_per_hour"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@query(
+    "sorted_export_attest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           TRUE AS multiple_files,
+           TRUE AS ranges_disjoint,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM orders
+    """,
+)
+def sorted_export_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TOTAL-ORDER sort, attested from the written files:
+    range-repartition on the sort key (sampled boundaries — the only
+    scalable global sort; a single-partition orderBy is the anti-
+    pattern), sort within partitions, write, then READ BACK and prove
+    the files' key ranges are pairwise disjoint and internally ordered —
+    i.e. concatenating files in range order IS the globally sorted
+    dataset. The oracle pins the run-invariants (row count, disjointness
+    verdict, global extremes); per-file boundaries are sampling-
+    dependent by design and never surface in the result."""
+    import glob as _glob
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="sorted_export_")
+    try:
+        (
+            orders.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(root)
+        )
+        back = spark.read.parquet(root).select(
+            "o_orderkey", F.input_file_name().alias("f")
+        )
+        per_file = back.groupBy("f").agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        rows = sorted(per_file.collect(), key=lambda r: r.lo)
+        disjoint = all(
+            rows[i].hi < rows[i + 1].lo for i in range(len(rows) - 1)
+        )
+        total = sum(r.n for r in rows)
+        return spark.createDataFrame(
+            [
+                (
+                    total,
+                    len(rows) > 1,
+                    disjoint,
+                    int(rows[0].lo),
+                    int(rows[-1].hi),
+                )
+            ],
+            "total_rows bigint, multiple_files boolean, "
+            "ranges_disjoint boolean, first_key bigint, last_key bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
