@@ -9,7 +9,7 @@ import shutil
 import tempfile
 from datetime import date
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import t
@@ -406,3 +406,62 @@ def sorted_export_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY prev_type), 9)
+             AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    one lag window per user (total (ts, event_id) order — no ties, so
+    the chain is engine-identical), one hash aggregate on the
+    (prev, next) pair, row-normalized into transition probabilities with
+    a second tiny window over the 5x5 matrix. The per-user window is the
+    only data-sized shuffle; the matrix itself is O(|types|^2). The
+    probability is a ratio of exact integer counts — IEEE-deterministic,
+    rounded only to pin printed precision."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm),
+            9,
+        ).alias("p_next"),
+    )
