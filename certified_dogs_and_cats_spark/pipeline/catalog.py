@@ -2421,6 +2421,47 @@ class Catalog:
             os.path.join(self._meta_dir(name), "file_stats.json"),
         )
 
+    def fast_row_count(
+        self, name: str, version: int | None = None
+    ) -> int | None:
+        """Metadata-only ``COUNT(*)``: the sum of parquet footer row
+        counts over the version's live files — zero data scanned, the
+        fast path warehouses answer bare counts with. Returns ``None``
+        (caller falls back to a real scan) whenever the footer sum would
+        be WRONG or unavailable: deletion vectors present (tombstoned
+        rows are still in the footers), a live file's stats missing
+        (vacuumed or unreadable), or no manifest yet."""
+        from .skipping import collect_file_stats
+
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        if not manifest:
+            return 0
+        if version is None:
+            entry = manifest[-1]
+        else:
+            matches = [e for e in manifest if e["version"] == version]
+            if not matches:
+                raise KeyError(f"{name}: no version {version} in manifest")
+            entry = matches[-1]
+        if entry.get("dv"):
+            return None
+        files = entry["files"]
+        if not files:
+            return 0
+        stats = collect_file_stats(
+            spec.path,
+            files,
+            os.path.join(self._meta_dir(name), "file_stats.json"),
+        )
+        total = 0
+        for rel in files:
+            rows = stats.get(rel, {}).get("rows")
+            if rows is None:
+                return None
+            total += rows
+        return total
+
     # -- Bloom-filter file index (Delta BLOOMFILTER INDEX parity) ----------
     _BLOOM_TYPES = (
         T.StringType,

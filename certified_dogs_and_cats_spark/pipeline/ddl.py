@@ -750,6 +750,9 @@ class DdlSession:
             mv = self._mv_rewrite(s)
             if mv is not None:
                 return mv
+            fast = self._count_star_fast_path(s)
+            if fast is not None:
+                return fast
             self._rebind_function_tables(s)
             return self.catalog.spark.sql(self._resolve_refs(stmt))
         if u.startswith("EXPLAIN "):
@@ -1253,6 +1256,35 @@ class DdlSession:
             raise DdlError(f"CREATE FUNCTION {name}: {e}") from e
         self.functions[name] = ddl
         return None
+
+    def _count_star_fast_path(self, s: str) -> DataFrame | None:
+        """Metadata-only COUNT(*): a bare ``SELECT count(*) [AS a] FROM
+        t`` (no WHERE/GROUP/JOIN) answers from parquet footer sums via
+        :meth:`Catalog.fast_row_count` — zero data scanned, the same
+        fast path Delta/warehouses apply. SOUNDNESS GATES, all bail to
+        the real scan: deletion vectors or missing footer stats
+        (fast_row_count returns None), and any governance row filter on
+        the table (a policy-hidden row must not be counted)."""
+        m = re.match(
+            r"SELECT COUNT\(\*\)(?: AS (?P<alias>\w+))? FROM "
+            r"(?P<name>[\w.]+)\s*;?\s*$",
+            s,
+            re.I,
+        )
+        if not m:
+            return None
+        name = self.resolve(m.group("name"))
+        if name not in self.catalog.tables:
+            return None  # view or unknown — the generic path handles it
+        if self.catalog.tables[name].row_filter:
+            return None
+        n = self.catalog.fast_row_count(name)
+        if n is None:
+            return None
+        alias = m.group("alias") or "count(1)"
+        return self.catalog.spark.createDataFrame(
+            [(n,)], T.StructType([T.StructField(alias, T.LongType(), False)])
+        )
 
     def _refers_to(self, body: str, tbl: str) -> bool:
         """True when ``body`` references catalog table ``tbl`` under any

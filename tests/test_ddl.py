@@ -1166,3 +1166,45 @@ def test_table_function_sees_fresh_data_and_policies(ddl, catalog, spark):
         "ALTER TABLE licensed_pets_bronze SET ROW FILTER (Year >= 2023)"
     )
     assert ddl.execute("SELECT count(*) AS n FROM dogs()")[0].collect()[0].n == 1
+
+
+def test_count_star_fast_path_metadata_only(governed, catalog, spark):
+    """Bare COUNT(*) answers from footer sums (no scan job over data) and
+    matches the real count; WHERE, row filters, and deletion vectors all
+    fall back to the scan path."""
+    [r] = governed.execute(
+        "SELECT COUNT(*) AS n FROM licensed_pets_bronze"
+    )[0].collect()
+    assert r.n == 3
+    assert catalog.fast_row_count("core.licensed_pets_bronze") == 3
+    # WHERE must not hit the fast path
+    [r] = governed.execute(
+        "SELECT COUNT(*) AS n FROM licensed_pets_bronze WHERE Year = 2023"
+    )[0].collect()
+    assert r.n == 2
+    # a governance row filter disables the fast path (policy-hidden rows
+    # must not be counted)
+    governed.execute(
+        "ALTER TABLE licensed_pets_bronze SET ROW FILTER (Year >= 2023)"
+    )
+    [r] = governed.execute(
+        "SELECT COUNT(*) AS n FROM licensed_pets_bronze"
+    )[0].collect()
+    assert r.n == 2
+
+
+def test_count_star_fast_path_bails_on_deletion_vectors(spark, tmp_path):
+    from certified_dogs_and_cats_spark.pipeline import Catalog, DdlSession
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = DdlSession(cat)
+    ddl.execute("USE SCHEMA core")
+    ddl.execute(
+        "CREATE TABLE dv_t (k INT, v DOUBLE) "
+        "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')"
+    )
+    ddl.execute("INSERT INTO dv_t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    ddl.execute("DELETE FROM dv_t WHERE k = 2")  # merge-on-read tombstone
+    assert cat.fast_row_count("core.dv_t") is None  # footers would lie
+    [r] = ddl.execute("SELECT COUNT(*) AS n FROM dv_t")[0].collect()
+    assert r.n == 2
