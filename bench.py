@@ -141,6 +141,18 @@ BENCH_QUERIES = [
     "embedding_pool_max",
     "sketch_union_rollup",
     "webdataset_export_manifest",
+    # Round-5 third wave: lossless PPJoin, sequence analytics, profiling,
+    # interpolation, fuzzy blocking, sufficient-statistics OLS.
+    "dedup_prefix_filter_jaccard",
+    "sequence_match_funnel",
+    "event_transition_matrix",
+    "per_group_ols_trend",
+    "resample_interpolate_6h",
+    "fuzzy_name_pairs",
+    "activity_islands",
+    "quality_classifier_scores",
+    "token_chi2_drift",
+    "cdc_chunk_stats",
 ]
 
 
