@@ -40,9 +40,11 @@ from . import vocab  # noqa: E402,F401
 from . import shards  # noqa: E402,F401
 from . import graphx  # noqa: E402,F401
 
-# corpus_profile registers LAST on purpose: its queries overflow the
-# 50-row driver window behind the entries still awaiting evidence (see
-# the rotation note below / test_registry_window's overflow assertion).
+# These three modules register LAST on purpose: their queries (round-5
+# tail additions) overflow the 50-row driver window behind the entries
+# still awaiting evidence (see the rotation note below /
+# test_registry_window's overflow assertion). New queries added while
+# the window is full belong in the LAST module of this list.
 from . import corpus_profile  # noqa: E402,F401
 from . import governance  # noqa: E402,F401
 from . import formats  # noqa: E402,F401

@@ -264,3 +264,29 @@ def test_sketch_union_rollup_prunes_events_scan(spark):
         "ts",
         "user_id",
     }
+
+
+def test_ols_trend_prunes_events_scan(spark):
+    plan = plan_text(QUERIES["per_group_ols_trend"](spark, SF))
+    assert set(read_schema_cols(plan, "events")) <= {
+        "event_type",
+        "ts",
+        "value",
+    }
+
+
+def test_transition_matrix_single_scan(spark):
+    """One lag window over one pruned scan — the chain must not re-read
+    events for the normalization window (simple mode: the formatted
+    AQE dump repeats nodes per stage)."""
+    import re
+
+    plan = plan_text(QUERIES["event_transition_matrix"](spark, SF), "simple")
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    plan_f = plan_text(QUERIES["event_transition_matrix"](spark, SF))
+    assert set(read_schema_cols(plan_f, "events")) <= {
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+    }
