@@ -1021,7 +1021,11 @@ def prefix_filter_jaccard_pairs(
     jaccard >= threshold; inter/union are exact integers, jaccard their
     IEEE-exact quotient — hash-stable across engines.
     """
-    toks = shingles.select(F.col(id_col).alias("__id"), "shingle").distinct()
+    # PRECONDITION (same contract as jaccard_pairs): ``shingles`` holds
+    # DISTINCT (id, shingle) rows — word_shingles() already guarantees
+    # it, and re-distincting here would shuffle the largest intermediate
+    # a second time behind the caller's persist barrier.
+    toks = shingles.select(F.col(id_col).alias("__id"), "shingle")
     # Global frequency ordering: rare tokens first, ties on the token
     # itself — a TOTAL order that needs no global rank assignment (no
     # single-partition row_number over the vocab, which would be the

@@ -1273,7 +1273,12 @@ class DdlSession:
         )
         if not m:
             return None
-        name = self.resolve(m.group("name"))
+        try:
+            name = self.resolve(m.group("name"))
+        except DdlError:
+            # foreign-catalog prefix (e.g. spark_catalog.db.t) — the
+            # generic spark.sql path owns those, never this fast path
+            return None
         if name not in self.catalog.tables:
             return None  # view or unknown — the generic path handles it
         if self.catalog.tables[name].row_filter:

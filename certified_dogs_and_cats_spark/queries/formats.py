@@ -109,20 +109,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared with queries/dedup.py's oracles: distinct word-3-gram shingles
-# hashed to the same 60-bit integers the Spark side emits. (Lives here,
-# not in queries/dedup.py, because this module registers AFTER the
-# driver-window tail — see queries/__init__.py's rotation note.)
-_SHINGLES_CTE = """
-    toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]),
-                             1, 15))::BIGINT AS shingle
-      FROM toks, UNNEST(range(0, len(a) - 2)) AS u(i)
-      WHERE len(a) >= 3
-    )
-"""
+# The hash-critical shingle CTE has ONE definition (queries/dedup.py) —
+# only the QUERY registration had to live in this later-imported module,
+# not the oracle SQL.
+from .dedup import _SHINGLES_CTE  # noqa: E402
 
 PPJOIN_THRESHOLD = 0.5
 
@@ -283,20 +273,22 @@ def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(h) AS BIGINT) AS sx,
              CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
-             CAST(sum(h * h) AS BIGINT) AS sxx,
+             CAST(sum(CAST(h * h AS DECIMAL(38,0))) AS DOUBLE) AS sxxd,
              CAST(sum(CAST(h AS DECIMAL(38,9)) * CAST(y AS DECIMAL(38,9)))
                   AS DOUBLE) AS sxy
       FROM x GROUP BY 1
     )
     SELECT event_type, n,
-           round((nd * sxy - sxd * sy) / (nd * sxxd - sxd * sxd), 9)
-             AS slope_per_hour,
-           round((sy - ((nd * sxy - sxd * sy) / (nd * sxxd - sxd * sxd))
-                       * sxd) / nd, 6) AS intercept
+           CASE WHEN nd * sxxd - sxd * sxd != 0.0
+                THEN round((nd * sxy - sxd * sy) / (nd * sxxd - sxd * sxd),
+                           9) END AS slope_per_hour,
+           CASE WHEN nd * sxxd - sxd * sxd != 0.0
+                THEN round((sy - ((nd * sxy - sxd * sy)
+                                  / (nd * sxxd - sxd * sxd)) * sxd) / nd,
+                           6) END AS intercept
     FROM (SELECT *,
                  CAST(n AS DOUBLE) AS nd,
-                 CAST(sx AS DOUBLE) AS sxd,
-                 CAST(sxx AS DOUBLE) AS sxxd
+                 CAST(sx AS DOUBLE) AS sxd
           FROM stats)
     """,
 )
@@ -324,25 +316,32 @@ def per_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("h").cast("bigint").alias("sx"),
         F.sum(yd).cast("double").alias("sy"),
-        F.sum(F.col("h") * F.col("h")).cast("bigint").alias("sxx"),
+        # h*h fits BIGINT (epoch-hour squared ~ 2.4e11) but its SUM does
+        # not beyond ~38M rows/group — aggregate in DECIMAL like sxy.
+        F.sum((F.col("h") * F.col("h")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxxd"),
         F.sum(F.col("h").cast("decimal(38,9)") * yd)
         .cast("double")
         .alias("sxy"),
     )
-    # All arithmetic in DOUBLE on both engines: the integer sufficient
-    # statistics stay exact through aggregation, then convert ONCE
-    # (IEEE round-to-nearest, identical cross-engine) — n * sxx in
-    # BIGINT would overflow beyond ~1e5 rows/group with epoch-hour x.
+    # All arithmetic in DOUBLE on both engines: the sufficient statistics
+    # stay exact through aggregation, then convert ONCE (IEEE round-to-
+    # nearest, identical cross-engine). Zero x-variance (e.g. n=1 groups)
+    # yields NULL slope/intercept on both sides — ANSI Spark would throw
+    # DIVIDE_BY_ZERO where DuckDB returns inf, so the guard is part of
+    # the cross-engine contract, not cosmetics.
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
-    sxx = F.col("sxx").cast("double")
-    sy, sxy = F.col("sy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    sy, sxy, sxx = F.col("sy"), F.col("sxy"), F.col("sxxd")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    guard = denom != F.lit(0.0)
     return stats.select(
         "event_type",
         "n",
-        F.round(slope, 9).alias("slope_per_hour"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.when(guard, F.round(slope, 9)).alias("slope_per_hour"),
+        F.when(guard, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
     )
 
 
@@ -367,8 +366,6 @@ def sorted_export_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset. The oracle pins the run-invariants (row count, disjointness
     verdict, global extremes); per-file boundaries are sampling-
     dependent by design and never surface in the result."""
-    import glob as _glob
-
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     root = tempfile.mkdtemp(prefix="sorted_export_")
     try:
