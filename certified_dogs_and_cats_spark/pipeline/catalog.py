@@ -2462,6 +2462,50 @@ class Catalog:
             total += rows
         return total
 
+    def column_storage_report(self, name: str) -> DataFrame:
+        """Per-column on-disk cost over the table's LIVE files (column,
+        compressed/uncompressed bytes, values, share of total) — footer
+        metadata only, nothing scans data. The 100 TB decision input:
+        which column pays for the storage, how well it compresses, and
+        what a projection that drops it saves."""
+        from .skipping import column_storage_stats
+
+        spec = self.tables[name]
+        manifest = self._load_manifest(name)
+        files = manifest[-1]["files"] if manifest else []
+        totals: dict[str, dict] = {}
+        for rel in files:
+            path = os.path.join(spec.path, rel)
+            if not os.path.isfile(path):
+                continue
+            for col, st in column_storage_stats(path).items():
+                cur = totals.setdefault(
+                    col,
+                    {
+                        "compressed_bytes": 0,
+                        "uncompressed_bytes": 0,
+                        "n_values": 0,
+                    },
+                )
+                for k in cur:
+                    cur[k] += st[k]
+        grand = sum(v["compressed_bytes"] for v in totals.values()) or 1
+        rows = [
+            (
+                col,
+                v["compressed_bytes"],
+                v["uncompressed_bytes"],
+                v["n_values"],
+                round(v["compressed_bytes"] / grand, 6),
+            )
+            for col, v in sorted(totals.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column string, compressed_bytes long, uncompressed_bytes long,"
+            " n_values long, share double",
+        )
+
     # -- Bloom-filter file index (Delta BLOOMFILTER INDEX parity) ----------
     _BLOOM_TYPES = (
         T.StringType,

@@ -425,3 +425,32 @@ def keep_file(
         if c.op == "<=" and mn > lits[0]:
             return False
     return True
+
+
+def column_storage_stats(path: str) -> dict[str, dict]:
+    """Per-column ON-DISK cost from one parquet footer:
+    {col: {"compressed_bytes", "uncompressed_bytes", "n_values"}} summed
+    over row groups. Metadata-sized (no data pages read) — the storage-
+    attribution primitive behind ``Catalog.column_storage_report``: at
+    100 TB, knowing that one text column is 90% of the bytes is what
+    decides compression codecs, column pruning discipline, and whether a
+    column belongs in a separate table."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            ch = md.row_group(rg).column(ci)
+            cur = out.setdefault(
+                ch.path_in_schema,
+                {
+                    "compressed_bytes": 0,
+                    "uncompressed_bytes": 0,
+                    "n_values": 0,
+                },
+            )
+            cur["compressed_bytes"] += ch.total_compressed_size
+            cur["uncompressed_bytes"] += ch.total_uncompressed_size
+            cur["n_values"] += ch.num_values
+    return out

@@ -462,3 +462,43 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("p_next"),
     )
+
+
+@query(
+    "storage_column_sizes",
+    oracle="""
+    SELECT c.column_name,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_values,
+           TRUE AS bytes_positive,
+           TRUE AS compresses
+    FROM information_schema.columns c
+    WHERE c.table_name = 'documents'
+    """,
+)
+def storage_column_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column storage attribution from parquet FOOTERS (pipeline.
+    skipping.column_storage_stats — zero data pages read): which column
+    pays for the bytes, and how well it compresses. The driver oracle
+    pins the SQL-derivable invariants (every schema column present,
+    footer value counts == row count, byte counters positive and
+    bounded by uncompressed size); the EXACT chunk-size integers are
+    pinned in pytest against DuckDB's parquet_metadata() over the same
+    file, where the path is in hand (tests/test_storage_report.py)."""
+    from ..pipeline.skipping import column_storage_stats
+
+    stats = column_storage_stats(os.path.join(sf_dir, "documents.parquet"))
+    rows = [
+        (
+            c,
+            v["n_values"],
+            v["compressed_bytes"] > 0,
+            v["compressed_bytes"] <= v["uncompressed_bytes"]
+            or v["uncompressed_bytes"] < 4096,
+        )
+        for c, v in sorted(stats.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, n_values bigint, bytes_positive boolean, "
+        "compresses boolean",
+    )
