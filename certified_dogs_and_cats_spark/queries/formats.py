@@ -502,3 +502,94 @@ def storage_column_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, n_values bigint, bytes_positive boolean, "
         "compresses boolean",
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, y,
+             CASE WHEN count(*) OVER w = 7 THEN
+               CAST(sum(CAST(y AS DECIMAL(38,9))) OVER w AS DOUBLE) / 7
+             END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d, y, trend, y - trend AS detr,
+             CAST(dayofweek(d) AS INTEGER) AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(sum(CAST(detr AS DECIMAL(38,9))) AS DOUBLE)
+               / count(detr) AS seasonal
+      FROM det WHERE detr IS NOT NULL GROUP BY 1
+    )
+    SELECT det.d, round(det.y, 6) AS y,
+           round(det.trend, 6) AS trend,
+           round(seas.seasonal, 6) AS seasonal,
+           round(det.detr - seas.seasonal, 6) AS remainder
+    FROM det JOIN seas USING (dow)
+    WHERE det.trend IS NOT NULL
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) of the daily value
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series, remainder =
+    what neither explains. Every mean folds an exact DECIMAL sum before
+    one IEEE division, so the decomposition is bit-stable across
+    engines and partitionings; the edge days without a full trend
+    window are excluded rather than padded (no silent partial-window
+    bias). One global-ordered window over the DAYS (years x 365 rows —
+    driver-scale, never event-scale) after one hash aggregate over
+    events."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = F.when(
+        F.count("*").over(w) == 7,
+        F.sum(F.col("y").cast("decimal(38,9)")).over(w).cast("double") / 7,
+    )
+    det = daily.select(
+        "d",
+        "y",
+        trend.alias("trend"),
+        (F.col("y") - trend).alias("detr"),
+        F.dayofweek("d").cast("int").alias("dow"),
+    )
+    seas = (
+        det.where(F.col("detr").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum(F.col("detr").cast("decimal(38,9)")).cast("double")
+                / F.count("detr")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .where(F.col("trend").isNotNull())
+        .select(
+            "d",
+            F.round("y", 6).alias("y"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("detr") - F.col("seasonal"), 6).alias("remainder"),
+        )
+    )
