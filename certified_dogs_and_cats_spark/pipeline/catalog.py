@@ -2468,17 +2468,21 @@ class Catalog:
         metadata only, nothing scans data. The 100 TB decision input:
         which column pays for the storage, how well it compresses, and
         what a projection that drops it saves."""
-        from .skipping import column_storage_stats
+        from .skipping import collect_file_stats
 
         spec = self.tables[name]
         manifest = self._load_manifest(name)
         files = manifest[-1]["files"] if manifest else []
+        # Route through the size-keyed footer cache (file_stats.json):
+        # each footer is read once per file EVER, not once per report.
+        stats = collect_file_stats(
+            spec.path,
+            files,
+            os.path.join(self._meta_dir(name), "file_stats.json"),
+        )
         totals: dict[str, dict] = {}
         for rel in files:
-            path = os.path.join(spec.path, rel)
-            if not os.path.isfile(path):
-                continue
-            for col, st in column_storage_stats(path).items():
+            for col, v in stats.get(rel, {}).get("storage", {}).items():
                 cur = totals.setdefault(
                     col,
                     {
@@ -2487,8 +2491,9 @@ class Catalog:
                         "n_values": 0,
                     },
                 )
-                for k in cur:
-                    cur[k] += st[k]
+                cur["compressed_bytes"] += v[0]
+                cur["uncompressed_bytes"] += v[1]
+                cur["n_values"] += v[2]
         grand = sum(v["compressed_bytes"] for v in totals.values()) or 1
         rows = [
             (

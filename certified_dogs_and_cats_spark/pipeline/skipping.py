@@ -151,9 +151,15 @@ def file_footer_stats(path: str) -> dict:
 
     md = pq.ParquetFile(path).metadata
     cols: dict[str, list] = {}
+    storage: dict[str, list] = {}
     for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
         for ci in range(md.num_columns):
-            ch = md.row_group(rg).column(ci)
+            ch = rgm.column(ci)
+            sb = storage.setdefault(ch.path_in_schema, [0, 0, 0])
+            sb[0] += ch.total_compressed_size
+            sb[1] += ch.total_uncompressed_size
+            sb[2] += ch.num_values
             st = ch.statistics
             if st is None:
                 continue
@@ -178,7 +184,7 @@ def file_footer_stats(path: str) -> dict:
                     if cur[2] is not None and nulls is not None
                     else None
                 )
-    return {"rows": md.num_rows, "cols": cols}
+    return {"rows": md.num_rows, "cols": cols, "storage": storage}
 
 
 def collect_file_stats(
@@ -199,7 +205,9 @@ def collect_file_stats(
             continue  # retired to trash: no stats -> never skipped
         size = os.path.getsize(path)
         hit = cache.get(rel)
-        if hit is not None and hit.get("size") == size:
+        # "storage" joined the record later — a cache written before it
+        # counts as a miss so old caches migrate on first touch.
+        if hit is not None and hit.get("size") == size and "storage" in hit:
             out[rel] = hit
             continue
         entry = file_footer_stats(path)
@@ -435,22 +443,12 @@ def column_storage_stats(path: str) -> dict[str, dict]:
     100 TB, knowing that one text column is 90% of the bytes is what
     decides compression codecs, column pruning discipline, and whether a
     column belongs in a separate table."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
-    out: dict[str, dict] = {}
-    for rg in range(md.num_row_groups):
-        for ci in range(md.num_columns):
-            ch = md.row_group(rg).column(ci)
-            cur = out.setdefault(
-                ch.path_in_schema,
-                {
-                    "compressed_bytes": 0,
-                    "uncompressed_bytes": 0,
-                    "n_values": 0,
-                },
-            )
-            cur["compressed_bytes"] += ch.total_compressed_size
-            cur["uncompressed_bytes"] += ch.total_uncompressed_size
-            cur["n_values"] += ch.num_values
-    return out
+    raw = file_footer_stats(path)["storage"]
+    return {
+        col: {
+            "compressed_bytes": v[0],
+            "uncompressed_bytes": v[1],
+            "n_values": v[2],
+        }
+        for col, v in raw.items()
+    }

@@ -4,15 +4,23 @@ with DuckDB's parquet_metadata over the same footers."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
+import pytest
+
+SF_FILE = "/root/testdata/sf0.01/documents.parquet"
 
 
+@pytest.mark.skipif(
+    not os.path.isfile(SF_FILE), reason="driver testdata not present"
+)
 def test_exact_parity_with_duckdb_parquet_metadata():
     from certified_dogs_and_cats_spark.pipeline.skipping import (
         column_storage_stats,
     )
 
-    path = "/root/testdata/sf0.01/documents.parquet"
+    path = SF_FILE
     ours = column_storage_stats(path)
     theirs = {
         r[0]: (int(r[1]), int(r[2]), int(r[3]))
