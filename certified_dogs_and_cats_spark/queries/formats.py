@@ -593,3 +593,89 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("detr") - F.col("seasonal"), 6).alias("remainder"),
         )
     )
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(y ORDER BY d) AS ys FROM daily GROUP BY 1
+    ),
+    fit AS (
+      SELECT event_type, len(ys) AS n_days,
+             list_reduce(
+               list_prepend([ys[1], ys[2] - ys[1]],
+                            list_transform(ys[2:], y -> [y, 0.0])),
+               (acc, x) -> [
+                 0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                 0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                   + 0.75 * acc[2]
+               ]
+             ) AS lb
+      FROM series WHERE len(ys) >= 2
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(lb[1], 6) AS level, round(lb[2], 6) AS trend,
+           round(lb[1] + 7 * lb[2], 6) AS forecast_7d
+    FROM fit
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    series, as a SEQUENTIAL FOLD over each key's day-ordered values —
+    the per-key state is two doubles, never the series, so a million
+    keys fit one pass. Initialization l=y1, b=y2-y1, then
+    l' = a*y + (1-a)(l+b), b' = B*(l'-l) + (1-B)*b with a=0.5, B=0.25
+    (dyadic constants: every multiply is exact, and the fold order is
+    the day order on BOTH engines, so level/trend/forecast are
+    bit-identical before the display rounding). Forecast = l + 7*b.
+    The daily reduction is the only event-scale work; the fold runs on
+    day-count-sized arrays."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y")))
+        .getField("y")
+        .alias("ys")
+    )
+    ys = F.col("ys")
+    seed = F.struct(
+        F.element_at(ys, 1).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+    )
+    rest = F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0)))
+
+    def step(acc, y):
+        level = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        trend = (
+            F.lit(0.25) * (level - acc["l"]) + F.lit(0.75) * acc["b"]
+        )
+        return F.struct(level.alias("l"), trend.alias("b"))
+
+    fit = series.where(F.size(ys) >= 2).select(
+        "event_type",
+        F.size(ys).cast("bigint").alias("n_days"),
+        F.aggregate(rest, seed, step).alias("lb"),
+    )
+    return fit.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("lb.l"), 6).alias("level"),
+        F.round(F.col("lb.b"), 6).alias("trend"),
+        F.round(F.col("lb.l") + F.lit(7) * F.col("lb.b"), 6).alias(
+            "forecast_7d"
+        ),
+    )
