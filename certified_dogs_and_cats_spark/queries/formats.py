@@ -12,6 +12,7 @@ from datetime import date
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import spread
 from .common import t
 from .registry import query
 
@@ -678,4 +679,75 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lb.l") + F.lit(7) * F.col("lb.b"), 6).alias(
             "forecast_7d"
         ),
+    )
+
+
+@query(
+    "token_diversity_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * c AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sum_c2
+      FROM tc GROUP BY 1
+    ),
+    g AS (
+      SELECT doc_id, n,
+             1.0 - sum_c2 / (CAST(n AS DOUBLE) * n) AS gini,
+             (CAST(n AS DOUBLE) * n) / sum_c2 AS eff_vocab
+      FROM perdoc
+    )
+    SELECT CAST(floor(gini * 10) AS INTEGER) AS gini_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CAST(sum(CAST(eff_vocab AS DECIMAL(24,9))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS mean_eff_vocab
+    FROM g GROUP BY 1
+    """,
+)
+def token_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signal, log-free by design: per-doc
+    Gini impurity 1 - sum(p_i^2) and the inverse-Simpson effective
+    vocabulary n^2 / sum(c_i^2) — the same repetition/diversity signal
+    Shannon entropy gives, but every term is a ratio of exact integers
+    (c_i^2 sums exactly in DECIMAL), so the profile is bit-identical
+    cross-engine where a log2-based entropy would wobble in the last
+    ulp. One explode + two doc-keyed hash aggregates; the histogram is
+    O(10) rows."""
+    tc = (
+        spread(t(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    perdoc = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("c").cast("double") * F.col("c")).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sum_c2"),
+    )
+    nd = F.col("n").cast("double")
+    g = perdoc.select(
+        "n",
+        (F.lit(1.0) - F.col("sum_c2") / (nd * nd)).alias("gini"),
+        ((nd * nd) / F.col("sum_c2")).alias("eff_vocab"),
+    )
+    return g.groupBy(
+        F.floor(F.col("gini") * 10).cast("int").alias("gini_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("eff_vocab").cast("decimal(24,9)")).cast("double")
+            / F.count("*")
+        ).alias("mean_eff_vocab"),
     )
