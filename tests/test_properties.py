@@ -145,3 +145,43 @@ def test_winnowing_guarantee_property(spark, prefix, shared, suffix):
     a = {r.fingerprint for r in fp if r.doc_id == 1}
     b = {r.fingerprint for r in fp if r.doc_id == 2}
     assert a & b
+
+
+# --- PPJoin prefix filtering is lossless -------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.integers(0, 8), min_size=3, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=docs_strategy, threshold=st.sampled_from([0.3, 0.5, 0.7]))
+@SETTINGS
+def test_prefix_filter_matches_exact_jaccard_model(spark, docs, threshold):
+    """prefix_filter_jaccard_pairs must equal the Python-model all-pairs
+    Jaccard over DISTINCT shingle sets, at any threshold — the prefix
+    bound and the size bound are lossless, never heuristics."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [
+        (i, tok) for i, toks in enumerate(docs) for tok in set(toks)
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+    got = {
+        (r.a_id, r.b_id): (r.inter, r.union)
+        for r in prefix_filter_jaccard_pairs(sh, "doc_id", threshold).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                want[(a, b)] = (inter, union)
+    assert got == want
