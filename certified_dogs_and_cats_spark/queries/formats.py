@@ -751,3 +751,56 @@ def token_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_eff_vocab"),
     )
+
+
+N_BINS = 10
+
+
+@query(
+    "quantile_binning_equiheight",
+    oracle=f"""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                             [x / {N_BINS}.0 FOR x IN range(1, {N_BINS})]),
+               q -> round(q, 6)
+             ) AS qs
+      FROM orders
+    ),
+    binned AS (
+      SELECT len(list_filter(b.qs, q -> o.o_totalprice > q)) AS bin
+      FROM orders o CROSS JOIN b
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM binned GROUP BY 1
+    """,
+)
+def quantile_binning_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height feature discretization (the quantile binning every
+    tabular-ML pipeline runs before training): exact interpolated
+    decile boundaries (one aggregate — at 100 TB swap in the
+    approx_percentile sketch, same shape), broadcast back onto the
+    scan, bin = number of boundaries below the value. Boundaries are
+    rounded to 6dp BEFORE assignment on both engines, so a row
+    compares against bit-identical cut points and the bucket histogram
+    hash-matches; the histogram itself proves the equi-height property
+    (bins within one row of n/10)."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    probs = [i / N_BINS for i in range(1, N_BINS)]
+    qs = o.agg(
+        F.transform(
+            F.expr(
+                f"percentile(o_totalprice, array({','.join(str(p) for p in probs)}))"
+            ),
+            lambda q: F.round(q, 6),
+        ).alias("qs")
+    )
+    binned = o.crossJoin(F.broadcast(qs)).select(
+        F.size(
+            F.filter(F.col("qs"), lambda q: F.col("o_totalprice") > q)
+        ).alias("bin")
+    )
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count("*").alias("n_rows")
+    )
