@@ -804,3 +804,85 @@ def quantile_binning_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
         F.count("*").alias("n_rows")
     )
+
+
+@query(
+    "impute_missing_features",
+    oracle="""
+    WITH masked AS (
+      SELECT event_type,
+             CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                        1, 15))::BIGINT % 10) = 0
+                  THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    fill AS (
+      SELECT event_type,
+             CAST(sum(CAST(v AS DECIMAL(38,9))) AS DOUBLE) / count(v)
+               AS fill_mean
+      FROM masked GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(m.v) AS BIGINT) AS n_imputed,
+           round(f.fill_mean, 6) AS fill_mean,
+           round(CAST(sum(CAST(coalesce(m.v, f.fill_mean)
+                                AS DECIMAL(38,9))) AS DOUBLE), 6)
+             AS imputed_total
+    FROM masked m JOIN fill f USING (event_type)
+    GROUP BY 1, f.fill_mean
+    """,
+)
+def impute_missing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean null imputation (the standard tabular-ML feature-prep
+    step) with missingness synthesized DETERMINISTICALLY (md5 of the id,
+    10%) so the math is provable on the clean testdata: the fill value
+    is the group's non-null mean (DECIMAL-folded — order-independent),
+    broadcast back onto the rows, and the imputed totals are
+    DECIMAL-summed so the whole pipeline hash-matches. One aggregate +
+    one broadcast join — no per-row Python, no second pass over the
+    unimputed column."""
+    masked = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+            == 0,
+            None,
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    fill = masked.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,9)")).cast("double")
+            / F.count("v")
+        ).alias("fill_mean")
+    )
+    return (
+        masked.join(F.broadcast(fill), "event_type")
+        .groupBy("event_type", "fill_mean")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("v")).alias("n_imputed"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("v"), F.col("fill_mean")).cast(
+                        "decimal(38,9)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("imputed_total"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_imputed",
+            F.round("fill_mean", 6).alias("fill_mean"),
+            "imputed_total",
+        )
+    )
