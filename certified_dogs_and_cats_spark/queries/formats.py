@@ -886,3 +886,141 @@ def impute_missing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imputed_total",
         )
     )
+
+
+IDX_MIN_DF = 40
+
+
+@query(
+    "inverted_index_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    postings AS (
+      SELECT tok, list(doc_id ORDER BY doc_id) AS plist,
+             count(*) AS df
+      FROM tok GROUP BY 1
+    )
+    SELECT tok, CAST(df AS BIGINT) AS df,
+           plist[1] AS first_doc,
+           plist[len(plist)] AS last_doc,
+           CAST(list_sum(list_transform(range(2, len(plist) + 1),
+                                        i -> plist[i] - plist[i-1]))
+                + plist[1] AS BIGINT) AS delta_checksum,
+           CAST(list_max(list_transform(range(2, len(plist) + 1),
+                                        i -> plist[i] - plist[i-1]))
+                AS BIGINT) AS max_gap
+    FROM postings WHERE df >= {IDX_MIN_DF}
+    """,
+)
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the search/retrieval primitive):
+    doc-sorted posting lists per token, DELTA-ENCODED — the gap form is
+    what compresses (small positive ints instead of raw ids) and what
+    this query attests: the delta checksum (first id + sum of gaps)
+    must reconstruct the last id, and max_gap bounds the varint width a
+    real codec would need. One explode + one token-keyed aggregate;
+    posting arrays live only inside their own group, never collected.
+    Restricted to df >= {IDX_MIN_DF} tokens so the result is the
+    hot-vocabulary index head, not the full vocab dump."""
+    tok = (
+        spread(t(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    postings = tok.groupBy("tok").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("plist"),
+        F.count("*").alias("df"),
+    )
+    deltas = F.expr(
+        "transform(sequence(2, size(plist)), i -> "
+        "element_at(plist, i) - element_at(plist, i - 1))"
+    )
+    return postings.where(F.col("df") >= IDX_MIN_DF).select(
+        "tok",
+        F.col("df").cast("bigint").alias("df"),
+        F.element_at("plist", 1).alias("first_doc"),
+        F.element_at(F.col("plist"), F.size("plist")).alias("last_doc"),
+        (
+            F.aggregate(deltas, F.lit(0).cast("bigint"), lambda a, x: a + x)
+            + F.element_at("plist", 1)
+        )
+        .cast("bigint")
+        .alias("delta_checksum"),
+        F.array_max(deltas).cast("bigint").alias("max_gap"),
+    )
+
+
+@query(
+    "record_linkage_scores",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size,
+             p_retailprice FROM part
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.p_type = b.p_type THEN 3 ELSE 0 END
+             + CASE WHEN a.p_size = b.p_size THEN 2 ELSE 0 END
+             + CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 50.0
+                    THEN 2 ELSE 0 END
+             + CASE WHEN levenshtein(a.p_name, b.p_name) <= 15
+                    THEN 3 ELSE 0 END AS score
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    )
+    SELECT CASE WHEN score >= 7 THEN 'match'
+                WHEN score >= 4 THEN 'possible'
+                ELSE 'non_match' END AS verdict,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(score) AS INTEGER) AS min_score,
+           CAST(max(score) AS INTEGER) AS max_score
+    FROM pairs GROUP BY 1
+    """,
+)
+def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style record linkage: candidate pairs from a
+    blocking key (brand — never all-pairs), a weighted multi-field
+    agreement score (exact equality on type/size, price within a
+    tolerance band, bounded edit distance on the name), and the three-way
+    match / possible / non-match classification every entity-resolution
+    pipeline emits for clerical review. Integer scores — the histogram
+    hash-matches exactly. At scale the block key comes from
+    key_skew_report and the per-field weights from EM on labeled pairs;
+    the plan shape (block join + map-side scoring + tiny histogram) is
+    already the production one."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    )
+    score = (
+        F.when(F.col("a_p_type") == F.col("b_p_type"), 3).otherwise(0)
+        + F.when(F.col("a_p_size") == F.col("b_p_size"), 2).otherwise(0)
+        + F.when(
+            F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice"))
+            <= 50.0,
+            2,
+        ).otherwise(0)
+        + F.when(
+            F.levenshtein("a_p_name", "b_p_name") <= 15, 3
+        ).otherwise(0)
+    )
+    scored = pairs.select(score.alias("score"))
+    verdict = (
+        F.when(F.col("score") >= 7, "match")
+        .when(F.col("score") >= 4, "possible")
+        .otherwise("non_match")
+    )
+    return scored.groupBy(verdict.alias("verdict")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("score").cast("int").alias("min_score"),
+        F.max("score").cast("int").alias("max_score"),
+    )
