@@ -719,22 +719,40 @@ def token_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shannon entropy gives, but every term is a ratio of exact integers
     (c_i^2 sums exactly in DECIMAL), so the profile is bit-identical
     cross-engine where a log2-based entropy would wobble in the last
-    ulp. One explode + two doc-keyed hash aggregates; the histogram is
-    O(10) rows."""
-    tc = (
+    ulp. ZERO pre-histogram shuffles on the Spark side (the oracle's
+    unnest+group replay is free to differ — semantics, not plan, is the
+    contract): the grouping key would be the row key, so sum(c_i^2)
+    folds map-side over each row's SORTED token array as run lengths —
+    the same rewrite that took token_stats off the exploded-stream
+    anti-pattern. The histogram is O(10) rows."""
+    sorted_toks = F.array_sort(F.split(F.col("text"), " "))
+    # Fold sorted tokens into (prev, run, sumsq); the finish lambda
+    # closes the last run. Linear in tokens, zero shuffle.
+    sumsq = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("acc"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(x.eqNullSafe(a["prev"]), a["acc"])
+            .otherwise(a["acc"] + a["run"] * a["run"])
+            .alias("acc"),
+        ),
+        lambda a: a["acc"] + a["run"] * a["run"],
+    )
+    perdoc = (
         spread(t(spark, sf_dir, "documents"))
         .where(F.col("text").isNotNull())
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-    )
-    perdoc = tc.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.sum(
-            (F.col("c").cast("double") * F.col("c")).cast("decimal(38,6)")
+        .select(
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"),
+            sumsq.cast("double").alias("sum_c2"),
         )
-        .cast("double")
-        .alias("sum_c2"),
     )
     nd = F.col("n").cast("double")
     g = perdoc.select(
@@ -790,8 +808,8 @@ def quantile_binning_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = [i / N_BINS for i in range(1, N_BINS)]
     qs = o.agg(
         F.transform(
-            F.expr(
-                f"percentile(o_totalprice, array({','.join(str(p) for p in probs)}))"
+            F.percentile(
+                F.col("o_totalprice"), F.array(*[F.lit(p) for p in probs])
             ),
             lambda q: F.round(q, 6),
         ).alias("qs")
@@ -812,7 +830,7 @@ def quantile_binning_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH masked AS (
       SELECT event_type,
              CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)),
-                                        1, 15))::BIGINT % 10) = 0
+                                        1, 8))::BIGINT % 10) = 0
                   THEN NULL ELSE value END AS v
       FROM events
     ),
@@ -841,19 +859,13 @@ def impute_missing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the rows, and the imputed totals are
     DECIMAL-summed so the whole pipeline hash-matches. One aggregate +
     one broadcast join — no per-row Python, no second pass over the
-    unimputed column."""
+    unimputed column. The mask reuses the repo's canonical md5 bucket
+    (extensions.sampling.hash_bucket, 32-bit convention)."""
+    from ..extensions.sampling import hash_bucket
+
     masked = t(spark, sf_dir, "events").select(
         "event_type",
-        F.when(
-            F.conv(
-                F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
-                16,
-                10,
-            ).cast("bigint")
-            % 10
-            == 0,
-            None,
-        )
+        F.when(hash_bucket("event_id", 10) == 0, None)
         .otherwise(F.col("value"))
         .alias("v"),
     )
@@ -925,19 +937,19 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting arrays live only inside their own group, never collected.
     Restricted to df >= {IDX_MIN_DF} tokens so the result is the
     hot-vocabulary index head, not the full vocab dump."""
-    tok = (
-        spread(t(spark, sf_dir, "documents"))
-        .where(F.col("text").isNotNull())
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-    )
+    from ..extensions.text import tokens
+
+    tok = tokens(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).distinct()
     postings = tok.groupBy("tok").agg(
         F.array_sort(F.collect_list("doc_id")).alias("plist"),
         F.count("*").alias("df"),
     )
-    deltas = F.expr(
-        "transform(sequence(2, size(plist)), i -> "
-        "element_at(plist, i) - element_at(plist, i - 1))"
+    deltas = F.transform(
+        F.sequence(F.lit(2), F.size("plist")),
+        lambda i: F.element_at(F.col("plist"), i)
+        - F.element_at(F.col("plist"), i - F.lit(1)),
     )
     return postings.where(F.col("df") >= IDX_MIN_DF).select(
         "tok",
@@ -1009,8 +1021,11 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 50.0,
             2,
         ).otherwise(0)
+        # threshold arg: early-exits the DP once the bound is exceeded
+        # (returns -1), bounding the hot loop on every candidate pair
         + F.when(
-            F.levenshtein("a_p_name", "b_p_name") <= 15, 3
+            F.levenshtein(F.col("a_p_name"), F.col("b_p_name"), 15) != -1,
+            3,
         ).otherwise(0)
     )
     scored = pairs.select(score.alias("score"))
