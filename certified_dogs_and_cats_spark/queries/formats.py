@@ -1039,3 +1039,106 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("int").alias("min_score"),
         F.max("score").cast("int").alias("max_score"),
     )
+
+
+SESSION_GAP_MIN = 10
+
+
+@query(
+    "session_window_native",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(floor(epoch(max(ts) - min(ts)) / 60) AS BIGINT)
+               AS dur_min
+      FROM s GROUP BY 1, 2
+    )
+    SELECT n_events,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(dur_min) AS BIGINT) AS total_duration_min
+    FROM sess GROUP BY 1
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window in batch mode (the declarative
+    gap-session operator — one groupBy, no hand-rolled island keys; at
+    scale this is the same operator Structured Streaming uses with
+    watermarked state): sessions close after a {gap}-minute silence,
+    and the result histogram (events-per-session, total duration) must
+    match an island-key replay in DuckDB exactly. Timestamps are
+    whole-second so the minute floor is unambiguous; the histogram
+    proves session boundaries agree row-for-row, not just counts."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    sess = e.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.floor(
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            / 60
+        )
+        .cast("bigint")
+        .alias("dur_min"),
+    )
+    return sess.groupBy("n_events").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("dur_min").cast("bigint").alias("total_duration_min"),
+    )
+
+
+N_FOLDS = 5
+
+
+@query(
+    "kfold_assignment_report",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % {N_FOLDS}) AS INTEGER) AS fold
+      FROM documents
+    )
+    SELECT fold, lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def kfold_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (the eval-split
+    primitive hash_split generalizes to): fold = the canonical 32-bit
+    md5 bucket mod k, a pure function of the id — backfill-stable, no
+    shuffle to assign, reproducible on any engine — with the
+    fold x stratum count matrix as the balance report a CV harness
+    checks before trusting its variance estimates."""
+    from ..extensions.sampling import hash_bucket
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        d.select(
+            "lang",
+            hash_bucket("doc_id", N_FOLDS).cast("int").alias("fold"),
+        )
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
