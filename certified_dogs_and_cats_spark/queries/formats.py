@@ -1066,8 +1066,8 @@ SESSION_GAP_MIN = 10
     sess AS (
       SELECT user_id, session_id,
              CAST(count(*) AS BIGINT) AS n_events,
-             CAST(floor(epoch(max(ts) - min(ts)) / 60) AS BIGINT)
-               AS dur_min
+             CAST(floor((floor(epoch(max(ts))) - floor(epoch(min(ts))))
+                        / 60) AS BIGINT) AS dur_min
       FROM s GROUP BY 1, 2
     )
     SELECT n_events,
@@ -1082,8 +1082,10 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale this is the same operator Structured Streaming uses with
     watermarked state): sessions close after a {gap}-minute silence,
     and the result histogram (events-per-session, total duration) must
-    match an island-key replay in DuckDB exactly. Timestamps are
-    whole-second so the minute floor is unambiguous; the histogram
+    match an island-key replay in DuckDB exactly. Durations floor both
+    endpoints to whole seconds first (unix_timestamp semantics — the
+    testdata carries sub-second parts, and flooring the DIFFERENCE
+    instead would disagree at minute boundaries); the histogram
     proves session boundaries agree row-for-row, not just counts."""
     e = t(spark, sf_dir, "events").select("user_id", "ts")
     sess = e.groupBy(
