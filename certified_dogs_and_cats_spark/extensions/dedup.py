@@ -1014,8 +1014,10 @@ def prefix_filter_jaccard_pairs(
     tokens (instead of all tokens) shrinks the candidate blow-up to the
     RAREST tokens' df^2, provably missing no qualifying pair; the size
     bound ``t*|B| <= |A|`` (ceil, integer form) prunes further inside the
-    join. Survivors verify with an exact map-side
-    ``array_intersect`` — one pass, no re-join against the token stream.
+    join. The candidate shuffle carries ONLY (id, n); the deduped
+    surviving pairs then join the per-id token arrays back (once per
+    side — cheap: the arrays frame is doc-count-sized) and verify with
+    one exact ``array_intersect`` per pair.
 
     (a_id, b_id, inter, union, jaccard) with a_id < b_id and
     jaccard >= threshold; inter/union are exact integers, jaccard their

@@ -2468,21 +2468,12 @@ class Catalog:
         metadata only, nothing scans data. The 100 TB decision input:
         which column pays for the storage, how well it compresses, and
         what a projection that drops it saves."""
-        from .skipping import collect_file_stats
-
-        spec = self.tables[name]
-        manifest = self._load_manifest(name)
-        files = manifest[-1]["files"] if manifest else []
-        # Route through the size-keyed footer cache (file_stats.json):
-        # each footer is read once per file EVER, not once per report.
-        stats = collect_file_stats(
-            spec.path,
-            files,
-            os.path.join(self._meta_dir(name), "file_stats.json"),
-        )
+        # file_stats() owns the manifest/cache routing (size-keyed
+        # footer cache: each footer is read once per file EVER).
+        stats = self.file_stats(name)
         totals: dict[str, dict] = {}
-        for rel in files:
-            for col, v in stats.get(rel, {}).get("storage", {}).items():
+        for rel in stats:
+            for col, v in stats[rel].get("storage", {}).items():
                 cur = totals.setdefault(
                     col,
                     {
