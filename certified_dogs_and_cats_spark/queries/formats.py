@@ -1148,3 +1148,80 @@ def kfold_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# log10(1 + 1/d) for d=1..9, precomputed to 12dp as LITERALS on both
+# engines — no runtime log, no cross-engine ulp exposure.
+BENFORD_P = [
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561,
+]
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH p(digit, p) AS (
+      VALUES {", ".join(f"({d + 1}, {p})" for d, p in enumerate(BENFORD_P))}
+    ),
+    obs AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit,
+             count(*) AS n_obs
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    pd AS (SELECT digit, CAST(p AS DOUBLE) AS p FROM p)
+    SELECT pd.digit,
+           CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+           round(pd.p * tot.n, 6) AS n_expected,
+           round((coalesce(obs.n_obs, 0) - pd.p * tot.n)
+                 * (coalesce(obs.n_obs, 0) - pd.p * tot.n)
+                 / (pd.p * tot.n), 6) AS chi2_term
+    FROM pd LEFT JOIN obs USING (digit) CROSS JOIN tot
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit (the data-forensics screen for
+    fabricated or truncated numeric columns): observed first-digit
+    counts of the money column against the Benford expectation, with
+    per-digit chi-squared terms. The Benford probabilities are 12dp
+    LITERALS on both engines — no runtime log10, so the only arithmetic
+    is IEEE multiply/divide on exact integer counts and the rows
+    hash-match. One pruned scan, one 9-group aggregate."""
+    obs = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            # floor explicitly: DuckDB's double->BIGINT cast rounds
+            # while Spark's truncates — floor() agrees everywhere
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    p = spark.createDataFrame(
+        [(d + 1, pv) for d, pv in enumerate(BENFORD_P)],
+        "digit int, p double",
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+    expected = F.col("p") * F.col("n")
+    return (
+        p.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            F.round(expected, 6).alias("n_expected"),
+            F.round(
+                (n_obs - expected) * (n_obs - expected) / expected, 6
+            ).alias("chi2_term"),
+        )
+    )
