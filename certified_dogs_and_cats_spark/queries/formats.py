@@ -1225,3 +1225,102 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "cusum_changepoint_scan",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+               AS mu
+      FROM daily
+    ),
+    series AS (
+      SELECT list(y ORDER BY d) AS ys FROM daily
+    ),
+    fold AS (
+      SELECT b.n_days, b.mu,
+             list_reduce(
+               list_prepend(CAST([0.0, 0.0, 0.0] AS DOUBLE[]),
+                            list_transform(s.ys, y -> [y, 0.0, 0.0])),
+               (acc, x) -> [
+                 greatest(0.0, acc[1] + (x[1] - b.mu)),
+                 greatest(acc[2], greatest(0.0, acc[1] + (x[1] - b.mu))),
+                 acc[3] + CASE WHEN greatest(0.0, acc[1] + (x[1] - b.mu))
+                                    > 2000.0 THEN 1.0 ELSE 0.0 END
+               ]
+             ) AS st
+      FROM series s CROSS JOIN base b
+    )
+    SELECT n_days,
+           round(mu, 6) AS mean_daily,
+           round(st[2], 6) AS max_cusum,
+           CAST(st[3] AS BIGINT) AS n_alarm_days
+    FROM fold
+    """,
+)
+def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily value series (the
+    monitoring primitive that catches a sustained level shift long
+    before any single day looks anomalous): the positive cumulative sum
+    c' = max(0, c + (y - mu)) folds day-ordered values with three
+    doubles of state (current, running max, alarm-day count at the
+    2000 threshold). Mean is DECIMAL-folded; the fold order is the day
+    order on both engines, so every intermediate is bit-identical. The
+    fold runs on the day-count array — driver-scale after one
+    event-scale aggregate."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    base = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (
+            F.sum(F.col("y").cast("decimal(38,9)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "y")))
+        .getField("y")
+        .alias("ys")
+    )
+    mu = F.col("mu")
+
+    def step(acc, y):
+        c = F.greatest(F.lit(0.0), acc["c"] + (y - mu))
+        return F.struct(
+            c.alias("c"),
+            F.greatest(acc["mx"], c).alias("mx"),
+            (
+                acc["al"]
+                + F.when(c > F.lit(2000.0), F.lit(1.0)).otherwise(0.0)
+            ).alias("al"),
+        )
+
+    seed = F.struct(
+        F.lit(0.0).alias("c"), F.lit(0.0).alias("mx"), F.lit(0.0).alias("al")
+    )
+    folded = series.crossJoin(base).select(
+        "n_days",
+        F.round(mu, 6).alias("mean_daily"),
+        F.aggregate(F.col("ys"), seed, step).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        "mean_daily",
+        F.round(F.col("st.mx"), 6).alias("max_cusum"),
+        F.col("st.al").cast("bigint").alias("n_alarm_days"),
+    )
