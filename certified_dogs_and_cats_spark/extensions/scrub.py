@@ -97,8 +97,11 @@ def canonicalize_urls(
     - scheme and host lowercased; default ports (:80 http, :443 https)
       stripped;
     - fragment dropped (regexes below never cross ``#``);
-    - tracking parameters removed (any param whose name starts with a
-      ``tracking_prefixes`` entry), remaining params SORTED so parameter
+    - tracking parameters removed — an entry ending in ``_`` (e.g.
+      ``utm_``) matches any param NAME with that prefix; any other entry
+      (``fbclid``, ``gclid``) matches the param name exactly, so an
+      unrelated ``fbclidx=1`` or ``gclid_src=2`` survives and keeps its
+      URL a distinct dedup key. Remaining params SORTED so parameter
       order never splits a group;
     - trailing slashes stripped from the path ('' = root).
 
@@ -124,13 +127,23 @@ def canonicalize_urls(
     )
     path = F.regexp_replace(F.regexp_extract(u, ci_path, 1), "/+$", "")
     rawq = F.regexp_extract(u, URL_QUERY_RE, 1)
+    def _is_tracking(p):
+        # Match on the param NAME (substring before '='): prefix-style
+        # entries (trailing '_') use startswith, exact entries use
+        # equality — bare startswith on the whole param would also strip
+        # 'fbclidx=1' / 'gclid_src=2'.
+        name = F.substring_index(p, "=", 1)
+        return reduce(
+            lambda a, b: a | b,
+            [
+                name.startswith(pre) if pre.endswith("_") else name == pre
+                for pre in tracking_prefixes
+            ],
+        )
+
     keep = F.filter(
         F.split(rawq, "&"),
-        lambda p: (p != "")
-        & ~reduce(
-            lambda a, b: a | b,
-            [p.startswith(pre) for pre in tracking_prefixes],
-        ),
+        lambda p: (p != "") & ~_is_tracking(p),
     )
     qs = F.array_join(F.array_sort(keep), "&")
     return df.withColumn(

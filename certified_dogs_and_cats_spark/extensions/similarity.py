@@ -316,8 +316,12 @@ def build_ivf_index(
         sample = sample.sample(fraction=train_fraction, seed=seed)
     probe = sample.limit(local_train_cap + 1).collect()
     if len(probe) <= local_train_cap:
-        # Not truncated -> `probe` IS the full (deterministic) sample.
-        rows = [r["v"] for r in probe]
+        # Not truncated -> `probe` IS the full sample SET, but Spark does
+        # not guarantee a stable row ORDER for limit/collect across
+        # partition layouts, and _lloyd_fit_local's kmeans++ seeding
+        # indexes rows by position — sort by vector value so the trained
+        # centroids are a pure function of the data, not the scheduler.
+        rows = sorted(r["v"] for r in probe)
         if not rows:
             raise ValueError("empty corpus: nothing to train on")
         centers = _lloyd_fit_local(rows, n_centroids, seed, max_iter)
@@ -500,7 +504,11 @@ def train_pq_codebooks(
     if len(probe) <= local_train_cap:
         import numpy as np
 
-        x = np.asarray([r["v"] for r in probe], dtype=np.float64)
+        if not probe:
+            raise ValueError("empty training sample: nothing to train on")
+        # Sort for the same collect-order-independence reason as
+        # build_ivf_index's local path (kmeans++ seeds by row position).
+        x = np.asarray(sorted(r["v"] for r in probe), dtype=np.float64)
         if shared:
             stacked = x.reshape(-1, dsub)
             book = _lloyd_fit_local(stacked, ksub, seed, max_iter)

@@ -42,10 +42,28 @@ def _physical_num_partitions(df: DataFrame) -> int | None:
     never a job.
     """
     jplan = df._jdf.queryExecution().executedPlan()
-    tree = jplan.toString()
-    if "Exchange" in tree or "AdaptiveSparkPlan" in tree:
+    if _probe_would_execute(jplan):
         return None
     return jplan.execute().getNumPartitions()
+
+
+def _probe_would_execute(node) -> bool:
+    """Structural walk of the JVM plan tree (class names, not the plan's
+    rendered string — a column or table identifier containing 'Exchange'
+    must not disable spread()). True when probing partition count could
+    do real work: any exchange node (post-shuffle width is already the
+    shuffle config's), an AdaptiveSparkPlanExec root (execute() would
+    materialize query stages), or an expression subquery (execute() waits
+    for subquery jobs)."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec" or "Exchange" in name:
+        return True
+    if node.subqueries().nonEmpty():
+        return True
+    kids = node.children()
+    return any(
+        _probe_would_execute(kids.apply(i)) for i in range(kids.size())
+    )
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -1469,6 +1469,17 @@ class DdlSession:
         ):
             return None
         src = self.resolve(m.group("src"))
+        # SOUNDNESS GATE (governance): the MV backing table was built from
+        # ungoverned source reads, so serving it to a reader whose view of
+        # the source is policy-restricted would leak policy-hidden rows /
+        # unmasked values through the SQL front door. Mirror
+        # _count_star_fast_path: any row filter or column mask on the
+        # source bails to the generic governed path.
+        src_spec = self.catalog.tables.get(src)
+        if src_spec is not None and (
+            src_spec.row_filter or src_spec.column_masks
+        ):
+            return None
         for view in self.mviews.values():
             if (
                 type(view) is kind

@@ -184,7 +184,7 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
            CAST(max(src_total) AS BIGINT) AS tokens_available
     FROM cum
-    WHERE running <= CAST(src_total * 0.5 AS BIGINT)
+    WHERE running <= CAST(floor(src_total * 0.5) AS BIGINT)
     GROUP BY source
     """,
 )
@@ -216,9 +216,13 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").over(w).alias("running"),
         F.sum("n_tok").over(wall).alias("src_total"),
     )
+    # floor() on BOTH sides: Spark's cast(double->bigint) truncates while
+    # DuckDB's CAST rounds-to-nearest, so an odd src_total (threshold
+    # ending in .5) with a doc landing exactly on the boundary would
+    # diverge cross-engine. floor is identical in both.
     kept = cum.filter(
         F.col("running")
-        <= (F.col("src_total") * F.lit(0.5)).cast("bigint")
+        <= F.floor(F.col("src_total") * F.lit(0.5)).cast("bigint")
     )
     return kept.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs_kept"),

@@ -365,7 +365,10 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT grp, pos, max(v) AS pv FROM x GROUP BY 1, 2)
     SELECT CAST(grp AS BIGINT) AS grp,
            CAST(count(*) AS INTEGER) AS dim,
-           list(pv ORDER BY pos) AS pooled
+           array_to_string(
+             list_transform(list(pv ORDER BY pos),
+                            x -> CAST(floor(x * 1000000000 + 0.5) AS BIGINT)),
+             ',') AS pooled_csv
     FROM m GROUP BY 1
     """,
 )
@@ -378,7 +381,14 @@ def embedding_pool_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tolerance instead). Plan: one posexplode, one (grp, dim) hash
     aggregate with map-side partials, one collect back to an ordered
     array — per-dimension rows keep every aggregation buffer bounded no
-    matter how many vectors one group holds."""
+    matter how many vectors one group holds.
+
+    The pooled vector is emitted as a comma-joined string of 1e9-scaled
+    integers (`pooled_csv`), not an array: every compared column must be
+    a sortable scalar for the driver's canonicalizer (pandas sort_values
+    cannot order list cells — the q_csv pattern from
+    embedding_quantize_int8). floor(x*1e9 + 0.5) is bit-identical IEEE
+    arithmetic in both engines, unlike double->string formatting."""
     from ..extensions.similarity import pool_embeddings
 
     vecs = _vectors(spark, sf_dir).withColumn(
@@ -386,5 +396,15 @@ def embedding_pool_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pooled = pool_embeddings(vecs, "grp", vec_col="e", mode="max")
     return pooled.select(
-        "grp", F.size("pooled").cast("int").alias("dim"), "pooled"
+        "grp",
+        F.size("pooled").cast("int").alias("dim"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("pooled"),
+                lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).alias("pooled_csv"),
     )

@@ -346,3 +346,40 @@ def _ext_snapshot_named(cat, name):
     return sorted(
         (r.grp, r.cnt, r.vmin, r.vmax) for r in cat.table(name).collect()
     )
+
+
+def test_mv_rewrite_bails_under_governance(spark, tmp_path):
+    """A current MV must NOT serve a matching SELECT once the source has
+    a row filter or column mask: the backing table was built ungoverned,
+    so the rewrite would leak policy-hidden rows / unmasked values. The
+    query must fall through to the governed scan (same gate as the
+    count(*) fast path)."""
+    from certified_dogs_and_cats_spark.pipeline import DdlSession
+
+    cat = _mk(spark, tmp_path)
+    ddl = DdlSession(cat)
+    ddl.execute("USE SCHEMA core")
+    cat.append(
+        "core.src", _rows(spark, [("a", 1.0), ("a", 5.0), ("b", 2.0)])
+    )
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW agg AS SELECT grp, COUNT(*) AS cnt, "
+        "SUM(amt) AS total FROM src GROUP BY grp"
+    )
+    sel = "SELECT grp, COUNT(*) AS cnt, SUM(amt) AS total FROM src GROUP BY grp"
+    # MV current, no policy: rewrite serves the full aggregate.
+    rows = sorted((r.grp, r.cnt, r.total) for r in ddl.execute(sel)[-1].collect())
+    assert rows == [("a", 2, 6.0), ("b", 1, 2.0)]
+    # Row filter set: the same SELECT must reflect only policy-visible rows.
+    ddl.execute("ALTER TABLE src SET ROW FILTER (grp = 'a')")
+    rows = sorted((r.grp, r.cnt, r.total) for r in ddl.execute(sel)[-1].collect())
+    assert rows == [("a", 2, 6.0)]
+    ddl.execute("ALTER TABLE src DROP ROW FILTER")
+    # Column mask on the value column: aggregates must see masked values.
+    ddl.execute("ALTER TABLE src ALTER COLUMN amt SET MASK (0.0)")
+    rows = sorted((r.grp, r.cnt, r.total) for r in ddl.execute(sel)[-1].collect())
+    assert rows == [("a", 2, 0.0), ("b", 1, 0.0)]
+    ddl.execute("ALTER TABLE src ALTER COLUMN amt DROP MASK")
+    # Policies dropped: the rewrite is sound again and serves the MV.
+    rows = sorted((r.grp, r.cnt, r.total) for r in ddl.execute(sel)[-1].collect())
+    assert rows == [("a", 2, 6.0), ("b", 1, 2.0)]

@@ -306,3 +306,29 @@ def test_canonicalize_urls_edge_cases(spark):
     assert got[5] == got[3]
     assert got[6] == "https://h.com"
     assert got[7] == "https://h.com/x"
+
+
+def test_canonicalize_urls_param_name_boundary(spark):
+    """Exact-name tracking entries strip only the exact param name:
+    'fbclidx=1' and 'gclid_src=2' are NOT tracking params and must keep
+    their URLs distinct dedup keys; prefix entries ('utm_') still match
+    any utm_* name."""
+    from certified_dogs_and_cats_spark.extensions.scrub import (
+        canonicalize_urls,
+    )
+
+    urls = [
+        (1, "https://h.com/x?fbclid=abc&a=1"),    # exact name: stripped
+        (2, "https://h.com/x?fbclidx=1&a=1"),     # boundary: kept
+        (3, "https://h.com/x?gclid_src=2&a=1"),   # boundary: kept
+        (4, "https://h.com/x?utm_campaign=c&a=1"),  # prefix: stripped
+    ]
+    df = spark.createDataFrame(urls, "id BIGINT, url STRING")
+    got = {
+        r.id: r.canonical_url
+        for r in canonicalize_urls(df, "url").collect()
+    }
+    assert got[1] == "https://h.com/x?a=1"
+    assert got[2] == "https://h.com/x?a=1&fbclidx=1"
+    assert got[3] == "https://h.com/x?a=1&gclid_src=2"
+    assert got[4] == "https://h.com/x?a=1"

@@ -52,3 +52,19 @@ def test_spread_probe_never_converts_to_rdd(spark, monkeypatch):
     assert out.count() == 1000
     wide = spark.range(0, 1000).repartition(4)
     assert spread(wide) is wide  # exchange in plan: hands-off no-op
+
+
+def test_spread_not_fooled_by_exchange_named_column(spark, tmp_path):
+    """The probe inspects plan-node CLASSES, not the rendered plan string:
+    a parquet scan projecting a column literally named 'ExchangeRate'
+    (whose name appears in the plan text) is still an exchange-FREE plan
+    and spread() must engage on it."""
+    src = str(tmp_path / "fx")
+    spark.range(0, 100).selectExpr(
+        "id", "CAST(id AS DOUBLE) / 7 AS ExchangeRate"
+    ).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src).select("ExchangeRate")
+    assert "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+    out = spread(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 100
