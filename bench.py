@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "quality_classifier_scores",
     "token_chi2_drift",
     "cdc_chunk_stats",
+    # Round-6 addition: BPE apply with a fixed literal merge table (20
+    # chained codegen folds per word — measures the tokenize map stage).
+    "bpe_apply_fixed",
 ]
 
 
@@ -214,21 +217,33 @@ def main() -> None:
         "similarity_cosine_topk", "similarity_lsh_ann",
         "text_token_stats", "text_fingerprint",
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "r01_comparable_subtotal": round(
-                    sum(v for k, v in timings.items() if k in r01), 3
-                ),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "r01_comparable_subtotal": round(
+                sum(v for k, v in timings.items() if k in r01), 3
+            ),
+        }
     )
+    # Durable copy first: the JSON result survives regardless of what the
+    # JVM prints around shutdown.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
+    # Print the JSON line STRICTLY LAST: silence the JVM's log4j appender
+    # (shutdown WARN stacks — e.g. StateStore maintenance — otherwise land
+    # after the JSON and break line-oriented parsers), stop the session,
+    # then emit.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    sys.stderr.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -2421,34 +2421,20 @@ class Catalog:
             os.path.join(self._meta_dir(name), "file_stats.json"),
         )
 
-    def fast_row_count(
-        self, name: str, version: int | None = None
-    ) -> int | None:
-        """Metadata-only ``COUNT(*)``: the sum of parquet footer row
-        counts over the version's live files — zero data scanned, the
-        fast path warehouses answer bare counts with. Returns ``None``
-        (caller falls back to a real scan) whenever the footer sum would
-        be WRONG or unavailable: deletion vectors present (tombstoned
-        rows are still in the footers), a live file's stats missing
-        (vacuumed or unreadable), or no manifest yet."""
+    def _footer_row_sum(self, name: str, files: list[str]) -> int | None:
+        """THE shared metadata-count core: sum of parquet footer row
+        counts over ``files`` (metadata-sized reads through the same
+        size-keyed ``file_stats.json`` cache as :meth:`file_stats`).
+        Returns ``None`` when any file's footer stats are missing
+        (vacuumed or unreadable) — callers fall back to a real scan.
+        Both :meth:`fast_row_count` and :meth:`fast_count` route here;
+        soundness gates (deletion vectors, governance row filters) stay
+        with the callers because their fallback contracts differ."""
+        if not files:
+            return 0
         from .skipping import collect_file_stats
 
         spec = self.tables[name]
-        manifest = self._load_manifest(name)
-        if not manifest:
-            return 0
-        if version is None:
-            entry = manifest[-1]
-        else:
-            matches = [e for e in manifest if e["version"] == version]
-            if not matches:
-                raise KeyError(f"{name}: no version {version} in manifest")
-            entry = matches[-1]
-        if entry.get("dv"):
-            return None
-        files = entry["files"]
-        if not files:
-            return 0
         stats = collect_file_stats(
             spec.path,
             files,
@@ -2461,6 +2447,30 @@ class Catalog:
                 return None
             total += rows
         return total
+
+    def fast_row_count(
+        self, name: str, version: int | None = None
+    ) -> int | None:
+        """Metadata-only ``COUNT(*)``: the sum of parquet footer row
+        counts over the version's live files — zero data scanned, the
+        fast path warehouses answer bare counts with. Returns ``None``
+        (caller falls back to a real scan) whenever the footer sum would
+        be WRONG or unavailable: deletion vectors present (tombstoned
+        rows are still in the footers), a live file's stats missing
+        (vacuumed or unreadable), or no manifest yet."""
+        manifest = self._load_manifest(name)
+        if not manifest:
+            return 0
+        if version is None:
+            entry = manifest[-1]
+        else:
+            matches = [e for e in manifest if e["version"] == version]
+            if not matches:
+                raise KeyError(f"{name}: no version {version} in manifest")
+            entry = matches[-1]
+        if entry.get("dv"):
+            return None
+        return self._footer_row_sum(name, entry["files"])
 
     def column_storage_report(self, name: str) -> DataFrame:
         """Per-column on-disk cost over the table's LIVE files (column,
@@ -2837,13 +2847,9 @@ class Catalog:
         if not manifest:
             return int(self.table(name).count())
         head = manifest[-1]
-        stats = self.file_stats(name)
-        total = 0
-        for rel in head["files"]:
-            st = stats.get(rel)
-            if st is None or st.get("rows") is None:
-                return int(self.table(name).count())
-            total += st["rows"]
+        total = self._footer_row_sum(name, head["files"])
+        if total is None:
+            return int(self.table(name).count())
         dvs = head.get("dv", [])
         if dvs:
             import pyarrow.parquet as pq

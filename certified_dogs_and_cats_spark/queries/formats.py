@@ -985,7 +985,9 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CASE WHEN levenshtein(a.p_name, b.p_name) <= 15
                     THEN 3 ELSE 0 END AS score
       FROM p a JOIN p b
-        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        ON a.p_brand = b.p_brand
+       AND floor(a.p_size / 10) = floor(b.p_size / 10)
+       AND a.p_partkey < b.p_partkey
     )
     SELECT CASE WHEN score >= 7 THEN 'match'
                 WHEN score >= 4 THEN 'possible'
@@ -998,15 +1000,24 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter-style record linkage: candidate pairs from a
-    blocking key (brand — never all-pairs), a weighted multi-field
-    agreement score (exact equality on type/size, price within a
-    tolerance band, bounded edit distance on the name), and the three-way
-    match / possible / non-match classification every entity-resolution
-    pipeline emits for clerical review. Integer scores — the histogram
-    hash-matches exactly. At scale the block key comes from
-    key_skew_report and the per-field weights from EM on labeled pairs;
-    the plan shape (block join + map-side scoring + tiny histogram) is
-    already the production one."""
+    COMPOSED blocking key (brand x size-band, the
+    blocked_edit_distance_pairs pattern — never all-pairs, and never a
+    single-attribute block whose size grows linearly with the corpus and
+    whose pair count therefore grows quadratically), a weighted
+    multi-field agreement score (exact equality on type/size, price
+    within a tolerance band, bounded edit distance on the name), and the
+    three-way match / possible / non-match classification every
+    entity-resolution pipeline emits for clerical review. Candidacy
+    requires the same size DECADE (floor(size/10)) — equal-size pairs
+    are always co-banded, so the size agreement term is unaffected;
+    cross-band pairs are the blocking scheme's implicit non-matches and
+    are never materialized, which is the point of blocking. Integer
+    scores — the histogram hash-matches exactly. At scale the block key
+    comes from key_skew_report and the per-field weights from EM on
+    labeled pairs; the plan shape (composed block join + map-side
+    scoring + tiny histogram) is already the production one. Measured at
+    sf0.1: brand-only blocking generates 8.00M candidate pairs; the
+    composed key 1.55M (5.2x fewer; see PLANS.md)."""
     p = t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
     )
@@ -1015,6 +1026,10 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b,
         (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (
+            F.floor(F.col("a_p_size") / 10)
+            == F.floor(F.col("b_p_size") / 10)
+        )
         & (F.col("a_p_partkey") < F.col("b_p_partkey")),
     )
     score = (

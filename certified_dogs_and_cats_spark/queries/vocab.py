@@ -174,3 +174,98 @@ def segment_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB."""
     docs = t(spark, sf_dir, "documents")
     return segment_dedup_stats(docs, "doc_id", "text", seg_tokens=SEG_TOKENS)
+
+
+# Fixed 20-rule merge table for bpe_apply_fixed, in training order (later
+# rules reference symbols earlier rules created: th->the, an->and, in->ing).
+# A LITERAL table makes the inherently-iterative tokenizer's APPLY path
+# SQL-replayable — the same move vocab_encode_docs made for id encoding.
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("an", "d"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "s"),
+    ("o", "r"), ("t", "i"), ("s", "t"), ("l", "e"), ("o", "u"),
+    ("a", "r"), ("e", "d"), ("i", "s"), ("in", "g"), ("c", "o"),
+]
+BPE_DOC_MOD = 10
+
+
+def _bpe_nested_replace(expr: str) -> str:
+    """The merge-table replay as nested string replaces over a
+    delimiter-wrapped symbol string ('|t| |h| |e|' -> '|th| |e|' ->
+    '|the|'): replace() is left-to-right NON-OVERLAPPING in both engines,
+    which is exactly reference BPE's greedy overlap semantics
+    ('aaaa' under (a,a) -> 'aa','aa'), and the |..| wrapping makes a rule
+    match whole symbols only (never the tail of 'xa' or the head of
+    'bx')."""
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, '|{a}| |{b}|', '|{a}{b}|')"
+    return expr
+
+
+@query(
+    "bpe_apply_fixed",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z ]', ' ', 'g') AS t
+      FROM documents WHERE doc_id % {BPE_DOC_MOD} = 0
+    ),
+    w0 AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(t, ' '), 1) AS pos,
+             unnest(string_split(t, ' ')) AS w
+      FROM d
+    ),
+    w AS (SELECT doc_id, pos, w FROM w0 WHERE w != ''),
+    sym AS (
+      SELECT doc_id, pos,
+             array_to_string(
+               list_transform(string_split(w, ''), c -> '|' || c || '|'),
+               ' ') AS s
+      FROM w
+    ),
+    m AS (
+      SELECT doc_id, pos, {{merged}} AS s FROM sym
+    ),
+    tok AS (
+      SELECT doc_id, pos,
+             list_transform(string_split(s, ' '),
+                            x -> replace(x, '|', '')) AS toks
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos)
+             AS tokens_str
+    FROM tok GROUP BY doc_id
+    """.format(merged=_bpe_nested_replace("s")),
+)
+def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION with a fixed literal 20-rule merge table
+    (extensions.bpe.apply_bpe — the trained-merge replay; training itself
+    is iterative and pytest-pinned, but application with frozen rules is
+    a pure per-word JVM fold and therefore oracle-checkable). Text is
+    lowercased and restricted to [a-z ] first so the oracle's
+    delimiter-wrapped replace replay never collides with data characters.
+    Plan: zero shuffles until the per-doc reassembly aggregate — the 20
+    merge rules ride in the plan as literals and every fold is codegen;
+    at 100 TB this is the map-side tokenize stage of shard export, and
+    the broadcastable merge table is the whole model."""
+    from pyspark.sql import functions as F
+
+    from ..extensions.bpe import apply_bpe
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BPE_DOC_MOD == 0)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^a-z ]", " ").alias("t"),
+        )
+    )
+    out = apply_bpe(docs, "doc_id", "t", BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+    )

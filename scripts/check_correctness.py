@@ -5,10 +5,17 @@ sf dir, compares row count, column names, and order-insensitive values
 (exact equality after stringify-and-sort — stricter than a hash, same idea).
 
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+
+When run over the FULL registry (no query filter), the per-query results
+are also written to ``CORRECTNESS_local.json`` at the repo root in the
+driver's row format, so the builder-side gate is a committed, auditable
+artifact covering every registered query — including the ones outside
+the driver's 50-entry per-round window.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -48,6 +55,7 @@ def main() -> int:
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -62,9 +70,19 @@ def main() -> int:
             spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {e}",
+            }
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in ORACLE:
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None,
+            }
             print(f"skip  {name}: no oracle ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             continue
@@ -74,20 +92,29 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb error: {e}",
+            }
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         ok = True
         msgs = []
-        if sorted(scols) != sorted(dcols):
+        schema_match = sorted(scols) == sorted(dcols)
+        rows_match = len(srows) == len(drows)
+        if not schema_match:
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
+        if not rows_match:
             ok = False
             msgs.append(f"rows spark={len(srows)} duck={len(drows)}")
+        hash_match = False
         if ok:
             _, sn = normalize(srows, scols)
             _, dn = normalize(drows, dcols)
-            if sn != dn:
+            hash_match = sn == dn
+            if not hash_match:
                 ok = False
                 diff = [
                     (a, b) for a, b in zip(sn, dn) if a != b
@@ -96,8 +123,24 @@ def main() -> int:
         status = "ok   " if ok else "FAIL "
         if not ok:
             failures.append(name)
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(msgs) if msgs else None,
+        }
         print(f"{status} {name} ({len(srows)} rows, {time.time()-t0:.1f}s)"
               + ("  " + "; ".join(msgs) if msgs else ""))
+    if not only:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        with open(
+            os.path.join(repo_root, "CORRECTNESS_local.json"), "w"
+        ) as f:
+            json.dump(results, f, indent=2)
+        print(f"full-registry artifact: CORRECTNESS_local.json "
+              f"({len(results)} entries)")
     print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} queries pass")
     return 1 if failures else 0
 
