@@ -153,9 +153,14 @@ BENCH_QUERIES = [
     "quality_classifier_scores",
     "token_chi2_drift",
     "cdc_chunk_stats",
-    # Round-6 addition: BPE apply with a fixed literal merge table (20
-    # chained codegen folds per word — measures the tokenize map stage).
+    # Round-6 additions: BPE apply with a fixed literal merge table (20
+    # chained codegen folds per word — measures the tokenize map stage),
+    # BM25 lexical retrieval, token-mass Gini, and the quality funnel.
     "bpe_apply_fixed",
+    "bm25_topk",
+    "token_gini_by_source",
+    "quality_gate_funnel",
+    "fuzzy_sorted_neighborhood",
 ]
 
 

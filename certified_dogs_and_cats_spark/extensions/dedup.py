@@ -1105,3 +1105,72 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    window: int,
+    max_dist: int,
+) -> DataFrame:
+    """Sorted-neighborhood fuzzy matching (Hernandez & Stolfo, SIGMOD'95)
+    — the LINEAR-candidate scale path for edit-distance joins.
+
+    Fixed-cardinality blocking keys (brand, brand x size-band, ...) have
+    blocks that grow linearly with the corpus, so in-block candidate
+    pairs grow QUADRATICALLY — measured on the sf1 probe:
+    blocked_edit_distance_pairs' candidates grew 100x for 10x rows (time
+    12x only because the bounded-DP early-exit absorbs it; the next
+    decade would not be absorbed). Sorted neighborhood caps candidates
+    at N * window instead: sort each block by the match key, pair every
+    record with exactly its ``window`` successors in that order. Typo
+    variants sort adjacently, so small windows catch most true matches —
+    the classic recall/cost dial every production ER pipeline ships
+    (run multiple passes with different sort keys to push recall).
+
+    Plan: ONE shuffle (the block sort); candidates come from ``window``
+    lead() columns over that sort — no self-join, no candidate blow-up;
+    the bounded-DP levenshtein verifies each of the N*window pairs.
+    Deterministic: the sort key is (text, id), so candidate sets — and
+    therefore the exact output — replay identically in SQL.
+
+    Output: (*block_cols, id_a, id_b, dist) for neighborhood pairs with
+    dist <= max_dist; id_a is the sort-order predecessor.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*block_cols).orderBy(
+        F.col(text_col).asc(), F.col(id_col).asc()
+    )
+    withleads = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("t_a"),
+        *[
+            F.struct(
+                F.lead(F.col(id_col), k).over(w).alias("id_b"),
+                F.lead(F.col(text_col), k).over(w).alias("t_b"),
+            ).alias(f"n{k}")
+            for k in range(1, window + 1)
+        ],
+    )
+    r = withleads.select(
+        *block_cols,
+        "id_a",
+        "t_a",
+        F.explode(
+            F.array(*[F.col(f"n{k}") for k in range(1, window + 1)])
+        ).alias("nb"),
+    ).filter(F.col("nb.id_b").isNotNull())
+    return (
+        r.withColumn("dist", F.levenshtein("t_a", F.col("nb.t_b"), max_dist))
+        .filter(F.col("dist") != -1)
+        .select(
+            *block_cols,
+            "id_a",
+            F.col("nb.id_b").alias("id_b"),
+            "dist",
+        )
+    )

@@ -1339,3 +1339,111 @@ def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.mx"), 6).alias("max_cusum"),
         F.col("st.al").cast("bigint").alias("n_alarm_days"),
     )
+
+
+SNM_WINDOW = 5
+SNM_MAX_DIST = 12
+
+
+@query(
+    "fuzzy_sorted_neighborhood",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand FROM part
+    ),
+    leads AS (
+      -- one branch per lead offset: a lateral k would multiply the
+      -- relation BEFORE the window and corrupt the offsets
+      SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
+             lead(p_partkey, 1) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS id_b,
+             lead(p_name, 1) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS t_b
+      FROM p
+      UNION ALL
+      SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
+             lead(p_partkey, 2) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS id_b,
+             lead(p_name, 2) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS t_b
+      FROM p
+      UNION ALL
+      SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
+             lead(p_partkey, 3) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS id_b,
+             lead(p_name, 3) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS t_b
+      FROM p
+      UNION ALL
+      SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
+             lead(p_partkey, 4) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS id_b,
+             lead(p_name, 4) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS t_b
+      FROM p
+      UNION ALL
+      SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
+             lead(p_partkey, 5) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS id_b,
+             lead(p_name, 5) OVER (
+               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+             ) AS t_b
+      FROM p
+    ),
+    cand AS (
+      SELECT p_brand, id_a, id_b,
+             levenshtein(t_a, t_b) AS dist
+      FROM leads WHERE id_b IS NOT NULL
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN dist <= {SNM_MAX_DIST} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN dist <= {SNM_MAX_DIST} THEN dist END)
+                AS INTEGER) AS min_dist,
+           CAST(sum(CASE WHEN dist <= {SNM_MAX_DIST} THEN dist ELSE 0 END)
+                AS BIGINT) AS dist_sum
+    FROM cand GROUP BY 1
+    """,
+)
+def fuzzy_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood fuzzy matching (extensions.dedup.
+    sorted_neighborhood_pairs) — the LINEAR-candidate counterpart of
+    fuzzy_name_pairs: candidates are each name's 5 successors in
+    brand-sorted name order (N*5 total), never an in-block self-join
+    whose pair count grows quadratically as fixed-cardinality blocks
+    fill up (the sf1 scaling probe measured that cliff: 100x candidates
+    for 10x rows on the blocked path). One shuffle (the sort); the
+    per-brand report pins candidate AND match counts so the oracle
+    verifies the candidate generation itself, not just the survivors."""
+    from ..extensions.dedup import sorted_neighborhood_pairs
+
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"), "p_name", "p_brand"
+    )
+    pairs = sorted_neighborhood_pairs(
+        p, "pid", "p_name", ["p_brand"], window=SNM_WINDOW, max_dist=10**9
+    )
+    # max_dist=inf above: keep ALL candidates so the report can count
+    # them; the match filter applies here with the real threshold.
+    return pairs.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum((F.col("dist") <= SNM_MAX_DIST).cast("long"))
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.min(F.when(F.col("dist") <= SNM_MAX_DIST, F.col("dist")))
+        .cast("int")
+        .alias("min_dist"),
+        F.sum(F.when(F.col("dist") <= SNM_MAX_DIST, F.col("dist")).otherwise(0))
+        .cast("bigint")
+        .alias("dist_sum"),
+    )

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..extensions.text import ngram_repetition
@@ -170,4 +170,110 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_sensitive") < 2, 1).otherwise(0))
         .cast("bigint")
         .alias("l_violating_groups"),
+    )
+
+
+# Ordered quality-gate stack for the funnel report. Each gate is applied
+# ON TOP of the previous survivors — the funnel semantics dashboards and
+# ablation writeups use ("how many docs did gate k alone remove?").
+FUNNEL_MIN_CHARS = 150
+FUNNEL_LANGS = ("en", "de", "fr")
+FUNNEL_MAX_TOP_TOKEN_FRAC = 0.12
+
+
+@query(
+    "quality_gate_funnel",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, lang,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    top_tok AS (
+      SELECT doc_id,
+             max(c) AS top_c,
+             sum(c) AS n_tok
+      FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    g AS (
+      SELECT d.doc_id,
+             d.n_chars >= {FUNNEL_MIN_CHARS} AS g1,
+             d.lang IN {FUNNEL_LANGS!r} AS g2,
+             CAST(top_tok.top_c AS DOUBLE) / top_tok.n_tok
+               <= {FUNNEL_MAX_TOP_TOKEN_FRAC} AS g3
+      FROM d JOIN top_tok USING (doc_id)
+    ),
+    stages AS (
+      SELECT 0 AS stage, 'ingested' AS gate, count(*) AS survivors FROM g
+      UNION ALL
+      SELECT 1, 'min_chars', count(*) FROM g WHERE g1
+      UNION ALL
+      SELECT 2, 'lang_allowlist', count(*) FROM g WHERE g1 AND g2
+      UNION ALL
+      SELECT 3, 'top_token_frac', count(*) FROM g WHERE g1 AND g2 AND g3
+    )
+    SELECT CAST(stage AS INTEGER) AS stage, gate,
+           CAST(survivors AS BIGINT) AS survivors,
+           CAST(first_value(survivors) OVER (ORDER BY stage)
+                - survivors AS BIGINT) AS dropped_total
+    FROM stages
+    """,
+)
+def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged quality-gate funnel over the corpus — the observability
+    report every filtering pipeline ships: survivors after each gate
+    applied cumulatively (length floor, language allowlist, single-token
+    dominance cap — a cheap template-spam proxy). One token aggregate
+    feeds the dominance gate; the stage counts are conditional sums in a
+    SINGLE global aggregate (no per-stage rescans), unpivoted to the
+    4-row funnel. At 100 TB: one scan, one (doc,token) hash aggregate,
+    map-side partials everywhere, 4-row output."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang", "text"
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    top = tok.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+    )
+    g = d.join(top, "doc_id").select(
+        (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("g1"),
+        F.col("lang").isin(list(FUNNEL_LANGS)).alias("g2"),
+        (
+            F.col("top_c").cast("double") / F.col("n_tok")
+            <= FUNNEL_MAX_TOP_TOKEN_FRAC
+        ).alias("g3"),
+    )
+    counts = g.agg(
+        F.count("*").alias("s0"),
+        F.sum(F.col("g1").cast("long")).alias("s1"),
+        F.sum((F.col("g1") & F.col("g2")).cast("long")).alias("s2"),
+        F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long")).alias(
+            "s3"
+        ),
+    )
+    stages = counts.selectExpr(
+        "stack(4, 0, 'ingested', s0, 1, 'min_chars', s1, "
+        "2, 'lang_allowlist', s2, 3, 'top_token_frac', s3) "
+        "AS (stage, gate, survivors)"
+    )
+    return stages.select(
+        F.col("stage").cast("int").alias("stage"),
+        "gate",
+        F.col("survivors").cast("bigint").alias("survivors"),
+        (
+            F.first("survivors").over(
+                Window.orderBy("stage").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("survivors")
+        )
+        .cast("bigint")
+        .alias("dropped_total"),
     )

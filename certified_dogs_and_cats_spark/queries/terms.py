@@ -106,3 +106,219 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift(
         docs, "doc_id", "text", min_count=LIFT_MIN_COUNT, k=LIFT_K
     )
+
+
+# BM25 constants (Robertson et al., TREC-3): k1 saturates term frequency,
+# b normalizes by document length. The idf keeps the repo's LOG-FREE
+# convention (module docstring): the rational Robertson idf core
+# (N - df + 0.5) / (df + 0.5) WITHOUT the ln wrapper — ln differs in the
+# last ulp across libm implementations while IEEE division replays
+# bit-identically, so scores and tie-breaks hash-match cross-engine.
+# (Unlike per-term tf-idf ranking, dropping the monotone ln does change
+# the multi-term SUM's ranking vs textbook BM25 — this is the engine's
+# deterministic variant, documented as such.)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "hash", "window")
+BM25_K = 10
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    dfq AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tk WHERE tok IN {BM25_TERMS!r}
+      GROUP BY 1
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM tk WHERE tok IN {BM25_TERMS!r}
+      GROUP BY 1, 2
+    ),
+    term_scores AS (
+      SELECT tf.doc_id, tf.tok,
+             ((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * ((tf.tf * ({BM25_K1} + 1.0))
+                / (tf.tf + {BM25_K1}
+                   * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+               AS s
+      FROM tf
+      JOIN dfq ON tf.tok = dfq.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS INTEGER) AS n_terms_hit,
+             list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS score
+      FROM term_scores GROUP BY doc_id
+    ),
+    r AS (
+      SELECT doc_id, n_terms_hit, round(score, 6) AS score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS INTEGER) AS rnk
+      FROM agg
+    )
+    SELECT doc_id, n_terms_hit, score, rnk FROM r WHERE rnk <= {BM25_K}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a literal 3-term query: the
+    ranking function every lexical-search / hybrid-RAG retrieval stack
+    runs, as one Spark plan. Term contributions are summed in a
+    SORTED-by-term sequential fold (float addition is order-dependent;
+    an unordered SUM would flake the hash against the oracle — the same
+    move cosine_topk makes for dot products). Plan: one token explode
+    filtered to the query terms (the filter lands before the shuffle, so
+    only query-term postings move), a 3-row df aggregate broadcast back,
+    a per-doc fold, and TakeOrderedAndProject for the top-10 — the
+    corpus text shuffles nothing. At 100 TB the df/avgdl stats frame is
+    metadata-sized and the per-term postings join is the inverted-index
+    access path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = list(BM25_TERMS)
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tk = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin(terms))
+    dfq = tk.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    tf = tk.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    scored = (
+        tf.join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                (
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf") * (k1 + F.lit(1.0)))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            F.lit(1.0)
+                            - b
+                            + b * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_terms_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "s"))).getField("s"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        agg.select(
+            "doc_id",
+            "n_terms_hit",
+            F.round("score", 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BM25_K)
+    )
+
+
+@query(
+    "token_gini_by_source",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_mass
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT source, tok_mass,
+             row_number() OVER (ORDER BY tok_mass ASC, source ASC) AS i,
+             count(*) OVER () AS n,
+             sum(tok_mass) OVER () AS total
+      FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_sources,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           round(
+             CAST(2 * sum(i * tok_mass) - (max(n) + 1) * max(total)
+                  AS DOUBLE) / (max(n) * max(total)), 9) AS gini
+    FROM r
+    """,
+)
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration across sources as a Gini coefficient —
+    the corpus-mixing diagnostic that says whether one crawl dominates
+    the training mix (0 = perfectly balanced, ->1 = one source owns the
+    tokens). All sums stay INTEGER until the single final division
+    (G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending-sorted
+    masses), so the value replays bit-identically; rank ties can permute
+    equal masses but the formula is invariant under that. One hash
+    aggregate per source + a sources-sized window — the heavy table
+    contributes one shuffle of per-source partial sums only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("tok_mass")
+        )
+    )
+    wr = Window.orderBy(F.col("tok_mass").asc(), F.col("source").asc())
+    wall = Window.partitionBy()
+    r = m.select(
+        "tok_mass",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("tok_mass").over(wall).alias("total"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_sources"),
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("i") * F.col("tok_mass"))
+                - (F.max("n") + F.lit(1)) * F.max("total")
+            ).cast("double")
+            / (F.max("n") * F.max("total")),
+            9,
+        ).alias("gini"),
+    )

@@ -46,11 +46,17 @@ def events_ts_kind(sf_dir: str) -> str:
     if kind is None:
         import pyarrow.parquet as pq
 
-        t = str(
-            pq.read_schema(os.path.join(sf_dir, "events.parquet")).field(
-                "ts"
-            ).type
-        )
+        path = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(path):
+            # Spark writes datasets as DIRECTORIES of part files; the
+            # footer sniff needs one concrete file (schemas are uniform
+            # across parts of one write).
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if parts:
+                path = os.path.join(path, parts[0])
+        t = str(pq.read_schema(path).field("ts").type)
         kind = "nanos" if t == "timestamp[ns]" else "other"
         _EVENTS_TS_KIND[sf_dir] = kind
     return kind

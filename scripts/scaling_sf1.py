@@ -18,7 +18,20 @@ driver's real testdata):
   deterministically perturbed per copy (element + copy/1000), so KMeans /
   PQ training sees 10x genuinely distinct points, not 10 coincident
   clusters of duplicates.
-- every other table the roster entries touch: copied through unchanged.
+- documents: 10 doc_id-shifted copies with every TOKEN prefixed by the
+  copy tag (copy 0 untouched) — clones would be mutual near-dups, so
+  winnowing / prefix-filter Jaccard pair counts would grow ~copies^2 (a
+  data-shape artifact, not plan super-linearity); disjoint token spaces
+  keep candidate growth linear, the way genuinely new data behaves.
+- part: 10 key-shifted copies with p_name prefixed by a 20-char per-copy
+  run (> the fuzzy max_dist of 12), same reason: name variants closer
+  than the edit threshold across copies would quadratically inflate
+  in-block pairs.
+- orders/lineitem/supplier/events: 10 copies with all join keys shifted
+  consistently (orderkey/custkey/partkey/suppkey/user_id), dates and
+  payloads unchanged — 10x rows per day/group is exactly how these
+  tables scale in production.
+- nation/region: copied through unchanged (dims stay small at any sf).
 
 Usage: python scripts/scaling_sf1.py   # appends a section to SCALING.md
 """
@@ -38,6 +51,7 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1_scaling"
 COPIES = 10
 HEAVY = [
+    # iterative graph + trained-model ANN (round-5 set)
     "bfs_depth_histogram",
     "sssp_weighted_histogram",
     "pagerank_top_nodes",
@@ -49,6 +63,22 @@ HEAVY = [
     "similarity_lsh_ann",
     "similarity_cosine_topk",
     "dedup_embedding_cosine",
+    # round-6 extension: the top of SCALING.md's sf0.01->sf0.1 ratio
+    # table plus the expensive text/dedup tail — where a second decade
+    # would expose super-linearity first.
+    "trailing_ewma_smooth",
+    "conditional_sum",
+    "fuzzy_name_pairs",
+    "percentile_by_group",
+    "window_rank_family",
+    "rolling_zscore_anomaly",
+    "cube_order_stats",
+    "json_extract_agg",
+    "topk_per_group",
+    "approx_percentile_check",
+    "dedup_prefix_filter_jaccard",
+    "winnow_shared_pairs",
+    "winnow_fingerprints",
 ]
 REPEATS = 2
 
@@ -85,13 +115,125 @@ def build_dataset(spark) -> None:
         f"{DST}/embeddings.parquet"
     )
 
-    for name in ("orders", "lineitem", "nation", "region", "part",
-                 "supplier", "events", "documents"):
-        src = f"{SRC}/{name}.parquet"
-        if os.path.exists(src):
-            spark.read.parquet(src).write.mode("overwrite").parquet(
-                f"{DST}/{name}.parquet"
+    def shifted_union(df, shifts: dict, extra=None):
+        """10 unioned copies with the given key columns shifted by
+        i * max(col); ``extra(df, i)`` may rewrite non-key columns."""
+        maxes = {
+            c: df.agg(F.max(c)).first()[0] for c in shifts
+        }
+        out = None
+        for i in range(COPIES):
+            p = df
+            if extra is not None:
+                p = extra(p, i)
+            for c in shifts:
+                p = p.withColumn(c, F.col(c) + F.lit(i * maxes[c]))
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    # Join keys shift consistently across fact tables: the same
+    # i * max(key) offset applies to a key wherever it appears.
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    max_ord = orders.agg(F.max("o_orderkey")).first()[0]
+    max_cust = spark.read.parquet(f"{SRC}/customer.parquet").agg(
+        F.max("c_custkey")
+    ).first()[0]
+    pt = spark.read.parquet(f"{SRC}/part.parquet")
+    max_part = pt.agg(F.max("p_partkey")).first()[0]
+    supp = spark.read.parquet(f"{SRC}/supplier.parquet")
+    max_supp = supp.agg(F.max("s_suppkey")).first()[0]
+
+    out = None
+    for i in range(COPIES):
+        p = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * max_ord)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * max_cust))
+        out = p if out is None else out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/orders.parquet"
+    )
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    out = None
+    for i in range(COPIES):
+        p = (
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * max_ord)
             )
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * max_part))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * max_supp))
+        )
+        out = p if out is None else out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/lineitem.parquet"
+    )
+
+    # part: per-copy 20-char name prefix (> fuzzy max_dist 12) keeps
+    # cross-copy name pairs OUT of the edit-distance threshold — clone
+    # names would inflate in-block pair counts quadratically.
+    tags = "abcdefghij"
+    shifted_union(
+        pt,
+        {"p_partkey": None},
+        extra=lambda d, i: d
+        if i == 0
+        else d.withColumn(
+            "p_name", F.concat(F.lit(tags[i] * 20 + " "), F.col("p_name"))
+        ),
+    ).repartition(32).write.mode("overwrite").parquet(f"{DST}/part.parquet")
+
+    shifted_union(supp, {"s_suppkey": None}).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{DST}/supplier.parquet")
+
+    # events: value gets a tiny per-copy offset — 10 bit-identical
+    # readings per timestamp would make 20-row rolling windows
+    # zero-variance (the z-score probe divides by sqrt(var), ANSI mode
+    # raises on the degenerate clone data; real 10x data never ties
+    # every reading).
+    shifted_union(
+        spark.read.parquet(f"{SRC}/events.parquet"),
+        {"event_id": None, "user_id": None},
+        extra=lambda d, i: d.withColumn(
+            "value", F.col("value") + F.lit(i * 1e-3)
+        ),
+    ).repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/events.parquet"
+    )
+
+    # documents: per-copy token prefix makes copies' shingle/token spaces
+    # DISJOINT (copy 0 untouched) — near-dup candidate growth stays
+    # linear instead of copies^2 between mutual clones.
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).first()[0]
+    out = None
+    for i in range(COPIES):
+        text = (
+            F.col("text")
+            if i == 0
+            else F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "),
+                    lambda tk: F.concat(F.lit(f"c{i}"), tk),
+                ),
+            )
+        )
+        p = docs.select(
+            (F.col("doc_id") + F.lit(i * max_doc)).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+        ).withColumn("n_chars", F.length("text").cast("int"))
+        out = p if out is None else out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
+
+    for name in ("nation", "region"):
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{name}.parquet")
 
 
 def sweep(spark, sf_dir: str) -> dict[str, float]:

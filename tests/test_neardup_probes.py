@@ -286,3 +286,43 @@ def test_prefix_filter_jaccard_is_lossless(spark):
         for r in prefix_filter_jaccard_pairs(sh, "doc_id", 0.5).collect()
     }
     assert pf == exact and exact  # non-empty and identical
+
+
+def test_sorted_neighborhood_pairs_semantics(spark):
+    """Candidates are exactly each record's `window` successors in
+    (text, id)-sorted order within the block; matches respect max_dist;
+    candidate count is linear (N*W - tail), never quadratic."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        # block A sorts as: abc(1), abd(2), abe(3), xyz(4)
+        (1, "abc", "A"),
+        (2, "abd", "A"),
+        (3, "abe", "A"),
+        (4, "xyz", "A"),
+        # block B: single record -> no candidates
+        (5, "zzz", "B"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, name STRING, blk STRING")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", ["blk"], window=2, max_dist=2
+        ).collect()
+    }
+    # window=2 candidates in A: (1,2),(1,3),(2,3),(2,4),(3,4);
+    # dist<=2 keeps the abc/abd/abe triangle, drops the xyz pairs.
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+    # Linear candidate bound: N=40 in one block, window=3 ->
+    # 3*40 - (3+2+1) = 114 candidates, not C(40,2)=780.
+    big = spark.createDataFrame(
+        [(i, f"name{i:03d}", "A") for i in range(40)],
+        "id BIGINT, name STRING, blk STRING",
+    )
+    cand = sorted_neighborhood_pairs(
+        big, "id", "name", ["blk"], window=3, max_dist=10**9
+    )
+    assert cand.count() == 3 * 40 - 6
