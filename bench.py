@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "token_gini_by_source",
     "quality_gate_funnel",
     "fuzzy_sorted_neighborhood",
+    # IVF-PQ composite (two KMeans fits + probed-list reconstruction
+    # search + recall join — model-training-dominated like PQ/IVF).
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -688,3 +688,120 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     lists = spark.read.parquet(os.path.join(path, "lists"))
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     return lists, centroids
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    n_centroids: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    seed: int = 42,
+    max_iter: int = 10,
+    train_fraction: float = 1.0,
+    shared_codebook: bool = True,
+) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
+    """IVF-PQ composite index (Jégou et al., TPAMI'11 §IV — the FAISS
+    ``IVFx,PQy`` standard): coarse KMeans lists for pruning + product
+    quantization of the RESIDUAL (vector minus its list centroid) for
+    in-list compression. Residual encoding is what makes the composition
+    better than either part alone: residual magnitudes are a fraction of
+    vector magnitudes, so the same codebook budget buys finer cells.
+
+    Returns ``(codes, centroids, codebooks)`` where codes carries
+    (id, centroid_id, codes) — m small ints + a list id per vector, the
+    complete searchable state. At 100 TB: centroids and codebooks are
+    broadcast payloads, the codes table is 32-128x smaller than the
+    corpus, and a search reads ~nprobe/n_centroids of it.
+    """
+    indexed, centroids = build_ivf_index(
+        corpus,
+        n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+        train_fraction=train_fraction,
+    )
+    residual = indexed.join(F.broadcast(centroids), "centroid_id").select(
+        F.col(id_col),
+        "centroid_id",
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"), lambda a, b: a - b
+        ).alias("__res__"),
+    )
+    books = train_pq_codebooks(
+        residual,
+        m=m,
+        ksub=ksub,
+        vec_col="__res__",
+        seed=seed,
+        max_iter=max_iter,
+        train_fraction=train_fraction,
+        shared=shared_codebook,
+    )
+    codes = pq_encode(residual, books, vec_col="__res__").select(
+        F.col(id_col), "centroid_id", "codes"
+    )
+    return codes, centroids, books
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k over an IVF-PQ index: probe the ``nprobe``
+    nearest lists per query (exact query-to-centroid distances against
+    the broadcast centroid table), reconstruct ONLY the probed lists'
+    vectors as centroid + decoded residual, and rank by exact cosine of
+    the full-precision query against the reconstruction (asymmetric
+    search — queries are never quantized). Same output contract and
+    shared ranking tail (:func:`_rank_topk`) as every other search
+    strategy. Cost per query ~ nprobe * N/C code decodes; nothing except
+    the codes of probed lists ever moves."""
+    q = with_norm(queries, vec_col, "qnrm").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"), "qnrm"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_dist").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qe", "qnrm", "centroid_id",
+            dist.alias("centroid_dist"),
+        )
+        .withColumn("probe_rnk", F.row_number().over(w_probe))
+        .filter(F.col("probe_rnk") <= nprobe)
+        .select("query_id", "qe", "qnrm", "centroid_id")
+    )
+    cand = codes.join(probes, "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    rec = pq_decode(cand, codebooks, "codes", "__res__")
+    rec = rec.join(F.broadcast(centroids), "centroid_id").select(
+        F.col(id_col).alias("neighbor_id"),
+        "query_id",
+        "qe",
+        "qnrm",
+        F.zip_with(
+            F.col("centroid"), F.col("__res__"), lambda a, b: a + b
+        ).alias("ne"),
+    )
+    pairs = with_norm(rec, "ne", "nnrm")
+    return _rank_topk(pairs, k, round_digits)

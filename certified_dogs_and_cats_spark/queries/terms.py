@@ -125,136 +125,120 @@ BM25_K = 10
 
 @query(
     "bm25_topk",
-    oracle=f"""
-    WITH tk AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ),
-    dl AS (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-      FROM documents
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf2
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     ),
     stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-      FROM dl
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM b
     ),
-    dfq AS (
-      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-      FROM tk WHERE tok IN {BM25_TERMS!r}
-      GROUP BY 1
-    ),
-    tf AS (
-      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-      FROM tk WHERE tok IN {BM25_TERMS!r}
-      GROUP BY 1, 2
-    ),
-    term_scores AS (
-      SELECT tf.doc_id, tf.tok,
-             ((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-             * ((tf.tf * ({BM25_K1} + 1.0))
-                / (tf.tf + {BM25_K1}
-                   * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
-               AS s
-      FROM tf
-      JOIN dfq ON tf.tok = dfq.tok
-      JOIN dl ON tf.doc_id = dl.doc_id
-      CROSS JOIN stats
-    ),
-    agg AS (
-      SELECT doc_id,
-             CAST(count(*) AS INTEGER) AS n_terms_hit,
-             list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS score
-      FROM term_scores GROUP BY doc_id
+    scored AS (
+      SELECT b.doc_id,
+             CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END AS INTEGER) AS n_terms_hit,
+             ((stats.n_docs - stats.df0 + 0.5) / (stats.df0 + 0.5)) * ((b.tf0 * (1.2 + 1.0)) / (b.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / stats.avgdl)))
+             + ((stats.n_docs - stats.df1 + 0.5) / (stats.df1 + 0.5)) * ((b.tf1 * (1.2 + 1.0)) / (b.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / stats.avgdl)))
+             + ((stats.n_docs - stats.df2 + 0.5) / (stats.df2 + 0.5)) * ((b.tf2 * (1.2 + 1.0)) / (b.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / stats.avgdl)))
+               AS score
+      FROM b CROSS JOIN stats
+      WHERE CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END > 0
     ),
     r AS (
       SELECT doc_id, n_terms_hit, round(score, 6) AS score,
              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
                   AS INTEGER) AS rnk
-      FROM agg
+      FROM scored
     )
-    SELECT doc_id, n_terms_hit, score, rnk FROM r WHERE rnk <= {BM25_K}
+    SELECT doc_id, n_terms_hit, score, rnk FROM r WHERE rnk <= 10
     """,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval over the corpus for a literal 3-term query: the
+    """BM25 retrieval over the corpus for a literal 3-term query — the
     ranking function every lexical-search / hybrid-RAG retrieval stack
-    runs, as one Spark plan. Term contributions are summed in a
-    SORTED-by-term sequential fold (float addition is order-dependent;
-    an unordered SUM would flake the hash against the oracle — the same
-    move cosine_topk makes for dot products). Plan: one token explode
-    filtered to the query terms (the filter lands before the shuffle, so
-    only query-term postings move), a 3-row df aggregate broadcast back,
-    a per-doc fold, and TakeOrderedAndProject for the top-10 — the
-    corpus text shuffles nothing. At 100 TB the df/avgdl stats frame is
-    metadata-sized and the per-term postings join is the inverted-index
-    access path."""
+    runs — as ONE corpus scan: per-term tf comes from size(filter(...))
+    over the split-token array (a codegen projection; no explode, so no
+    postings ever shuffle), the df/avgdl stats collapse into a single
+    tiny global aggregate broadcast back, and the per-term contributions
+    are summed in FIXED WRITTEN ORDER (a zero tf contributes exact +0.0,
+    which is IEEE-identical on both engines — no collect/sort fold
+    needed). Top-10 is TakeOrderedAndProject. The idf keeps the module's
+    log-free convention: the rational Robertson core without the ln
+    wrapper (ln differs last-ulp across libms) — the engine's documented
+    deterministic variant. At 100 TB: one scan, one metadata-sized stats
+    broadcast, zero data shuffles before the top-k."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     terms = list(BM25_TERMS)
-    dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    toks = F.split("text", " ")
+
+    def tf_col(tm: str):
+        # single-arg lambda only: a second parameter would be read by
+        # F.filter as the ELEMENT INDEX, not a closure slot
+        return F.size(F.filter(toks, lambda x: x == tm)).cast("bigint")
+
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[tf_col(tm).alias(f"tf{i}") for i, tm in enumerate(terms)],
     )
-    stats = dl.agg(
+    stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tk = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok").isin(terms))
-    dfq = tk.groupBy("tok").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
-    tf = tk.groupBy("doc_id", "tok").agg(
-        F.count("*").cast("bigint").alias("tf")
+        *[
+            F.sum(
+                F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
     )
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}")
+        dfc = F.col(f"df{i}")
+        return (
+            (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        ) * (
+            (tf * (k1 + F.lit(1.0)))
+            / (
+                tf
+                + k1
+                * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+            )
+        )
+
+    hits = sum(
+        F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        for i in range(len(terms))
+    )
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
     scored = (
-        tf.join(F.broadcast(dfq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        base.crossJoin(F.broadcast(stats))
+        .filter(hits > 0)
         .select(
             "doc_id",
-            "tok",
-            (
-                (
-                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * (
-                    (F.col("tf") * (k1 + F.lit(1.0)))
-                    / (
-                        F.col("tf")
-                        + k1
-                        * (
-                            F.lit(1.0)
-                            - b
-                            + b * F.col("dl") / F.col("avgdl")
-                        )
-                    )
-                )
-            ).alias("s"),
+            hits.cast("int").alias("n_terms_hit"),
+            F.round(score, 6).alias("score"),
         )
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count("*").cast("int").alias("n_terms_hit"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("tok", "s"))).getField("s"),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score"),
     )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        agg.select(
-            "doc_id",
-            "n_terms_hit",
-            F.round("score", 6).alias("score"),
-        )
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= BM25_K)
-    )
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rnk") <= BM25_K)
 
 
 @query(

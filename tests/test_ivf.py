@@ -145,3 +145,44 @@ def test_pool_embeddings_mean_weighted_max(spark):
     assert mx == {"d1": [3.0, 6.0], "d2": [5.0, -1.0]}
     with _pytest.raises(ValueError):
         pool_embeddings(df, "doc", "e", mode="median")
+
+
+def test_ivfpq_residual_roundtrip_and_search(spark):
+    """IVF-PQ on a two-cluster corpus: residual encoding reconstructs
+    near the original (residuals are small vs vectors), and nprobe=1
+    search returns neighbors from the query's own cluster."""
+    import math
+
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    # Two tight clusters far apart in R^4.
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + 0.1 * i, 10.0, 0.0, 0.1 * i]))
+    for i in range(8, 16):
+        rows.append((i, [-10.0, -10.0 - 0.1 * i, 0.1 * i, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, e ARRAY<DOUBLE>")
+    codes, cents, books = build_ivfpq_index(
+        df, n_centroids=2, m=2, ksub=4, max_iter=10
+    )
+    assert cents.count() == 2
+    got = codes.collect()
+    assert len(got) == 16 and all(len(r.codes) == 2 for r in got)
+    # Cluster purity: each list holds exactly one cluster.
+    lists = {
+        r.centroid_id: set()
+        for r in got
+    }
+    for r in got:
+        lists[r.centroid_id].add(r.vec_id < 8)
+    assert all(len(v) == 1 for v in lists.values())
+
+    q = df.filter("vec_id = 0")
+    top = ivfpq_topk(codes, cents, books, q, k=3, nprobe=1).collect()
+    assert len(top) == 3
+    # nprobe=1 -> all neighbors from the query's own (first) cluster.
+    assert all(r.neighbor_id < 8 for r in top)
+    assert all(not math.isnan(r.cos_sim) for r in top)
