@@ -26,7 +26,9 @@ from .registry import query
            CAST(count(DISTINCT salary) AS BIGINT) AS n_mask_values,
            CAST(4 AS BIGINT) AS n_raw,
            CAST(2 AS BIGINT) AS n_travel,
-           CAST(4 AS BIGINT) AS n_after_drop
+           CAST(4 AS BIGINT) AS n_after_drop,
+           CAST(1 AS BIGINT) AS n_mv_groups_governed,
+           CAST(6.0 AS DOUBLE) AS mv_total_governed
     FROM visible
     """,
 )
@@ -37,7 +39,11 @@ def governance_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not, and DROPping the policies restores full visibility without
     touching a file. The oracle pins the governed row count, the masked
     column's collapsed cardinality, the untouched raw count, the
-    governed time-travel count, and the post-drop count."""
+    governed time-travel count, the post-drop count, and — since round
+    6 — the MV-rewrite governance gate: a current materialized view over
+    a row-filtered source must NOT serve the matching aggregate (the
+    governed SELECT's group count and total reflect only visible
+    rows)."""
     from ..pipeline import Catalog, DdlSession
 
     root = tempfile.mkdtemp(prefix="gov_e2e_")
@@ -75,6 +81,26 @@ def governance_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_after_drop = ddl.execute("SELECT * FROM emp")[-1].count()
         if {r.salary for r in rows} != {"XXX"}:
             raise RuntimeError("mask must collapse every visible salary")
+        # MV-rewrite governance gate: a CURRENT materialized view must
+        # NOT serve a matching SELECT once the source is governed — the
+        # MV backing table was built ungoverned, so serving it would
+        # leak policy-hidden rows through the SQL front door. The
+        # governed aggregate must reflect only visible rows.
+        ddl.execute("CREATE TABLE pay (grp STRING, amt DOUBLE)")
+        ddl.execute(
+            "INSERT INTO pay VALUES ('a', 1.0), ('a', 5.0), ('b', 2.0)"
+        )
+        ddl.execute(
+            "CREATE MATERIALIZED VIEW pay_agg AS SELECT grp, "
+            "COUNT(*) AS cnt, SUM(amt) AS total FROM pay GROUP BY grp"
+        )
+        ddl.execute("ALTER TABLE pay SET ROW FILTER (grp = 'a')")
+        mv_rows = ddl.execute(
+            "SELECT grp, COUNT(*) AS cnt, SUM(amt) AS total "
+            "FROM pay GROUP BY grp"
+        )[-1].collect()
+        n_mv_groups_governed = len(mv_rows)
+        mv_total_governed = float(sum(r.total for r in mv_rows))
         return spark.createDataFrame(
             [
                 (
@@ -83,10 +109,13 @@ def governance_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_raw,
                     n_travel,
                     n_after_drop,
+                    n_mv_groups_governed,
+                    mv_total_governed,
                 )
             ],
             "n_visible bigint, n_mask_values bigint, n_raw bigint, "
-            "n_travel bigint, n_after_drop bigint",
+            "n_travel bigint, n_after_drop bigint, "
+            "n_mv_groups_governed bigint, mv_total_governed double",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
