@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     # IVF-PQ composite (two KMeans fits + probed-list reconstruction
     # search + recall join — model-training-dominated like PQ/IVF).
     "similarity_ivfpq_topk",
+    # Hybrid two-stage retrieval: BM25 shortlist + PRF cosine rerank.
+    "hybrid_bm25_rerank",
 ]
 
 

@@ -123,10 +123,7 @@ BM25_TERMS = ("join", "hash", "window")
 BM25_K = 10
 
 
-@query(
-    "bm25_topk",
-    oracle="""
-    WITH b AS (
+_BM25_CTES = """b AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS dl,
              CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf0,
@@ -157,24 +154,19 @@ BM25_K = 10
              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
                   AS INTEGER) AS rnk
       FROM scored
-    )
-    SELECT doc_id, n_terms_hit, score, rnk FROM r WHERE rnk <= 10
-    """,
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval over the corpus for a literal 3-term query — the
-    ranking function every lexical-search / hybrid-RAG retrieval stack
-    runs — as ONE corpus scan: per-term tf comes from size(filter(...))
-    over the split-token array (a codegen projection; no explode, so no
-    postings ever shuffle), the df/avgdl stats collapse into a single
-    tiny global aggregate broadcast back, and the per-term contributions
-    are summed in FIXED WRITTEN ORDER (a zero tf contributes exact +0.0,
-    which is IEEE-identical on both engines — no collect/sort fold
-    needed). Top-10 is TakeOrderedAndProject. The idf keeps the module's
-    log-free convention: the rational Robertson core without the ln
-    wrapper (ln differs last-ulp across libms) — the engine's documented
-    deterministic variant. At 100 TB: one scan, one metadata-sized stats
-    broadcast, zero data shuffles before the top-k."""
+    )"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring core: the full (doc_id, n_terms_hit, score,
+    rnk) ranking over all hit documents, as ONE corpus scan — per-term
+    tf via size(filter(...)) over the split-token array (a codegen
+    projection; no explode, so no postings ever shuffle), the df/avgdl
+    stats collapsed into a single tiny broadcast aggregate, per-term
+    contributions summed in FIXED WRITTEN ORDER (a zero tf contributes
+    exact +0.0, IEEE-identical on both engines — no collect/sort fold
+    needed). bm25_topk filters the head; hybrid_bm25_rerank takes a
+    longer shortlist and reranks it."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -236,9 +228,132 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return scored.withColumn(
-        "rnk", F.row_number().over(w).cast("int")
-    ).filter(F.col("rnk") <= BM25_K)
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, n_terms_hit, score, rnk FROM r WHERE rnk <= {BM25_K}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a literal 3-term query — the
+    ranking function every lexical-search / hybrid-RAG retrieval stack
+    runs (see :func:`_bm25_scored` for the single-scan plan). Top-10 is
+    TakeOrderedAndProject. The idf keeps the module's log-free
+    convention: the rational Robertson core without the ln wrapper (ln
+    differs last-ulp across libms) — the engine's documented
+    deterministic variant. At 100 TB: one scan, one metadata-sized
+    stats broadcast, zero data shuffles before the top-k."""
+    from pyspark.sql import functions as F
+
+    return _bm25_scored(spark, sf_dir).filter(F.col("rnk") <= BM25_K)
+
+
+HYBRID_SHORTLIST = 30
+HYBRID_K = 10
+
+_HYBRID_VEC_CTE = """
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )"""
+
+
+@query(
+    "hybrid_bm25_rerank",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    shortlist AS (
+      SELECT doc_id, rnk AS bm25_rnk, score AS bm25_score
+      FROM r WHERE rnk <= {HYBRID_SHORTLIST}
+    ),{_HYBRID_VEC_CTE},
+    qv AS (
+      SELECT v.e AS qe, v.nrm AS qnrm
+      FROM v JOIN shortlist s ON v.vec_id = s.doc_id
+      WHERE s.bm25_rnk = 1
+    ),
+    rr AS (
+      SELECT s.doc_id, s.bm25_rnk, s.bm25_score,
+             round(list_dot_product(v.e, qv.qe) / (v.nrm * qv.qnrm), 6)
+               AS cos_sim
+      FROM shortlist s JOIN v ON v.vec_id = s.doc_id CROSS JOIN qv
+    ),
+    rk AS (
+      SELECT doc_id, bm25_rnk, bm25_score, cos_sim,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+                  AS INTEGER) AS rerank
+      FROM rr
+    )
+    SELECT doc_id, bm25_rnk, bm25_score, cos_sim, rerank
+    FROM rk WHERE rerank <= {HYBRID_K}
+    """,
+)
+def hybrid_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval, the standard RAG two-stage stack:
+    a BM25 shortlist (top-30, the cheap recall stage) is reranked by
+    embedding cosine to a PSEUDO-RELEVANCE-FEEDBACK query vector — the
+    embedding of the top lexical hit (Rocchio-style: 'more like the
+    best match'), which keeps the whole pipeline deterministic and
+    SQL-replayable with no model in the loop. The embeddings table
+    joins the 30-row shortlist (broadcast — the corpus-sized side never
+    shuffles) and the 1-row query vector cross-joins broadcast; cosine
+    uses the repo's sequential-fold dot product, bit-identical to
+    DuckDB's list_dot_product. At 100 TB this is the shortlist-sized
+    rerank every retrieval service runs: dense scoring touches only
+    |shortlist| vectors regardless of corpus size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..extensions.similarity import dot, with_norm
+
+    from ..cache import tracked_persist
+
+    # 30 rows, but computing them costs a corpus scan — persist so the
+    # rerank branch and the query-vector branch share ONE BM25 pass.
+    shortlist = tracked_persist(
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("rnk") <= HYBRID_SHORTLIST)
+        .select(
+            "doc_id",
+            F.col("rnk").alias("bm25_rnk"),
+            F.col("score").alias("bm25_score"),
+        )
+    )
+    from ..extensions.similarity import as_double_vec
+
+    v = with_norm(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        "e",
+        "nrm",
+    )
+    cand = v.join(
+        F.broadcast(shortlist), v.vec_id == F.col("doc_id")
+    )
+    qv = F.broadcast(
+        cand.filter(F.col("bm25_rnk") == 1).select(
+            F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+        )
+    )
+    rr = cand.crossJoin(qv).select(
+        "doc_id",
+        "bm25_rnk",
+        "bm25_score",
+        F.round(
+            dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    return rr.withColumn(
+        "rerank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rerank") <= HYBRID_K)
 
 
 @query(

@@ -79,6 +79,13 @@ HEAVY = [
     "dedup_prefix_filter_jaccard",
     "winnow_shared_pairs",
     "winnow_fingerprints",
+    # round-6 operators, covered from round 7 on
+    "similarity_ivfpq_topk",
+    "bm25_topk",
+    "hybrid_bm25_rerank",
+    "fuzzy_sorted_neighborhood",
+    "quality_gate_funnel",
+    "bpe_apply_fixed",
 ]
 REPEATS = 2
 
@@ -115,18 +122,18 @@ def build_dataset(spark) -> None:
         f"{DST}/embeddings.parquet"
     )
 
-    def shifted_union(df, shifts: dict, extra=None):
+    def shifted_union(df, key_cols, extra=None):
         """10 unioned copies with the given key columns shifted by
         i * max(col); ``extra(df, i)`` may rewrite non-key columns."""
         maxes = {
-            c: df.agg(F.max(c)).first()[0] for c in shifts
+            c: df.agg(F.max(c)).first()[0] for c in key_cols
         }
         out = None
         for i in range(COPIES):
             p = df
             if extra is not None:
                 p = extra(p, i)
-            for c in shifts:
+            for c in key_cols:
                 p = p.withColumn(c, F.col(c) + F.lit(i * maxes[c]))
             out = p if out is None else out.unionByName(p)
         return out
@@ -174,7 +181,7 @@ def build_dataset(spark) -> None:
     tags = "abcdefghij"
     shifted_union(
         pt,
-        {"p_partkey": None},
+        ["p_partkey"],
         extra=lambda d, i: d
         if i == 0
         else d.withColumn(
@@ -182,7 +189,7 @@ def build_dataset(spark) -> None:
         ),
     ).repartition(32).write.mode("overwrite").parquet(f"{DST}/part.parquet")
 
-    shifted_union(supp, {"s_suppkey": None}).repartition(8).write.mode(
+    shifted_union(supp, ["s_suppkey"]).repartition(8).write.mode(
         "overwrite"
     ).parquet(f"{DST}/supplier.parquet")
 
@@ -193,7 +200,7 @@ def build_dataset(spark) -> None:
     # every reading).
     shifted_union(
         spark.read.parquet(f"{SRC}/events.parquet"),
-        {"event_id": None, "user_id": None},
+        ["event_id", "user_id"],
         extra=lambda d, i: d.withColumn(
             "value", F.col("value") + F.lit(i * 1e-3)
         ),
