@@ -22,14 +22,7 @@ QUERY_PRED = "vec_id % 100 = 0 AND vec_id < 5000"
 K = 5
 LSH_BITS = 8
 
-_VEC_CTE = """
-    v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
-    )
-"""
+from .common import VEC_CTE as _VEC_CTE  # canonical, shared with terms.py
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,50 +123,84 @@ BM25_TERMS = ("join", "hash", "window")
 BM25_K = 10
 
 
-_BM25_CTES = """b AS (
+def _bm25_ctes() -> str:
+    """The BM25 oracle CTE stack, GENERATED from BM25_TERMS/K1/B so the
+    SQL can never drift from the Python constants the Spark side loops
+    over. Ends in CTE ``r`` = (doc_id, n_terms_hit, score, rnk) where —
+    critically — the rounded score is materialized in ``rounded`` and
+    the rank window runs in a SEPARATE outer CTE ordering by it: DuckDB
+    resolves ``ORDER BY score`` inside the same SELECT to the RAW input
+    column, not the ``round(...) AS score`` alias, while Spark ranks by
+    the rounded value — ranking in one CTE would be a latent
+    cross-engine mismatch whenever two raw scores collide only after
+    rounding."""
+    n = len(BM25_TERMS)
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{tm}')) AS BIGINT) AS tf{i}"
+        for i, tm in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(n)
+    )
+    hits = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(n)
+    )
+    score = "\n             + ".join(
+        f"((stats.n_docs - stats.df{i} + 0.5) / (stats.df{i} + 0.5))"
+        f" * ((b.tf{i} * ({BM25_K1} + 1.0)) / (b.tf{i} + {BM25_K1}"
+        f" * (1.0 - {BM25_B} + {BM25_B} * b.dl / stats.avgdl)))"
+        for i in range(n)
+    )
+    return f"""b AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS dl,
-             CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf0,
-             CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf1,
-             CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf2
+             {tf_cols}
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     ),
     stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+             {df_cols}
       FROM b
     ),
     scored AS (
       SELECT b.doc_id,
-             CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END AS INTEGER) AS n_terms_hit,
-             ((stats.n_docs - stats.df0 + 0.5) / (stats.df0 + 0.5)) * ((b.tf0 * (1.2 + 1.0)) / (b.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / stats.avgdl)))
-             + ((stats.n_docs - stats.df1 + 0.5) / (stats.df1 + 0.5)) * ((b.tf1 * (1.2 + 1.0)) / (b.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / stats.avgdl)))
-             + ((stats.n_docs - stats.df2 + 0.5) / (stats.df2 + 0.5)) * ((b.tf2 * (1.2 + 1.0)) / (b.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / stats.avgdl)))
+             CAST({hits} AS INTEGER) AS n_terms_hit,
+             {score}
                AS score
       FROM b CROSS JOIN stats
-      WHERE CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END > 0
+      WHERE {hits} > 0
+    ),
+    rounded AS (
+      SELECT doc_id, n_terms_hit, round(score, 6) AS score FROM scored
     ),
     r AS (
-      SELECT doc_id, n_terms_hit, round(score, 6) AS score,
+      SELECT doc_id, n_terms_hit, score,
              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
                   AS INTEGER) AS rnk
-      FROM scored
+      FROM rounded
     )"""
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared BM25 scoring core: the full (doc_id, n_terms_hit, score,
-    rnk) ranking over all hit documents, as ONE corpus scan — per-term
-    tf via size(filter(...)) over the split-token array (a codegen
-    projection; no explode, so no postings ever shuffle), the df/avgdl
-    stats collapsed into a single tiny broadcast aggregate, per-term
-    contributions summed in FIXED WRITTEN ORDER (a zero tf contributes
-    exact +0.0, IEEE-identical on both engines — no collect/sort fold
-    needed). bm25_topk filters the head; hybrid_bm25_rerank takes a
-    longer shortlist and reranks it."""
+_BM25_CTES = _bm25_ctes()
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Shared BM25 scoring core: the top-``k`` (doc_id, n_terms_hit,
+    score, rnk) ranking over all hit documents, as ONE corpus scan —
+    per-term tf via size(filter(...)) over the split-token array (a
+    codegen projection; no explode, so no postings ever shuffle), the
+    df/avgdl stats collapsed into a single tiny broadcast aggregate,
+    per-term contributions summed in FIXED WRITTEN ORDER (a zero tf
+    contributes exact +0.0, IEEE-identical on both engines — no
+    collect/sort fold needed). The top-k comes from orderBy(...).limit(k)
+    — TakeOrderedAndProject, each task keeping k rows — and the rnk
+    column is then assigned over only those k survivors; an unpartitioned
+    rank window over ALL hit docs would funnel a large corpus fraction
+    through one task. bm25_topk returns the head directly;
+    hybrid_bm25_rerank takes a longer shortlist and reranks it."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -227,8 +261,11 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 6).alias("score"),
         )
     )
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
 @query(
@@ -247,21 +284,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs last-ulp across libms) — the engine's documented
     deterministic variant. At 100 TB: one scan, one metadata-sized
     stats broadcast, zero data shuffles before the top-k."""
-    from pyspark.sql import functions as F
-
-    return _bm25_scored(spark, sf_dir).filter(F.col("rnk") <= BM25_K)
+    return _bm25_scored(spark, sf_dir, BM25_K)
 
 
 HYBRID_SHORTLIST = 30
 HYBRID_K = 10
 
-_HYBRID_VEC_CTE = """
-    v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
-    )"""
+# Canonical embeddings CTE shared with queries/similarity.py — one
+# definition (queries/common.py) so the vector/norm derivation can
+# never drift between the two oracles.
+from .common import VEC_CTE as _HYBRID_VEC_CTE  # noqa: E402
 
 
 @query(
@@ -316,9 +348,7 @@ def hybrid_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 30 rows, but computing them costs a corpus scan — persist so the
     # rerank branch and the query-vector branch share ONE BM25 pass.
     shortlist = tracked_persist(
-        _bm25_scored(spark, sf_dir)
-        .filter(F.col("rnk") <= HYBRID_SHORTLIST)
-        .select(
+        _bm25_scored(spark, sf_dir, HYBRID_SHORTLIST).select(
             "doc_id",
             F.col("rnk").alias("bm25_rnk"),
             F.col("score").alias("bm25_score"),

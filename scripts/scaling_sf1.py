@@ -11,7 +11,7 @@ the sf0.1 tables 10x with the SAME generative shape (this is a
 performance probe, not oracle data — the correctness gate stays on the
 driver's real testdata):
 
-- customer: 10 key-shifted copies (c_custkey + i * max_key), preserving
+- customer: 10 key-shifted copies (c_custkey + i * (max_key+1)), preserving
   the contiguous key range the k <-> k div 2 tree graphs are built on
   (depth grows log-style from 13 to ~17 — the expected, wanted growth).
 - embeddings: 10 copies with vec_id shifted and each vector's values
@@ -95,7 +95,10 @@ def build_dataset(spark) -> None:
 
     os.makedirs(DST, exist_ok=True)
     cust = spark.read.parquet(f"{SRC}/customer.parquet")
-    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    # all fixture ids are 0-BASED (min id 0), so disjoint copies need a
+    # stride of max+1 — shifting by max alone would collide copy i's id 0
+    # with copy i-1's max id at every seam
+    max_key = cust.agg(F.max("c_custkey")).first()[0] + 1
     scaled = None
     for i in range(COPIES):
         part = cust.withColumn(
@@ -126,7 +129,7 @@ def build_dataset(spark) -> None:
         """10 unioned copies with the given key columns shifted by
         i * max(col); ``extra(df, i)`` may rewrite non-key columns."""
         maxes = {
-            c: df.agg(F.max(c)).first()[0] for c in key_cols
+            c: df.agg(F.max(c)).first()[0] + 1 for c in key_cols
         }
         out = None
         for i in range(COPIES):
@@ -141,14 +144,14 @@ def build_dataset(spark) -> None:
     # Join keys shift consistently across fact tables: the same
     # i * max(key) offset applies to a key wherever it appears.
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
-    max_ord = orders.agg(F.max("o_orderkey")).first()[0]
+    max_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
     max_cust = spark.read.parquet(f"{SRC}/customer.parquet").agg(
         F.max("c_custkey")
-    ).first()[0]
+    ).first()[0] + 1
     pt = spark.read.parquet(f"{SRC}/part.parquet")
-    max_part = pt.agg(F.max("p_partkey")).first()[0]
+    max_part = pt.agg(F.max("p_partkey")).first()[0] + 1
     supp = spark.read.parquet(f"{SRC}/supplier.parquet")
-    max_supp = supp.agg(F.max("s_suppkey")).first()[0]
+    max_supp = supp.agg(F.max("s_suppkey")).first()[0] + 1
 
     out = None
     for i in range(COPIES):
@@ -212,7 +215,7 @@ def build_dataset(spark) -> None:
     # DISJOINT (copy 0 untouched) — near-dup candidate growth stays
     # linear instead of copies^2 between mutual clones.
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    max_doc = docs.agg(F.max("doc_id")).first()[0]
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
     out = None
     for i in range(COPIES):
         text = (
