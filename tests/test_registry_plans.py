@@ -290,3 +290,20 @@ def test_transition_matrix_single_scan(spark):
         "event_id",
         "event_type",
     }
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark):
+    """The BM25 top-k must be TakeOrderedAndProject (each task keeps k
+    rows), never an unpartitioned rank window that funnels every hit
+    document through one task; the scan must read only (doc_id, text)."""
+    plan = plan_text(QUERIES["bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert set(read_schema_cols(plan, "documents")) <= {"doc_id", "text"}
+
+
+def test_sorted_neighborhood_single_sort_no_join(spark):
+    """Sorted-neighborhood candidates come from lead() over ONE block
+    sort — the plan must contain no join at all (the linear-candidate
+    property the operator exists for)."""
+    plan = plan_text(QUERIES["fuzzy_sorted_neighborhood"](spark, SF))
+    assert "Join" not in plan, plan[:2000]
