@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "similarity_ivfpq_topk",
     # Hybrid two-stage retrieval: BM25 shortlist + PRF cosine rerank.
     "hybrid_bm25_rerank",
+    # Dedup closing report + embedding QC.
+    "dedup_cluster_size_histogram",
+    "embedding_norm_outlier_report",
 ]
 
 

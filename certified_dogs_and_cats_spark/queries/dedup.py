@@ -596,3 +596,57 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = bands.filter(F.col("doc_id") < 400)
     batch = bands.filter(F.col("doc_id") >= 400)
     return incremental_lsh_candidates(corpus, batch, "doc_id")
+
+
+# The components transitive-closure oracle is reused VERBATIM as a
+# subquery below (DuckDB allows WITH RECURSIVE inside a derived table),
+# so the cluster histogram can never drift from the component
+# definition it summarizes.
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+_COMPONENTS_ORACLE = _ORACLE["dedup_connected_components"]
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    SELECT n_members,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members - 1) AS BIGINT) AS n_dropped
+    FROM (
+      SELECT component, CAST(count(*) AS INTEGER) AS n_members
+      FROM ({_COMPONENTS_ORACLE}) GROUP BY component
+    ) GROUP BY n_members
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup story's closing report: near-dup pairs -> connected
+    components -> CLUSTER-SIZE HISTOGRAM (how many clusters of each
+    size, and how many documents dedup would drop — members minus the
+    one survivor per cluster). This is the number a corpus owner reads
+    before approving a dedup run; at 100 TB it is two tiny hash
+    aggregates on top of the already-scale-safe components output. The
+    oracle wraps the EXACT components oracle as a subquery, so the
+    histogram is verified against the same transitive closure."""
+    from ..extensions.dedup import (
+        connected_components,
+        embedding_near_dup_pairs,
+    )
+    from ..extensions.similarity import as_double_vec
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    pairs = embedding_near_dup_pairs(
+        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
+    )
+    from pyspark.sql import functions as F
+
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("int").alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+    )

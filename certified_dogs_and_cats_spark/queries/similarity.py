@@ -453,3 +453,66 @@ def embedding_pool_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("pooled_csv"),
     )
+
+
+@query(
+    "embedding_norm_outlier_report",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    med AS (SELECT quantile_cont(nrm, 0.5) AS med FROM v),
+    dev AS (
+      SELECT v.nrm, m.med, abs(v.nrm - m.med) AS adev
+      FROM v CROSS JOIN med m
+    ),
+    mad AS (SELECT max(med) AS med, quantile_cont(adev, 0.5) AS mad
+            FROM dev)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(a.med, 6) AS med_norm,
+           round(a.mad, 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d CROSS JOIN mad a
+    GROUP BY a.med, a.mad
+    """,
+)
+def embedding_norm_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus QC: the L2-norm distribution's robust center and
+    spread (median + MAD — immune to the wild vectors it exists to
+    find) plus the count of norm outliers beyond 3 MADs — the gate that
+    catches broken embedder batches (zero vectors, exploding norms,
+    mixed model versions) before they poison similarity search. Norms
+    come from the repo's deterministic sequential-fold dot product, so
+    the medians replay bit-for-bit under DuckDB's quantile_cont after
+    round(6) (the group_mad_outliers pattern, one group). Plan: one
+    corpus scan to norms, two tiny percentile aggregates broadcast
+    back, zero data shuffles."""
+    from ..extensions.similarity import with_norm
+
+    v = with_norm(_vectors(spark, sf_dir), "e", "nrm").select("nrm")
+    med = v.agg(F.expr("percentile(nrm, 0.5)").alias("med"))
+    dev = v.crossJoin(F.broadcast(med)).select(
+        "nrm", "med", F.abs(F.col("nrm") - F.col("med")).alias("adev")
+    )
+    mad = dev.agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    return (
+        dev.select("adev")
+        .crossJoin(F.broadcast(mad))
+        .groupBy("med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "n_vectors",
+            F.round("med", 6).alias("med_norm"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
