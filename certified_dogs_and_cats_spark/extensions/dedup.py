@@ -1141,8 +1141,13 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql import Window
 
+    # Nulls-last EXPLICITLY: Spark's bare asc() is NULLS FIRST while the
+    # SQL oracles' ORDER BY ... ASC defaults to NULLS LAST (DuckDB /
+    # ANSI), so a nullable sort column would silently produce different
+    # neighbor candidate sets cross-engine. Pinning asc_nulls_last makes
+    # the Spark window replay the oracle's order on any input.
     w = Window.partitionBy(*block_cols).orderBy(
-        F.col(text_col).asc(), F.col(id_col).asc()
+        F.col(text_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
     )
     withleads = df.select(
         *[F.col(c) for c in block_cols],

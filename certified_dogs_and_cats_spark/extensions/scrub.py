@@ -131,7 +131,10 @@ def canonicalize_urls(
         # Match on the param NAME (substring before '='): prefix-style
         # entries (trailing '_') use startswith, exact entries use
         # equality — bare startswith on the whole param would also strip
-        # 'fbclidx=1' / 'gclid_src=2'.
+        # 'fbclidx=1' / 'gclid_src=2'. An EMPTY prefix list means "strip
+        # nothing": short-circuit to false (reduce over [] would raise).
+        if not tracking_prefixes:
+            return F.lit(False)
         name = F.substring_index(p, "=", 1)
         return reduce(
             lambda a, b: a | b,

@@ -117,6 +117,18 @@ def sign_bucket(vec_col: str | Column, bits: int = 8, offset: int = 0) -> Column
     return F.concat(*parts)
 
 
+def _value_hash_sample(df: DataFrame, col: str, fraction: float, seed: int) -> DataFrame:
+    """Deterministic training sample: keep rows whose VALUE-hash bucket
+    falls under ``fraction``. ``DataFrame.sample()`` draws from
+    partition-local RNG streams, so the selected subset — and therefore
+    trained centroids and measured recall — would shift with the input's
+    partition layout or Spark version even at a fixed seed (the same
+    latent trap the sorted-collect fix closed for row ORDER). A pure
+    function of the row value replays identically on any layout."""
+    bucket = F.pmod(F.hash(F.col(col), F.lit(seed)), F.lit(1_000_000))
+    return df.filter(bucket < F.lit(int(fraction * 1_000_000)))
+
+
 def _rank_topk(pairs: DataFrame, k: int, round_digits: int) -> DataFrame:
     """Shared scoring + ranking tail of every search strategy: rounded
     cosine from the (qe, ne, qnrm, nnrm) pair columns, deterministic
@@ -313,7 +325,7 @@ def build_ivf_index(
     spark = corpus.sparkSession
     sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if train_fraction < 1.0:
-        sample = sample.sample(fraction=train_fraction, seed=seed)
+        sample = _value_hash_sample(sample, "v", train_fraction, seed)
     probe = sample.limit(local_train_cap + 1).collect()
     if len(probe) <= local_train_cap:
         # Not truncated -> `probe` IS the full sample SET, but Spark does
@@ -495,7 +507,7 @@ def train_pq_codebooks(
     dsub = dim // m
     sample = corpus.select(F.col(vec_col))
     if train_fraction < 1.0:
-        sample = sample.sample(fraction=train_fraction, seed=seed)
+        sample = _value_hash_sample(sample, vec_col, train_fraction, seed)
     probe = (
         sample.select(F.col(vec_col).cast("array<double>").alias("v"))
         .limit(local_train_cap + 1)
@@ -803,5 +815,12 @@ def ivfpq_topk(
             F.col("centroid"), F.col("__res__"), lambda a, b: a + b
         ).alias("ne"),
     )
-    pairs = with_norm(rec, "ne", "nnrm")
+    # A reconstructed vector (centroid + decoded residual) CAN be all-zero
+    # even when the original was not — cosine against it divides by zero
+    # (NULL in Spark), and NULL rows must not occupy top-k slots. Exact
+    # paths never manufacture vectors so they inherit degeneracy from the
+    # input; here the index itself can create it, so filter both norms.
+    pairs = with_norm(rec, "ne", "nnrm").filter(
+        (F.col("nnrm") > 0) & (F.col("qnrm") > 0)
+    )
     return _rank_topk(pairs, k, round_digits)

@@ -1356,46 +1356,56 @@ SNM_MAX_DIST = 12
       -- relation BEFORE the window and corrupt the offsets
       SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
              lead(p_partkey, 1) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS id_b,
              lead(p_name, 1) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS t_b
       FROM p
       UNION ALL
       SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
              lead(p_partkey, 2) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS id_b,
              lead(p_name, 2) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS t_b
       FROM p
       UNION ALL
       SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
              lead(p_partkey, 3) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS id_b,
              lead(p_name, 3) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS t_b
       FROM p
       UNION ALL
       SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
              lead(p_partkey, 4) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS id_b,
              lead(p_name, 4) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS t_b
       FROM p
       UNION ALL
       SELECT p_brand, p_partkey AS id_a, p_name AS t_a,
              lead(p_partkey, 5) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS id_b,
              lead(p_name, 5) OVER (
-               PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC
+               PARTITION BY p_brand
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
              ) AS t_b
       FROM p
     ),

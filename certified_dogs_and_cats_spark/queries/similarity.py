@@ -347,7 +347,8 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF-PQ composes coarse pruning with residual compression. Measured
-# recall@5 (seed-fixed, deterministic): 0.68 at sf0.01, 0.56 at sf0.1
+# recall@5 (deterministic — the training subset is a VALUE-hash filter,
+# not partition-layout-dependent sample()): 0.68 at sf0.01, 0.53 at sf0.1
 # with 4 lists / nprobe=3 / m=32 shared residual codebooks — the bound
 # sits under both with margin, between the PQ floor (0.4) and the IVF
 # bound (0.6). Fine subspaces matter more than list count here (m=16

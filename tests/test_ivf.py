@@ -186,3 +186,64 @@ def test_ivfpq_residual_roundtrip_and_search(spark):
     # nprobe=1 -> all neighbors from the query's own (first) cluster.
     assert all(r.neighbor_id < 8 for r in top)
     assert all(not math.isnan(r.cos_sim) for r in top)
+
+
+def test_ivfpq_zero_norm_reconstruction_excluded(spark):
+    """A reconstructed vector (centroid + decoded residual) that is
+    all-zero has no cosine against any query — the division yields NULL
+    and must be EXCLUDED before ranking, never occupy a top-k slot as a
+    NULL/NaN row. Hand-built index: code 0 decodes to the zero residual
+    on a zero centroid (degenerate reconstruction), code 1 to a real
+    vector. A zero-norm QUERY is likewise excluded."""
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        ivfpq_topk,
+    )
+
+    codes = spark.createDataFrame(
+        [(10, 0, [0]), (11, 0, [1])],
+        "vec_id BIGINT, centroid_id INT, codes ARRAY<INT>",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "centroid_id INT, centroid ARRAY<DOUBLE>"
+    )
+    codebooks = [[[0.0, 0.0], [1.0, 0.0]]]  # m=1, ksub=2, dsub=2
+    queries = spark.createDataFrame(
+        [(99, [1.0, 0.0]), (98, [0.0, 0.0])],
+        "vec_id BIGINT, e ARRAY<DOUBLE>",
+    )
+    got = ivfpq_topk(codes, centroids, codebooks, queries, k=5, nprobe=1)
+    rows = got.collect()
+    # Only (query 99 -> neighbor 11): neighbor 10 reconstructs to zero
+    # norm, query 98 IS zero norm — both filtered, no NULL cos_sim rows.
+    assert [(r.query_id, r.neighbor_id) for r in rows] == [(99, 11)]
+    assert all(r.cos_sim is not None for r in rows)
+    assert abs(rows[0].cos_sim - 1.0) < 1e-9
+
+
+def test_train_sample_is_partition_layout_independent(spark):
+    """train_fraction sampling is a VALUE-hash filter, not sample():
+    sample() draws from partition-local RNG streams, so the trained
+    subset (and thus centroids and recall) would shift with the input's
+    partition layout even at a fixed seed. Pins identical centroids
+    across radically different layouts."""
+    import random
+
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        build_ivf_index,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    base = spark.createDataFrame(rows, "vec_id BIGINT, e ARRAY<DOUBLE>")
+    layouts = [base.repartition(1), base.repartition(16, "vec_id")]
+    got = []
+    for df in layouts:
+        _, centroids = build_ivf_index(
+            df, n_centroids=3, train_fraction=0.5, max_iter=5
+        )
+        got.append(
+            sorted(tuple(r.centroid) for r in centroids.collect())
+        )
+    assert got[0] == got[1]

@@ -326,3 +326,32 @@ def test_sorted_neighborhood_pairs_semantics(spark):
         big, "id", "name", ["blk"], window=3, max_dist=10**9
     )
     assert cand.count() == 3 * 40 - 6
+
+
+def test_sorted_neighborhood_null_sort_keys_pinned_last(spark):
+    """The neighborhood window must sort NULLS LAST explicitly: Spark's
+    bare asc() is NULLS FIRST while the DuckDB oracles' ORDER BY ... ASC
+    defaults to NULLS LAST, so a nullable sort column would silently
+    produce different candidate sets cross-engine. Pins the window spec
+    in the optimized plan and that null-text rows never yield matches."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "abc", "A"),
+        (2, "abd", "A"),
+        (3, None, "A"),
+        (4, None, "A"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, name STRING, blk STRING")
+    pairs = sorted_neighborhood_pairs(
+        df, "id", "name", ["blk"], window=2, max_dist=3
+    )
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "ASC NULLS LAST" in plan and "ASC NULLS FIRST" not in plan
+    got = {(r.id_a, r.id_b): r.dist for r in pairs.collect()}
+    # Nulls-last order: abc(1), abd(2), null(3), null(4) — the only
+    # non-null-text candidate within the window is (1,2); null-text
+    # candidates produce NULL distances and are filtered.
+    assert got == {(1, 2): 1}

@@ -332,3 +332,18 @@ def test_canonicalize_urls_param_name_boundary(spark):
     assert got[2] == "https://h.com/x?a=1&fbclidx=1"
     assert got[3] == "https://h.com/x?a=1&gclid_src=2"
     assert got[4] == "https://h.com/x?a=1"
+
+
+def test_canonicalize_urls_empty_tracking_prefixes_keeps_all(spark):
+    """tracking_prefixes=() means "strip nothing": every param survives
+    (sorted), instead of the reduce-over-empty-iterable TypeError the
+    un-short-circuited fold raised."""
+    from certified_dogs_and_cats_spark.extensions.scrub import (
+        canonicalize_urls,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://h.com/x?utm_source=s&b=2&a=1")], "id BIGINT, url STRING"
+    )
+    got = canonicalize_urls(df, "url", tracking_prefixes=()).collect()[0]
+    assert got.canonical_url == "https://h.com/x?a=1&b=2&utm_source=s"
