@@ -952,6 +952,7 @@ def blocked_edit_distance_pairs(
     text_col: str,
     block_cols: list[str],
     max_dist: int,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Typo-tolerant pair matching: exact Levenshtein refinement over
     BLOCKED candidates — the fuzzy-join shape that survives scale.
@@ -966,12 +967,44 @@ def blocked_edit_distance_pairs(
     match) drops most candidates inside the join condition itself,
     before the expensive predicate runs.
 
+    ``max_block`` caps the quadratic term STRUCTURALLY: fixed-cardinality
+    blocking keys (brand, brand x size, ...) have blocks that fill
+    linearly with the corpus, so in-block pair counts grow QUADRATICALLY
+    (the sf1 scaling probe measured 100x candidates for 10x rows on this
+    path). When set, each block is split into sorted sub-blocks of at
+    most ``max_block`` rows — sub-block id = floor(rank / max_block) in
+    (text, id)-sorted order — and candidates form only within a
+    sub-block: per-block work becomes n_b * max_block, LINEAR in the
+    corpus. Sorting by the match text keeps typo variants in the same
+    sub-block for all but boundary rows; pairs straddling a sub-block
+    boundary are the scheme's implicit non-matches — the same
+    recall/cost dial as sorted-neighborhood windows (run a
+    complementary pass, e.g. :func:`sorted_neighborhood_pairs`, to
+    recover boundary matches). Blocks smaller than ``max_block`` are
+    untouched, so the cap only engages where the quadratic bite is.
+    The rank order is total ((text, id), id unique) — sub-block
+    assignment, and therefore the output, replays identically in SQL.
+
     Output: (*block_cols, id_a, id_b, dist) for pairs with
     dist <= max_dist — the block key rides along (it is constant within
     a pair by construction), so per-block rollups need no re-join
     against the source.
     """
-    cols = [F.col(c) for c in block_cols]
+    join_cols = list(block_cols)
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*block_cols).orderBy(
+            F.col(text_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+        )
+        df = df.withColumn(
+            "__sub",
+            F.floor((F.row_number().over(w) - 1) / F.lit(max_block)).cast(
+                "int"
+            ),
+        )
+        join_cols.append("__sub")
+    cols = [F.col(c) for c in join_cols]
     a = df.select(
         *cols,
         F.col(id_col).alias("id_a"),
@@ -979,13 +1012,13 @@ def blocked_edit_distance_pairs(
         F.length(text_col).alias("__la"),
     )
     b = df.select(
-        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in join_cols],
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("__tb"),
         F.length(text_col).alias("__lb"),
     )
     cond = F.col("id_a") < F.col("id_b")
-    for c in block_cols:
+    for c in join_cols:
         cond = cond & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
     cond = cond & (
         F.abs(F.col("__la") - F.col("__lb")) <= F.lit(max_dist)

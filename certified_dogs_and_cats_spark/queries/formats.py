@@ -64,15 +64,26 @@ def export_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+FUZZY_MAX_BLOCK = 16
+
+
 @query(
     "fuzzy_name_pairs",
-    oracle="""
-    WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_size,
+             CAST(floor((row_number() OVER (
+               PARTITION BY p_brand, p_size
+               ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST
+             ) - 1) / {FUZZY_MAX_BLOCK}) AS INTEGER) AS sub
+      FROM part
+    ),
     pairs AS (
       SELECT a.p_brand,
              levenshtein(a.p_name, b.p_name) AS dist
       FROM p a JOIN p b
         ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.sub = b.sub
        AND a.p_partkey < b.p_partkey
        AND abs(len(a.p_name) - len(b.p_name)) <= 12
       WHERE levenshtein(a.p_name, b.p_name) <= 12
@@ -89,15 +100,25 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked_edit_distance_pairs): Levenshtein refinement over
     (brand, size)-blocked candidates — never all-pairs; the
     length-difference bound prunes inside the join condition before the
-    quadratic distance runs. Levenshtein is integer-exact on both
-    engines, so the oracle hash-pins every distance."""
+    quadratic distance runs. Blocks are CAPPED at FUZZY_MAX_BLOCK rows
+    via sorted sub-blocking (fixed-cardinality keys fill linearly with
+    the corpus, so uncapped in-block pairs grow quadratically — the sf1
+    probe measured 100x candidates per 10x rows; the cap makes per-block
+    work n * FUZZY_MAX_BLOCK, linear). The sub-block rank order is total,
+    so the oracle replays the identical candidate set; Levenshtein is
+    integer-exact on both engines, so every distance is hash-pinned."""
     from ..extensions.dedup import blocked_edit_distance_pairs
 
     p = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pid"), "p_name", "p_brand", "p_size"
     )
     pairs = blocked_edit_distance_pairs(
-        p, "pid", "p_name", ["p_brand", "p_size"], max_dist=12
+        p,
+        "pid",
+        "p_name",
+        ["p_brand", "p_size"],
+        max_dist=12,
+        max_block=FUZZY_MAX_BLOCK,
     )
     # the block key rides along on every pair — no re-join needed
     return (

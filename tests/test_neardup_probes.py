@@ -355,3 +355,39 @@ def test_sorted_neighborhood_null_sort_keys_pinned_last(spark):
     # non-null-text candidate within the window is (1,2); null-text
     # candidates produce NULL distances and are filtered.
     assert got == {(1, 2): 1}
+
+
+def test_blocked_edit_distance_max_block_caps_candidates(spark):
+    """max_block sub-blocking bounds the quadratic in-block self-join:
+    candidates form only within sorted sub-blocks of <= max_block rows,
+    so per-block work is n * max_block (linear), not n^2. Blocks smaller
+    than the cap are untouched (identical output to the uncapped path);
+    an oversized block's pair count drops from C(n,2) to
+    ceil(n/K) sub-blocks' worth."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        blocked_edit_distance_pairs,
+    )
+
+    # One 30-row block of names sharing a long common prefix: every pair
+    # is within dist<=12, so pair counts measure candidates exactly.
+    rows = [(i, f"commonprefix{i:02d}", "A") for i in range(30)]
+    df = spark.createDataFrame(rows, "id BIGINT, name STRING, blk STRING")
+    uncapped = blocked_edit_distance_pairs(
+        df, "id", "name", ["blk"], max_dist=12
+    )
+    assert uncapped.count() == 30 * 29 // 2  # 435
+    capped = blocked_edit_distance_pairs(
+        df, "id", "name", ["blk"], max_dist=12, max_block=10
+    )
+    # 3 sorted sub-blocks of 10 -> 3 * C(10,2) = 135 pairs, and every
+    # capped pair is an uncapped pair (sub-blocking only prunes).
+    assert capped.count() == 3 * 45
+    cap_set = {(r.id_a, r.id_b) for r in capped.collect()}
+    unc_set = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert cap_set < unc_set
+
+    # Cap >= block size: identical output to the uncapped path.
+    wide = blocked_edit_distance_pairs(
+        df, "id", "name", ["blk"], max_dist=12, max_block=30
+    )
+    assert {(r.id_a, r.id_b) for r in wide.collect()} == unc_set
