@@ -231,6 +231,49 @@ NEAR_DUP_PROBES = 2  # probe 0: dims 1-4, probe 1: dims 5-8
 NEAR_DUP_THRESHOLD = 0.3
 
 
+def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared near-dup -> connected-components labeling, built ONCE
+    per (input, threshold, bucketing) within a process (cache.
+    memoized_build) and re-read by every consumer — the components query
+    itself, the survivors/kill-list, and the cluster-size histogram each
+    used to recompute the full pair pipeline + O(log^2 n) star rounds
+    from scratch. A warehouse pays the labeling once per corpus version;
+    the consumers are cheap aggregates over it. Deterministic (bucketed
+    candidates, exact rounded cosine, min-label components), so the memo
+    changes when work happens, never results."""
+    from ..cache import memoized_parquet
+    from ..extensions.dedup import (
+        connected_components,
+        embedding_near_dup_pairs,
+    )
+    from ..extensions.similarity import as_double_vec
+
+    def build() -> DataFrame:
+        e = t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        )
+        pairs = embedding_near_dup_pairs(
+            e,
+            NEAR_DUP_THRESHOLD,
+            bits=NEAR_DUP_BITS,
+            n_probes=NEAR_DUP_PROBES,
+        )
+        return connected_components(pairs)
+
+    return memoized_parquet(
+        spark,
+        (
+            "near_dup_components",
+            sf_dir,
+            NEAR_DUP_THRESHOLD,
+            NEAR_DUP_BITS,
+            NEAR_DUP_PROBES,
+        ),
+        build,
+        "near_dup_components",
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -411,20 +454,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic) via iterative min-label propagation — the step that
     turns pairwise similarity into actual dedup decisions (keep one doc
     per component). Verified against a DuckDB recursive-CTE transitive
-    closure over the identical edge set."""
-    from ..extensions.dedup import (
-        connected_components,
-        embedding_near_dup_pairs,
-    )
-    from ..extensions.similarity import as_double_vec
-
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec("embedding").alias("e")
-    )
-    pairs = embedding_near_dup_pairs(
-        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
-    )
-    return connected_components(pairs)
+    closure over the identical edge set. The labeling is built once per
+    process and shared with the survivors/histogram consumers
+    (_near_dup_components)."""
+    return _near_dup_components(spark, sf_dir)
 
 
 @query(
@@ -493,22 +526,11 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition of embedding_near_dup_pairs + alternating-star
     connected_components + one aggregate; the dropped ids are serialized
     as a sorted CSV string so the whole kill list is hash-compared against
-    the DuckDB replay."""
+    the DuckDB replay. Consumes the shared once-per-process components
+    labeling (_near_dup_components)."""
     from pyspark.sql import functions as F
 
-    from ..extensions.dedup import (
-        connected_components,
-        embedding_near_dup_pairs,
-    )
-    from ..extensions.similarity import as_double_vec
-
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec("embedding").alias("e")
-    )
-    pairs = embedding_near_dup_pairs(
-        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
-    )
-    comp = connected_components(pairs)
+    comp = _near_dup_components(spark, sf_dir)
     return comp.groupBy(F.col("component").alias("keep_id")).agg(
         F.count("*").alias("cluster_size"),
         (F.count("*") - F.lit(1)).alias("removed_cnt"),
@@ -627,22 +649,12 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     before approving a dedup run; at 100 TB it is two tiny hash
     aggregates on top of the already-scale-safe components output. The
     oracle wraps the EXACT components oracle as a subquery, so the
-    histogram is verified against the same transitive closure."""
-    from ..extensions.dedup import (
-        connected_components,
-        embedding_near_dup_pairs,
-    )
-    from ..extensions.similarity import as_double_vec
-
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec("embedding").alias("e")
-    )
-    pairs = embedding_near_dup_pairs(
-        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
-    )
+    histogram is verified against the same transitive closure. Consumes
+    the shared once-per-process components labeling
+    (_near_dup_components) instead of recomputing the pair pipeline."""
     from pyspark.sql import functions as F
 
-    comp = connected_components(pairs)
+    comp = _near_dup_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("int").alias("n_members")
     )
