@@ -147,3 +147,61 @@ def assert_runtime_bloom_filter(df: DataFrame) -> str:
             " plan:\n" + plan
         )
     return plan
+
+
+# Logical nodes that PROVE their output is aggregate-scale (a bounded or
+# heavily-reduced row count), so an unpartitioned window over them cannot
+# become a single-partition sort of the corpus: aggregates (GROUP BY and
+# the rewritten distinct()), global limits/top-k, and literal relations.
+_ROW_REDUCERS = frozenset(
+    {"Aggregate", "GlobalLimit", "LocalRelation", "OneRowRelation"}
+)
+
+
+def _walk_jnodes(node):
+    yield node
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _walk_jnodes(kids.apply(i))
+
+
+def global_window_violations(df: DataFrame) -> list[str]:
+    """Unpartitioned windows over event-scale inputs — the silent
+    scale-killer this repo's convention forbids.
+
+    A window with an empty PARTITION BY sorts its whole input in ONE
+    task: fine on aggregate-scale data (day-level series, top-k replays —
+    thousands of rows at any corpus size), fatal on event-scale data
+    (single-partition sort of the corpus at 100 TB). The convention was
+    previously only prose; this walks the optimized logical plan and
+    returns a description for every ``Window`` node with an empty
+    partitionSpec whose input subtree contains NO row-reducing node
+    (:data:`_ROW_REDUCERS`). Empty list = the plan honors the convention.
+    Structural (JVM node classes), not string-matching — a column named
+    'Aggregate' cannot fool it."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    out = []
+    for node in _walk_jnodes(root):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if node.partitionSpec().nonEmpty():
+            continue
+        reduced = any(
+            kid.getClass().getSimpleName() in _ROW_REDUCERS
+            for kid in _walk_jnodes(node.child())
+        )
+        if not reduced:
+            out.append(node.simpleString(8))
+    return out
+
+
+def assert_no_global_window_over_events(df: DataFrame) -> str:
+    """The plan must contain no unpartitioned window over an un-reduced
+    (event-scale) input; see :func:`global_window_violations`."""
+    violations = global_window_violations(df)
+    if violations:
+        raise PlanAssertionError(
+            "unpartitioned Window over event-scale input (no aggregate/"
+            "limit/literal relation below it):\n" + "\n".join(violations)
+        )
+    return plan_text(df)

@@ -215,3 +215,49 @@ def test_rollup_and_pivot_single_shuffle(spark, parquet_table):
     assert final_plan(rolled).count("Exchange") == 1
     piv = parquet_table.groupBy("k").pivot("k", list(range(3))).count()
     assert final_plan(piv).count("Exchange") == 1
+
+
+def test_global_window_convention_good_and_bad_shapes(spark):
+    """The global-window audit (plans.global_window_violations): an
+    unpartitioned window is allowed only over provably aggregate-scale
+    input (aggregate / global limit / literal relation below it). One
+    known-good and one deliberately-bad shape pin the detector."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from certified_dogs_and_cats_spark.plans import (
+        PlanAssertionError,
+        assert_no_global_window_over_events,
+        global_window_violations,
+    )
+
+    # BAD: rank over the raw event-scale input, no PARTITION BY — a
+    # single-partition sort of the corpus at scale.
+    raw = spark.range(1000).selectExpr("id", "id % 7 AS grp")
+    bad = raw.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert len(global_window_violations(bad)) == 1
+    try:
+        assert_no_global_window_over_events(bad)
+        raise AssertionError("expected PlanAssertionError")
+    except PlanAssertionError:
+        pass
+
+    # GOOD: the same global window over a GROUP BY result — input is
+    # aggregate-scale, the convention's sanctioned shape.
+    agg = raw.groupBy("grp").agg(F.count("*").alias("n"))
+    good = agg.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("n").desc(), "grp"))
+    )
+    assert global_window_violations(good) == []
+    assert_no_global_window_over_events(good)
+
+    # GOOD: partitioned windows over raw data never flag.
+    part = raw.withColumn(
+        "r", F.row_number().over(Window.partitionBy("grp").orderBy("id"))
+    )
+    assert global_window_violations(part) == []
+
+    # GOOD: global top-k limit below the window bounds the input.
+    lim = raw.orderBy("id").limit(10)
+    topk = lim.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert global_window_violations(topk) == []
