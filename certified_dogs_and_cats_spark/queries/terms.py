@@ -187,7 +187,13 @@ def _bm25_ctes() -> str:
 _BM25_CTES = _bm25_ctes()
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _bm25_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    idf_mode: str = "rational",
+    terms: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Shared BM25 scoring core: the top-``k`` (doc_id, n_terms_hit,
     score, rnk) ranking over all hit documents, as ONE corpus scan —
     per-term tf via size(filter(...)) over the split-token array (a
@@ -200,11 +206,21 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     column is then assigned over only those k survivors; an unpartitioned
     rank window over ALL hit docs would funnel a large corpus fraction
     through one task. bm25_topk returns the head directly;
-    hybrid_bm25_rerank takes a longer shortlist and reranks it."""
+    hybrid_bm25_rerank takes a longer shortlist and reranks it.
+
+    ``idf_mode``: "rational" (default) is the repo's log-free Robertson
+    core — bit-reproducible cross-engine, hash-pinned by the oracle;
+    "ln" is textbook Lucene-standard BM25, ``ln(1 + core)`` — what a
+    user comparing against Lucene/Elasticsearch expects. The ln wrapper
+    changes the multi-term SUM's ranking (it compresses idf spread),
+    and ln differs last-ulp across libms, so the textbook variant is
+    verified by a tolerance-based pytest, not an oracle hash."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    terms = list(BM25_TERMS)
+    if idf_mode not in ("rational", "ln"):
+        raise ValueError(f"unknown idf_mode {idf_mode!r}")
+    terms = list(BM25_TERMS if terms is None else terms)
     toks = F.split("text", " ")
 
     def tf_col(tm: str):
@@ -234,9 +250,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     def term_score(i: int):
         tf = F.col(f"tf{i}")
         dfc = F.col(f"df{i}")
-        return (
-            (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
-        ) * (
+        core = (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        idf = core if idf_mode == "rational" else F.log(F.lit(1.0) + core)
+        return idf * (
             (tf * (k1 + F.lit(1.0)))
             / (
                 tf
@@ -285,6 +301,22 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic variant. At 100 TB: one scan, one metadata-sized
     stats broadcast, zero data shuffles before the top-k."""
     return _bm25_scored(spark, sf_dir, BM25_K)
+
+
+@query("bm25_textbook_topk")  # no oracle: ln differs last-ulp across libms
+def bm25_textbook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTBOOK BM25 (Robertson/Lucene): the same single-scan plan as
+    bm25_topk with the standard ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    idf — the ranking a user comparing against Lucene/Elasticsearch
+    expects. Oracle-hash exactness is impossible cross-libm (DuckDB's
+    and the JVM's ln can differ in the last ulp, and a last-ulp score
+    difference can flip a rounding boundary or a tie-break), so this
+    entry takes the driver's rows-only check and is value-verified by a
+    tolerance-based pytest against a pure-Python replay
+    (tests/test_retrieval.py), plus a ranking-equivalence pin against
+    the log-free variant on single-term queries where the monotone ln
+    provably cannot reorder."""
+    return _bm25_scored(spark, sf_dir, BM25_K, idf_mode="ln")
 
 
 HYBRID_SHORTLIST = 30

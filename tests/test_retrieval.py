@@ -80,3 +80,84 @@ def test_quality_funnel_survivors_monotone(spark, monkeypatch):
     assert surv == [4, 3, 2, 1]
     assert [out[i].dropped_total for i in range(4)] == [0, 1, 2, 3]
     assert surv == sorted(surv, reverse=True)
+
+
+def test_bm25_textbook_matches_python_reference_within_tolerance(
+    spark, monkeypatch
+):
+    """bm25_textbook_topk's ln-idf scores match a pure-Python Robertson/
+    Lucene BM25 replay to 1e-9 relative tolerance (oracle-hash exactness
+    is impossible cross-libm: two correct ln implementations may differ
+    in the last ulp — that is exactly why this variant is pytest-pinned
+    instead of DuckDB-hash-pinned)."""
+    import math
+
+    from certified_dogs_and_cats_spark.queries import terms as terms_mod
+
+    rows = [
+        (1, "join the hash window club join", "en", "s", 30),
+        (2, "window window hash", "en", "s", 18),
+        (3, "nothing relevant here at all", "en", "s", 28),
+        (4, "join hash window join hash window", "en", "s", 33),
+        (5, "one join only", "en", "s", 13),
+    ]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(terms_mod, "t", lambda _s, _d, _n: df)
+    got = {
+        r.doc_id: (r.n_terms_hit, r.score, r.rnk)
+        for r in terms_mod.bm25_textbook_topk(spark, "unused").collect()
+    }
+
+    # Pure-Python replay of Lucene-standard BM25.
+    k1, b = terms_mod.BM25_K1, terms_mod.BM25_B
+    toks = {d: text.split(" ") for d, text, *_ in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    want = {}
+    for d, tk in toks.items():
+        dl = len(tk)
+        hits, score = 0, 0.0
+        for tm in terms_mod.BM25_TERMS:
+            tf = tk.count(tm)
+            if tf > 0:
+                hits += 1
+            dfq = sum(1 for v in toks.values() if tm in v)
+            idf = math.log(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+        if hits > 0:
+            want[d] = (hits, round(score, 6))
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    assert set(got) == set(want)
+    for rnk, (d, (hits, score)) in enumerate(ranked, start=1):
+        g_hits, g_score, g_rnk = got[d]
+        assert g_hits == hits and g_rnk == rnk
+        assert abs(g_score - score) <= 1e-9 * max(1.0, abs(score))
+
+
+def test_bm25_textbook_single_term_ranking_matches_log_free(
+    spark, monkeypatch
+):
+    """On a SINGLE-term query the ln idf is a monotone rescaling of the
+    rational idf, so the textbook and log-free variants must produce the
+    IDENTICAL ranking — the equivalence that breaks (by design) for
+    multi-term sums, pinned here where it provably holds."""
+    from certified_dogs_and_cats_spark.queries import terms as terms_mod
+
+    rows = [
+        (i, ("join " * (i % 4) + "filler " * (3 + i % 5)).strip(), "en",
+         "s", 20)
+        for i in range(1, 13)
+    ]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(terms_mod, "t", lambda _s, _d, _n: df)
+    rational = terms_mod._bm25_scored(
+        spark, "unused", k=10, idf_mode="rational", terms=("join",)
+    )
+    textbook = terms_mod._bm25_scored(
+        spark, "unused", k=10, idf_mode="ln", terms=("join",)
+    )
+    r_rank = [(r.rnk, r.doc_id) for r in rational.collect()]
+    t_rank = [(r.rnk, r.doc_id) for r in textbook.collect()]
+    assert r_rank == t_rank and len(r_rank) > 0
