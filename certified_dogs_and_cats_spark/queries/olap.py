@@ -1924,3 +1924,168 @@ def trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+@query(
+    "time_weighted_average",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS w,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             )) - epoch_us(ts) AS dt_us
+      FROM events
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(dt_us) AS BIGINT) AS dtsum_us,
+             CAST(sum(w * dt_us) AS BIGINT) AS wsum
+      FROM s WHERE dt_us IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_intervals, dtsum_us,
+           CAST(wsum // dtsum_us AS BIGINT) AS twa_cents
+    FROM a
+    """,
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULARLY-sampled series — the
+    correct mean for sensor/price data where plain avg() overweights
+    bursts: each reading is weighted by how long it was current (the gap
+    to the next event). Integer-exact end to end: values scale to cents
+    via floor(x*100+0.5) (the repo's bit-identical IEEE scaling), gaps
+    are epoch-microsecond differences, and the final ratio is a single
+    bigint floor-division — no float fold anywhere, so the hash can't
+    wobble on summation order. Plan: one window (lead) + one hash
+    aggregate, both partitioned by user — no global sort at any scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("w"),
+        (
+            F.unix_micros(F.lead("ts", 1).over(w))
+            - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    )
+    agg = (
+        e.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("dtsum_us"),
+            F.sum(F.col("w") * F.col("dt_us")).cast("bigint").alias("wsum"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        "dtsum_us",
+        F.expr("wsum div dtsum_us").cast("bigint").alias("twa_cents"),
+    )
+
+
+OHLC_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour bars
+
+
+@query(
+    "ohlc_resample_6h",
+    oracle=f"""
+    SELECT user_id,
+           CAST(epoch_us(ts) // {OHLC_BUCKET_US} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           first(value ORDER BY ts ASC, event_id ASC) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts ASC, event_id ASC) AS close
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ohlc_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling (the finance/metrics downsample): per user and
+    6-hour bucket, the first/max/min/last reading in (ts, event_id)
+    order. Every output value is a SELECTION of an input double — no
+    arithmetic — so raw doubles hash-match bit-for-bit cross-engine;
+    open/close use min_by/max_by on the (ts, event_id) struct (Spark)
+    vs ordered first/last (DuckDB), both total orders. One hash
+    aggregate with map-side partials; bucketing is integer floor-division
+    of epoch microseconds, never a float timestamp op."""
+    e = t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {OHLC_BUCKET_US}")
+            .cast("bigint")
+            .alias("bucket"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+        )
+    )
+
+
+ROLL_MED_WINDOW = 5  # trailing rows including current
+
+
+@query(
+    "rolling_median_smooth",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN {ROLL_MED_WINDOW - 1} PRECEDING AND CURRENT ROW
+             ) AS win
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           list_sort(win)[(len(win) + 1) // 2] AS med_disc,
+           CAST(len(win) AS INTEGER) AS n_in_window
+    FROM l
+    """,
+)
+def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing discrete-median smoothing (the robust despiker): per
+    user, the lower median of the last 5 readings in (ts, event_id)
+    order. DISC median deliberately, not CONT: selection of an existing
+    element is bit-exact cross-engine, while interpolated medians hit
+    engine-specific interpolation expressions (a+(b-a)*f vs (a+b)/2 —
+    last-ulp divergence). Plan: one user-partitioned window collecting a
+    bounded 5-element frame; the sort is per-frame over <= 5 values,
+    never a data shuffle beyond the window's."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(ROLL_MED_WINDOW - 1), 0)
+    )
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    win = F.collect_list("value").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        win.alias("win"),
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.element_at(
+            F.sort_array(F.col("win")),
+            ((F.size("win") + 1) / 2).cast("int"),
+        ).alias("med_disc"),
+        F.size("win").cast("int").alias("n_in_window"),
+    )
