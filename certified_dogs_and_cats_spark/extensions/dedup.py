@@ -189,6 +189,77 @@ def tune_lsh(
     return best[1]
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC set-containment join: containment(A in B) =
+    |A∩B| / |A| — the quote/subset detector Jaccard misses (a short doc
+    embedded verbatim in a long one has low Jaccard but containment ~1).
+
+    Returns DIRECTED rows (src_id, dst_id, inter, src_n, containment)
+    with containment >= threshold: src's shingle set is (mostly) inside
+    dst's. Each unordered candidate pair is computed once (same
+    shared-shingle equijoin + df-cap skew gate as :func:`jaccard_pairs`
+    — pair fan-out stays bounded by cap * |shingles|) and scored in both
+    directions from the one intersection count.
+    """
+    if max_shingle_df is not None:
+        df_counts = shingles.groupBy("shingle").agg(
+            F.count("*").alias("__df__")
+        )
+        shingles = (
+            shingles.join(df_counts, "shingle")
+            .filter(F.col("__df__") <= max_shingle_df)
+            .drop("__df__")
+        )
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    x = shingles.alias("x")
+    y = shingles.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"x.{id_col}").alias("a_id"),
+            F.col(f"y.{id_col}").alias("b_id"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    both = inter.join(
+        sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na")),
+        "a_id",
+    ).join(
+        sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb")),
+        "b_id",
+    )
+    directed = both.select(
+        F.col("a_id").alias("src_id"),
+        F.col("b_id").alias("dst_id"),
+        "inter",
+        F.col("na").alias("src_n"),
+    ).unionByName(
+        both.select(
+            F.col("b_id").alias("src_id"),
+            F.col("a_id").alias("dst_id"),
+            "inter",
+            F.col("nb").alias("src_n"),
+        )
+    )
+    cont = F.col("inter").cast("double") / F.col("src_n")
+    return directed.select(
+        "src_id",
+        "dst_id",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("src_n").cast("bigint").alias("src_n"),
+        cont.alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 32
 ) -> DataFrame:

@@ -662,3 +662,241 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         F.sum(F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
     )
+
+
+CONTAIN_THRESHOLD = 0.6
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    shc AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN freq USING (shingle)
+      WHERE freq.df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+    pairs AS (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+      FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT a_id AS src_id, b_id AS dst_id, inter, sa.n AS src_n
+      FROM pairs JOIN sizes sa ON sa.doc_id = a_id
+      UNION ALL
+      SELECT b_id, a_id, inter, sb.n
+      FROM pairs JOIN sizes sb ON sb.doc_id = b_id
+    )
+    SELECT src_id, dst_id,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(src_n AS BIGINT) AS src_n,
+           CAST(inter AS DOUBLE) / src_n AS containment
+    FROM directed
+    WHERE CAST(inter AS DOUBLE) / src_n >= {CONTAIN_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (extensions.dedup.
+    containment_pairs): |A∩B|/|A| finds short documents quoted/embedded
+    inside longer ones — pairs Jaccard structurally misses (the union in
+    its denominator is dominated by the long doc). Same shared-shingle
+    candidate generator + df-cap skew gate as dedup_ngram_jaccard; one
+    intersection count scores both directions. Containment is an
+    exact-integer division, hash-pinned."""
+    from ..extensions.dedup import containment_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    sh = tracked_persist(
+        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
+    )
+    return containment_pairs(
+        sh, "doc_id", CONTAIN_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
+    )
+
+
+_MH_N = 8
+_MH_SIG_COLS = ",\n             ".join(
+    f"min(('0x' || substr(md5('{i}#' || shingle), 1, 15))::BIGINT) AS mh{i}"
+    for i in range(_MH_N)
+)
+_MH_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band_idx,"
+    f" mh{2 * b} || '|' || mh{2 * b + 1} AS band_val FROM sig"
+    for b in range(_MH_N // 2)
+)
+_MH_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
+)
+
+
+@query(
+    "minhash_estimate_calibration",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MH_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_MH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bands x
+      JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                   AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    verified AS (
+      SELECT c.a_id, c.b_id, count(*) AS inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a_id
+      JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT v.a_id, v.b_id,
+             CAST({_MH_MATCHES} AS INTEGER) AS n_hash_matches,
+             CAST({_MH_MATCHES} AS DOUBLE) / {_MH_N} AS est_jaccard,
+             CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter)
+               AS exact_jaccard
+      FROM verified v
+      JOIN sig sa ON sa.doc_id = v.a_id
+      JOIN sig sb ON sb.doc_id = v.b_id
+      JOIN sizes za ON za.doc_id = v.a_id
+      JOIN sizes zb ON zb.doc_id = v.b_id
+    )
+    SELECT a_id, b_id, n_hash_matches, est_jaccard, exact_jaccard,
+           abs(est_jaccard - exact_jaccard) AS abs_err
+    FROM scored
+    """,
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the sketch tell the truth? For every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (matching signature components / 8 — the
+    unbiased estimator the banding decision rests on) side by side with
+    the exact shingle Jaccard, plus the absolute error — the calibration
+    report that justifies a banding threshold before a 100 TB dedup run.
+    Every value is integer counting or a single IEEE division/subtraction
+    (estimates are exact eighths), so the whole report hash-pins. Plan:
+    the signature/candidate path of dedup_minhash_lsh + one extra
+    broadcast-sized signature join; no new shuffle shape."""
+    from pyspark.sql import functions as F
+
+    from ..extensions.dedup import (
+        lsh_candidate_pairs,
+        minhash_from_shingle_array,
+        shingle_hash_array,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    base = tracked_persist(shingle_hash_array(docs, "doc_id", "text", n=3))
+    sig = tracked_persist(
+        minhash_from_shingle_array(base, "doc_id", "sh_arr", num_hashes=_MH_N)
+    )
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=_MH_N, band_size=2)
+    a = base.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_arr"))
+    b = base.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_arr"))
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_MH_N)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_MH_N)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(_MH_N)
+    )
+    inter = F.size(F.array_intersect(F.col("a_arr"), F.col("b_arr")))
+    joined = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            matches.cast("int").alias("n_hash_matches"),
+            inter.alias("inter"),
+            F.size("a_arr").alias("na"),
+            F.size("b_arr").alias("nb"),
+        )
+    )
+    est = F.col("n_hash_matches").cast("double") / F.lit(_MH_N)
+    exact = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return joined.select(
+        "a_id",
+        "b_id",
+        "n_hash_matches",
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        F.abs(est - exact).alias("abs_err"),
+    )
+
+
+@query(
+    "dedup_token_savings",
+    oracle=f"""
+    WITH comp AS ({_COMPONENTS_ORACLE}),
+    dropped AS (SELECT node FROM comp WHERE node != component),
+    d AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CASE WHEN dropped.node IS NOT NULL THEN 1 ELSE 0 END AS is_drop
+      FROM documents LEFT JOIN dropped ON dropped.node = documents.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_total,
+           CAST(sum(n) AS BIGINT) AS tokens_total,
+           CAST(sum(is_drop) AS BIGINT) AS n_docs_dropped,
+           CAST(sum(is_drop * n) AS BIGINT) AS tokens_dropped,
+           CAST((1000 * sum(is_drop * n)) // sum(n) AS BIGINT)
+             AS saved_permille
+    FROM d GROUP BY 1
+    """,
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup actually buys, in TOKENS: join the components kill-list
+    (node != component — the docs a min-id-survivor dedup would drop)
+    back onto the corpus and report, per source, the document and token
+    mass removed — the number that turns a dedup pair list into a
+    training-budget decision. Consumes the shared once-per-process
+    components labeling (_near_dup_components: embeddings vec_id IS the
+    document id in this corpus); the kill-list is cluster-scale, so the
+    corpus-side join broadcasts it. Integer-exact throughout."""
+    from pyspark.sql import functions as F
+
+    comp = _near_dup_components(spark, sf_dir)
+    dropped = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("is_drop"))
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        )
+        .join(F.broadcast(dropped), "doc_id", "left")
+        .fillna(0, subset=["is_drop"])
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_total"),
+        F.sum("n").cast("bigint").alias("tokens_total"),
+        F.sum("is_drop").cast("bigint").alias("n_docs_dropped"),
+        F.sum(F.col("is_drop") * F.col("n"))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+        F.expr("(1000 * sum(is_drop * n)) div sum(n)")
+        .cast("bigint")
+        .alias("saved_permille"),
+    )

@@ -237,3 +237,82 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_urls"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+LEAK_TRAIN_CUT = 800  # permille: buckets < 800 train, >= 800 held out
+
+
+@query(
+    "split_host_leakage_report",
+    oracle=f"""
+    WITH fx AS (
+      SELECT doc_id,
+             'h' || doc_id % 7 || '.example.com' AS host,
+             'https://h' || doc_id % 7 || '.example.com/' || source ||
+             '/p' || doc_id % 13 || '?q=' || lang AS canonical_url,
+             CASE WHEN {_BUCKET_1000} < {LEAK_TRAIN_CUT}
+                  THEN 1 ELSE 0 END AS is_train
+      FROM documents
+    ),
+    per_url AS (
+      SELECT host, canonical_url,
+             max(is_train) AS has_train,
+             max(1 - is_train) AS has_test,
+             sum(is_train) AS n_train,
+             sum(1 - is_train) AS n_test
+      FROM fx GROUP BY 1, 2
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN has_train = 1 AND has_test = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_urls,
+           CAST(sum(n_train) AS BIGINT) AS n_train_docs,
+           CAST(sum(n_test) AS BIGINT) AS n_test_docs
+    FROM per_url GROUP BY 1
+    """,
+)
+def split_host_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out CONTAMINATION audit at the URL level: canonicalize
+    the messy fixture URLs (case/port/slash/tracking/fragment noise — the
+    operator must rediscover the clean key), assign the deterministic
+    md5-bucket split every sampler in this repo uses, and report per host
+    how many canonical URLs appear on BOTH sides — the leak a
+    dedup-before-split pipeline exists to prevent. The ORACLE derives the
+    canonical form in closed form from the fixture's generative parts
+    (never running the canonicalizer). Two hash aggregates; the URL
+    table never joins anything bigger than itself."""
+    from ..extensions.sampling import hash_bucket
+    from ..extensions.scrub import canonicalize_urls, url_parts
+
+    docs = t(spark, sf_dir, "documents")
+    fx = docs.select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url"))
+    canon = canonicalize_urls(fx, "url")
+    host = url_parts(canon.select("doc_id", "canonical_url"),
+                     "canonical_url").select(
+        "doc_id", "host", F.col("canonical_url")
+    )
+    is_train = (
+        F.when(hash_bucket("doc_id", 1000) < LEAK_TRAIN_CUT, 1).otherwise(0)
+    )
+    per_url = (
+        host.select("host", "canonical_url", is_train.alias("is_train"))
+        .groupBy("host", "canonical_url")
+        .agg(
+            F.max("is_train").alias("has_train"),
+            F.max(1 - F.col("is_train")).alias("has_test"),
+            F.sum("is_train").alias("n_train"),
+            F.sum(1 - F.col("is_train")).alias("n_test"),
+        )
+    )
+    return per_url.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum(
+            F.when(
+                (F.col("has_train") == 1) & (F.col("has_test") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_leaked_urls"),
+        F.sum("n_train").cast("bigint").alias("n_train_docs"),
+        F.sum("n_test").cast("bigint").alias("n_test_docs"),
+    )

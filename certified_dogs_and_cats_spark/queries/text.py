@@ -176,3 +176,87 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return bigram_fluency(docs, "doc_id", "text")
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS marker_ratio
+      FROM tk GROUP BY 1
+    ),
+    p AS (
+      SELECT d.lang,
+             CASE WHEN r.marker_ratio >= 0.08 THEN 'en'
+                  WHEN r.marker_ratio >= 0.04 THEN 'fr'
+                  ELSE 'other' END AS lang_pred
+      FROM documents d JOIN r ON r.doc_id = d.doc_id
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY 1, 2
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-ID QC report: predicted-vs-labeled confusion counts
+    for the n-gram-marker classifier (text_lang_id) — the table a corpus
+    owner reads to decide whether the cheap lang filter is safe to run
+    at 100 TB, and which language pairs it confuses. One aggregate on
+    top of the per-doc prediction; |langs|^2 output rows at any scale."""
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+PREFIX_TOKENS = 5
+
+
+@query(
+    "common_prefix_boilerplate",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1, {PREFIX_TOKENS}),
+               ' ') AS prefix
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {PREFIX_TOKENS}
+    )
+    SELECT prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM p GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def common_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-opening detection: documents that BEGIN with the same
+    {PREFIX_TOKENS}-token prefix are template/boilerplate suspects
+    (headers, licence blurbs, scraped navigation) even when their bodies
+    diverge too far for near-dup thresholds. Group on the prefix string
+    itself — one narrow map + one hash aggregate; at 100 TB you'd group
+    on a hash of the prefix, identical plan shape."""
+    toks = F.split("text", " ")
+    p = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= PREFIX_TOKENS)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(toks, 1, PREFIX_TOKENS)).alias(
+                "prefix"
+            ),
+        )
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
