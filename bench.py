@@ -169,6 +169,21 @@ BENCH_QUERIES = [
     # Dedup closing report + embedding QC.
     "dedup_cluster_size_histogram",
     "embedding_norm_outlier_report",
+    # Round-7 additions: textbook BM25, irregular-series TWA / OHLC bars /
+    # rolling disc-median, token-budget planning (truncation loss,
+    # multi-budget packing fill), MinHash calibration, containment join,
+    # components-priced token savings, split leakage, audio energy.
+    "bm25_textbook_topk",
+    "time_weighted_average",
+    "ohlc_resample_6h",
+    "rolling_median_smooth",
+    "truncation_loss_report",
+    "packing_fill_rates",
+    "minhash_estimate_calibration",
+    "dedup_containment_pairs",
+    "dedup_token_savings",
+    "split_host_leakage_report",
+    "audio_frame_energy_stats",
 ]
 
 

@@ -419,3 +419,63 @@ def ingest_binary_dir(
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("media"),
     )
+
+
+#: Output schema of :func:`audio_frame_energy`.
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = 64,
+    hop: int = 32,
+    center: int = 128,
+) -> DataFrame:
+    """Windowed audio ENERGY over packed payloads: each payload byte is
+    an unsigned 8-bit PCM sample (the deterministic stand-in for a real
+    codec decode — audio libs are not in this container, same contract as
+    :func:`frame_sample`'s chunker; a soundfile/librosa decoder slots
+    into ``kernel()`` unchanged), framed at ``frame`` samples with
+    ``hop``-sample overlap, energy = sum((sample - center)^2) per FULL
+    frame — the voice-activity / silence-trim primitive of an audio
+    training pipeline.
+
+    Arrow-batched mapInPandas, numpy-vectorized per batch, never per-row
+    Python; one row fans out to its frame count inside the same batch,
+    partitioning preserved. Energies are exact integers, so downstream
+    aggregates hash-pin cross-engine.
+    """
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd  # executor-side import
+
+        for pdf in batches:
+            ids, idxs, ens = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                d = arr - center
+                for k, s in enumerate(range(0, len(d) - frame + 1, hop)):
+                    seg = d[s : s + frame]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    ens.append(int(np.dot(seg, seg)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(ens, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=AUDIO_ENERGY_SCHEMA)

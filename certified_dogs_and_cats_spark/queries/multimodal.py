@@ -84,3 +84,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.col("frame"), "UTF-8").alias("frame_text"),
         "frame_len",
     )
+
+
+AUDIO_FRAME = 64
+AUDIO_HOP = 32
+AUDIO_LOUD = 150_000
+
+
+@query(
+    "audio_frame_energy_stats",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(s // {AUDIO_HOP} AS INTEGER) AS frame_idx, s
+      FROM documents,
+           UNNEST(range(0, greatest(length(text) - {AUDIO_FRAME} + 1, 0),
+                        {AUDIO_HOP})) AS u(s)
+    ),
+    e AS (
+      SELECT f.doc_id, f.frame_idx,
+             CAST(sum((ascii(substr(documents.text,
+                                    CAST(f.s + j + 1 AS INTEGER), 1)) - 128)
+                      * (ascii(substr(documents.text,
+                                      CAST(f.s + j + 1 AS INTEGER), 1)) - 128))
+                  AS BIGINT) AS energy
+      FROM f
+      JOIN documents USING (doc_id),
+           UNNEST(range(0, {AUDIO_FRAME})) AS v(j)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS total_energy,
+           CAST(max(energy) AS BIGINT) AS max_energy,
+           CAST(sum(CASE WHEN energy > {AUDIO_LOUD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_loud
+    FROM e GROUP BY 1
+    """,
+)
+def audio_frame_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped pipeline end to end: pack the corpus into binary
+    payloads, run the Arrow-batched windowed-energy decode
+    (extensions.multimodal.audio_frame_energy — bytes as 8-bit PCM,
+    64-sample frames, 32-sample hop), and aggregate the per-frame
+    energies per document (frame count, total/max energy, frames above
+    the loudness gate) — the silence-trim / voice-activity report. The
+    oracle replays the exact integer energies from the ASCII text the
+    payload packs, so the whole Python-kernel path is hash-verified, not
+    just row-counted. Energies are exact integers; one mapInPandas fan-out
+    + one hash aggregate."""
+    from ..extensions.multimodal import audio_frame_energy, pack_payload
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = audio_frame_energy(
+        pack_payload(docs), frame=AUDIO_FRAME, hop=AUDIO_HOP
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("total_energy"),
+        F.max("energy").cast("bigint").alias("max_energy"),
+        F.sum(F.when(F.col("energy") > AUDIO_LOUD, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_loud"),
+    )

@@ -114,6 +114,18 @@ AUDIT_QUERIES = [
     "hybrid_bm25_rerank",
     "dedup_cluster_size_histogram",
     "embedding_norm_outlier_report",
+    # round-7 additions
+    "bm25_textbook_topk",
+    "time_weighted_average",
+    "ohlc_resample_6h",
+    "rolling_median_smooth",
+    "truncation_loss_report",
+    "packing_fill_rates",
+    "minhash_estimate_calibration",
+    "dedup_containment_pairs",
+    "dedup_token_savings",
+    "split_host_leakage_report",
+    "audio_frame_energy_stats",
 ]
 
 FLAGSHIP = "totals_by_year_type"

@@ -231,3 +231,28 @@ def test_arrow_decode_matches_pandas_decode(spark):
         for r in decode_features_arrow(df).collect()
     }
     assert a == b and len(a) == 40
+
+
+def test_audio_frame_energy_exact_and_short_payloads(spark):
+    """Windowed energy kernel: frames are FULL 64-sample windows at hop
+    32 (a payload shorter than one frame yields no rows), and energies
+    equal the exact integer sum((b-128)^2) per window."""
+    from certified_dogs_and_cats_spark.extensions.multimodal import (
+        audio_frame_energy,
+    )
+
+    short = b"x" * 63
+    exact = bytes(range(96))  # 96 samples -> frames at s=0 and s=32
+    df = spark.createDataFrame(
+        [(1, bytearray(short)), (2, bytearray(exact))],
+        "doc_id BIGINT, payload BINARY",
+    )
+    rows = audio_frame_energy(df, frame=64, hop=32).collect()
+    got = {(r.doc_id, r.frame_idx): r.energy for r in rows}
+
+    def energy(b):
+        return sum((x - 128) ** 2 for x in b)
+
+    assert set(got) == {(2, 0), (2, 1)}  # doc 1 too short: no frames
+    assert got[(2, 0)] == energy(exact[0:64])
+    assert got[(2, 1)] == energy(exact[32:96])

@@ -391,3 +391,27 @@ def test_blocked_edit_distance_max_block_caps_candidates(spark):
         df, "id", "name", ["blk"], max_dist=12, max_block=30
     )
     assert {(r.id_a, r.id_b) for r in wide.collect()} == unc_set
+
+
+def test_containment_pairs_directions_and_threshold(spark):
+    """containment(A in B) = |A∩B|/|A| is DIRECTED: a small set inside a
+    big one scores ~1 as src and low as dst — the asymmetry Jaccard
+    collapses. Pins both directions and the threshold gate."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        containment_pairs,
+    )
+
+    # doc 1: {10, 20}; doc 2: {10, 20, 30, 40, 50} -> containment(1 in 2)
+    # = 2/2 = 1.0, containment(2 in 1) = 2/5 = 0.4.
+    rows = [(1, 10), (1, 20)] + [(2, s) for s in (10, 20, 30, 40, 50)]
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, shingle BIGINT")
+    got = {
+        (r.src_id, r.dst_id): (r.inter, r.src_n, r.containment)
+        for r in containment_pairs(sh, "doc_id", 0.6).collect()
+    }
+    assert got == {(1, 2): (2, 2, 1.0)}  # 0.4 direction gated out
+    both = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_pairs(sh, "doc_id", 0.0).collect()
+    }
+    assert both == {(1, 2): 1.0, (2, 1): 0.4}
