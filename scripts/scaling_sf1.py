@@ -86,6 +86,16 @@ HEAVY = [
     "fuzzy_sorted_neighborhood",
     "quality_gate_funnel",
     "bpe_apply_fixed",
+    # round-7 heavy tail: shingle-join containment, signature calibration,
+    # components-priced savings, python-kernel audio energy, two-level
+    # prefix-sum packing, window/agg time-series trio.
+    "dedup_containment_pairs",
+    "minhash_estimate_calibration",
+    "dedup_token_savings",
+    "audio_frame_energy_stats",
+    "packing_fill_rates",
+    "rolling_median_smooth",
+    "time_weighted_average",
 ]
 REPEATS = 2
 
