@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "dedup_token_savings",
     "split_host_leakage_report",
     "audio_frame_energy_stats",
+    "lag1_autocorrelation",
+    "source_vocab_overlap",
 ]
 
 

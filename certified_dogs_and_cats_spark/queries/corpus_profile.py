@@ -422,3 +422,76 @@ def resample_interpolate_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "is_observed",
     )
+
+
+@query(
+    "source_vocab_overlap",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - inter AS BIGINT) AS vocab_union,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY overlap between sources (distinct-token
+    Jaccard per source pair) — the corpus-mixing diagnostic that shows
+    which sources are redundant and which add genuinely new language
+    before weighting a data mixture. The self-join runs on the
+    source-level DISTINCT vocabulary (|sources| x |vocab| rows, already
+    collapsed from the corpus by one aggregate), never on documents —
+    output is |sources|^2/2 rows at any corpus size. Exact-integer
+    division, hash-pinned."""
+    from pyspark.sql import functions as F
+
+    v = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    from ..cache import tracked_persist
+
+    v = tracked_persist(v)
+    sizes = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    both = inter.join(
+        F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                 F.col("n").alias("na"))),
+        "src_a",
+    ).join(
+        F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                 F.col("n").alias("nb"))),
+        "src_b",
+    )
+    return both.select(
+        "src_a",
+        "src_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        (F.col("na") + F.col("nb") - F.col("inter"))
+        .cast("bigint")
+        .alias("vocab_union"),
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("vocab_jaccard"),
+    )

@@ -2089,3 +2089,83 @@ def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("med_disc"),
         F.size("win").cast("int").alias("n_in_window"),
     )
+
+
+@query(
+    "lag1_autocorrelation",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM s WHERE y IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS lag1_corr
+    FROM a
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation — the is-this-series-noise-or-trend
+    screen run before forecasting. Cross-engine-exact WITH a square root:
+    sqrt is correctly rounded under IEEE-754 (unlike ln), so identical
+    inputs give identical outputs — and the inputs are identical because
+    every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    BIGINT sum of cent-scaled values; the only floats are one subtraction
+    tree, one multiply, one sqrt, one division, then a 6dp round.
+    Degenerate (constant) series are excluded rather than NULL/NaN rows.
+    Plan: one user-partitioned lag window + one hash aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    x = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    s = t(spark, sf_dir, "events").select(
+        "user_id",
+        x.alias("x"),
+        F.lag(x, 1).over(w).alias("y"),
+    )
+    a = (
+        s.filter(F.col("y").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (
+        a.filter((dx > 0) & (dy > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                num / F.sqrt(dx.cast("double") * dy.cast("double")), 6
+            ).alias("lag1_corr"),
+        )
+    )

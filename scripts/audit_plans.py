@@ -126,6 +126,8 @@ AUDIT_QUERIES = [
     "dedup_token_savings",
     "split_host_leakage_report",
     "audio_frame_energy_stats",
+    "lag1_autocorrelation",
+    "source_vocab_overlap",
 ]
 
 FLAGSHIP = "totals_by_year_type"

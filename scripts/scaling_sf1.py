@@ -96,6 +96,8 @@ HEAVY = [
     "packing_fill_rates",
     "rolling_median_smooth",
     "time_weighted_average",
+    "lag1_autocorrelation",
+    "source_vocab_overlap",
 ]
 REPEATS = 2
 

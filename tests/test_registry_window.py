@@ -32,8 +32,19 @@ def test_unproven_queries_fill_driver_window():
     )
 
 
+# The documented rows-only set: queries whose VALUES cannot be oracle-hash
+# compared for a stated cross-engine reason, each carrying its own
+# verification elsewhere. Additions here must justify themselves in the
+# query docstring.
+ROWS_ONLY = {
+    # ln() differs last-ulp across libms; value-verified by a tolerance
+    # pytest vs a pure-Python replay (tests/test_retrieval.py).
+    "bm25_textbook_topk",
+}
+
+
 def test_every_query_has_oracle_and_unique_name():
     assert set(ORACLE) <= set(QUERIES)
-    # every registered query in this build carries an oracle (weaker
-    # rows-only checks are reserved for future non-SQL-expressible ops)
-    assert set(QUERIES) == set(ORACLE)
+    # every registered query carries an oracle EXCEPT the explicit
+    # rows-only allowlist (weaker driver check, pytest-verified values)
+    assert set(QUERIES) - set(ORACLE) == ROWS_ONLY
