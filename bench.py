@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "audio_frame_energy_stats",
     "lag1_autocorrelation",
     "source_vocab_overlap",
+    "basket_brand_affinity",
+    "rfm_customer_segments",
 ]
 
 

@@ -2169,3 +2169,155 @@ def lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag1_corr"),
         )
     )
+
+
+BASKET_MIN_PAIRS = 5
+
+
+@query(
+    "basket_brand_affinity",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+    bc AS (SELECT brand, count(*) AS cnt FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_pairs
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(ca.cnt AS BIGINT) AS n_a,
+           CAST(cb.cnt AS BIGINT) AS n_b,
+           CAST(n_pairs AS DOUBLE) * n.n_orders / (ca.cnt * cb.cnt)
+             AS lift
+    FROM pairs
+    JOIN bc ca ON ca.brand = brand_a
+    JOIN bc cb ON cb.brand = brand_b
+    CROSS JOIN n
+    WHERE n_pairs >= {BASKET_MIN_PAIRS}
+    """,
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining: which part brands co-occur in the
+    same order more than independence predicts (lift > 1) — the
+    cross-sell / co-purchase analysis every retail warehouse runs. The
+    self-join is WITHIN an order on the DISTINCT (order, brand) relation
+    (baskets are bounded — tens of brands — so per-order pair fan-out is
+    a constant, never corpus-quadratic); brand marginals and the order
+    count broadcast back onto the bounded pair table. Lift is exact
+    integer counts and ONE IEEE division, hash-pinned; min-support
+    filter keeps noise pairs out."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("okey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    from ..cache import tracked_persist
+
+    ob = tracked_persist(ob)
+    n_orders = ob.select("okey").distinct().count()
+    bc = ob.groupBy("brand").agg(F.count("*").alias("cnt"))
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= BASKET_MIN_PAIRS)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(bc.select(F.col("brand").alias("brand_a"),
+                                  F.col("cnt").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bc.select(F.col("brand").alias("brand_b"),
+                                  F.col("cnt").alias("n_b"))),
+            "brand_b",
+        )
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (
+            F.col("n_pairs").cast("double")
+            * F.lit(n_orders)
+            / (F.col("n_a") * F.col("n_b"))
+        ).alias("lift"),
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT o_custkey, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r_q,
+             ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_q,
+             ntile(5) OVER (ORDER BY monetary_cents ASC, o_custkey ASC)
+               AS m_q
+      FROM c
+    )
+    SELECT CAST(r_q AS INTEGER) AS r_q,
+           CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) — the
+    classic CRM cut. Monetary sums are cent-scaled BIGINTs (no float
+    fold); each quintile is ntile(5) over a TOTAL order (metric then
+    custkey), so bucket boundaries replay identically cross-engine. The
+    three unpartitioned ntile windows run over the CUSTOMER AGGREGATE —
+    the plan-audit-sanctioned global-window shape (input is one hash
+    aggregate, customer-scale not order-scale); output is the 5x5x5
+    segment census."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    w_r = Window.orderBy(F.col("last_order").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(
+        F.col("monetary_cents").asc(), F.col("o_custkey").asc()
+    )
+    q = c.select(
+        "monetary_cents",
+        F.ntile(5).over(w_r).cast("int").alias("r_q"),
+        F.ntile(5).over(w_f).cast("int").alias("f_q"),
+        F.ntile(5).over(w_m).cast("int").alias("m_q"),
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+    )

@@ -128,6 +128,8 @@ AUDIT_QUERIES = [
     "audio_frame_energy_stats",
     "lag1_autocorrelation",
     "source_vocab_overlap",
+    "basket_brand_affinity",
+    "rfm_customer_segments",
 ]
 
 FLAGSHIP = "totals_by_year_type"

@@ -98,6 +98,8 @@ HEAVY = [
     "time_weighted_average",
     "lag1_autocorrelation",
     "source_vocab_overlap",
+    "basket_brand_affinity",
+    "rfm_customer_segments",
 ]
 REPEATS = 2
 
