@@ -2204,32 +2204,41 @@ BASKET_MIN_PAIRS = 5
 def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity mining: which part brands co-occur in the
     same order more than independence predicts (lift > 1) — the
-    cross-sell / co-purchase analysis every retail warehouse runs. The
-    self-join is WITHIN an order on the DISTINCT (order, brand) relation
-    (baskets are bounded — tens of brands — so per-order pair fan-out is
-    a constant, never corpus-quadratic); brand marginals and the order
-    count broadcast back onto the bounded pair table. Lift is exact
+    cross-sell / co-purchase analysis every retail warehouse runs. ONE
+    corpus-scale shuffle: `collect_set` folds each order into its sorted
+    brand set (partial aggregation dedups map-side), then pair fan-out
+    happens INSIDE the array — baskets are bounded (tens of brands), so
+    the exploded pair stream is a constant factor of orders, never
+    corpus-quadratic, and everything downstream (pair counts, brand
+    marginals) aggregates brand-cardinality-sized data. Lift is exact
     integer counts and ONE IEEE division, hash-pinned; min-support
     filter keeps noise pairs out."""
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), "l_partkey"
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("okey", F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
     from ..cache import tracked_persist
 
-    ob = tracked_persist(ob)
-    n_orders = ob.select("okey").distinct().count()
-    bc = ob.groupBy("brand").agg(F.count("*").alias("cnt"))
-    a = ob.select("okey", F.col("brand").alias("brand_a"))
-    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    baskets = tracked_persist(baskets)
+    n_orders = baskets.count()
+    bc = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_pairs"))
         .filter(F.col("n_pairs") >= BASKET_MIN_PAIRS)
