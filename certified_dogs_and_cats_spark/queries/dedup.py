@@ -57,6 +57,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DF = 1000
 
 
+def shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared hashed word-3-shingle relation (doc_id, shingle), built
+    ONCE per (input) within a process and re-read as parquet by every
+    set-similarity consumer — ngram-Jaccard, containment, and the PPJoin
+    prefix filter each used to re-tokenize + re-explode the corpus. A
+    warehouse materializes the shingle table once per corpus version (the
+    canonical FineWeb/CC dedup pipeline shape); the similarity joins are
+    downstream of that artifact. Deterministic (md5 of the shingle text),
+    so memoization changes when work happens, never results."""
+    from ..cache import memoized_parquet
+
+    return memoized_parquet(
+        spark,
+        ("shingles3", sf_dir),
+        lambda: word_shingles(
+            t(spark, sf_dir, "documents"), "doc_id", "text", n=3, as_hash=True
+        ),
+        "shingles3",
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -82,14 +103,11 @@ MAX_SHINGLE_DF = 1000
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
     # The shingle set is branched 4 ways downstream (freq gate, sizes, both
-    # join sides); Spark does not reuse common subplans, so persist it —
-    # at corpus scale you'd materialize the shingle table once instead of
-    # paying the tokenize+explode 4x.
-    sh = tracked_persist(
-        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
-    )
+    # join sides); the memoized parquet build (shingles3) materializes the
+    # tokenize+explode once per corpus instead of paying it 4x per branch
+    # and once more per consumer query.
+    sh = shingles3(spark, sf_dir)
     return jaccard_pairs(
         sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -708,10 +726,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer division, hash-pinned."""
     from ..extensions.dedup import containment_pairs
 
-    docs = t(spark, sf_dir, "documents")
-    sh = tracked_persist(
-        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
-    )
+    sh = shingles3(spark, sf_dir)
     return containment_pairs(
         sh, "doc_id", CONTAIN_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
     )

@@ -169,13 +169,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarest tokens (prefix length n - ceil(t*n) + 1), the integer size
     bound prunes inside the join, and survivors verify with one map-side
     array_intersect."""
-    from ..extensions.dedup import prefix_filter_jaccard_pairs, word_shingles
-    from ..cache import tracked_persist
+    from ..extensions.dedup import prefix_filter_jaccard_pairs
+    from .dedup import shingles3
 
-    docs = t(spark, sf_dir, "documents")
-    sh = tracked_persist(
-        word_shingles(docs, "doc_id", "text", n=3, as_hash=True)
-    )
+    sh = shingles3(spark, sf_dir)
     return prefix_filter_jaccard_pairs(sh, "doc_id", PPJOIN_THRESHOLD)
 
 
