@@ -188,6 +188,13 @@ BENCH_QUERIES = [
     "source_vocab_overlap",
     "basket_brand_affinity",
     "rfm_customer_segments",
+    "attribution_last_touch",
+    "grouping_sets_revenue",
+    "weighted_median_price",
+    "concurrent_orders_peak",
+    "cusum_changepoint",
+    "split_contamination_ngrams",
+    "label_centroid_similarity",
 ]
 
 

@@ -1,0 +1,511 @@
+"""Round-7 tail: warehouse analytics + training-pipeline governance queries.
+
+Marketing attribution, GROUPING SETS subtotals, weighted medians, interval
+concurrency, CUSUM changepoints, n-gram split decontamination, and
+embedding-centroid drift — each the canonical formulation of an operation a
+production warehouse or LLM-data pipeline runs, each oracle-verified against
+DuckDB with the repo's cross-engine determinism conventions (integer-scaled
+sums, sequential-fold dot products, pinned tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dsum
+from .common import t
+from .registry import query
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             event_type, value
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type != 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM e
+    )
+    SELECT coalesce(channel, 'none') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS attributed_value
+    FROM a WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the most
+    recent PRECEDING non-purchase event of the same user (the channel),
+    'none' when the purchase is the user's first event. One partitioned
+    window pass (the ignore-nulls last_value carry-forward — the same
+    forward-fill primitive as resample_ffill) + one small aggregate; at
+    100 TB this is a single shuffle on user_id and the carried channel
+    column never leaves the row. Tie-break pinned on (ts, event_id);
+    revenue uses the exact DECIMAL-sum-then-DOUBLE pattern."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = t(spark, sf_dir, "events")
+    a = e.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        a.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            dsum("value", scale=6).alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             o_orderstatus, o_totalprice
+      FROM orders
+    )
+    SELECT coalesce(o_year, -1) AS o_year,
+           coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           CAST(2 * grouping(o_year) + grouping(o_orderstatus) AS INTEGER)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM o
+    GROUP BY GROUPING SETS ((o_year, o_orderstatus), (o_year),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form closing the rollup/cube
+    family): detail, each single-key subtotal, and the grand total in ONE
+    aggregation pass — Spark expands the sets map-side and shuffles once,
+    exactly what four separate GROUP BYs would each pay. Subtotal keys
+    are disambiguated by grouping() bits (gid), then coalesced to
+    sentinel values so every output cell stays a sortable scalar for the
+    driver's canonicalizer (both key columns are non-null in the data,
+    so the sentinels are unambiguous)."""
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    g = o.groupingSets(
+        [["o_year", "o_orderstatus"], ["o_year"], ["o_orderstatus"], []],
+        "o_year",
+        "o_orderstatus",
+    ).agg(
+        (2 * F.grouping("o_year") + F.grouping("o_orderstatus"))
+        .cast("int")
+        .alias("gid"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )
+    return g.select(
+        F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+        "gid",
+        "n_orders",
+        "revenue",
+    )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, price, w,
+             sum(w) OVER (PARTITION BY flag
+                          ORDER BY price ASC, l_orderkey ASC,
+                                   l_linenumber ASC
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM li
+    )
+    SELECT flag, min(price) AS weighted_median_price,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the
+    'median price a unit actually sold at', robust where the row-median
+    ignores volume. DISC selection (the median is one of the input
+    prices bit-for-bit, the cross-engine-exact variant — interpolated
+    medians differ across engines): cumulative-weight window in price
+    order, then the first row where 2*cum >= total. Because cum is
+    nondecreasing in price order the qualifying set is a suffix, so
+    min(price) over it IS that first row — no second window needed.
+    Weights are exact integers; ties pinned on (price, okey, line)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy(F.asc("price"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("flag")
+    c = li.select(
+        "flag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "concurrent_orders_peak",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
+             CAST(max(l.l_shipdate) AS DATE) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT d0 AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT d1 + 1, -1 FROM spans
+    ),
+    daily AS (SELECT day, sum(delta) AS net FROM deltas GROUP BY 1),
+    run AS (
+      SELECT day,
+             sum(net) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING)
+               AS open_orders
+      FROM daily
+    )
+    SELECT CAST(year(day) AS INTEGER) AS o_year,
+           CAST(month(day) AS INTEGER) AS o_month,
+           CAST(max(open_orders) AS BIGINT) AS peak_open
+    FROM run GROUP BY 1, 2
+    """,
+)
+def concurrent_orders_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per month: how many orders were OPEN
+    (placed, not yet fully shipped) simultaneously — the classic
+    sweep-line +1/-1 delta encoding. Scale shape: intervals collapse to
+    two delta events each, deltas aggregate to DAY grain first (one
+    corpus-scale shuffle), and only the day-scale series (~thousands of
+    rows regardless of order count) crosses the unpartitioned running
+    window — the audit-sanctioned aggregate-below-global-window form.
+    Never materializes order x day rows (the explode-a-sequence
+    alternative is |orders| * avg_duration rows — quadratic waste)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+    )
+    deltas = spans.select(
+        F.col("d0").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    wrun = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = daily.select("day", F.sum("net").over(wrun).alias("open_orders"))
+    return run.groupBy(
+        F.year("day").cast("int").alias("o_year"),
+        F.month("day").cast("int").alias("o_month"),
+    ).agg(F.max("open_orders").cast("bigint").alias("peak_open"))
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT o_year, day, cents,
+             sum(cents) OVER (PARTITION BY o_year ORDER BY day ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (PARTITION BY o_year ORDER BY day ASC) AS i,
+             sum(cents) OVER (PARTITION BY o_year) AS tot,
+             count(*) OVER (PARTITION BY o_year) AS k
+      FROM d
+    ),
+    c AS (
+      SELECT o_year, day, k,
+             (k * cum - i * tot) AS scaled
+      FROM s
+    )
+    SELECT o_year, day AS change_day,
+           CAST(scaled AS DOUBLE) / k AS cusum_cents
+    FROM (
+      SELECT o_year, day, k, scaled,
+             row_number() OVER (PARTITION BY o_year
+                                ORDER BY abs(scaled) DESC, day ASC) AS r
+      FROM c
+    ) WHERE r = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue, per year: the day
+    where the cumulative deviation from the year's mean peaks in
+    magnitude — where the level shift happened, the standard offline
+    CUSUM estimator. Exactness: S_i = cum_i - i*mean is kept INTEGER by
+    scaling through k (k*S_i = k*cum_i - i*total, all bigint cents), so
+    the argmax is decided on exact integers and only the final reported
+    value pays one deterministic int->double division. All windows are
+    day-scale (aggregate below); ties pinned to the earliest day."""
+    o = t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("cents")
+    )
+    wy = Window.partitionBy("o_year")
+    wcum = wy.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    worder = wy.orderBy(F.asc("day"))
+    s = d.select(
+        "o_year",
+        "day",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.row_number().over(worder).alias("i"),
+        F.sum("cents").over(wy).alias("tot"),
+        F.count("*").over(wy).alias("k"),
+    )
+    c = s.select(
+        "o_year",
+        "day",
+        "k",
+        (F.col("k") * F.col("cum") - F.col("i") * F.col("tot")).alias(
+            "scaled"
+        ),
+    )
+    wpick = Window.partitionBy("o_year").orderBy(
+        F.abs("scaled").desc(), F.asc("day")
+    )
+    return (
+        c.withColumn("r", F.row_number().over(wpick))
+        .filter(F.col("r") == 1)
+        .select(
+            "o_year",
+            F.col("day").alias("change_day"),
+            (F.col("scaled").cast("double") / F.col("k")).alias(
+                "cusum_cents"
+            ),
+        )
+    )
+
+
+# Word-5-gram shingle CTE (the decontamination grain: 5-grams are the
+# shortest span where verbatim train/eval overlap stops being chance at
+# small corpora; production pipelines use 8-13 on web scale). Same
+# md5-top-15-hex 60-bit hashing as word_shingles(as_hash=True).
+_SHINGLES5_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    sh5 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]
+                             || ' ' || a[i+4] || ' ' || a[i+5]), 1, 15))
+               ::BIGINT AS shingle
+      FROM toks, UNNEST(range(0, len(a) - 4)) AS u(i)
+      WHERE len(a) >= 5
+    )
+"""
+
+
+@query(
+    "split_contamination_ngrams",
+    oracle=f"""
+    WITH {_SHINGLES5_CTE},
+    train_sh AS (
+      SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 10 != 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh5 s JOIN train_sh USING (shingle)
+      WHERE s.doc_id % 10 = 0
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(count(c.doc_id) AS DOUBLE) / count(*)
+             AS contamination_rate
+    FROM documents d
+    LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    GROUP BY 1
+    """,
+)
+def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split decontamination report: which held-out documents
+    share a verbatim word-5-gram with ANY training document — the
+    benchmark-contamination check every LLM data pipeline runs before
+    trusting an eval split. The split is a pure function of doc_id
+    (doc_id % 10 = 0 is eval), so it is backfill-stable. Plan: the
+    hashed shingle relation splits into eval/train sides, a LEFT SEMI
+    join on the 8-byte shingle key marks contaminated eval docs (no pair
+    fan-out — semi joins short-circuit per key, so a common shingle
+    never multiplies rows), then one per-source aggregate. At 100 TB
+    this is the shingle-table shuffle the dedup family already pays,
+    reused for governance."""
+    from ..extensions.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh5 = word_shingles(docs, "doc_id", "text", n=5, as_hash=True)
+    is_eval = F.col("doc_id") % 10 == 0
+    train_sh = sh5.filter(~is_eval).select("shingle").distinct()
+    contaminated = (
+        sh5.filter(is_eval)
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    ev = docs.filter(is_eval).select("doc_id", "source")
+    return (
+        ev.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.count("__hit__").cast("bigint").alias("n_contaminated"),
+            (
+                F.count("__hit__").cast("double") / F.count("*")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+@query(
+    "label_centroid_similarity",
+    oracle="""
+    WITH x AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * 1000000000 + 0.5) AS BIGINT) AS iv
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, pos, sum(iv) AS s, count(*) AS n FROM x GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS ce
+      FROM c GROUP BY 1
+    ),
+    nc AS (
+      SELECT label, ce, sqrt(list_dot_product(ce, ce)) AS nrm FROM cent
+    )
+    SELECT CAST(a.label AS INTEGER) AS label_a,
+           CAST(b.label AS INTEGER) AS label_b,
+           round(list_dot_product(a.ce, b.ce) / (a.nrm * b.nrm), 6)
+             AS cos_sim
+    FROM nc a JOIN nc b ON a.label < b.label
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding CENTROIDS —
+    the cluster-separation / source-drift report read before trusting a
+    labeling or merging data sources. Summation-order trap (the reason
+    naive avg() centroids can't hash-pin): each component is accumulated
+    as 1e9-scaled BIGINTs (exact, order-independent — the established
+    embedding integerization), and the centroid pays one deterministic
+    int->double division per dimension; dot products then run as
+    sequential folds in dimension order on both engines. Per-dimension
+    aggregation rows keep every buffer bounded (|labels| x dim), and the
+    pairwise stage touches only |labels|^2/2 centroid pairs — trivially
+    broadcast at any corpus size."""
+    from ..extensions.similarity import dot
+
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("pos", "v"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v") * 1000000000 + 0.5).cast("bigint").alias("iv"),
+    )
+    c = x.groupBy("label", "pos").agg(
+        F.sum("iv").alias("s"), F.count("*").alias("n")
+    )
+    cent = c.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pos", (F.col("s").cast("double") / F.col("n")).alias("cv")
+                )
+            )
+        )
+        .getField("cv")
+        .alias("ce")
+    )
+    nc = cent.select(
+        "label", "ce", F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm")
+    )
+    a = nc.select(
+        F.col("label").alias("label_a"),
+        F.col("ce").alias("cea"),
+        F.col("nrm").alias("nrma"),
+    )
+    b = nc.select(
+        F.col("label").alias("label_b"),
+        F.col("ce").alias("ceb"),
+        F.col("nrm").alias("nrmb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            F.round(
+                dot(F.col("cea"), F.col("ceb"))
+                / (F.col("nrma") * F.col("nrmb")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

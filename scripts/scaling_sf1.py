@@ -73,6 +73,9 @@ HEAVY = [
     "window_rank_family",
     "rolling_zscore_anomaly",
     "cube_order_stats",
+    # round-7 tail: the 5-gram decontamination join is the only new
+    # corpus-scale candidate generator this round.
+    "split_contamination_ngrams",
     "json_extract_agg",
     "topk_per_group",
     "approx_percentile_check",

@@ -1,0 +1,218 @@
+"""Degenerate-input pins for the round-7 advanced queries — shapes the
+oracle fixtures can't reach (first-event purchases, exact half-weight
+medians, boundary-day intervals, constant CUSUM series, shingle-free eval
+docs, identical/orthogonal centroids). Happy paths are oracle-checked by
+scripts/check_correctness.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from certified_dogs_and_cats_spark.queries import advanced as adv
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING",
+    )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT",
+    )
+
+
+def test_attribution_first_event_purchase_is_none(spark, monkeypatch):
+    """A purchase with NO preceding event credits 'none'; a later purchase
+    credits the latest preceding NON-purchase even when another purchase
+    sits in between (purchases never self-attribute)."""
+    t0 = dt.datetime(2024, 1, 1)
+
+    def step(s):
+        return t0 + dt.timedelta(minutes=s)
+
+    rows = [
+        (1, step(0), 7, "purchase", 10.0, "{}"),   # first event: none
+        (2, step(1), 7, "view", 0.0, "{}"),
+        (3, step(2), 7, "purchase", 20.0, "{}"),   # -> view
+        (4, step(3), 7, "purchase", 30.0, "{}"),   # still -> view
+        (5, step(4), 8, "click", 0.0, "{}"),
+        (6, step(5), 8, "error", 0.0, "{}"),
+        (7, step(6), 8, "purchase", 5.0, "{}"),    # -> error (latest)
+    ]
+    monkeypatch.setattr(adv, "t", lambda *_: _events(spark, rows))
+    got = {
+        r.channel: (r.n_purchases, r.attributed_value)
+        for r in adv.attribution_last_touch(spark, "unused").collect()
+    }
+    assert got == {
+        "none": (1, 10.0),
+        "view": (2, 50.0),
+        "error": (1, 5.0),
+    }
+
+
+def test_grouping_sets_four_strata_and_gid_bits(spark, monkeypatch):
+    """One order fans into exactly 4 output rows — detail (gid 0),
+    year subtotal (gid 1: status grouped away), status subtotal (gid 2),
+    grand total (gid 3) — with sentinel keys on the grouped-away cols."""
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 100.0, dt.datetime(2024, 3, 1), "1-URGENT")],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: orders)
+    rows = {
+        (r.o_year, r.o_orderstatus): (r.gid, r.n_orders, r.revenue)
+        for r in adv.grouping_sets_revenue(spark, "unused").collect()
+    }
+    assert rows == {
+        (2024, "O"): (0, 1, 100.0),
+        (2024, "ALL"): (1, 1, 100.0),
+        (-1, "O"): (2, 1, 100.0),
+        (-1, "ALL"): (3, 1, 100.0),
+    }
+
+
+def test_weighted_median_half_weight_boundary_takes_lower(spark, monkeypatch):
+    """With equal weights on two prices, 2*cum == total exactly at the
+    lower price — the DISC rule selects it (never interpolates); a heavy
+    weight on the high price pulls the median up to that input value."""
+    li = spark.createDataFrame(
+        [
+            # flag A: w=1 @10, w=1 @20 -> boundary -> 10
+            (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "A", "O", dt.datetime(2024, 1, 1)),
+            (1, 1, 1, 2, 1.0, 20.0, 0.0, 0.0, "A", "O", dt.datetime(2024, 1, 1)),
+            # flag B: w=1 @10, w=9 @20 -> median 20
+            (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "B", "O", dt.datetime(2024, 1, 1)),
+            (2, 1, 1, 2, 9.0, 20.0, 0.0, 0.0, "B", "O", dt.datetime(2024, 1, 1)),
+        ],
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,"
+        " l_linestatus STRING, l_shipdate TIMESTAMP",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: li)
+    got = {
+        r.flag: (r.weighted_median_price, r.total_weight)
+        for r in adv.weighted_median_price(spark, "unused").collect()
+    }
+    assert got == {"A": (10.0, 2), "B": (20.0, 10)}
+
+
+def test_concurrent_orders_inclusive_ship_day_and_cross_month(
+    spark, monkeypatch
+):
+    """An order is open THROUGH its last ship date (-1 lands the day
+    after), and an order spanning a month boundary raises the peak of
+    both months."""
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, dt.datetime(2024, 1, 30), "p"),
+            (2, 1, "O", 1.0, dt.datetime(2024, 1, 31), "p"),
+        ],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "O",
+             dt.datetime(2024, 2, 2)),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "O",
+             dt.datetime(2024, 1, 31)),
+        ],
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,"
+        " l_linestatus STRING, l_shipdate TIMESTAMP",
+    )
+    tables = {"orders": orders, "lineitem": li}
+    monkeypatch.setattr(adv, "t", lambda _s, _d, name: tables[name])
+    got = {
+        (r.o_year, r.o_month): r.peak_open
+        for r in adv.concurrent_orders_peak(spark, "unused").collect()
+    }
+    # Jan 31: both orders open -> peak 2. Feb 1-2: only order 1 open
+    # (order 2 shipped Jan 31, closes Feb 1... inclusive through ship day
+    # means its -1 delta lands Feb 1) -> Feb peak 1.
+    assert got[(2024, 1)] == 2
+    assert got[(2024, 2)] == 1
+
+
+def test_cusum_constant_series_ties_to_earliest_day(spark, monkeypatch):
+    """A constant daily series has S_i == 0 everywhere — the tie-break
+    pins the earliest day; a step series flags the last day of the old
+    level (where |S| peaks)."""
+    orders = spark.createDataFrame(
+        [
+            # year 2024: constant 10.00/day over 3 days
+            (1, 1, "O", 10.0, dt.datetime(2024, 1, 1), "p"),
+            (2, 1, "O", 10.0, dt.datetime(2024, 1, 2), "p"),
+            (3, 1, "O", 10.0, dt.datetime(2024, 1, 3), "p"),
+            # year 2025: 10, 10, 40, 40 -> mean 25; |S| peaks at day 2
+            (4, 1, "O", 10.0, dt.datetime(2025, 1, 1), "p"),
+            (5, 1, "O", 10.0, dt.datetime(2025, 1, 2), "p"),
+            (6, 1, "O", 40.0, dt.datetime(2025, 1, 3), "p"),
+            (7, 1, "O", 40.0, dt.datetime(2025, 1, 4), "p"),
+        ],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: orders)
+    got = {
+        r.o_year: (r.change_day, r.cusum_cents)
+        for r in adv.cusum_changepoint(spark, "unused").collect()
+    }
+    assert got[2024] == (dt.date(2024, 1, 1), 0.0)
+    assert got[2025][0] == dt.date(2025, 1, 2)
+    # S_2 = (1000 + 1000) - 2*2500 = -3000 cents
+    assert got[2025][1] == pytest.approx(-3000.0)
+
+
+def test_contamination_short_eval_doc_never_contaminated(spark, monkeypatch):
+    """An eval doc with < 5 tokens yields no shingles — counted in
+    n_eval, never in n_contaminated; a verbatim train copy is flagged."""
+    rows = [
+        (10, "a b c d e f", "en", "srcA", 11),          # eval, contaminated
+        (20, "tiny doc", "en", "srcA", 8),              # eval, shingle-free
+        (3, "a b c d e f and extra words", "en", "srcB", 27),  # train
+        (40, "unrelated text entirely different words here", "en",
+         "srcB", 45),                                   # eval srcB, clean
+    ]
+    monkeypatch.setattr(adv, "t", lambda *_: _docs(spark, rows))
+    got = {
+        r.source: (r.n_eval, r.n_contaminated, r.contamination_rate)
+        for r in adv.split_contamination_ngrams(spark, "unused").collect()
+    }
+    assert got["srcA"] == (2, 1, 0.5)
+    assert got["srcB"] == (1, 0, 0.0)
+
+
+def test_centroid_similarity_identical_and_orthogonal(spark, monkeypatch):
+    """Two labels with identical centroids score 1.0; orthogonal
+    centroids score 0.0 — and averaging is exact (integer-scaled sums),
+    so 1.0 is exact, not approximately-1."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [3.0, 0.0], 0),   # centroid (2, 0)
+            (3, [2.0, 0.0], 1),   # centroid (2, 0) == label 0's
+            (4, [0.0, 5.0], 2),   # centroid (0, 5): orthogonal
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INTEGER",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: emb)
+    got = {
+        (r.label_a, r.label_b): r.cos_sim
+        for r in adv.label_centroid_similarity(spark, "unused").collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0
+    assert got[(1, 2)] == 0.0
