@@ -156,29 +156,67 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     'median price a unit actually sold at', robust where the row-median
     ignores volume. DISC selection (the median is one of the input
     prices bit-for-bit, the cross-engine-exact variant — interpolated
-    medians differ across engines): cumulative-weight window in price
-    order, then the first row where 2*cum >= total. Because cum is
-    nondecreasing in price order the qualifying set is a suffix, so
-    min(price) over it IS that first row — no second window needed.
-    Weights are exact integers; ties pinned on (price, okey, line)."""
+    medians differ across engines). Scale shape: a per-flag window in
+    raw price order would sort the corpus inside 3 partitions, so this
+    uses the repo's TWO-LEVEL prefix-sum form (packing_fill_rates):
+    weights aggregate to bounded price BUCKETS first, a bucket-scale
+    window locates the bucket holding the median and its preceding
+    cumulative weight, and only that one bucket's rows (price-pruned at
+    the scan by the broadcast-joined bucket bound) pay an exact in-
+    bucket cumulative window. Weights are exact integers; ties pinned
+    on (price, okey, line)."""
+    bucket_width = 100.0
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
         F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("w"),
         "l_orderkey",
         "l_linenumber",
+    ).withColumn(
+        "bkt", F.floor(F.col("price") / bucket_width).cast("bigint")
     )
+    bw = li.groupBy("flag", "bkt").agg(F.sum("w").alias("bw"))
+    wb = (
+        Window.partitionBy("flag")
+        .orderBy(F.asc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bw.select(
+        "flag",
+        "bkt",
+        "bw",
+        F.sum("bw").over(wb).alias("cumb"),
+        F.sum("bw").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    # First bucket whose end-cumulative crosses half the total weight:
+    # the qualifying set is a suffix in bkt order, so the struct-min
+    # picks exactly that bucket (and carries its stats along).
+    mb = (
+        cum.filter(2 * F.col("cumb") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min(F.struct("bkt", "cumb", "bw", "tw")).alias("m"))
+        .select(
+            F.col("flag").alias("mflag"),
+            F.col("m.bkt").alias("mbkt"),
+            (F.col("m.cumb") - F.col("m.bw")).alias("prev_cum"),
+            F.col("m.tw").alias("tw"),
+        )
+    )
+    inb = li.join(
+        F.broadcast(mb),
+        (li["flag"] == mb["mflag"]) & (li["bkt"] == mb["mbkt"]),
+    ).select("flag", "price", "w", "l_orderkey", "l_linenumber",
+             "prev_cum", "tw")
     wcum = (
         Window.partitionBy("flag")
         .orderBy(F.asc("price"), F.asc("l_orderkey"), F.asc("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wall = Window.partitionBy("flag")
-    c = li.select(
+    c = inb.select(
         "flag",
         "price",
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("w").over(wall).alias("tw"),
+        "tw",
+        (F.col("prev_cum") + F.sum("w").over(wcum)).alias("cw"),
     )
     return (
         c.filter(2 * F.col("cw") >= F.col("tw"))
@@ -357,17 +395,23 @@ _SHINGLES5_CTE = """
 """
 
 
+_EVAL_PRED = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+    " < 10"
+)
+
+
 @query(
     "split_contamination_ngrams",
     oracle=f"""
     WITH {_SHINGLES5_CTE},
     train_sh AS (
-      SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 10 != 0
+      SELECT DISTINCT shingle FROM sh5 WHERE NOT ({_EVAL_PRED})
     ),
     contaminated AS (
       SELECT DISTINCT s.doc_id
       FROM sh5 s JOIN train_sh USING (shingle)
-      WHERE s.doc_id % 10 = 0
+      WHERE {_EVAL_PRED.replace("doc_id", "s.doc_id")}
     )
     SELECT d.source,
            CAST(count(*) AS BIGINT) AS n_eval,
@@ -376,7 +420,7 @@ _SHINGLES5_CTE = """
              AS contamination_rate
     FROM documents d
     LEFT JOIN contaminated c ON c.doc_id = d.doc_id
-    WHERE d.doc_id % 10 = 0
+    WHERE {_EVAL_PRED.replace("doc_id", "d.doc_id")}
     GROUP BY 1
     """,
 )
@@ -384,8 +428,12 @@ def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval split decontamination report: which held-out documents
     share a verbatim word-5-gram with ANY training document — the
     benchmark-contamination check every LLM data pipeline runs before
-    trusting an eval split. The split is a pure function of doc_id
-    (doc_id % 10 = 0 is eval), so it is backfill-stable. Plan: the
+    trusting an eval split. The split is the repo's id-hash-percentile
+    convention (hash_bucket(doc_id) < 10 is eval — the same buckets
+    sample_hash_split uses), a pure function of doc_id that is backfill-
+    stable AND uncorrelated with any data column — a raw `doc_id % k`
+    split silently correlates with source in round-robin-keyed corpora,
+    exactly the leak this report exists to catch. Plan: the
     hashed shingle relation splits into eval/train sides, a LEFT SEMI
     join on the 8-byte shingle key marks contaminated eval docs (no pair
     fan-out — semi joins short-circuit per key, so a common shingle
@@ -393,10 +441,11 @@ def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the shingle-table shuffle the dedup family already pays,
     reused for governance."""
     from ..extensions.dedup import word_shingles
+    from ..extensions.sampling import hash_bucket
 
     docs = t(spark, sf_dir, "documents")
     sh5 = word_shingles(docs, "doc_id", "text", n=5, as_hash=True)
-    is_eval = F.col("doc_id") % 10 == 0
+    is_eval = hash_bucket("doc_id", 100) < 10
     train_sh = sh5.filter(~is_eval).select("shingle").distinct()
     contaminated = (
         sh5.filter(is_eval)

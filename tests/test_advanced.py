@@ -178,12 +178,14 @@ def test_cusum_constant_series_ties_to_earliest_day(spark, monkeypatch):
 
 def test_contamination_short_eval_doc_never_contaminated(spark, monkeypatch):
     """An eval doc with < 5 tokens yields no shingles — counted in
-    n_eval, never in n_contaminated; a verbatim train copy is flagged."""
+    n_eval, never in n_contaminated; a verbatim train copy is flagged.
+    (ids 2/9/10 hash into the eval decile — md5 first-8-hex % 100 gives
+    5/6/0; id 3 gives 10, train.)"""
     rows = [
-        (10, "a b c d e f", "en", "srcA", 11),          # eval, contaminated
-        (20, "tiny doc", "en", "srcA", 8),              # eval, shingle-free
+        (2, "a b c d e f", "en", "srcA", 11),           # eval, contaminated
+        (9, "tiny doc", "en", "srcA", 8),               # eval, shingle-free
         (3, "a b c d e f and extra words", "en", "srcB", 27),  # train
-        (40, "unrelated text entirely different words here", "en",
+        (10, "unrelated text entirely different words here", "en",
          "srcB", 45),                                   # eval srcB, clean
     ]
     monkeypatch.setattr(adv, "t", lambda *_: _docs(spark, rows))
