@@ -195,6 +195,11 @@ BENCH_QUERIES = [
     "cusum_changepoint",
     "split_contamination_ngrams",
     "label_centroid_similarity",
+    "cohort_ltv_curve",
+    "column_profile_orders",
+    "flesch_reading_scores",
+    "repeat_purchase_latency",
+    "knn_label_accuracy",
 ]
 
 

@@ -558,3 +558,335 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH fe AS (
+      SELECT user_id,
+             min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, p.week) / 7 AS INTEGER)
+               AS week_offset,
+             count(*) AS n_purchases, sum(cents) AS cents
+      FROM p JOIN fe f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week,
+           week_offset,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(sum(cents) OVER (PARTITION BY cohort_week
+                                 ORDER BY week_offset ASC
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
+             AS cum_revenue
+    FROM a
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-active week
+    (retention_cohorts' week grain), purchase revenue accumulated over
+    weeks-since-signup — the LTV triangle finance reads next to the
+    retention triangle (this adds the MONETARY axis). Revenue stays
+    BIGINT cents through the per-cohort cumulative window (exact,
+    order-independent) and pays one division at the output. The window
+    runs over the (cohort, offset) AGGREGATE — weeks, not events — so
+    the corpus-scale work is two hash aggregates and the user-keyed
+    first-touch join."""
+    e = t(spark, sf_dir, "events")
+    fe = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts").cast("date")).alias("cohort_week")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    a = (
+        p.join(fe, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_purchases"), F.sum("cents").alias("cents")
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy(F.asc("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return a.select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        (F.sum("cents").over(wcum).cast("double") / 100).alias(
+            "cum_revenue"
+        ),
+    )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\n    UNION ALL\n".join(
+    f"""    SELECT '{c}' AS column_name,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("column_profile_orders", oracle=_PROFILE_ORACLE)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (null count + exact NDV per column)
+    in ONE scan: Spark plans the multi-column count-distinct through a
+    single Expand (rows x |columns|, each tagged with one column's
+    value) feeding one aggregate — the same pass a warehouse's ANALYZE
+    TABLE ... COMPUTE STATISTICS runs, vs the oracle's 6 separate scans.
+    The Expand multiplies rows by |profiled columns|, the known and
+    accepted ANALYZE cost; per-column results unpivot via stack() into
+    the (column, stat) shape catalogs store."""
+    o = t(spark, sf_dir, "orders")
+    total = F.count("*")
+    aggs = [total.alias("__total__")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __total__ - __nn_{c}, __nd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_nulls, n_distinct)"
+        )
+    ).select(
+        "column_name",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )
+
+
+@query(
+    "flesch_reading_scores",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS w,
+             greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS snt,
+             len(regexp_extract_all(lower(text), '[aeiou]+')) AS syl
+      FROM documents
+    ),
+    a AS (
+      SELECT source, count(*) AS n_docs, sum(w) AS tw, sum(snt) AS ts,
+             sum(syl) AS ty
+      FROM s GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tw AS BIGINT) AS total_words,
+           206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
+                   - 84.6 * (CAST(ty AS DOUBLE) / tw) AS flesch_score
+    FROM a
+    """,
+)
+def flesch_reading_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Flesch Reading Ease per source — the readability
+    gate a training-data curator uses to drop boilerplate-heavy or
+    telegraphic sources. Syllables approximate as vowel GROUPS (the
+    standard regex heuristic), sentences as terminal-punctuation runs
+    with a floor of 1. Determinism: scores are computed from per-source
+    INTEGER sums (words/sentences/syllables) — a per-document score
+    averaged in floating point would be summation-order-dependent — so
+    the only float work is two divisions and the fixed Flesch constants,
+    identical IEEE on both engines. One map + one aggregate; nothing
+    here shuffles more than |sources| rows after the scan."""
+    docs = t(spark, sf_dir, "documents")
+    s = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0)).cast(
+                "bigint"
+            ),
+        ).alias("snt"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0)
+        ).cast("bigint").alias("syl"),
+    )
+    a = s.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").alias("tw"),
+        F.sum("snt").alias("ts"),
+        F.sum("syl").alias("ty"),
+    )
+    return a.select(
+        "source",
+        "n_docs",
+        F.col("tw").cast("bigint").alias("total_words"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("tw").cast("double") / F.col("ts"))
+            - F.lit(84.6) * (F.col("ty").cast("double") / F.col("tw"))
+        ).alias("flesch_score"),
+    )
+
+
+@query(
+    "repeat_purchase_latency",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(gap_days // 7 AS INTEGER) AS gap_week_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_days IS NOT NULL GROUP BY 1
+    """,
+)
+def repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-latency histogram: days between a customer's consecutive
+    orders, bucketed by week — the purchase-cadence distribution behind
+    replenishment and churn models. One lag window partitioned by
+    customer (high-cardinality key, healthy partitions at any scale),
+    integer day arithmetic, floor-division bucketing (Spark `div` ==
+    DuckDB `//` on the non-negative gaps), one small aggregate."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    g = o.select(
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap_days")
+    )
+    return (
+        g.filter(F.col("gap_days").isNotNull())
+        .groupBy(
+            F.expr("gap_days div 7").cast("int").alias("gap_week_bucket")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_gaps"))
+    )
+
+
+# k-NN classification check constants (the self-evaluation a curator runs
+# before trusting `label` for mixture sampling): same bounded query set
+# and k as the similarity family.
+_KNN_PRED = "vec_id % 100 = 0 AND vec_id < 5000"
+_KNN_K = 5
+
+
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM v
+          WHERE {_KNN_PRED}),
+    pairs AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.qe, v.e) / (q.qnrm * v.nrm), 6)
+               AS cos_sim
+      FROM q CROSS JOIN v WHERE v.vec_id != q.query_id
+    ),
+    top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC)
+                 AS rnk
+        FROM pairs
+      ) WHERE rnk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT t.query_id, l.label, count(*) AS c
+      FROM top t JOIN lab l ON l.vec_id = t.neighbor_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, label AS pred_label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, label ASC) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) FILTER (WHERE p.pred_label = l2.label) AS BIGINT)
+             AS n_correct,
+           CAST(count(*) FILTER (WHERE p.pred_label = l2.label) AS DOUBLE)
+             / count(*) AS accuracy
+    FROM pred p JOIN lab l2 ON l2.vec_id = p.query_id
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-vote accuracy: predict each held-out query vector's
+    label by majority vote of its top-k cosine neighbors and score
+    against the true label — the embedding-quality / label-coherence
+    check a curator runs before trusting cluster labels for mixture
+    sampling. Reuses the exact broadcast top-k (bounded |Q| contract)
+    from the similarity family; votes and the verdict are two
+    |Q|*k-sized aggregates. Vote ties break (count DESC, label ASC) on
+    both engines; accuracy is exact counting + one IEEE division."""
+    from ..extensions.similarity import as_double_vec, cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec("embedding").alias("e"))
+    q = v.filter(F.expr(_KNN_PRED))
+    top = cosine_topk(v, q, k=_KNN_K)
+    lab = emb.select("vec_id", "label")
+    votes = (
+        top.join(lab, top["neighbor_id"] == lab["vec_id"])
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    wpick = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(wpick))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    scored = pred.join(truth, "query_id")
+    hit = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count("*")).alias("accuracy"),
+    )

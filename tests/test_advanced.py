@@ -218,3 +218,105 @@ def test_centroid_similarity_identical_and_orthogonal(spark, monkeypatch):
     assert got[(0, 1)] == 1.0
     assert got[(0, 2)] == 0.0
     assert got[(1, 2)] == 0.0
+
+
+def test_cohort_ltv_accumulates_and_uses_first_touch_week(
+    spark, monkeypatch
+):
+    """Cohort week comes from the user's FIRST event (any type), and
+    revenue accumulates across week offsets within the cohort."""
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, t0, 7, "view", 0.0, "{}"),                     # cohort wk0
+        (2, t0 + dt.timedelta(days=2), 7, "purchase", 10.0, "{}"),  # off 0
+        (3, t0 + dt.timedelta(days=8), 7, "purchase", 5.0, "{}"),   # off 1
+        (4, t0 + dt.timedelta(days=15), 7, "purchase", 1.0, "{}"),  # off 2
+    ]
+    monkeypatch.setattr(adv, "t", lambda *_: _events(spark, rows))
+    got = {
+        r.week_offset: (r.n_purchases, r.cum_revenue)
+        for r in adv.cohort_ltv_curve(spark, "unused").collect()
+    }
+    assert got == {0: (1, 10.0), 1: (1, 15.0), 2: (1, 16.0)}
+
+
+def test_column_profile_counts_nulls_and_exact_ndv(spark, monkeypatch):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, dt.datetime(2024, 1, 1), None),
+            (2, 10, None, 5.0, dt.datetime(2024, 1, 1), "P1"),
+            (3, 20, "F", 7.0, dt.datetime(2024, 1, 2), "P1"),
+        ],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: orders)
+    got = {
+        r.column_name: (r.n_nulls, r.n_distinct)
+        for r in adv.column_profile_orders(spark, "unused").collect()
+    }
+    assert got["o_orderkey"] == (0, 3)
+    assert got["o_custkey"] == (0, 2)
+    assert got["o_orderstatus"] == (1, 2)
+    assert got["o_totalprice"] == (0, 2)
+    assert got["o_orderpriority"] == (1, 1)
+
+
+def test_flesch_sentence_floor_and_integer_sums(spark, monkeypatch):
+    """A doc with no terminal punctuation counts as ONE sentence; the
+    score derives from per-source integer sums (here exactly checkable
+    by hand)."""
+    rows = [
+        # 4 words, 1 sentence (floored), syllable groups: he-llo->2? No:
+        # vowel GROUPS: "go to the zoo" -> o,o,e,oo = 4 groups
+        (1, "go to the zoo", "en", "s", 13),
+    ]
+    monkeypatch.setattr(adv, "t", lambda *_: _docs(spark, rows))
+    r = adv.flesch_reading_scores(spark, "unused").collect()[0]
+    assert (r.n_docs, r.total_words) == (1, 4)
+    assert r.flesch_score == pytest.approx(
+        206.835 - 1.015 * (4 / 1) - 84.6 * (4 / 4)
+    )
+
+
+def test_repeat_purchase_single_order_customer_excluded(spark, monkeypatch):
+    """A one-order customer produces no gap; 6-day gaps land in bucket 0
+    and exactly-7-day gaps in bucket 1."""
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, dt.datetime(2024, 1, 1), "p"),   # single
+            (2, 2, "O", 1.0, dt.datetime(2024, 1, 1), "p"),
+            (3, 2, "O", 1.0, dt.datetime(2024, 1, 7), "p"),   # gap 6 -> b0
+            (4, 2, "O", 1.0, dt.datetime(2024, 1, 14), "p"),  # gap 7 -> b1
+        ],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: orders)
+    got = {
+        r.gap_week_bucket: r.n_gaps
+        for r in adv.repeat_purchase_latency(spark, "unused").collect()
+    }
+    assert got == {0: 1, 1: 1}
+
+
+def test_knn_vote_tie_breaks_to_smaller_label(spark, monkeypatch):
+    """All-identical vectors force cosine ties, so top-5 = lowest
+    neighbor ids; their labels [1,1,2,2,3] tie 1-vs-2 and the vote
+    breaks to label 1 == the query's true label -> accuracy 1.0."""
+    vec = [1.0, 0.0]
+    emb = spark.createDataFrame(
+        [
+            (0, vec, 1),   # query (vec_id % 100 == 0)
+            (1, vec, 1),
+            (2, vec, 1),
+            (3, vec, 2),
+            (4, vec, 2),
+            (5, vec, 3),
+            (6, vec, 9),   # outside top-5 by id tie-break
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INTEGER",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: emb)
+    r = adv.knn_label_accuracy(spark, "unused").collect()[0]
+    assert (r.n_queries, r.n_correct, r.accuracy) == (1, 1, 1.0)
