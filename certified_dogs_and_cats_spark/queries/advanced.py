@@ -492,6 +492,7 @@ def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_dot_product(a.ce, b.ce) / (a.nrm * b.nrm), 6)
              AS cos_sim
     FROM nc a JOIN nc b ON a.label < b.label
+    WHERE a.nrm > 0 AND b.nrm > 0
     """,
 )
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +549,10 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        # Components can cancel: a zero-norm centroid would turn the
+        # division into NaN/Inf (and differently across engines) — the
+        # same degenerate-vector guard the exact cosine paths use.
+        .filter((F.col("nrma") > 0) & (F.col("nrmb") > 0))
         .select(
             F.col("label_a").cast("int").alias("label_a"),
             F.col("label_b").cast("int").alias("label_b"),

@@ -320,3 +320,23 @@ def test_knn_vote_tie_breaks_to_smaller_label(spark, monkeypatch):
     monkeypatch.setattr(adv, "t", lambda *_: emb)
     r = adv.knn_label_accuracy(spark, "unused").collect()[0]
     assert (r.n_queries, r.n_correct, r.accuracy) == (1, 1, 1.0)
+
+
+def test_centroid_zero_norm_label_excluded(spark, monkeypatch):
+    """A label whose components cancel to the zero centroid is excluded
+    from every pair (the division guard) instead of emitting NaN."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [-1.0, 0.0], 0),   # label 0 centroid == (0, 0)
+            (3, [1.0, 0.0], 1),
+            (4, [0.0, 1.0], 2),
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INTEGER",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: emb)
+    got = {
+        (r.label_a, r.label_b): r.cos_sim
+        for r in adv.label_centroid_similarity(spark, "unused").collect()
+    }
+    assert got == {(1, 2): 0.0}
