@@ -130,6 +130,18 @@ AUDIT_QUERIES = [
     "source_vocab_overlap",
     "basket_brand_affinity",
     "rfm_customer_segments",
+    "attribution_last_touch",
+    "grouping_sets_revenue",
+    "weighted_median_price",
+    "concurrent_orders_peak",
+    "cusum_changepoint",
+    "split_contamination_ngrams",
+    "label_centroid_similarity",
+    "cohort_ltv_curve",
+    "column_profile_orders",
+    "flesch_reading_scores",
+    "repeat_purchase_latency",
+    "knn_label_accuracy",
 ]
 
 FLAGSHIP = "totals_by_year_type"
