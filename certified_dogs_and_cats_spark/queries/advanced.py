@@ -895,3 +895,150 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_correct"),
         (F.sum(hit).cast("double") / F.count("*")).alias("accuracy"),
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS marker_ratio
+      FROM tk GROUP BY 1
+    )
+    SELECT d.lang,
+           CASE WHEN r.marker_ratio >= 0.08 THEN 'en'
+                WHEN r.marker_ratio >= 0.04 THEN 'fr'
+                ELSE 'other' END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN r ON r.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix — the aggregate
+    report a curator reads before trusting either the corpus's metadata
+    labels or the classifier (text_lang_id gives the per-doc verdicts;
+    this is the |langs| x |preds| summary that shows WHERE they
+    disagree). Same marker-ratio heuristic and thresholds, one extra
+    |langs|^2-sized aggregate on top."""
+    from ..extensions.text import stopword_ratio
+
+    docs = t(spark, sf_dir, "documents")
+    r = stopword_ratio(docs, "doc_id", "text").withColumnRenamed(
+        "stop_ratio", "marker_ratio"
+    )
+    pred = (
+        F.when(F.col("marker_ratio") >= 0.08, "en")
+        .when(F.col("marker_ratio") >= 0.04, "fr")
+        .otherwise("other")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(r.select("doc_id", "marker_ratio"), "doc_id")
+        .groupBy("lang", pred.alias("lang_pred"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+@query(
+    "ngram_novelty_curve",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                  FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]),
+                             1, 15))::BIGINT AS shingle
+      FROM toks, UNNEST(range(0, len(a) - 2)) AS u(i)
+      WHERE len(a) >= 3
+    ),
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+    mx AS (SELECT max(doc_id) AS mid FROM documents)
+    SELECT CAST(first_doc * 10 // (mid + 1) AS INTEGER) AS corpus_decile,
+           CAST(count(*) AS BIGINT) AS n_novel_shingles
+    FROM first CROSS JOIN mx
+    GROUP BY 1
+    """,
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: how many shingles appear for the FIRST time
+    in each decile of the corpus (by doc_id, the ingest order) — flat
+    means new data still contributes new content, a collapsing tail
+    means the crawl is saturating and dedup should get more aggressive.
+    One aggregate over the shared memoized shingle table (min doc_id per
+    shingle — map-side partial mins), one broadcast scalar for the id
+    range, one 10-row aggregate. Spark `div` == DuckDB `//` integer
+    bucketing."""
+    from .dedup import shingles3
+
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles3(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    return (
+        first.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr("(first_doc * 10) div (mid + 1)")
+            .cast("int")
+            .alias("corpus_decile")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_novel_shingles"))
+    )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                  FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]),
+                             1, 15))::BIGINT AS shingle
+      FROM toks, UNNEST(range(0, len(a) - 2)) AS u(i)
+      WHERE len(a) >= 3
+    ),
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    shc AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN freq USING (shingle)
+      WHERE freq.df <= 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+    pairs AS (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+      FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+    )
+    SELECT CAST(floor(jac * 10) AS INTEGER) AS jaccard_band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration sweep: candidate-pair counts per Jaccard
+    band (floor(j*10): 0 = the shared-shingle noise floor, 9-10 = the
+    dup cluster) from ONE pass over the pair pipeline — the separation
+    a corpus owner reads to pick the dedup threshold, vs re-running the
+    join once per candidate threshold. Reuses the memoized shingle table and the same
+    df-capped candidate generator as dedup_ngram_jaccard; the band
+    decision floor(j*10) is one IEEE multiply on the exact-integer
+    division, identical both engines."""
+    from ..extensions.dedup import jaccard_pairs
+    from .dedup import MAX_SHINGLE_DF, shingles3
+
+    sh = shingles3(spark, sf_dir)
+    pairs = jaccard_pairs(sh, "doc_id", 0.0, max_shingle_df=MAX_SHINGLE_DF)
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_band")
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))

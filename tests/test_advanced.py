@@ -340,3 +340,75 @@ def test_centroid_zero_norm_label_excluded(spark, monkeypatch):
         for r in adv.label_centroid_similarity(spark, "unused").collect()
     }
     assert got == {(1, 2): 0.0}
+
+
+def test_lang_confusion_counts_cells(spark, monkeypatch):
+    """Marker-heavy docs predict en, marker-light fr, none other; the
+    matrix counts (declared, predicted) cells."""
+    rows = [
+        (1, "a the a the a the word word", "en", "s", 0),   # 6/8 -> en
+        (2, "a word word word word word word word word word"
+            " word word word word word word word word word word",
+         "en", "s", 0),                                     # 1/20 -> fr
+        (3, "word word word word", "fr", "s", 0),           # 0 -> other
+    ]
+    monkeypatch.setattr(adv, "t", lambda *_: _docs(spark, rows))
+    got = {
+        (r.lang, r.lang_pred): r.n_docs
+        for r in adv.lang_confusion_matrix(spark, "unused").collect()
+    }
+    assert got == {("en", "en"): 1, ("en", "fr"): 1, ("fr", "other"): 1}
+
+
+def test_ngram_novelty_first_appearance_decile(spark, monkeypatch):
+    """A shingle repeated later still counts only in the decile of its
+    FIRST appearance; a shingle unique to the last doc lands in the top
+    decile."""
+    rows = [
+        (0, "x y z", "en", "s", 5),      # shingle A first at doc 0
+        (5, "x y z", "en", "s", 5),      # repeat of A: not novel
+        (9, "p q r", "en", "s", 5),      # shingle B first at doc 9
+    ]
+    monkeypatch.setattr(adv, "t", lambda *_: _docs(spark, rows))
+    # bypass the process-wide memo (keyed on sf_dir, which is fake here)
+    import certified_dogs_and_cats_spark.queries.dedup as qd
+    from certified_dogs_and_cats_spark.extensions.dedup import word_shingles
+
+    monkeypatch.setattr(
+        qd, "shingles3",
+        lambda spark_, sf_: word_shingles(
+            _docs(spark, rows), "doc_id", "text", n=3, as_hash=True
+        ),
+    )
+    got = {
+        r.corpus_decile: r.n_novel_shingles
+        for r in adv.ngram_novelty_curve(spark, "unused").collect()
+    }
+    # max doc_id 9 -> decile = first_doc * 10 div 10 = first_doc
+    assert got == {0: 1, 9: 1}
+
+
+def test_threshold_sweep_bands_exact_and_noise(spark, monkeypatch):
+    """Exact duplicate docs land in band 10 (jaccard == 1.0); docs
+    sharing one of many shingles land in a low band."""
+    rows = [
+        (1, "a b c d e", "en", "s", 9),      # 3 shingles
+        (2, "a b c d e", "en", "s", 9),      # exact dup of 1 -> band 10
+        (3, "a b c x y z w", "en", "s", 13), # shares 1 of 5 w/ doc 1,2
+    ]
+    import certified_dogs_and_cats_spark.queries.dedup as qd
+    from certified_dogs_and_cats_spark.extensions.dedup import word_shingles
+
+    monkeypatch.setattr(
+        qd, "shingles3",
+        lambda spark_, sf_: word_shingles(
+            _docs(spark, rows), "doc_id", "text", n=3, as_hash=True
+        ),
+    )
+    got = {
+        r.jaccard_band: r.n_pairs
+        for r in adv.dedup_threshold_sweep(spark, "unused").collect()
+    }
+    # (1,2): jac 1.0 -> band 10. (1,3)/(2,3): inter 1, union 3+5-1=7 ->
+    # jac ~0.142 -> band 1.
+    assert got == {10: 1, 1: 2}
