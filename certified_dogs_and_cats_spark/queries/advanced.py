@@ -697,9 +697,11 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT source,
-             len(string_split(text, ' ')) AS w,
-             greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS snt,
-             len(regexp_extract_all(lower(text), '[aeiou]+')) AS syl
+             len(string_split(coalesce(text, ''), ' ')) AS w,
+             greatest(1, len(regexp_extract_all(coalesce(text, ''),
+                                                '[.!?]'))) AS snt,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '[aeiou]+')) AS syl
       FROM documents
     ),
     a AS (
@@ -727,17 +729,21 @@ def flesch_reading_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE on both engines. One map + one aggregate; nothing
     here shuffles more than |sources| rows after the scan."""
     docs = t(spark, sf_dir, "documents")
+    # coalesce once: NULL text would otherwise thread engine-specific
+    # NULL semantics through greatest()/size() (Spark ignores NULL args
+    # in greatest, other engines propagate).
+    txt = F.coalesce(F.col("text"), F.lit(""))
     s = docs.select(
         "source",
-        F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        F.size(F.split(txt, " ")).cast("bigint").alias("w"),
         F.greatest(
             F.lit(1).cast("bigint"),
-            F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0)).cast(
+            F.size(F.regexp_extract_all(txt, F.lit("[.!?]"), 0)).cast(
                 "bigint"
             ),
         ).alias("snt"),
         F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0)
+            F.regexp_extract_all(F.lower(txt), F.lit("[aeiou]+"), 0)
         ).cast("bigint").alias("syl"),
     )
     a = s.groupBy("source").agg(

@@ -412,3 +412,19 @@ def test_threshold_sweep_bands_exact_and_noise(spark, monkeypatch):
     # (1,2): jac 1.0 -> band 10. (1,3)/(2,3): inter 1, union 3+5-1=7 ->
     # jac ~0.142 -> band 1.
     assert got == {10: 1, 1: 2}
+
+
+def test_flesch_null_text_counts_as_empty(spark, monkeypatch):
+    """NULL text coalesces to '' (1 empty token, 1 floored sentence, 0
+    syllables) instead of threading engine-specific NULL semantics."""
+    rows = [
+        (1, None, "en", "s", 0),
+        (2, "go to the zoo", "en", "s", 13),
+    ]
+    monkeypatch.setattr(adv, "t", lambda *_: _docs(spark, rows))
+    r = adv.flesch_reading_scores(spark, "unused").collect()[0]
+    # sums: w = 1 + 4, snt = 1 + 1, syl = 0 + 4
+    assert (r.n_docs, r.total_words) == (2, 5)
+    assert r.flesch_score == pytest.approx(
+        206.835 - 1.015 * (5 / 2) - 84.6 * (4 / 5)
+    )
