@@ -136,6 +136,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(l_quantity + 0.5) AS BIGINT) AS w,
              l_orderkey, l_linenumber
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     c AS (
       SELECT flag, price, w,
@@ -166,7 +167,13 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket cumulative window. Weights are exact integers; ties pinned
     on (price, okey, line)."""
     bucket_width = 100.0
-    li = t(spark, sf_dir, "lineitem").select(
+    li = t(spark, sf_dir, "lineitem").filter(
+        # NULL price would order differently across engines (NULLS
+        # FIRST vs LAST) inside the cumulative windows; exclude rows
+        # that carry no price/weight signal at all.
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    ).select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
         F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("w"),
@@ -235,6 +242,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
              CAST(max(l.l_shipdate) AS DATE) AS d1
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate IS NOT NULL
       GROUP BY 1, 2
     ),
     deltas AS (
@@ -268,7 +276,12 @@ def concurrent_orders_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     spans = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.join(
+            # NULL ship dates would put a NULL day into the running
+            # window, whose sort position differs across engines.
+            li.filter(F.col("l_shipdate").isNotNull()),
+            o.o_orderkey == li.l_orderkey,
+        )
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
         .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
     )
