@@ -200,7 +200,6 @@ BENCH_QUERIES = [
     "flesch_reading_scores",
     "repeat_purchase_latency",
     "knn_label_accuracy",
-    "lang_confusion_matrix",
     "ngram_novelty_curve",
     "dedup_threshold_sweep",
 ]

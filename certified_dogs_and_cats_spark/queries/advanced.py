@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import dsum
 from .common import t
+from .dedup import MAX_SHINGLE_DF, _SHINGLES_CTE
 from .registry import query
 
 
@@ -453,11 +454,16 @@ def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     never multiplies rows), then one per-source aggregate. At 100 TB
     this is the shingle-table shuffle the dedup family already pays,
     reused for governance."""
+    from ..cache import tracked_persist
     from ..extensions.dedup import word_shingles
     from ..extensions.sampling import hash_bucket
 
     docs = t(spark, sf_dir, "documents")
-    sh5 = word_shingles(docs, "doc_id", "text", n=5, as_hash=True)
+    # Branched twice (train-side distinct, eval-side semi join): persist
+    # so the tokenize+explode+distinct shuffle runs once, not per branch.
+    sh5 = tracked_persist(
+        word_shingles(docs, "doc_id", "text", n=5, as_hash=True)
+    )
     is_eval = hash_bucket("doc_id", 100) < 10
     train_sh = sh5.filter(~is_eval).select("shingle").distinct()
     contaminated = (
@@ -593,7 +599,7 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a AS (
       SELECT f.cohort_week,
-             CAST(date_diff('day', f.cohort_week, p.week) / 7 AS INTEGER)
+             CAST(date_diff('day', f.cohort_week, p.week) // 7 AS INTEGER)
                AS week_offset,
              count(*) AS n_purchases, sum(cents) AS cents
       FROM p JOIN fe f USING (user_id)
@@ -632,7 +638,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.join(fe, "user_id")
         .groupBy(
             "cohort_week",
-            (F.datediff("week", "cohort_week") / 7)
+            F.expr("datediff(week, cohort_week) div 7")
             .cast("int")
             .alias("week_offset"),
         )
@@ -822,9 +828,10 @@ def repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # k-NN classification check constants (the self-evaluation a curator runs
 # before trusting `label` for mixture sampling): same bounded query set
-# and k as the similarity family.
-_KNN_PRED = "vec_id % 100 = 0 AND vec_id < 5000"
-_KNN_K = 5
+# and k as the similarity family — imported so a retuned fixture bound
+# changes both families in one place.
+from .similarity import K as _KNN_K  # noqa: E402
+from .similarity import QUERY_PRED as _KNN_PRED  # noqa: E402
 
 
 @query(
@@ -917,64 +924,9 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lang_confusion_matrix",
-    oracle="""
-    WITH tk AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ),
-    r AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
-                  AS DOUBLE) / count(*) AS marker_ratio
-      FROM tk GROUP BY 1
-    )
-    SELECT d.lang,
-           CASE WHEN r.marker_ratio >= 0.08 THEN 'en'
-                WHEN r.marker_ratio >= 0.04 THEN 'fr'
-                ELSE 'other' END AS lang_pred,
-           CAST(count(*) AS BIGINT) AS n_docs
-    FROM documents d JOIN r ON r.doc_id = d.doc_id
-    GROUP BY 1, 2
-    """,
-)
-def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared-vs-predicted language confusion matrix — the aggregate
-    report a curator reads before trusting either the corpus's metadata
-    labels or the classifier (text_lang_id gives the per-doc verdicts;
-    this is the |langs| x |preds| summary that shows WHERE they
-    disagree). Same marker-ratio heuristic and thresholds, one extra
-    |langs|^2-sized aggregate on top."""
-    from ..extensions.text import stopword_ratio
-
-    docs = t(spark, sf_dir, "documents")
-    r = stopword_ratio(docs, "doc_id", "text").withColumnRenamed(
-        "stop_ratio", "marker_ratio"
-    )
-    pred = (
-        F.when(F.col("marker_ratio") >= 0.08, "en")
-        .when(F.col("marker_ratio") >= 0.04, "fr")
-        .otherwise("other")
-    )
-    return (
-        docs.select("doc_id", "lang")
-        .join(r.select("doc_id", "marker_ratio"), "doc_id")
-        .groupBy("lang", pred.alias("lang_pred"))
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
-    )
-
-
-@query(
     "ngram_novelty_curve",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
-                  FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]),
-                             1, 15))::BIGINT AS shingle
-      FROM toks, UNNEST(range(0, len(a) - 2)) AS u(i)
-      WHERE len(a) >= 3
-    ),
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
     first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
     mx AS (SELECT max(doc_id) AS mid FROM documents)
     SELECT CAST(first_doc * 10 // (mid + 1) AS INTEGER) AS corpus_decile,
@@ -1011,21 +963,13 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_threshold_sweep",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
-                  FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]),
-                             1, 15))::BIGINT AS shingle
-      FROM toks, UNNEST(range(0, len(a) - 2)) AS u(i)
-      WHERE len(a) >= 3
-    ),
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
     freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
     shc AS (
       SELECT sh.doc_id, sh.shingle
       FROM sh JOIN freq USING (shingle)
-      WHERE freq.df <= 1000
+      WHERE freq.df <= {MAX_SHINGLE_DF}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
     pairs AS (
@@ -1054,7 +998,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision floor(j*10) is one IEEE multiply on the exact-integer
     division, identical both engines."""
     from ..extensions.dedup import jaccard_pairs
-    from .dedup import MAX_SHINGLE_DF, shingles3
+    from .dedup import shingles3
 
     sh = shingles3(spark, sf_dir)
     pairs = jaccard_pairs(sh, "doc_id", 0.0, max_shingle_df=MAX_SHINGLE_DF)

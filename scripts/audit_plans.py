@@ -142,7 +142,6 @@ AUDIT_QUERIES = [
     "flesch_reading_scores",
     "repeat_purchase_latency",
     "knn_label_accuracy",
-    "lang_confusion_matrix",
     "ngram_novelty_curve",
     "dedup_threshold_sweep",
 ]

@@ -342,24 +342,6 @@ def test_centroid_zero_norm_label_excluded(spark, monkeypatch):
     assert got == {(1, 2): 0.0}
 
 
-def test_lang_confusion_counts_cells(spark, monkeypatch):
-    """Marker-heavy docs predict en, marker-light fr, none other; the
-    matrix counts (declared, predicted) cells."""
-    rows = [
-        (1, "a the a the a the word word", "en", "s", 0),   # 6/8 -> en
-        (2, "a word word word word word word word word word"
-            " word word word word word word word word word word",
-         "en", "s", 0),                                     # 1/20 -> fr
-        (3, "word word word word", "fr", "s", 0),           # 0 -> other
-    ]
-    monkeypatch.setattr(adv, "t", lambda *_: _docs(spark, rows))
-    got = {
-        (r.lang, r.lang_pred): r.n_docs
-        for r in adv.lang_confusion_matrix(spark, "unused").collect()
-    }
-    assert got == {("en", "en"): 1, ("en", "fr"): 1, ("fr", "other"): 1}
-
-
 def test_ngram_novelty_first_appearance_decile(spark, monkeypatch):
     """A shingle repeated later still counts only in the decile of its
     FIRST appearance; a shingle unique to the last doc lands in the top
