@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "knn_label_accuracy",
     "ngram_novelty_curve",
     "dedup_threshold_sweep",
+    "supplier_pareto_8020",
+    "embedding_dim_variance",
+    "weekday_revenue_index",
 ]
 
 

@@ -1005,3 +1005,180 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_band")
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+
+
+@query(
+    "supplier_pareto_8020",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT l_suppkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_suppkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER () AS tot,
+             row_number() OVER (ORDER BY cents DESC, l_suppkey ASC) AS rnk,
+             count(*) OVER () AS n_suppliers
+      FROM r
+    )
+    SELECT CAST(min(rnk) AS BIGINT) AS suppliers_to_80pct,
+           CAST(min(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(min(rnk) AS DOUBLE) / min(n_suppliers)
+             AS supplier_share,
+           CAST(min(cum) AS DOUBLE) / min(tot) AS revenue_share
+    FROM c WHERE 5 * cum >= 4 * tot
+    """,
+)
+def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 read): how many top suppliers
+    carry 80% of revenue — the procurement-risk number next to the Gini
+    the token side already reports. The ranking window runs over the
+    SUPPLIER AGGREGATE (|suppliers| rows, dimension-scale at any corpus
+    size — the sanctioned global-window shape), the crossing test
+    5*cum >= 4*tot stays in exact integers (no 0.8 float literal), and
+    the first crossing row is the suffix minimum — same selection trick
+    as weighted_median_price. Lineitem pays one hash-aggregate shuffle,
+    nothing else touches corpus-scale data."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+        ).alias("cents")
+    )
+    worder = Window.orderBy(F.col("cents").desc(), F.asc("l_suppkey"))
+    wcum = worder.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = r.select(
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+        F.row_number().over(worder).alias("rnk"),
+        F.count("*").over(wall).alias("n_suppliers"),
+    )
+    return c.filter(5 * F.col("cum") >= 4 * F.col("tot")).agg(
+        F.min("rnk").cast("bigint").alias("suppliers_to_80pct"),
+        F.min("n_suppliers").cast("bigint").alias("n_suppliers"),
+        (F.min("rnk").cast("double") / F.min("n_suppliers")).alias(
+            "supplier_share"
+        ),
+        (F.min("cum").cast("double") / F.min("tot")).alias("revenue_share"),
+    )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS iv
+      FROM embeddings
+    ),
+    a AS (
+      SELECT dim, count(*) AS n, sum(iv) AS sx,
+             sum(iv * iv) AS sxx
+      FROM x GROUP BY 1
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(sx AS DOUBLE) / n / 1000000 AS mean_val,
+           CAST(n * sxx - sx * sx AS DOUBLE) / n / n / 1000000000000
+             AS variance
+    FROM a
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the feature
+    -health profile that catches dead dimensions (variance ~ 0, wasted
+    index capacity) and exploding ones (dominating every distance)
+    before an ANN index is trained on them. Exactness: components are
+    1e6-scaled BIGINTs, so n*sxx - sx^2 is exact integer arithmetic
+    (population variance without a float mean subtraction — the
+    numerically-unstable textbook pitfall AND a summation-order hazard);
+    the only float work is the final descale divisions. 1e6 scaling
+    bounds sum(iv^2) ~ |corpus| * 3.4e11 — inside BIGINT beyond 1e6
+    vectors (at larger corpora, shard the sum or widen to DECIMAL).
+    One posexplode + one (dim)-keyed aggregate; |dims| output rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("dim0", "v")
+    ).select(
+        # DuckDB's generate_subscripts is 1-based; mirror it.
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1000000 + 0.5).cast("bigint").alias("iv"),
+    )
+    a = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("iv").alias("sx"),
+        F.sum(F.col("iv") * F.col("iv")).alias("sxx"),
+    )
+    return a.select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("sx").cast("double") / F.col("n") / 1000000).alias(
+            "mean_val"
+        ),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            / F.col("n")
+            / F.col("n")
+            / 1000000000000
+        ).alias("variance"),
+    )
+
+
+@query(
+    "weekday_revenue_index",
+    oracle="""
+    WITH d AS (
+      SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    a AS (
+      SELECT dow, count(*) AS n, sum(cents) AS cents FROM d GROUP BY 1
+    ),
+    tot AS (SELECT sum(cents) AS tc, sum(n) AS tn FROM a)
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           (CAST(cents AS DOUBLE) / tc) / (CAST(n AS DOUBLE) / tn)
+             AS per_order_index
+    FROM a CROSS JOIN tot
+    """,
+)
+def weekday_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index: each weekday's share of revenue
+    relative to its share of orders (>1 = bigger baskets that day) —
+    the day-of-week profile behind staffing and campaign timing.
+    Engine trap pinned: Spark's dayofweek() is 1-7 Sunday-first while
+    DuckDB's is 0-6 Sunday-first — the Spark side subtracts 1 so both
+    emit the same 0-6 keys. Integer-cent sums, two exact divisions per
+    output row, 7-row broadcast of the grand total."""
+    o = t(spark, sf_dir, "orders")
+    d = o.select(
+        (F.dayofweek(F.to_date("o_orderdate")) - 1).alias("dow"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    a = d.groupBy("dow").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+    tot = a.agg(
+        F.sum("cents").alias("tc"), F.sum("n").alias("tn")
+    )
+    return a.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (
+            (F.col("cents").cast("double") / F.col("tc"))
+            / (F.col("n").cast("double") / F.col("tn"))
+        ).alias("per_order_index"),
+    )

@@ -144,6 +144,9 @@ AUDIT_QUERIES = [
     "knn_label_accuracy",
     "ngram_novelty_curve",
     "dedup_threshold_sweep",
+    "supplier_pareto_8020",
+    "embedding_dim_variance",
+    "weekday_revenue_index",
 ]
 
 FLAGSHIP = "totals_by_year_type"

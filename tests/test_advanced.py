@@ -410,3 +410,64 @@ def test_flesch_null_text_counts_as_empty(spark, monkeypatch):
     assert r.flesch_score == pytest.approx(
         206.835 - 1.015 * (5 / 2) - 84.6 * (4 / 5)
     )
+
+
+def test_pareto_crossing_is_exact_integer(spark, monkeypatch):
+    """Revenue 80/20 crossing uses 5*cum >= 4*tot in exact integers:
+    with suppliers at 80/10/10 the FIRST supplier alone crosses exactly
+    (5*80 == 4*100); ranking ties break by suppkey."""
+    li = spark.createDataFrame(
+        [
+            (1, 1, 10, 1, 1.0, 80.0, 0.0, 0.0, "A", "O",
+             dt.datetime(2024, 1, 1)),
+            (2, 1, 20, 1, 1.0, 10.0, 0.0, 0.0, "A", "O",
+             dt.datetime(2024, 1, 1)),
+            (3, 1, 30, 1, 1.0, 10.0, 0.0, 0.0, "A", "O",
+             dt.datetime(2024, 1, 1)),
+        ],
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,"
+        " l_linestatus STRING, l_shipdate TIMESTAMP",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: li)
+    r = adv.supplier_pareto_8020(spark, "unused").collect()[0]
+    assert (r.suppliers_to_80pct, r.n_suppliers) == (1, 3)
+    assert r.revenue_share == pytest.approx(0.8)
+
+
+def test_dim_variance_dead_dimension_is_zero(spark, monkeypatch):
+    """A constant dimension has EXACTLY zero variance (integer
+    sufficient statistics — no float-cancellation residue); a varying
+    dimension matches the population formula."""
+    emb = spark.createDataFrame(
+        [(1, [0.5, 0.1], 0), (2, [0.5, 0.3], 0)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INTEGER",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: emb)
+    got = {
+        r.dim: (r.mean_val, r.variance)
+        for r in adv.embedding_dim_variance(spark, "unused").collect()
+    }
+    assert got[1] == (0.5, 0.0)
+    assert got[2][0] == pytest.approx(0.2)
+    assert got[2][1] == pytest.approx(0.01)  # population var of {0.1,0.3}
+
+
+def test_weekday_index_keys_are_duckdb_convention(spark, monkeypatch):
+    """Spark dayofweek is 1-7 Sunday-first; the query emits DuckDB's 0-6
+    keys. 2024-01-07 is a Sunday -> dow 0; equal baskets -> index 1.0."""
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dt.datetime(2024, 1, 7), "p"),   # Sunday
+            (2, 1, "O", 10.0, dt.datetime(2024, 1, 8), "p"),   # Monday
+        ],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    monkeypatch.setattr(adv, "t", lambda *_: orders)
+    got = {
+        r.dow: (r.n_orders, r.revenue, r.per_order_index)
+        for r in adv.weekday_revenue_index(spark, "unused").collect()
+    }
+    assert got == {0: (1, 10.0, 1.0), 1: (1, 10.0, 1.0)}
