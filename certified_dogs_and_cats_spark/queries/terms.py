@@ -123,7 +123,7 @@ BM25_TERMS = ("join", "hash", "window")
 BM25_K = 10
 
 
-def _bm25_ctes() -> str:
+def _bm25_ctes(idf_mode: str = "rational") -> str:
     """The BM25 oracle CTE stack, GENERATED from BM25_TERMS/K1/B so the
     SQL can never drift from the Python constants the Spark side loops
     over. Ends in CTE ``r`` = (doc_id, n_terms_hit, score, rnk) where —
@@ -133,7 +133,15 @@ def _bm25_ctes() -> str:
     column, not the ``round(...) AS score`` alias, while Spark ranks by
     the rounded value — ranking in one CTE would be a latent
     cross-engine mismatch whenever two raw scores collide only after
-    rounding."""
+    rounding.
+
+    ``idf_mode="series_ln"`` swaps the rational Robertson idf core for
+    textbook ``ln(1 + core) = ln((2N+2)/(2df+1))`` evaluated with the
+    deterministic series (functions/detln.py) — the same IEEE op
+    sequence the Spark side runs, so even the ln-based score
+    hash-matches bit-for-bit."""
+    from ..functions.detln import series_ln_sql
+
     n = len(BM25_TERMS)
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(toks, x -> x = '{tm}')) AS BIGINT) AS tf{i}"
@@ -147,8 +155,15 @@ def _bm25_ctes() -> str:
     hits = " + ".join(
         f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(n)
     )
+    def idf(i: int) -> str:
+        if idf_mode == "series_ln":
+            return series_ln_sql(
+                f"(2 * stats.n_docs + 2)", f"(2 * stats.df{i} + 1)", "duck"
+            )
+        return f"((stats.n_docs - stats.df{i} + 0.5) / (stats.df{i} + 0.5))"
+
     score = "\n             + ".join(
-        f"((stats.n_docs - stats.df{i} + 0.5) / (stats.df{i} + 0.5))"
+        f"{idf(i)}"
         f" * ((b.tf{i} * ({BM25_K1} + 1.0)) / (b.tf{i} + {BM25_K1}"
         f" * (1.0 - {BM25_B} + {BM25_B} * b.dl / stats.avgdl)))"
         for i in range(n)
@@ -185,6 +200,7 @@ def _bm25_ctes() -> str:
 
 
 _BM25_CTES = _bm25_ctes()
+_BM25_LN_CTES = _bm25_ctes(idf_mode="series_ln")
 
 
 def _bm25_scored(
@@ -210,15 +226,19 @@ def _bm25_scored(
 
     ``idf_mode``: "rational" (default) is the repo's log-free Robertson
     core — bit-reproducible cross-engine, hash-pinned by the oracle;
-    "ln" is textbook Lucene-standard BM25, ``ln(1 + core)`` — what a
-    user comparing against Lucene/Elasticsearch expects. The ln wrapper
-    changes the multi-term SUM's ranking (it compresses idf spread),
-    and ln differs last-ulp across libms, so the textbook variant is
-    verified by a tolerance-based pytest, not an oracle hash."""
+    "series_ln" is textbook Lucene-standard BM25, ``ln(1 + core) =
+    ln((2N+2)/(2df+1))`` — what a user comparing against
+    Lucene/Elasticsearch expects — with ln evaluated by the
+    deterministic fixed-sequence series (functions/detln.py) so it too
+    is bit-reproducible cross-engine and oracle-hash-pinned (max
+    1.3e-12 relative deviation from libm ln; tolerance-pytested against
+    a pure-Python math.log replay in tests/test_retrieval.py)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if idf_mode not in ("rational", "ln"):
+    from ..functions.detln import series_ln_sql
+
+    if idf_mode not in ("rational", "series_ln"):
         raise ValueError(f"unknown idf_mode {idf_mode!r}")
     terms = list(BM25_TERMS if terms is None else terms)
     toks = F.split("text", " ")
@@ -250,8 +270,12 @@ def _bm25_scored(
     def term_score(i: int):
         tf = F.col(f"tf{i}")
         dfc = F.col(f"df{i}")
-        core = (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
-        idf = core if idf_mode == "rational" else F.log(F.lit(1.0) + core)
+        if idf_mode == "rational":
+            idf = (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        else:
+            idf = F.expr(
+                series_ln_sql(f"(2 * n_docs + 2)", f"(2 * df{i} + 1)", "spark")
+            )
         return idf * (
             (tf * (k1 + F.lit(1.0)))
             / (
@@ -303,20 +327,27 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_scored(spark, sf_dir, BM25_K)
 
 
-@query("bm25_textbook_topk")  # no oracle: ln differs last-ulp across libms
+@query(
+    "bm25_textbook_topk",
+    oracle=f"""
+    WITH {_BM25_LN_CTES}
+    SELECT doc_id, n_terms_hit, score, rnk FROM r WHERE rnk <= {BM25_K}
+    """,
+)
 def bm25_textbook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEXTBOOK BM25 (Robertson/Lucene): the same single-scan plan as
     bm25_topk with the standard ``ln(1 + (N - df + 0.5)/(df + 0.5))``
     idf — the ranking a user comparing against Lucene/Elasticsearch
-    expects. Oracle-hash exactness is impossible cross-libm (DuckDB's
-    and the JVM's ln can differ in the last ulp, and a last-ulp score
-    difference can flip a rounding boundary or a tie-break), so this
-    entry takes the driver's rows-only check and is value-verified by a
-    tolerance-based pytest against a pure-Python replay
-    (tests/test_retrieval.py), plus a ranking-equivalence pin against
-    the log-free variant on single-term queries where the monotone ln
-    provably cannot reorder."""
-    return _bm25_scored(spark, sf_dir, BM25_K, idf_mode="ln")
+    expects. Native libm ``ln`` differs in the last ulp between the JVM
+    and DuckDB (enough to flip a round(.,6) boundary or tie-break), so
+    the idf argument is rewritten as the integer rational
+    ``(2N+2)/(2df+1)`` and ln is evaluated by the deterministic
+    fixed-IEEE-sequence series in functions/detln.py — identical
+    operation DAG in both engines, hence a REAL hash-compared oracle
+    row (1.3e-12 max relative deviation from libm ln, far inside the
+    round-to-6-digits quantum for these O(1..10) scores; deviation and
+    ranking additionally pinned by tests/test_retrieval.py)."""
+    return _bm25_scored(spark, sf_dir, BM25_K, idf_mode="series_ln")
 
 
 HYBRID_SHORTLIST = 30

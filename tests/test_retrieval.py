@@ -86,10 +86,11 @@ def test_bm25_textbook_matches_python_reference_within_tolerance(
     spark, monkeypatch
 ):
     """bm25_textbook_topk's ln-idf scores match a pure-Python Robertson/
-    Lucene BM25 replay to 1e-9 relative tolerance (oracle-hash exactness
-    is impossible cross-libm: two correct ln implementations may differ
-    in the last ulp — that is exactly why this variant is pytest-pinned
-    instead of DuckDB-hash-pinned)."""
+    Lucene BM25 replay (libm math.log) to 1e-9 relative tolerance: the
+    engine evaluates ln by the deterministic fixed-IEEE-sequence series
+    (functions/detln.py, max 1.3e-12 relative deviation from libm), so
+    textbook semantics hold to far tighter than the tolerance while the
+    score stays bit-identical cross-engine (oracle-hash-pinned)."""
     import math
 
     from certified_dogs_and_cats_spark.queries import terms as terms_mod
@@ -156,8 +157,46 @@ def test_bm25_textbook_single_term_ranking_matches_log_free(
         spark, "unused", k=10, idf_mode="rational", terms=("join",)
     )
     textbook = terms_mod._bm25_scored(
-        spark, "unused", k=10, idf_mode="ln", terms=("join",)
+        spark, "unused", k=10, idf_mode="series_ln", terms=("join",)
     )
     r_rank = [(r.rnk, r.doc_id) for r in rational.collect()]
     t_rank = [(r.rnk, r.doc_id) for r in textbook.collect()]
     assert r_rank == t_rank and len(r_rank) > 0
+
+
+def test_series_ln_bit_identical_cross_engine(spark):
+    """functions/detln.py's contract: the SAME (num, den) integer pair
+    produces the BIT-IDENTICAL double in Spark and DuckDB (and stays
+    within 5e-12 relative of libm ln) — the property that lets ln-based
+    scores carry a real value-hash oracle row."""
+    import math
+    import struct
+
+    import duckdb
+
+    from certified_dogs_and_cats_spark.functions.detln import series_ln_sql
+
+    pairs = [(2 * 60175 + 2, 2 * d + 1) for d in (1, 2, 3, 7, 40, 500,
+                                                  6000, 60175)]
+    pairs += [(3, 1), (2, 1), (10**12 + 7, 3), (5, 5), (17, 16)]
+    sdf = spark.createDataFrame(pairs, "num long, den long")
+    got_s = {
+        (r.num, r.den): r.v
+        for r in sdf.selectExpr(
+            "num", "den", f"{series_ln_sql('num', 'den', 'spark')} AS v"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(num BIGINT, den BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    got_d = {
+        (n, d): v
+        for n, d, v in con.execute(
+            "SELECT num, den, "
+            f"{series_ln_sql('num', 'den', 'duck')} FROM t"
+        ).fetchall()
+    }
+    for p in pairs:
+        assert struct.pack("<d", got_s[p]) == struct.pack("<d", got_d[p])
+        true = math.log(p[0] / p[1])
+        assert abs(got_s[p] - true) <= 5e-12 * max(1.0, abs(true))
