@@ -158,10 +158,38 @@ _DRIVER_PROVEN_FALLBACK = frozenset(
 _DRIVER_PROVEN = _proven_from_artifacts() or _DRIVER_PROVEN_FALLBACK
 
 
+def _stale_proven() -> frozenset[str]:
+    """Driver-proven queries whose IMPLEMENTATION changed after the
+    round that proved them: the committed QUERY_FINGERPRINTS.json holds
+    each query's fingerprint as of its green row (recorded by
+    scripts/record_fingerprints.py at end of round), and any divergence
+    from the current code sends the query back to the front of the
+    window — driver evidence tracks the code, not the name. An absent
+    or empty artifact disables the check (fresh checkouts must not spin
+    the whole registry to the front)."""
+    from . import fingerprints as fp
+
+    recorded = fp.recorded_fingerprints()
+    if not recorded:
+        return frozenset()
+    return frozenset(
+        fp.changed_since_recorded(
+            _DRIVER_PROVEN,
+            recorded=recorded,
+            current=fp.current_fingerprints(QUERIES, ORACLE),
+        )
+    )
+
+
+_STALE = _stale_proven()
+
+
 def _reorder_unproven_first() -> None:
-    ordered = [n for n in QUERIES if n not in _DRIVER_PROVEN] + [
-        n for n in QUERIES if n in _DRIVER_PROVEN
+    front = [
+        n for n in QUERIES if n not in _DRIVER_PROVEN or n in _STALE
     ]
+    front_set = set(front)
+    ordered = front + [n for n in QUERIES if n not in front_set]
     for d in (QUERIES, ORACLE):
         snap = dict(d)
         d.clear()

@@ -1,12 +1,15 @@
 """Driver-evidence budget guard: every query without a prior driver
-CORRECTNESS row must sit inside the driver's 50-row check window, or it
-can never earn one. Fails when additions overflow the budget — the fix
-is to retire a query or wait for the next round's proven-set update."""
+CORRECTNESS row — and every proven query whose IMPLEMENTATION changed
+since it was proven (stale fingerprint) — must sit inside the driver's
+50-row check window, or it can never (re-)earn evidence. Fails when
+additions overflow the budget — the fix is to retire a query or wait
+for the next round's proven-set update."""
 
 from __future__ import annotations
 
 from certified_dogs_and_cats_spark.queries import (
     _DRIVER_PROVEN,
+    _STALE,
     ORACLE,
     QUERIES,
 )
@@ -14,37 +17,123 @@ from certified_dogs_and_cats_spark.queries import (
 DRIVER_WINDOW = 50
 
 
+def _needs_evidence(name: str) -> bool:
+    return name not in _DRIVER_PROVEN or name in _STALE
+
+
 def test_unproven_queries_fill_driver_window():
-    """The window must never WASTE a slot: while any query lacks driver
-    evidence, every one of the 50 checked positions holds an unproven
-    query. More than 50 unproven (new queries added faster than one
-    round's budget) is allowed — the overflow is the LAST-registered
-    ones, which queue for the next round — but a proven query sitting
-    inside the window while an unproven one waits outside is a bug."""
+    """The window must never WASTE a slot: while any query needs
+    (re-)proving, every one of the 50 checked positions holds such a
+    query. More than 50 is allowed — the overflow is the
+    LAST-registered ones, which queue for the next round — but a
+    settled query sitting inside the window while a needy one waits
+    outside is a bug."""
     names = list(QUERIES)
-    unproven = [n for n in names if n not in _DRIVER_PROVEN]
-    window = names[: min(DRIVER_WINDOW, len(unproven))]
-    wasted = [n for n in window if n in _DRIVER_PROVEN]
-    assert not wasted, f"proven queries occupying window slots: {wasted}"
-    overflow = unproven[DRIVER_WINDOW:]
-    assert overflow == [n for n in names[DRIVER_WINDOW:] if n not in _DRIVER_PROVEN], (
-        "overflowed unproven queries must be the last-registered ones"
-    )
-
-
-# The documented rows-only set: queries whose VALUES cannot be oracle-hash
-# compared for a stated cross-engine reason, each carrying its own
-# verification elsewhere. Additions here must justify themselves in the
-# query docstring.
-ROWS_ONLY = {
-    # ln() differs last-ulp across libms; value-verified by a tolerance
-    # pytest vs a pure-Python replay (tests/test_retrieval.py).
-    "bm25_textbook_topk",
-}
+    needy = [n for n in names if _needs_evidence(n)]
+    window = names[: min(DRIVER_WINDOW, len(needy))]
+    wasted = [n for n in window if not _needs_evidence(n)]
+    assert not wasted, f"settled queries occupying window slots: {wasted}"
+    overflow = needy[DRIVER_WINDOW:]
+    assert overflow == [
+        n for n in names[DRIVER_WINDOW:] if _needs_evidence(n)
+    ], "overflowed queries must be the last-registered ones"
 
 
 def test_every_query_has_oracle_and_unique_name():
     assert set(ORACLE) <= set(QUERIES)
-    # every registered query carries an oracle EXCEPT the explicit
-    # rows-only allowlist (weaker driver check, pytest-verified values)
-    assert set(QUERIES) - set(ORACLE) == ROWS_ONLY
+    # Every registered query carries a DuckDB oracle — the round-8
+    # series-ln rewrite (functions/detln.py) closed the last rows-only
+    # entry (bm25_textbook_topk), so the allowlist is now EMPTY; any new
+    # exception must re-argue its case here.
+    assert set(QUERIES) == set(ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint re-entry rule (VERDICT r7 ask #2): driver evidence tracks
+# the CODE, not the name.
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_covers_function_source_and_oracle():
+    """Editing either the Spark callable or its oracle SQL must change
+    the fingerprint (both sides of the contract need re-proving)."""
+    from certified_dogs_and_cats_spark.queries.fingerprints import (
+        query_fingerprint,
+    )
+
+    def q_v1(spark, sf_dir):
+        return 1
+
+    def q_v2(spark, sf_dir):
+        return 2
+
+    base = query_fingerprint(q_v1, "SELECT 1")
+    assert query_fingerprint(q_v2, "SELECT 1") != base
+    assert query_fingerprint(q_v1, "SELECT 2") != base
+    assert query_fingerprint(q_v1, "SELECT 1") == base  # deterministic
+
+
+def test_fingerprint_covers_extension_module_dependency():
+    """A query whose body imports a package extension must embed that
+    module's file hash — the round-7 gap: `fuzzy_name_pairs` was
+    rewritten in extensions/dedup.py without its queries/ wrapper
+    changing, and kept its stale green row."""
+    from certified_dogs_and_cats_spark.queries import formats
+    from certified_dogs_and_cats_spark.queries.fingerprints import (
+        _file_sha,
+        _gather,
+    )
+
+    _, _, deps = _gather(formats.fuzzy_name_pairs)
+    assert "certified_dogs_and_cats_spark.extensions.dedup" in deps
+    # and the dep participates via its FILE hash, so any edit flips it
+    import certified_dogs_and_cats_spark.extensions.dedup as dmod
+
+    assert len(_file_sha(dmod.__file__)) == 64
+
+
+def test_fingerprint_covers_same_module_helpers():
+    """bm25_textbook_topk delegates to _bm25_scored; editing the helper
+    must invalidate the query even though the query's own 2-line body
+    is unchanged."""
+    from certified_dogs_and_cats_spark.queries import terms
+    from certified_dogs_and_cats_spark.queries.fingerprints import _gather
+
+    sources, consts, deps = _gather(terms.bm25_textbook_topk)
+    assert any("_bm25_scored" in s for s in sources)
+    # constants the scorer reads are value-pinned
+    assert any("BM25_K1=1.2" in c for c in consts)
+    # and the series-ln module is a captured dependency
+    assert "certified_dogs_and_cats_spark.functions.detln" in deps
+
+
+def test_stale_fingerprint_reenters_window():
+    """The rotation front = unproven + stale-proven: a proven query
+    recorded with a mismatching fingerprint must be ordered before
+    settled proven queries."""
+    from certified_dogs_and_cats_spark.queries.fingerprints import (
+        changed_since_recorded,
+    )
+
+    current = {"a": "fp_a", "b": "fp_b", "c": "fp_c"}
+    recorded = {"a": "fp_a", "b": "OLD", "c": ""}
+    assert changed_since_recorded(
+        ["a", "b", "c"], recorded=recorded, current=current
+    ) == {"b", "c"}
+    # unrecorded = changed (never proven at this code)
+    assert changed_since_recorded(
+        ["d"], recorded=recorded, current={"d": "x"}
+    ) == {"d"}
+
+
+def test_recorded_artifact_is_current_for_settled_queries():
+    """QUERY_FINGERPRINTS.json must stay in sync with the tree: every
+    driver-proven query not deliberately re-entered this round matches
+    its recorded fingerprint (i.e. _STALE is an intentional, small set
+    — a huge stale set means someone forgot to run
+    scripts/record_fingerprints.py after changing implementations)."""
+    assert _STALE <= _DRIVER_PROVEN
+    assert len(_STALE) <= DRIVER_WINDOW // 2, (
+        f"{len(_STALE)} stale fingerprints — re-record or justify: "
+        f"{sorted(_STALE)[:10]}"
+    )
