@@ -129,6 +129,29 @@ def _value_hash_sample(df: DataFrame, col: str, fraction: float, seed: int) -> D
     return df.filter(bucket < F.lit(int(fraction * 1_000_000)))
 
 
+def _absolute_train_fraction(
+    corpus: DataFrame, train_fraction: float, train_limit: int | None
+) -> float:
+    """The FAISS training contract: KMeans centroid/codebook quality
+    SATURATES with sample size, so index (re)builds should pay a
+    BOUNDED absolute sample — never a constant fraction, which at the
+    100 TB target turns every rebuild into max_iter passes over tens of
+    TB. ``train_limit`` converts to the fraction that yields ~that many
+    rows using the corpus row count (a zero-column parquet scan:
+    footer-metadata-sized, not a data read), then composes with any
+    explicit ``train_fraction`` by taking the smaller. The selection
+    stays a value-hash filter — a pure function of row values, so the
+    trained model is identical on any partition layout."""
+    if train_limit is None:
+        return train_fraction
+    if train_limit <= 0:
+        raise ValueError(f"train_limit must be positive, got {train_limit}")
+    n = corpus.count()
+    if n <= train_limit:
+        return min(train_fraction, 1.0)
+    return min(train_fraction, train_limit / n)
+
+
 def _rank_topk(pairs: DataFrame, k: int, round_digits: int) -> DataFrame:
     """Shared scoring + ranking tail of every search strategy: rounded
     cosine from the (qe, ne, qnrm, nnrm) pair columns, deterministic
@@ -300,6 +323,7 @@ def build_ivf_index(
     train_fraction: float = 1.0,
     init_mode: str = "k-means||",
     local_train_cap: int = 100_000,
+    train_limit: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Learned IVF index: KMeans centroids + per-vector inverted-list id.
 
@@ -324,6 +348,9 @@ def build_ivf_index(
     """
     spark = corpus.sparkSession
     sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    train_fraction = _absolute_train_fraction(
+        corpus, train_fraction, train_limit
+    )
     if train_fraction < 1.0:
         sample = _value_hash_sample(sample, "v", train_fraction, seed)
     probe = sample.limit(local_train_cap + 1).collect()
@@ -461,6 +488,7 @@ def train_pq_codebooks(
     train_fraction: float = 1.0,
     shared: bool = False,
     local_train_cap: int = 100_000,
+    train_limit: int | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al., TPAMI'11): split the
     vector into ``m`` contiguous subspaces and train an independent
@@ -506,6 +534,9 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
     sample = corpus.select(F.col(vec_col))
+    train_fraction = _absolute_train_fraction(
+        corpus, train_fraction, train_limit
+    )
     if train_fraction < 1.0:
         sample = _value_hash_sample(sample, vec_col, train_fraction, seed)
     probe = (
@@ -713,6 +744,7 @@ def build_ivfpq_index(
     max_iter: int = 10,
     train_fraction: float = 1.0,
     shared_codebook: bool = True,
+    train_limit: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """IVF-PQ composite index (Jégou et al., TPAMI'11 §IV — the FAISS
     ``IVFx,PQy`` standard): coarse KMeans lists for pruning + product
@@ -727,6 +759,12 @@ def build_ivfpq_index(
     broadcast payloads, the codes table is 32-128x smaller than the
     corpus, and a search reads ~nprobe/n_centroids of it.
     """
+    # Resolve the absolute bound ONCE against the corpus (a zero-column
+    # metadata-sized count); the residual frame below is a join whose
+    # row count is identical, but counting it would execute the join.
+    train_fraction = _absolute_train_fraction(
+        corpus, train_fraction, train_limit
+    )
     indexed, centroids = build_ivf_index(
         corpus,
         n_centroids,

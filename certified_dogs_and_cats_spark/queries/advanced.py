@@ -891,12 +891,12 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the similarity family; votes and the verdict are two
     |Q|*k-sized aggregates. Vote ties break (count DESC, label ASC) on
     both engines; accuracy is exact counting + one IEEE division."""
-    from ..extensions.similarity import as_double_vec, cosine_topk
+    from .similarity import exact_topk_memo
 
     emb = t(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double_vec("embedding").alias("e"))
-    q = v.filter(F.expr(_KNN_PRED))
-    top = cosine_topk(v, q, k=_KNN_K)
+    # Same (sf_dir, k, pred) ground-truth set the ANN self-checks score
+    # against — built once per process, read back as parquet here.
+    top = exact_topk_memo(spark, sf_dir, k=_KNN_K, pred=_KNN_PRED)
     lab = emb.select("vec_id", "label")
     votes = (
         top.join(lab, top["neighbor_id"] == lab["vec_id"])

@@ -105,6 +105,44 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry a real hash-compared row instead of the weaker rows-only check.
 IVF_RECALL_BOUND = 0.6
 
+# The FAISS training contract (extensions.similarity._absolute_train_
+# fraction): every index (re)build trains KMeans on a BOUNDED absolute
+# sample — centroid/codebook quality saturates with sample size, so a
+# constant-fraction policy would pay max_iter passes over tens of TB at
+# the 100 TB target for zero quality gain. 1024 rows covers the corpus's
+# ~10 natural clusters with ~100 points each at every scale; below the
+# 500-row sf0.01 fixture it degrades to train-on-everything. Selection
+# is a value-hash filter (partition-layout-independent), so the trained
+# model — and the measured recall — replays identically anywhere.
+ANN_TRAIN_LIMIT = 1024
+
+
+def exact_topk_memo(
+    spark: SparkSession, sf_dir: str, k: int = K, pred: str = QUERY_PRED
+) -> DataFrame:
+    """The exact brute-force cosine top-k that every approximate search
+    self-verifies against, built ONCE per (sf_dir, k, pred) and
+    memoized to parquet (cache.memoized_parquet): four queries
+    (similarity_ivf_ann / pq / ivfpq, knn_label_accuracy) share the
+    identical baseline, and recomputing a corpus-sized exact scan per
+    consumer is pure verification overhead — a warehouse computes a
+    ground-truth set once per corpus snapshot and scores every index
+    against it. cosine_topk itself stays deterministic (value-hash-free
+    exact math), so the memo changes WHEN the work happens, never the
+    rows. similarity_cosine_topk (the benchmarked brute-force query)
+    deliberately does NOT use the memo — its per-call cost IS the
+    measurement."""
+    from ..cache import memoized_parquet
+
+    def _build() -> DataFrame:
+        v = _vectors(spark, sf_dir)
+        q = v.filter(F.expr(pred))
+        return cosine_topk(v, q, k=k)
+
+    return memoized_parquet(
+        spark, ("exact_topk", sf_dir, k, pred), _build, "exact_topk"
+    )
+
 
 @query(
     "similarity_ivf_ann",
@@ -129,7 +167,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build():
         v = _vectors(spark, sf_dir)
         indexed, centroids = build_ivf_index(
-            v, n_centroids=8, max_iter=8, train_fraction=0.25,
+            v, n_centroids=8, max_iter=8, train_limit=ANN_TRAIN_LIMIT,
             init_mode="random",
         )
         return {"indexed": indexed, "centroids": centroids}, None
@@ -139,7 +177,10 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids; every later call — and every benchmark repeat — pays
     # only the search, the cost a warehouse actually pays per query.
     frames, _ = memoized_build(
-        spark, ("ivf", sf_dir, 8, 8, 0.25, "random"), _build, "ivf_index"
+        spark,
+        ("ivf", sf_dir, 8, 8, ANN_TRAIN_LIMIT, "random"),
+        _build,
+        "ivf_index",
     )
     centroids = frames["centroids"]
     # The assigned corpus feeds four branches (query subset, IVF search,
@@ -148,7 +189,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = tracked_persist(frames["indexed"])
     q = indexed.filter(F.expr(QUERY_PRED)).select("vec_id", "e")
     approx = ivf_topk(indexed, centroids, q, k=K, nprobe=4)
-    exact = cosine_topk(indexed.select("vec_id", "e"), q, k=K)
+    exact = exact_topk_memo(spark, sf_dir)
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
@@ -354,18 +395,22 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark repeats pay only the search.
     def _build():
         books = train_pq_codebooks(
-            v, m=32, ksub=16, max_iter=5, train_fraction=0.5, shared=True
+            v, m=32, ksub=16, max_iter=5, train_limit=ANN_TRAIN_LIMIT,
+            shared=True,
         )
         codes = pq_encode(v, books).select("vec_id", "codes")
         return {"codes": codes}, books
 
     frames, books = memoized_build(
-        spark, ("pq", sf_dir, 32, 16, 5, 0.5, True), _build, "pq_index"
+        spark,
+        ("pq", sf_dir, 32, 16, 5, ANN_TRAIN_LIMIT, True),
+        _build,
+        "pq_index",
     )
     codes = frames["codes"]
     q = v.filter(F.expr(QUERY_PRED))
     approx = pq_topk(codes, books, q, k=K)
-    exact = cosine_topk(v, q, k=K)
+    exact = exact_topk_memo(spark, sf_dir)
     return _recall_summary(exact, approx, K, PQ_RECALL_BOUND)
 
 
@@ -418,14 +463,14 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=32,
             ksub=16,
             max_iter=5,
-            train_fraction=0.5,
+            train_limit=ANN_TRAIN_LIMIT,
             shared_codebook=True,
         )
         return {"codes": codes, "centroids": centroids}, books
 
     frames, books = memoized_build(
         spark,
-        ("ivfpq", sf_dir, IVFPQ_CENTROIDS, 32, 16, 5, 0.5, True),
+        ("ivfpq", sf_dir, IVFPQ_CENTROIDS, 32, 16, 5, ANN_TRAIN_LIMIT, True),
         _build,
         "ivfpq_index",
     )
@@ -434,7 +479,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivfpq_topk(
         codes, centroids, books, q, k=K, nprobe=IVFPQ_NPROBE
     )
-    exact = cosine_topk(v, q, k=K)
+    exact = exact_topk_memo(spark, sf_dir)
     return _recall_summary(exact, approx, K, IVFPQ_RECALL_BOUND)
 
 

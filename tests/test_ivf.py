@@ -247,3 +247,52 @@ def test_train_sample_is_partition_layout_independent(spark):
             sorted(tuple(r.centroid) for r in centroids.collect())
         )
     assert got[0] == got[1]
+
+
+def test_train_limit_bounds_absolute_sample(spark):
+    """The FAISS training contract (VERDICT r7 ask #3): train_limit
+    caps the KMeans training set at an ABSOLUTE size regardless of
+    corpus scale — the resolved fraction shrinks as the corpus grows,
+    so a rebuild at 100 TB pays a fixed-size fit, not max_iter passes
+    over a constant fraction of the corpus."""
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        _absolute_train_fraction,
+    )
+
+    small = spark.range(100).selectExpr("id AS vec_id")
+    big = spark.range(10_000).selectExpr("id AS vec_id")
+    # corpus under the limit -> train on everything
+    assert _absolute_train_fraction(small, 1.0, 1000) == 1.0
+    # corpus over the limit -> fraction yields ~limit rows
+    assert abs(_absolute_train_fraction(big, 1.0, 1000) - 0.1) < 1e-12
+    # composes with an explicit fraction by taking the smaller
+    assert _absolute_train_fraction(big, 0.05, 1000) == 0.05
+    # disabled -> pass-through
+    assert _absolute_train_fraction(big, 0.25, None) == 0.25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _absolute_train_fraction(big, 1.0, 0)
+
+
+def test_train_limit_trains_identically_across_layouts(spark):
+    """train_limit selection is the same value-hash filter as
+    train_fraction: identical centroids on any partition layout."""
+    import random
+
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        build_ivf_index,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    base = spark.createDataFrame(rows, "vec_id BIGINT, e ARRAY<DOUBLE>")
+    got = []
+    for df in (base.repartition(1), base.repartition(16, "vec_id")):
+        _, centroids = build_ivf_index(
+            df, n_centroids=3, train_limit=200, max_iter=5
+        )
+        got.append(sorted(tuple(r.centroid) for r in centroids.collect()))
+    assert got[0] == got[1]
