@@ -207,41 +207,65 @@ IMAGE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Decode image payloads to (width, height, mode) via Pillow.
+def decode_image(
+    df: DataFrame, id_col: str = "doc_id", codec: str = "auto"
+) -> DataFrame:
+    """Decode image payloads to (width, height, mode).
 
-    Optional-dependency path: raises at plan time with the dependency
-    spelled out when Pillow is absent (this container has no image
-    codecs); where Pillow IS present, the decode runs through the same
-    Arrow-batched ``mapInPandas`` boundary as :func:`decode_features` —
+    Codec routing — the Spark plumbing (Arrow-batched ``mapInPandas``,
     one Python crossing per batch, payload projected away, partitioning
-    preserved. Undecodable payloads yield ``decode_ok=false`` nulls
-    instead of failing the task (at corpus scale a poisoned byte string
-    must never kill the job).
+    preserved) is identical either way:
+
+    - ``"auto"`` (default): Pillow where installed (full format
+      coverage); otherwise the stdlib PNG decoder
+      (:mod:`extensions.minipng` — validating IHDR + IDAT-length
+      decode, no dependencies), under which non-PNG payloads decode as
+      ``decode_ok=false`` like any other undecodable bytes.
+    - ``"pillow"``: force Pillow; raises NotImplementedError at plan
+      time with the dependency spelled out when it is absent.
+    - ``"minipng"``: force the stdlib decoder (deterministic regardless
+      of environment).
+
+    Undecodable payloads yield ``decode_ok=false`` nulls instead of
+    failing the task (at corpus scale a poisoned byte string must never
+    kill the job).
     """
-    if not _HAS_PIL:
+    if codec not in ("auto", "pillow", "minipng"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if codec == "pillow" and not _HAS_PIL:
         raise NotImplementedError(
-            "decode_image requires Pillow (`pip install Pillow`); this "
-            "container has no image codecs. Use decode_features for the "
-            "codec-free feature path."
+            "decode_image(codec='pillow') requires Pillow (`pip install "
+            "Pillow`); this container has no image codecs. Use the "
+            "default codec='auto' for the stdlib PNG fallback, or "
+            "decode_features for the codec-free feature path."
         )
+    use_pil = codec == "pillow" or (codec == "auto" and _HAS_PIL)
     src = df.select(F.col(id_col).cast("long").alias("doc_id"), "payload")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         import pandas as pd  # executor-side import
-        from PIL import Image
+
+        if use_pil:
+            from PIL import Image
+
+            def one(raw: bytes) -> tuple[int, int, str]:
+                with Image.open(io.BytesIO(raw)) as im:
+                    return im.width, im.height, im.mode
+
+        else:
+            from .minipng import decode_png as one
 
         for pdf in batches:
             widths, heights, modes, oks = [], [], [], []
             for raw in pdf["payload"]:
                 try:
-                    with Image.open(io.BytesIO(bytes(raw))) as im:
-                        widths.append(im.width)
-                        heights.append(im.height)
-                        modes.append(im.mode)
-                        oks.append(True)
+                    w, h, mode = one(bytes(raw))
+                    widths.append(w)
+                    heights.append(h)
+                    modes.append(mode)
+                    oks.append(True)
                 except Exception:  # noqa: BLE001 — poisoned payload
                     widths.append(None)
                     heights.append(None)

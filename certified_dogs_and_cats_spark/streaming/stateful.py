@@ -60,40 +60,90 @@ def running_totals(
     )
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def stateful_topk(
-    stream: DataFrame, key_col: str, value_col: str, k: int = 3
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 3,
+    impl: str = "auto",
 ) -> DataFrame:
-    """Per-key running top-k values maintained across micro-batches, on
-    the Spark-4 ``transformWithStateInPandas`` API (the successor to
-    ``applyInPandasWithState``): state lives in NAMED TYPED variables on a
-    ``StatefulProcessorHandle`` (here one ValueState holding the current
-    top-k list) instead of a single untyped tuple, and the same processor
-    shape extends to ListState/MapState, per-variable TTL, timers, and
-    initial state without re-plumbing the operator.
+    """Per-key running top-k values maintained across micro-batches.
 
     Emits one row per key per micro-batch in which the key appears, with
     the top-k as of that batch (update semantics); the final emission per
     key equals the batch-world top-k.
 
-    Scale contract: state is O(k) per key in the state store (RocksDB —
-    this API REQUIRES the RocksDB state-store provider; set
-    ``spark.sql.streaming.stateStore.providerClass`` to
-    ``...state.RocksDBStateStoreProvider``), one key-shuffle per
-    micro-batch, Arrow-batched transfer either side of the fold.
+    Two interchangeable engines behind one operator contract:
 
-    Dependency gate: the transformWithState protocol talks protobuf
-    between the JVM and the Python driver worker, so the ``protobuf``
-    package must be importable where Spark runs Python workers; without
-    it the STREAM fails at initialization (the pytest covering this
-    operator importorskips on it, same pattern as the Pillow-gated image
-    codec).
+    - ``impl="tws"`` — the Spark-4 ``transformWithStateInPandas`` API
+      (the successor to ``applyInPandasWithState``): state lives in
+      NAMED TYPED variables on a ``StatefulProcessorHandle`` (one
+      ValueState holding the top-k list), and the same processor shape
+      extends to ListState/MapState, per-variable TTL, timers, and
+      initial state without re-plumbing. REQUIRES the RocksDB
+      state-store provider AND the ``protobuf`` package (the JVM <->
+      Python state protocol); raises NotImplementedError at plan time
+      when protobuf is absent.
+    - ``impl="apws"`` — ``applyInPandasWithState`` holding the same
+      O(k) list in a GroupState tuple: identical output schema and
+      update semantics, no extra dependencies (the protocol is pure
+      Arrow), works on the default state-store provider.
+    - ``impl="auto"`` (default) routes to tws where protobuf is
+      importable, apws otherwise — the operator's semantics are
+      testable in every environment (tests/test_streaming.py pins both
+      the routed result and the tws dependency raise, no skips).
+
+    Scale contract (both engines): state is O(k) per key in the state
+    store, one key-shuffle per micro-batch, Arrow-batched transfer
+    either side of the fold.
     """
+    if impl not in ("auto", "tws", "apws"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "auto":
+        impl = "tws" if _has_protobuf() else "apws"
+    out_schema = f"{key_col} long, topk array<double>"
+    if impl == "apws":
+        def fold(
+            key: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            import pandas as pd  # executor-side import
+
+            cur = list(state.get[0]) if state.exists else []
+            for pdf in pdfs:
+                cur.extend(float(x) for x in pdf[value_col].dropna())
+            cur = sorted(cur, reverse=True)[:k]
+            state.update((cur,))
+            yield pd.DataFrame({key_col: [key[0]], "topk": [cur]})
+
+        return stream.groupBy(key_col).applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType="vals array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if not _has_protobuf():
+        raise NotImplementedError(
+            "stateful_topk(impl='tws') requires the protobuf package "
+            "(`pip install protobuf`) — the transformWithState JVM <-> "
+            "Python state protocol. Use impl='auto'/'apws' for the "
+            "dependency-free applyInPandasWithState engine."
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-
-    out_schema = f"{key_col} long, topk array<double>"
 
     class TopK(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

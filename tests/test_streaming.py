@@ -268,24 +268,26 @@ def test_stream_merge_upsert_updates_and_inserts(spark, catalog, tmp_path):
     }
 
 
-def test_transform_with_state_topk_survives_microbatches(spark, tmp_path):
-    """transformWithStateInPandas (Spark 4 API): named typed state must
-    accumulate across micro-batches; the final emission per key equals
-    the batch-world top-k. Requires the RocksDB state-store provider and
-    the protobuf package (the JVM <-> Python state protocol)."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState requires the protobuf package",
+def test_stateful_topk_survives_microbatches(spark, tmp_path):
+    """stateful_topk (impl='auto'): per-key named state must accumulate
+    across micro-batches; the final emission per key equals the
+    batch-world top-k. Routed to transformWithStateInPandas where
+    protobuf is importable and to the dependency-free
+    applyInPandasWithState engine otherwise — the semantics run as a
+    REAL assertion in every environment (no skip)."""
+    from certified_dogs_and_cats_spark.streaming.stateful import (
+        _has_protobuf,
+        stateful_topk,
     )
-    from certified_dogs_and_cats_spark.streaming.stateful import stateful_topk
 
     key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    if _has_protobuf():  # the tws engine requires the RocksDB provider
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     try:
         src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
         write_csv(src, "d1.csv", [(1, "a", "2026-01-01 10:00:00", 5.0),
@@ -313,3 +315,27 @@ def test_transform_with_state_topk_survives_microbatches(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_stateful_topk_tws_dependency_gate(spark):
+    """Forcing the transformWithState engine without protobuf raises the
+    documented plan-time NotImplementedError (and with protobuf present
+    the forced path must plan cleanly) — a real assertion either way."""
+    import pytest
+
+    from certified_dogs_and_cats_spark.streaming.stateful import (
+        _has_protobuf,
+        stateful_topk,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS _id", "CAST(value AS DOUBLE) AS value")
+    )
+    if _has_protobuf():
+        stateful_topk(stream, "_id", "value", impl="tws")
+    else:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_topk(stream, "_id", "value", impl="tws")
+    with pytest.raises(ValueError, match="unknown impl"):
+        stateful_topk(stream, "_id", "value", impl="magic")
