@@ -307,29 +307,64 @@ def pack_token_stream(
     id_col: str,
     text_col: str,
     budget: int = 256,
+    bucket_size: int = 100_000,
 ) -> DataFrame:
     """Concatenate-and-cut sequence packing: documents are laid out in a
-    deterministic stream (ordered by id), and the stream is cut at every
-    ``budget`` tokens — exactly how LLM pretraining packs short documents
-    into fixed-length sequences with zero padding waste. Emits one row per
-    (bin, doc) overlap with the token count the doc contributes to that
-    bin; docs straddling a boundary appear in both bins.
+    deterministic stream (ordered by integer id), and the stream is cut
+    at every ``budget`` tokens — exactly how LLM pretraining packs short
+    documents into fixed-length sequences with zero padding waste. Emits
+    one row per (bin, doc) overlap with the token count the doc
+    contributes to that bin; docs straddling a boundary appear in both
+    bins.
 
-    Plan: one cumulative-sum window over doc token counts (ordered by id;
-    at 100 TB partition the stream — e.g. by split or shard — so the
-    running sum is per-shard, which is also what keeps bins shardable),
-    then a per-doc explode over the bins it spans. No shuffle of token
-    data — only (id, count) pairs move."""
+    Plan: the running sum over doc token counts is TWO-LEVEL, never a
+    global-ordered window over doc rows (which would single-partition
+    -sort the corpus at scale — the shape the plan audit forbids): docs
+    cumsum WITHIN contiguous ``id div bucket_size`` buckets (a
+    partitioned window), bucket totals — an aggregate-scale relation —
+    take the only unpartitioned window, and each doc's global offset is
+    local cumsum + broadcast bucket offset. Integer sums associate, so
+    the result is identical to the single global cumsum; structurally
+    it is per-bucket sorts plus one tiny offsets pass, then a per-doc
+    explode over the bins the doc spans. No shuffle of token data —
+    only (id, count) pairs move."""
     toks = F.size(F.split(F.col(text_col), " "))
-    d = df.select(F.col(id_col), toks.alias("n_tokens"))
-    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    d = df.select(
+        F.col(id_col),
+        toks.cast("bigint").alias("n_tokens"),
+        F.expr(f"{id_col} div {bucket_size}").alias("__bkt__"),
     )
-    d = d.select(
+    w_loc = (
+        Window.partitionBy("__bkt__")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = d.select(
         F.col(id_col),
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
-        F.sum("n_tokens").over(w).alias("end"),
+        "__bkt__",
+        F.sum("n_tokens").over(w_loc).alias("__lend__"),
+    )
+    w_off = Window.orderBy(F.col("__bkt__").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        d.groupBy("__bkt__")
+        .agg(F.sum("n_tokens").alias("__btot__"))
+        .select(
+            "__bkt__",
+            F.coalesce(F.sum("__btot__").over(w_off), F.lit(0)).alias(
+                "__boff__"
+            ),
+        )
+    )
+    d = loc.join(F.broadcast(off), "__bkt__").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("__lend__") + F.col("__boff__") - F.col("n_tokens")).alias(
+            "start"
+        ),
+        (F.col("__lend__") + F.col("__boff__")).alias("end"),
     )
     bins = F.explode(
         F.expr(f"sequence(floor(start / {budget}), floor((end - 1) / {budget}))")
