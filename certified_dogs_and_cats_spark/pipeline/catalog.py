@@ -560,12 +560,18 @@ class Catalog:
     def _commits_dir(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "commits")
 
-    def _load_manifest(self, name: str) -> list[dict]:
-        """The committed log: the ``manifest.json`` checkpoint plus any
-        per-version commit files a writer claimed but has not yet merged
-        into the checkpoint (crash window, or a concurrent committer) —
-        the commit files are the source of truth, the checkpoint is a
-        derived read optimization, exactly Delta's log/checkpoint split."""
+    def _load_log(self, name: str) -> list[dict]:
+        """The committed log AS STORED: the ``manifest.json`` checkpoint
+        plus any per-version commit files a writer claimed but has not
+        yet merged into the checkpoint (crash window, or a concurrent
+        committer) — the commit files are the source of truth, the
+        checkpoint is a derived read optimization, exactly Delta's
+        log/checkpoint split. Entries are in the DELTA form ``_commit``
+        writes (``add``/``remove`` file deltas vs the predecessor), so
+        the log's on-disk size is O(total files ever touched), never
+        O(versions x table size); legacy full-``files`` entries (older
+        logs, or externally crafted commit files) pass through and are
+        handled by :meth:`_load_manifest`'s replay as snapshot resets."""
         path = self._manifest_path(name)
         entries: list[dict] = []
         if os.path.isfile(path):
@@ -584,6 +590,33 @@ class Catalog:
                     entries.append(json.load(f))
             entries.sort(key=lambda e: e["version"])
         return entries
+
+    def _load_manifest(self, name: str) -> list[dict]:
+        """The committed log with each version's FULL file list
+        materialized: replays :meth:`_load_log`'s add/remove deltas
+        forward, attaching ``files`` to a COPY of every entry (the raw
+        log dicts stay delta-form — they are what checkpoints re-dump).
+        Consumers keep the simple per-version ``entry["files"]`` view;
+        the disk pays only deltas. A legacy entry already carrying
+        ``files`` resets the replay set (snapshot semantics), which also
+        grandfathers pre-delta logs byte-for-byte."""
+        return self._replay(self._load_log(name))
+
+    @staticmethod
+    def _replay(log: list[dict]) -> list[dict]:
+        out: list[dict] = []
+        running: set[str] = set()
+        for raw in log:
+            e = dict(raw)
+            if "files" in e:
+                running = set(e["files"])
+            else:
+                running = (running | set(e.pop("add", ()))) - set(
+                    e.pop("remove", ())
+                )
+                e["files"] = sorted(running)
+            out.append(e)
+        return out
 
     def _data_files(self, root: str) -> list[str]:
         """Relative paths of data files under ``root`` (hidden/_SUCCESS
@@ -631,7 +664,8 @@ class Catalog:
         cdir = self._commits_dir(name)
         os.makedirs(cdir, exist_ok=True)
         for _ in range(50):
-            manifest = self._load_manifest(name)
+            log = self._load_log(name)
+            manifest = self._replay(log)
             version = (manifest[-1]["version"] + 1) if manifest else 1
             if expected_base is not None and version != expected_base + 1:
                 # Row-level writes validate that the head is STILL the
@@ -669,11 +703,21 @@ class Catalog:
                 dvs = []
             else:
                 dvs = list(manifest[-1].get("dv", [])) if manifest else []
+            # Stored form is the DELTA vs the predecessor (Delta-log
+            # add/remove actions): a blind append's entry is O(its own
+            # staged files) however long the history, and the merged
+            # checkpoint is O(total files ever touched) instead of
+            # O(versions x table size) — the difference between flat and
+            # quadratic log growth under many small commits
+            # (scripts/scaling_lakehouse.py measures exactly this).
+            prev = set(manifest[-1]["files"]) if manifest else set()
+            cur = set(files)
             entry = {
                 "version": version,
                 "action": action,
                 "ts_ns": time.time_ns(),
-                "files": files,
+                "add": sorted(cur - prev),
+                "remove": sorted(prev - cur),
             }
             if dvs:
                 entry["dv"] = dvs
@@ -701,16 +745,18 @@ class Catalog:
                     ) from None
                 continue
             os.unlink(tmp)
-            # Merge the derived checkpoint. Racing checkpoint writers are
-            # benign: each writes its own full merged view atomically, the
-            # commit files cover whatever the loser's view misses.
-            manifest.append(entry)
+            # Merge the derived checkpoint (in DELTA form — the raw log
+            # plus this commit's delta entry). Racing checkpoint writers
+            # are benign: each writes its own full merged view
+            # atomically, the commit files cover whatever the loser's
+            # view misses.
+            log.append(entry)
             ctmp = (
                 self._manifest_path(name)
                 + f".tmp-{os.getpid()}-{time.time_ns()}"
             )
             with open(ctmp, "w") as f:
-                json.dump(manifest, f)
+                json.dump(log, f)
             os.replace(ctmp, self._manifest_path(name))
             return version
         raise ConcurrentWriteConflict(

@@ -1182,3 +1182,279 @@ def weekday_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") / F.col("tn"))
         ).alias("per_order_index"),
     )
+
+
+@query(
+    "nation_pair_trade_flows",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2
+    """,
+)
+def nation_pair_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade-flow matrix (TPC-H Q7 shape): revenue between
+    every (supplier nation, customer nation) pair, the query that joins
+    the SAME dimension twice in two roles — the self-aliased-dim pattern
+    a join optimizer must not collapse. Scale posture: nation (25 rows)
+    broadcasts on both sides; supplier and customer scale with the data
+    so they take no hint (AQE decides); the one unavoidable fact-fact
+    shuffle is lineitem x orders on the order key. Revenue uses the
+    exact DECIMAL-sum idiom so the total is partitioning-independent."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    sn = F.broadcast(n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    ))
+    cn = F.broadcast(n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    ))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "order_priority_return_rate",
+    oracle="""
+    WITH r AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    a AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_with_return
+      FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey
+      GROUP BY 1
+    )
+    SELECT priority, n_orders, n_with_return,
+           round(100.0 * n_with_return / n_orders, 2) AS return_pct
+    FROM a
+    """,
+)
+def order_priority_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders containing at least one returned line, per order priority
+    (the TPC-H Q4 EXISTS-subquery shape re-keyed to the return flag):
+    the existence test is a LEFT SEMI join — the plan every EXISTS
+    should compile to, never a count-then-filter that materializes all
+    matches. Scale posture: the returnflag filter is pushed into the
+    lineitem scan, the semi join ships only distinct order keys, and the
+    priority rollup is a 5-group aggregate."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    returned = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    flagged = o.select("o_orderkey", "o_orderpriority").join(
+        returned, "o_orderkey", "left_semi"
+    )
+    per = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    hits = (
+        flagged.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").cast("bigint").alias("n_with_return"))
+    )
+    out = per.join(hits, "priority", "left").fillna(
+        0, subset=["n_with_return"]
+    )
+    return out.select(
+        "priority",
+        "n_orders",
+        F.col("n_with_return").cast("bigint").alias("n_with_return"),
+        F.round(
+            F.lit(100.0) * F.col("n_with_return") / F.col("n_orders"), 2
+        ).alias("return_pct"),
+    )
+
+
+@query(
+    "cross_source_duplicate_matrix",
+    oracle="""
+    WITH h AS (
+      SELECT md5(substr(text, 1, 120)) AS hsh, source,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    cross_pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dup_pairs
+      FROM h a JOIN h b ON a.hsh = b.hsh AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    self_pairs AS (
+      SELECT source AS source_a, source AS source_b,
+             CAST(sum(c * (c - 1) / 2) AS BIGINT) AS dup_pairs
+      FROM h WHERE c >= 2 GROUP BY 1, 2
+    )
+    SELECT * FROM cross_pairs WHERE dup_pairs > 0
+    UNION ALL
+    SELECT * FROM self_pairs WHERE dup_pairs > 0
+    """,
+)
+def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources copy from which: exact-duplicate pair counts per
+    (source, source) cell, keyed on the md5 of the 120-char document
+    prefix (the boilerplate fingerprint: full-text md5 misses documents
+    that share openings but diverge in tails, and the prefix key is
+    what a survivor-priority pass blocks on) — the provenance
+    diagnostic run before deciding survivor priority in cross-source
+    dedup (keep the curated source, kill the scrape). One md5
+    hash-aggregate over the corpus,
+    then a self-join of the (hash, source, count) table on the hash —
+    co-partitioned by the groupBy, so no second corpus shuffle; the
+    duplicate-hash relation is corpus-shrunk before any pairing.
+    Within-source pairs are C(c,2); cross-source pairs multiply counts.
+    All-integer math."""
+    from ..cache import tracked_persist
+
+    h = tracked_persist(
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.md5(F.substring("text", 1, 120).cast("binary")).alias("hsh"),
+        )
+        .groupBy("hsh", "source")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    a = h.select(
+        "hsh", F.col("source").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = h.select(
+        "hsh", F.col("source").alias("source_b"), F.col("c").alias("cb")
+    )
+    cross = (
+        a.join(b, "hsh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dup_pairs"))
+    )
+    self_p = (
+        h.filter(F.col("c") >= 2)
+        .groupBy(
+            F.col("source").alias("source_a"),
+            F.col("source").alias("source_b"),
+        )
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("bigint")
+            .alias("dup_pairs")
+        )
+    )
+    return cross.filter(F.col("dup_pairs") > 0).unionByName(
+        self_p.filter(F.col("dup_pairs") > 0)
+    )
+
+
+from ..functions.detln import series_ln_sql as _series_ln_sql
+
+# ln(T/c) for the entropy sum, generated once per dialect from ONE
+# definition so the Spark expression and the DuckDB oracle can never
+# drift (functions/detln.py: deterministic fixed-IEEE-sequence series,
+# bit-identical across engines).
+_ENT_LN_SPARK = _series_ln_sql("n_total", "c", "spark")
+_ENT_LN_DUCK = _series_ln_sql("n_total", "c", "duck")
+
+
+@query(
+    "token_entropy_by_source",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS vocab
+            FROM cnt GROUP BY 1),
+    term AS (
+      SELECT cnt.source, tot.n_total, tot.vocab,
+             cnt.c * CAST(floor({_ENT_LN_DUCK} * 1e9 + 0.5e0) AS BIGINT)
+               AS contrib
+      FROM cnt JOIN tot USING (source)
+    )
+    SELECT source, min(n_total) AS n_tokens, min(vocab) AS vocab_size,
+           round((CAST(sum(CAST(contrib AS DECIMAL(38,0))) AS DOUBLE)
+                  / CAST(min(n_total) AS DOUBLE)) / 1e9, 6)
+             AS entropy_nats
+    FROM term GROUP BY 1
+    """,
+)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's unigram distribution —
+    the vocabulary-diversity score that separates natural text (high)
+    from templated/boilerplate sources (low) in corpus curation.
+    H = sum (c/T) ln(T/c) needs a logarithm, which the repo otherwise
+    bans (libm ln differs last-ulp across engines): here ln(T/c) is the
+    deterministic fixed-IEEE-sequence series over the INTEGER rational
+    (functions/detln.py), each term is quantized to a 1e9-scaled BIGINT
+    and summed as DECIMAL(38,0) — integer addition is associative, so
+    the sum is partitioning-independent and the final two divisions are
+    single IEEE ops. Scale shape: one token hash-aggregate, a tiny
+    per-source totals broadcast, one vocabulary-sized aggregate — the
+    corpus text never re-shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = tk.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    term = cnt.join(F.broadcast(tot), "source").select(
+        "source",
+        "n_total",
+        "vocab",
+        (
+            F.col("c")
+            * F.expr(
+                f"CAST(floor({_ENT_LN_SPARK} * 1e9 + 0.5e0) AS BIGINT)"
+            )
+        ).alias("contrib"),
+    )
+    return term.groupBy("source").agg(
+        F.min("n_total").alias("n_tokens"),
+        F.min("vocab").alias("vocab_size"),
+        F.round(
+            (
+                F.sum(F.col("contrib").cast("decimal(38,0)")).cast("double")
+                / F.min("n_total").cast("double")
+            )
+            / F.lit(1e9),
+            6,
+        ).alias("entropy_nats"),
+    )

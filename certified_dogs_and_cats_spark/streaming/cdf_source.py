@@ -48,7 +48,13 @@ class _FilePartition(InputPartition):
 
 def _load_manifest(meta_dir: str) -> list[dict]:
     """Commit files are the source of truth (same rule as
-    Catalog._load_manifest); the checkpoint is a read optimization."""
+    Catalog._load_manifest); the checkpoint is a read optimization.
+    Entries are stored in DELTA form (add/remove vs the predecessor —
+    see Catalog._commit); replay them to the per-version full ``files``
+    view this source plans from, honoring legacy full-``files`` entries
+    as snapshot resets (same replay rule as Catalog._replay — duplicated
+    here because this module runs inside Spark's Python data-source
+    worker with no Catalog instance)."""
     entries: list[dict] = []
     mpath = os.path.join(meta_dir, "manifest.json")
     if os.path.isfile(mpath):
@@ -64,7 +70,19 @@ def _load_manifest(meta_dir: str) -> list[dict]:
                     with open(os.path.join(cdir, fn)) as f:
                         entries.append(json.load(f))
         entries.sort(key=lambda e: e["version"])
-    return entries
+    out: list[dict] = []
+    running: set[str] = set()
+    for raw in entries:
+        e = dict(raw)
+        if "files" in e:
+            running = set(e["files"])
+        else:
+            running = (running | set(e.pop("add", ()))) - set(
+                e.pop("remove", ())
+            )
+            e["files"] = sorted(running)
+        out.append(e)
+    return out
 
 
 class CatalogChangesDataSource(DataSource):

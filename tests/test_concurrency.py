@@ -81,7 +81,7 @@ def test_overwrite_conflict_raises(spark, tmp_path):
     it, it must raise instead of silently clobbering the racer's commit."""
     cat = _mk(spark, tmp_path)
     cat.append("core.t", _rows(spark, [(1, "a")]))
-    real_load = cat._load_manifest
+    real_load = cat._load_log  # the raw reader _commit races through
 
     def racing_load(name):
         m = real_load(name)
@@ -97,10 +97,10 @@ def test_overwrite_conflict_raises(spark, tmp_path):
             m = m  # this writer still believes version v is free
         return m
 
-    cat._load_manifest = racing_load
+    cat._load_log = racing_load
     with pytest.raises(ConcurrentWriteConflict):
         cat.overwrite("core.t", _rows(spark, [(9, "z")]))
-    cat._load_manifest = real_load
+    cat._load_log = real_load
 
 
 def test_crash_window_commit_survives_without_checkpoint(spark, tmp_path):
