@@ -318,7 +318,15 @@ def test_knn_vote_tie_breaks_to_smaller_label(spark, monkeypatch):
         "vec_id BIGINT, embedding ARRAY<FLOAT>, label INTEGER",
     )
     monkeypatch.setattr(adv, "t", lambda *_: emb)
-    r = adv.knn_label_accuracy(spark, "unused").collect()[0]
+    # knn_label_accuracy reads its exact top-k through the SHARED memo
+    # (queries.similarity.exact_topk_memo), whose builder loads the
+    # embeddings via queries.similarity's own table loader — patch that
+    # too, and key the memo uniquely so the fabricated fixture can never
+    # be read back by another test's (sf_dir, k, pred) lookup.
+    from certified_dogs_and_cats_spark.queries import similarity as sim
+
+    monkeypatch.setattr(sim, "t", lambda *_: emb)
+    r = adv.knn_label_accuracy(spark, "unused-knn-tie").collect()[0]
     assert (r.n_queries, r.n_correct, r.accuracy) == (1, 1, 1.0)
 
 
