@@ -205,6 +205,14 @@ BENCH_QUERIES = [
     "supplier_pareto_8020",
     "embedding_dim_variance",
     "weekday_revenue_index",
+    # Round-8 additions: Q7-shape trade flows (double-role nation dim),
+    # EXISTS->LEFT SEMI return rate, prefix-fingerprint duplicate
+    # matrix, and series-ln token entropy (log-domain score under the
+    # value-hash gate).
+    "nation_pair_trade_flows",
+    "order_priority_return_rate",
+    "cross_source_duplicate_matrix",
+    "token_entropy_by_source",
 ]
 
 
