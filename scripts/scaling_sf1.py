@@ -103,6 +103,13 @@ HEAVY = [
     "source_vocab_overlap",
     "basket_brand_affinity",
     "rfm_customer_segments",
+    # round-8 tail: the Q7 double-role join, the prefix-fingerprint
+    # duplicate self-join, and the series-ln entropy aggregate are the
+    # only new corpus-scale shapes; knn rides the shared exact memo.
+    "nation_pair_trade_flows",
+    "cross_source_duplicate_matrix",
+    "token_entropy_by_source",
+    "knn_label_accuracy",
 ]
 REPEATS = 2
 
