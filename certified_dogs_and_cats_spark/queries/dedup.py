@@ -244,9 +244,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # where LSH-bucketed candidates exist (bits=4, t=0.3 -> 135 pairs at sf0.01);
 # the point pinned here is the algorithm: bucket-join candidates + exact
 # cosine verify, never all-pairs.
-NEAR_DUP_BITS = 4
-NEAR_DUP_PROBES = 2  # probe 0: dims 1-4, probe 1: dims 5-8
+NEAR_DUP_BITS = 4  # the sf0.01 resolution of _near_dup_bits (oracle-pinned)
+NEAR_DUP_PROBES = 2  # probe 0: dims 1-4, probe 1: dims 5-8 (at 4 bits)
 NEAR_DUP_THRESHOLD = 0.3
+
+
+def _near_dup_bits(n_rows: int) -> int:
+    """Count-scaled sign-LSH width — the scale contract
+    embedding_near_dup_pairs documents: per-bucket pair work is
+    ~(N/2^bits)^2, so FIXED bits grows candidates quadratically with the
+    corpus (the sf1 probe measured 12x per 10x rows at bits=4). One more
+    bit per doubling (bit_length - 6, clamped to [4, 16]) keeps expected
+    bucket occupancy — and therefore candidate growth — linear; the
+    recall cost of finer boundaries is paid back by the multi-probe OR.
+    Integer-exact (no libm), resolves to 4 at the sf0.01 oracle gate so
+    the committed SQL replays bit-for-bit there."""
+    return max(4, min(16, n_rows.bit_length() - 6))
 
 
 def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,7 +286,7 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = embedding_near_dup_pairs(
             e,
             NEAR_DUP_THRESHOLD,
-            bits=NEAR_DUP_BITS,
+            bits=_near_dup_bits(e.count()),
             n_probes=NEAR_DUP_PROBES,
         )
         return connected_components(pairs)
@@ -284,7 +297,7 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "near_dup_components",
             sf_dir,
             NEAR_DUP_THRESHOLD,
-            NEAR_DUP_BITS,
+            "count_scaled_bits",
             NEAR_DUP_PROBES,
         ),
         build,
@@ -333,7 +346,11 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe (OR of 2 independent sign-bucketings) near-dup pairs:
     candidates missed by a sign boundary in probe 0 are recovered when
-    probe 1's bit-selection agrees; exact cosine verifies once."""
+    probe 1's bit-selection agrees; exact cosine verifies once. Bucket
+    width is count-scaled (:func:`_near_dup_bits` — one more bit per
+    corpus doubling, resolved from a metadata-sized count) so per-bucket
+    candidate work stays linear in the corpus; at the sf0.01 oracle gate
+    the rule resolves to the committed SQL's 4 bits."""
     from ..extensions.dedup import embedding_near_dup_pairs
     from ..extensions.similarity import as_double_vec
 
@@ -341,7 +358,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_vec("embedding").alias("e")
     )
     return embedding_near_dup_pairs(
-        e, NEAR_DUP_THRESHOLD, bits=NEAR_DUP_BITS, n_probes=NEAR_DUP_PROBES
+        e,
+        NEAR_DUP_THRESHOLD,
+        bits=_near_dup_bits(e.count()),
+        n_probes=NEAR_DUP_PROBES,
     )
 
 
