@@ -142,3 +142,63 @@ def test_change_cursor_tails_incrementally(spark, tmp_path):
     # A fresh cursor object resumes from the durable offset.
     resumed = cat.change_cursor("core.t", "indexer")
     assert resumed.position() == 3
+
+
+def test_long_append_run_batches_into_one_attributed_read(spark, tmp_path):
+    """Round-8 batched replay: a run of consecutive append commits is
+    served by ONE read whose rows are attributed back to their commits
+    by source file — per-version rows must match exactly what the
+    per-version loop produced, including across an interleaved rewrite
+    that splits the run in two."""
+    cat = _mk(spark, tmp_path)
+    for i in range(1, 7):  # versions 1..6: one append run
+        cat.append("core.t", _rows(spark, [(i, f"a{i}")]))
+    cat.overwrite("core.t", _rows(spark, [(100, "ow")]))  # v7: rewrite
+    cat.append("core.t", _rows(spark, [(8, "tail")]))     # v8: new run
+    feed = _feed(cat.changes("core.t", from_version=0))
+    # appends 1..6 attributed one row per version
+    for i in range(1, 7):
+        assert (i, f"a{i}", "insert", i) in feed
+    # rewrite v7: snapshot diff deletes rows 1..6, inserts the overwrite
+    assert (100, "ow", "insert", 7) in feed
+    assert sum(1 for k, v, t, ver in feed if t == "delete" and ver == 7) == 6
+    # v8 rides the second batched run
+    assert (8, "tail", "insert", 8) in feed
+    # tailing from inside the first run attributes only the tail of it
+    mid = _feed(cat.changes("core.t", from_version=4, to_version=6))
+    assert mid == [(5, "a5", "insert", 5), (6, "a6", "insert", 6)]
+
+
+def test_replay_handles_legacy_full_files_entries(spark, tmp_path):
+    """A legacy commit entry carrying a full `files` list (pre-delta-log
+    format, or an externally crafted commit) acts as a snapshot reset in
+    the replay; later delta commits build on it and every consumer sees
+    consistent per-version file lists."""
+    import json
+    import os
+
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a")]))
+    # Craft a LEGACY full-form commit as version 2 (same live files).
+    m1 = cat._load_manifest("core.t")
+    with open(
+        os.path.join(cat._commits_dir("core.t"), f"{2:012d}.json"), "w"
+    ) as f:
+        json.dump(
+            {
+                "version": 2,
+                "action": "append",
+                "ts_ns": 1,
+                "files": m1[-1]["files"],
+            },
+            f,
+        )
+    cat.append("core.t", _rows(spark, [(3, "c")]))  # delta entry on top
+    m = cat._load_manifest("core.t")
+    assert [e["version"] for e in m] == [1, 2, 3]
+    assert set(m[1]["files"]) == set(m1[-1]["files"])
+    assert set(m[2]["files"]) > set(m[1]["files"])
+    # raw log keeps the delta form for v3 (storage stays O(delta))
+    raw = {e["version"]: e for e in cat._load_log("core.t")}
+    assert "files" in raw[2] and "add" in raw[3] and "files" not in raw[3]
+    assert sorted(r.k for r in cat.table("core.t").collect()) == [1, 3]
