@@ -39,6 +39,15 @@ _COLOR_TYPES = {0: ("L", 1), 2: ("RGB", 3), 3: ("P", 1), 4: ("LA", 2),
                 6: ("RGBA", 4)}
 
 
+#: Decode budget: reject images whose DECLARED decompressed size exceeds
+#: this (64 MiB). A corpus decode kernel runs on attacker-controlled
+#: bytes; a small zlib bomb declaring a huge IHDR (or lying about it)
+#: must fail the row, not OOM the executor — so the expected size is
+#: bounded BEFORE inflating and the inflater is hard-capped at the
+#: expected length (+1 to detect overrun) rather than trusted.
+MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
 def decode_png(data: bytes) -> tuple[int, int, str]:
     """Decode and validate a non-interlaced PNG; returns
     ``(width, height, mode)`` or raises ValueError."""
@@ -75,11 +84,21 @@ def decode_png(data: bytes) -> tuple[int, int, str]:
     if not idat:
         raise ValueError("no IDAT data")
     mode, samples = _COLOR_TYPES[color_type]
-    raw = zlib.decompress(bytes(idat))
     rowbytes = (width * samples * bit_depth + 7) // 8
-    if len(raw) != height * (1 + rowbytes):
+    expected = height * (1 + rowbytes)
+    if expected > MAX_DECODED_BYTES:
         raise ValueError(
-            f"IDAT length {len(raw)} != expected {height * (1 + rowbytes)}"
+            f"declared decoded size {expected} exceeds the "
+            f"{MAX_DECODED_BYTES}-byte decode budget"
+        )
+    # Cap the inflater at expected+1: a stream that inflates past the
+    # declared size is detected at one extra byte of cost, never by
+    # materializing the bomb.
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not (d.eof or d.flush() == b""):
+        raise ValueError(
+            f"IDAT length {len(raw)}+ != expected {expected}"
         )
     return width, height, mode
 

@@ -302,3 +302,47 @@ def test_audio_frame_energy_exact_and_short_payloads(spark):
     assert set(got) == {(2, 0), (2, 1)}  # doc 1 too short: no frames
     assert got[(2, 0)] == energy(exact[0:64])
     assert got[(2, 1)] == energy(exact[32:96])
+
+
+def test_minipng_rejects_decompression_bombs():
+    """Attacker-controlled payloads must fail the ROW, never the
+    executor: a tiny zlib bomb declaring a huge IHDR is rejected on the
+    declared size before inflating, and a stream inflating PAST its
+    declared size is cut off at one extra byte."""
+    import struct
+    import zlib
+
+    from certified_dogs_and_cats_spark.extensions import minipng
+    from certified_dogs_and_cats_spark.extensions.minipng import (
+        _chunk,
+        _SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    # 1) Declared size over budget: rejected pre-inflate.
+    big_ihdr = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0)
+    bomb = (
+        _SIGNATURE
+        + _chunk(b"IHDR", big_ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_png(bomb)
+
+    # 2) Small declared size, stream inflates far past it: the inflater
+    # is capped at expected+1 bytes, so the 16 MiB payload never
+    # materializes.
+    small_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    lying = (
+        _SIGNATURE
+        + _chunk(b"IHDR", small_ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * (16 * 1024 * 1024)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT length"):
+        decode_png(lying)
+
+    # 3) An honest image at the same dims still decodes.
+    assert decode_png(encode_png(2, 2, bytes(4), mode="L")) == (2, 2, "L")
