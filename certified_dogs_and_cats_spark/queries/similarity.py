@@ -105,6 +105,22 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry a real hash-compared row instead of the weaker rows-only check.
 IVF_RECALL_BOUND = 0.6
 
+
+def _ivf_lists(n_rows: int) -> int:
+    """Count-scaled inverted-list count, bounded below by the corpus's
+    cluster structure: the general rule at scale is lists ~ sqrt(N) (the
+    FAISS sizing heuristic — with nprobe fixed, the probed corpus
+    fraction then SHRINKS as the corpus grows instead of staying a
+    constant slice), but lists must never go finer than the data's
+    natural clusters while nprobe stays small: at the 2k-vector step 16
+    lists oversplit the ~10 loose clusters and measured recall fell to
+    0.46 < the 0.6 bound, while 8 lists hold 0.74. sqrt(N)/5.6 clamped
+    to [8, 64] keeps 8 lists through sf0.1 (bound-proven configs
+    unchanged, incl. the sf0.01 oracle gate) and starts shrinking the
+    probed fraction one decade up (25 lists at the sf1 probe: recall
+    1.00 at nprobe=4, a 0.16 scan fraction vs 0.50)."""
+    return max(8, min(64, round(n_rows**0.5 / 5.6)))
+
 # The FAISS training contract (extensions.similarity._absolute_train_
 # fraction): every index (re)build trains KMeans on a BOUNDED absolute
 # sample — centroid/codebook quality saturates with sample size, so a
@@ -157,17 +173,14 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import memoized_build
     from ..extensions.similarity import build_ivf_index, ivf_topk
 
-    # List count matched to the corpus's ~10 natural clusters (the
-    # labeled testdata): 16 lists OVERSPLIT them, leaving a query's true
-    # neighbors scattered across sub-lists and making recall a seed
-    # lottery (measured 0.36-0.68 across seeds); 8 lists with nprobe=4
-    # holds recall >= 0.64 for every seed tried at both sf steps. The
-    # general sizing rule at scale is lists ~ sqrt(N) BUT never finer
-    # than the corpus's cluster structure when nprobe must stay small.
+    lists = _ivf_lists(
+        t(spark, sf_dir, "embeddings").count()  # metadata-sized
+    )
+
     def _build():
         v = _vectors(spark, sf_dir)
         indexed, centroids = build_ivf_index(
-            v, n_centroids=8, max_iter=8, train_limit=ANN_TRAIN_LIMIT,
+            v, n_centroids=lists, max_iter=8, train_limit=ANN_TRAIN_LIMIT,
             init_mode="random",
         )
         return {"indexed": indexed, "centroids": centroids}, None
@@ -178,7 +191,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the search, the cost a warehouse actually pays per query.
     frames, _ = memoized_build(
         spark,
-        ("ivf", sf_dir, 8, 8, ANN_TRAIN_LIMIT, "random"),
+        ("ivf", sf_dir, lists, 8, ANN_TRAIN_LIMIT, "random"),
         _build,
         "ivf_index",
     )
