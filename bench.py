@@ -215,6 +215,21 @@ BENCH_QUERIES = [
     "token_entropy_by_source",
 ]
 
+# The curated list above keeps its review order (and the r01-envelope
+# continuity); every OTHER registered query that is plan-auditable
+# (queries/roster.py — not an e2e/export/stream-drain shape) is appended
+# in name order so bench coverage tracks the registry by default. A few
+# measured-since-early-rounds side-effectful queries (streaming drains,
+# export attestations) stay in the curated block above: bench times wall
+# clock, which is well-defined for them even though plans are not.
+from certified_dogs_and_cats_spark.queries.roster import (  # noqa: E402
+    auditable,
+)
+
+BENCH_QUERIES += sorted(
+    n for n in auditable(QUERIES) if n not in BENCH_QUERIES
+)
+
 
 REPEATS = 3
 
@@ -317,6 +332,22 @@ def main() -> None:
         del slim["queries"]
         slim["q"] = [round(timings[k], 2) for k in BENCH_QUERIES]
         slim["q_order"] = "bench.py:BENCH_QUERIES"
+        slim["queries_full"] = "BENCH_local.json"
+        payload = json.dumps(slim, separators=(",", ":"))
+    if len(payload) > 1900:
+        # Roster outgrew even the positional array (driver records only
+        # the last ~2000 chars of stdout): keep the aggregate metrics +
+        # the r01-comparable per-query array (fixed 21 entries) inline,
+        # full named map in BENCH_local.json.
+        slim = dict(base)
+        del slim["queries"]
+        slim["n_queries"] = len(BENCH_QUERIES)
+        slim["q_r01"] = [
+            round(timings[k], 2)
+            for k in sorted(r01)
+            if k in timings
+        ]
+        slim["q_r01_order"] = "sorted(r01) in bench.py"
         slim["queries_full"] = "BENCH_local.json"
         payload = json.dumps(slim, separators=(",", ":"))
     # Print the JSON line STRICTLY LAST: silence the JVM's log4j appender
