@@ -988,24 +988,51 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sorted-neighborhood width for record linkage candidates: each record
+# pairs with its RL_WINDOW successors in (name, partkey) order WITHIN its
+# (brand, size-band) block — N*RL_WINDOW candidates, linear in the corpus.
+RL_WINDOW = 10
+_RL_FIELDS = ("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+
+
+def _rl_leads_cte() -> str:
+    """Oracle leads CTE, GENERATED per offset so the SQL replays the
+    Spark window exactly (one branch per lead offset: a lateral k would
+    multiply the relation BEFORE the window and corrupt offsets)."""
+    over = (
+        "OVER (PARTITION BY p_brand, floor(p_size / 10) "
+        "ORDER BY p_name ASC NULLS LAST, p_partkey ASC NULLS LAST)"
+    )
+    branches = []
+    for k in range(1, RL_WINDOW + 1):
+        lead_cols = ",\n             ".join(
+            f"lead({c}, {k}) {over} AS b_{c}" for c in _RL_FIELDS
+        )
+        a_cols = ", ".join(f"{c} AS a_{c}" for c in _RL_FIELDS)
+        branches.append(
+            f"      SELECT {a_cols},\n             {lead_cols}\n      FROM p"
+        )
+    return "\n      UNION ALL\n".join(branches)
+
+
 @query(
     "record_linkage_scores",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT p_partkey, p_name, p_brand, p_type, p_size,
              p_retailprice FROM part
     ),
+    leads AS (
+{_rl_leads_cte()}
+    ),
     pairs AS (
-      SELECT CASE WHEN a.p_type = b.p_type THEN 3 ELSE 0 END
-             + CASE WHEN a.p_size = b.p_size THEN 2 ELSE 0 END
-             + CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 50.0
+      SELECT CASE WHEN a_p_type = b_p_type THEN 3 ELSE 0 END
+             + CASE WHEN a_p_size = b_p_size THEN 2 ELSE 0 END
+             + CASE WHEN abs(a_p_retailprice - b_p_retailprice) <= 50.0
                     THEN 2 ELSE 0 END
-             + CASE WHEN levenshtein(a.p_name, b.p_name) <= 15
+             + CASE WHEN levenshtein(a_p_name, b_p_name) <= 15
                     THEN 3 ELSE 0 END AS score
-      FROM p a JOIN p b
-        ON a.p_brand = b.p_brand
-       AND floor(a.p_size / 10) = floor(b.p_size / 10)
-       AND a.p_partkey < b.p_partkey
+      FROM leads WHERE b_p_partkey IS NOT NULL
     )
     SELECT CASE WHEN score >= 7 THEN 'match'
                 WHEN score >= 4 THEN 'possible'
@@ -1017,55 +1044,75 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter-style record linkage: candidate pairs from a
-    COMPOSED blocking key (brand x size-band, the
-    blocked_edit_distance_pairs pattern — never all-pairs, and never a
-    single-attribute block whose size grows linearly with the corpus and
-    whose pair count therefore grows quadratically), a weighted
+    """Fellegi-Sunter-style record linkage: sorted-neighborhood candidate
+    pairs WITHIN a composed (brand x size-band) block, a weighted
     multi-field agreement score (exact equality on type/size, price
     within a tolerance band, bounded edit distance on the name), and the
     three-way match / possible / non-match classification every
-    entity-resolution pipeline emits for clerical review. Candidacy
-    requires the same size DECADE (floor(size/10)) — equal-size pairs
-    are always co-banded, so the size agreement term is unaffected;
-    cross-band pairs are the blocking scheme's implicit non-matches and
-    are never materialized, which is the point of blocking. Integer
-    scores — the histogram hash-matches exactly. At scale the block key
-    comes from key_skew_report and the per-field weights from EM on
-    labeled pairs; the plan shape (composed block join + map-side
-    scoring + tiny histogram) is already the production one. Measured at
-    sf0.1: brand-only blocking generates 8.00M candidate pairs; the
-    composed key 1.55M (5.2x fewer; see PLANS.md)."""
+    entity-resolution pipeline emits for clerical review.
+
+    Candidate generation is the round-8 scale fix: the composed block
+    key alone has FIXED cardinality (|brands| x |bands|), so blocks grow
+    linearly with the corpus and in-block pairs quadratically — the
+    sf0.01->sf0.1 report measured this query at 7.8x per 10x rows, the
+    steepest on the roster, with the next decade uncovered. Each record
+    now pairs with exactly its RL_WINDOW successors in (name, partkey)
+    order within its block (Hernandez-Stolfo SIGMOD'95, the
+    fuzzy_sorted_neighborhood machinery): N*RL_WINDOW candidates —
+    LINEAR at any corpus size — and near-identical names sort adjacently
+    so the bounded-edit-distance matches stay in-window; the
+    clerical-review recall dial is RL_WINDOW (production runs multiple
+    passes with different sort keys). Plan: ONE block-sort shuffle, lead
+    structs, map-side scoring, tiny histogram. Integer scores; the
+    candidate order (name ASC NULLS LAST, partkey) is pinned so the
+    histogram hash-matches exactly."""
+    from pyspark.sql import Window
+
     p = t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
     )
-    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
-    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
-    pairs = a.join(
-        b,
-        (F.col("a_p_brand") == F.col("b_p_brand"))
-        & (
-            F.floor(F.col("a_p_size") / 10)
-            == F.floor(F.col("b_p_size") / 10)
-        )
-        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    w = Window.partitionBy(
+        "p_brand", F.floor(F.col("p_size") / 10)
+    ).orderBy(
+        F.col("p_name").asc_nulls_last(),
+        F.col("p_partkey").asc_nulls_last(),
     )
+    lead_structs = [
+        F.struct(
+            *[F.lead(F.col(c), k).over(w).alias(f"b_{c}") for c in _RL_FIELDS]
+        ).alias(f"n{k}")
+        for k in range(1, RL_WINDOW + 1)
+    ]
+    withleads = p.select(
+        *[F.col(c).alias(f"a_{c}") for c in _RL_FIELDS], *lead_structs
+    )
+    cand = withleads.select(
+        *[f"a_{c}" for c in _RL_FIELDS],
+        F.explode(
+            F.array(*[F.col(f"n{k}") for k in range(1, RL_WINDOW + 1)])
+        ).alias("nb"),
+    ).filter(F.col("nb.b_p_partkey").isNotNull())
     score = (
-        F.when(F.col("a_p_type") == F.col("b_p_type"), 3).otherwise(0)
-        + F.when(F.col("a_p_size") == F.col("b_p_size"), 2).otherwise(0)
+        F.when(F.col("a_p_type") == F.col("nb.b_p_type"), 3).otherwise(0)
+        + F.when(F.col("a_p_size") == F.col("nb.b_p_size"), 2).otherwise(0)
         + F.when(
-            F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice"))
+            F.abs(
+                F.col("a_p_retailprice") - F.col("nb.b_p_retailprice")
+            )
             <= 50.0,
             2,
         ).otherwise(0)
         # threshold arg: early-exits the DP once the bound is exceeded
         # (returns -1), bounding the hot loop on every candidate pair
         + F.when(
-            F.levenshtein(F.col("a_p_name"), F.col("b_p_name"), 15) != -1,
+            F.levenshtein(
+                F.col("a_p_name"), F.col("nb.b_p_name"), 15
+            )
+            != -1,
             3,
         ).otherwise(0)
     )
-    scored = pairs.select(score.alias("score"))
+    scored = cand.select(score.alias("score"))
     verdict = (
         F.when(F.col("score") >= 7, "match")
         .when(F.col("score") >= 4, "possible")

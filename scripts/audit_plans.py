@@ -285,20 +285,21 @@ def main() -> None:
     print()
     print("## Blocking-key audit: `record_linkage_scores`")
     print()
-    print("Candidate generation is blocked on a COMPOSED key, brand x")
-    print("size-band (`floor(p_size / 10)`), not brand alone. Measured")
-    print("candidate-pair counts at sf0.1 (DuckDB count over the join")
-    print("condition): brand-only **7,998,672** pairs vs composed")
-    print("**1,548,371** — 5.2x fewer, and the composed block size stays")
-    print("bounded by (brand x band) cardinality instead of growing")
-    print("linearly with the corpus (whose pair count grows quadratically")
-    print("per block — the same cliff fuzzy_name_matches measured:")
-    print("brand-only 8.4s vs composed key 0.8s at sf0.1). Equal-size")
-    print("pairs are always co-banded, so the size agreement term of the")
-    print("Fellegi-Sunter score is unaffected; cross-band pairs are the")
-    print("blocking scheme's implicit non-matches. The bounded levenshtein")
-    print("(threshold arg, DP early-exit at 15) still caps the hot loop on")
-    print("every surviving candidate.")
+    print("Candidate generation is SORTED-NEIGHBORHOOD within a COMPOSED")
+    print("block, brand x size-band (`floor(p_size / 10)`): each record")
+    print("pairs with exactly its RL_WINDOW=10 successors in (name,")
+    print("partkey) order inside its block — N x 10 candidates, LINEAR in")
+    print("the corpus. The block-join alternatives measured at sf0.1:")
+    print("brand-only **7,998,672** pairs, composed block join")
+    print("**1,548,371** (both quadratic per block as fixed-cardinality")
+    print("blocks fill — the composed join measured 7.8x per 10x rows,")
+    print("the roster's steepest), sorted neighborhood **~200,000** and")
+    print("1.3x per 10x rows / 2.1x across the sf1 decade. Near-identical")
+    print("names sort adjacently, so bounded-edit-distance matches stay")
+    print("in-window; recall dial = RL_WINDOW (+ extra passes on other")
+    print("sort keys). The bounded levenshtein (threshold arg, DP")
+    print("early-exit at 15) still caps the hot loop on every surviving")
+    print("candidate.")
     print()
     print("## Global-window audit")
     print()

@@ -110,6 +110,9 @@ HEAVY = [
     "cross_source_duplicate_matrix",
     "token_entropy_by_source",
     "knn_label_accuracy",
+    # round-8 rewrite: sorted-neighborhood record linkage (was the
+    # steepest sf0.01->0.1 entry at 7.8x under the quadratic block join).
+    "record_linkage_scores",
 ]
 REPEATS = 2
 
