@@ -38,6 +38,18 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _COLOR_TYPES = {0: ("L", 1), 2: ("RGB", 3), 3: ("P", 1), 4: ("LA", 2),
                 6: ("RGBA", 4)}
 
+#: Legal bit depths per color type (PNG spec §11.2.2, Table 11.1). A
+#: crafted IHDR outside this table (e.g. bit_depth=0, which would make
+#: the expected decompressed size ``height * 1`` and let a tiny matching
+#: IDAT stream "decode" with bogus metadata) must fail the row.
+_LEGAL_BIT_DEPTHS = {
+    0: frozenset({1, 2, 4, 8, 16}),
+    2: frozenset({8, 16}),
+    3: frozenset({1, 2, 4, 8}),
+    4: frozenset({8, 16}),
+    6: frozenset({8, 16}),
+}
+
 
 #: Decode budget: reject images whose DECLARED decompressed size exceeds
 #: this (64 MiB). A corpus decode kernel runs on attacker-controlled
@@ -79,6 +91,10 @@ def decode_png(data: bytes) -> tuple[int, int, str]:
         raise ValueError("missing or empty IHDR")
     if color_type not in _COLOR_TYPES:
         raise ValueError(f"unsupported color type {color_type}")
+    if bit_depth not in _LEGAL_BIT_DEPTHS[color_type]:
+        raise ValueError(
+            f"illegal bit depth {bit_depth} for color type {color_type}"
+        )
     if interlace != 0:
         raise ValueError("interlaced PNG unsupported")
     if not idat:
@@ -96,7 +112,11 @@ def decode_png(data: bytes) -> tuple[int, int, str]:
     # materializing the bomb.
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected + 1)
-    if len(raw) != expected or not (d.eof or d.flush() == b""):
+    # d.eof is required outright: a TRUNCATED stream (no zlib end marker)
+    # that happens to inflate to exactly `expected` bytes leaves eof
+    # False with an empty flush(), and must fail rather than yield
+    # plausible metadata from a corrupt payload.
+    if len(raw) != expected or not d.eof:
         raise ValueError(
             f"IDAT length {len(raw)}+ != expected {expected}"
         )

@@ -117,6 +117,18 @@ def sign_bucket(vec_col: str | Column, bits: int = 8, offset: int = 0) -> Column
     return F.concat(*parts)
 
 
+#: Value-hash bucket count for deterministic sampling. Must be coarse
+#: enough that ``fraction * _SAMPLE_BUCKETS`` keeps resolution when the
+#: fraction is ``train_limit / n`` at the 100 TB target: a 1e6 modulus
+#: floors the threshold to 0 (an EMPTY training sample) once the corpus
+#: passes ~train_limit * 1e6 rows, and distorts small samples up to 2x
+#: from flooring. 1e12 buckets push the floor past 1e15 rows — but a
+#: 64-bit hash is then mandatory: Spark's ``F.hash`` is 32-bit Murmur3,
+#: so ``pmod(hash, 1e12)`` would be the identity on [0, 2^31) and every
+#: fraction above ~0.002 would select the whole corpus.
+_SAMPLE_BUCKETS = 1_000_000_000_000
+
+
 def _value_hash_sample(df: DataFrame, col: str, fraction: float, seed: int) -> DataFrame:
     """Deterministic training sample: keep rows whose VALUE-hash bucket
     falls under ``fraction``. ``DataFrame.sample()`` draws from
@@ -124,9 +136,21 @@ def _value_hash_sample(df: DataFrame, col: str, fraction: float, seed: int) -> D
     trained centroids and measured recall — would shift with the input's
     partition layout or Spark version even at a fixed seed (the same
     latent trap the sorted-collect fix closed for row ORDER). A pure
-    function of the row value replays identically on any layout."""
-    bucket = F.pmod(F.hash(F.col(col), F.lit(seed)), F.lit(1_000_000))
-    return df.filter(bucket < F.lit(int(fraction * 1_000_000)))
+    function of the row value replays identically on any layout.
+
+    The keep-threshold is clamped to >= 1 bucket so a positive fraction
+    can never resolve to an empty sample regardless of corpus size (the
+    degenerate-KMeans failure mode this exists to prevent)."""
+    bucket = F.pmod(
+        F.xxhash64(F.col(col), F.lit(seed)), F.lit(_SAMPLE_BUCKETS)
+    )
+    return df.filter(bucket < F.lit(_sample_threshold(fraction)))
+
+
+def _sample_threshold(fraction: float) -> int:
+    """Keep-threshold in buckets, clamped to >= 1: ``train_limit / n``
+    at extreme n must floor to a 1-bucket sample, never an empty one."""
+    return max(1, int(fraction * _SAMPLE_BUCKETS))
 
 
 def _absolute_train_fraction(
@@ -412,9 +436,17 @@ def ivf_topk(
     lists per query, exact cosine only within probed lists.
 
     The centroid table is genuinely tiny (n_centroids rows) so the
-    query-to-centroid assignment broadcast is safe at any corpus size; the
-    candidate join keys on ``centroid_id`` with NO broadcast hint, so both
-    sides shuffle on the list id and per-list work is ~nprobe * N/C.
+    query-to-centroid assignment broadcast is safe at any corpus size.
+    The corpus is pruned to the UNION of probed lists first (a broadcast
+    semi-join on the distinct probed ``centroid_id`` set — directory-read
+    shaped, the in-memory analogue of the materialized index's partition
+    pruning), per-vector work (the norm projection) runs once per probed
+    vector, and only then does the tiny probes relation broadcast-fan the
+    vectors out to their queries — the same decode-once ordering as
+    :func:`ivfpq_topk`. The naive order (corpus shuffle-joined to probes,
+    norms below the join) moved every fat array row of every UNPROBED
+    list through the shuffle as well; per-list work stays
+    ~nprobe * N/C either way, but nothing outside probed lists moves.
     Recall is tuned by (n_centroids, nprobe) independent of corpus size.
     """
     q = with_norm(queries, vec_col, "qnrm").select(
@@ -438,13 +470,18 @@ def ivf_topk(
         .filter(F.col("probe_rnk") <= nprobe)
         .select("query_id", "qe", "qnrm", "centroid_id")
     )
-    c = with_norm(indexed_corpus, vec_col, "nnrm").select(
+    probed = probes.select("centroid_id").distinct()
+    c = with_norm(
+        indexed_corpus.join(F.broadcast(probed), "centroid_id"),
+        vec_col,
+        "nnrm",
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ne"),
         "nnrm",
         "centroid_id",
     )
-    pairs = c.join(probes, "centroid_id").filter(
+    pairs = c.join(F.broadcast(probes), "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     return _rank_topk(pairs, k, round_digits)

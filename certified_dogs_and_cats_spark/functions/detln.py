@@ -24,8 +24,13 @@ For ``x = num/den`` with integer ``num >= den >= 1``:
 2. ``ln m = 2 * atanh(z)`` with ``z = (m-1)/(m+1)`` in (-1/3, 1/3),
    evaluated as the odd series ``2z * (1 + z^2/3 + z^4/5 + ... +
    z^18/19)`` in Horner form — 10 terms; the truncated tail is
-   ``< 2*(1/3)^21 / 21 ~ 9e-12`` absolute, and the measured max
-   relative error vs libm ln over 20k (num, den) pairs is 1.3e-12.
+   ``< 2*(1/3)^21 / 21 ~ 9e-12`` absolute; measured max relative error
+   vs libm ln is ~1e-11 (7.3e-12 over a 200k-pair sweep of num/den up
+   to 1e12 — consistent with the truncated-tail bound above; a narrow
+   20k-pair sweep reads 1.3e-12). The bound only has to clear the
+   round(., 6) comparison margin, which it does by five orders of
+   magnitude; cross-engine bit-identity is unaffected either way (both
+   engines execute the same IEEE DAG).
 3. ``ln x = e * ln2 + ln m`` with ln2 as the correctly-rounded double
    literal ``6931471805599453e-16`` (exponent-form: Spark parses
    ``0.69...`` decimal-typed, ``...e-16`` double-typed in BOTH engines).

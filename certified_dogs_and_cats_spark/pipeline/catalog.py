@@ -1258,7 +1258,7 @@ class Catalog:
         self,
         spec: TableSpec,
         files: list[str],
-        version: int,
+        version: "int | dict[str, int]",
         dvs: list[str] | None = None,
         with_file_col: str | None = None,
     ) -> DataFrame:
@@ -1266,7 +1266,11 @@ class Catalog:
         ``with_file_col`` additionally emits each row's ROOT-RELATIVE
         source file path (stable across trash relocation) under that
         column name — the identity the change feed uses to attribute
-        rows of a BATCHED multi-version read back to their commits."""
+        rows of a BATCHED multi-version read back to their commits.
+        ``version`` may be a single commit version or, for a batched
+        multi-version read, the per-file ``{rel_path: version}`` map —
+        so a vacuumed-file error names the commit that OWNS the missing
+        file, not whichever version the batch happened to end on."""
         from pyspark.sql import functions as F
 
         if not files:
@@ -1293,8 +1297,13 @@ class Catalog:
                     by_root.setdefault(root, []).append(rel)
                     break
             else:
+                owner = (
+                    version.get(rel, max(version.values()))
+                    if isinstance(version, dict)
+                    else version
+                )
                 raise ValueError(
-                    f"{spec.name}: version {version} is no longer "
+                    f"{spec.name}: version {owner} is no longer "
                     f"readable — file {rel!r} was vacuumed (retention "
                     "window passed)"
                 )
@@ -1432,7 +1441,7 @@ class Catalog:
                 df = self._resolve_and_read(
                     spec,
                     sorted(rel_to_v),
-                    run[-1][0],
+                    rel_to_v,
                     with_file_col="__cdf_file",
                 )
                 vmap = F.create_map(

@@ -346,3 +346,60 @@ def test_minipng_rejects_decompression_bombs():
 
     # 3) An honest image at the same dims still decodes.
     assert decode_png(encode_png(2, 2, bytes(4), mode="L")) == (2, 2, "L")
+
+
+def test_minipng_rejects_illegal_bit_depth_and_truncated_stream():
+    """Two header/stream forgeries that previously decoded with bogus
+    metadata (ADVICE r8): an IHDR bit depth outside the PNG spec's
+    per-color-type legal set (bit_depth=0 makes expected = height*1, so
+    a tiny matching IDAT 'decodes'), and a TRUNCATED zlib stream that
+    inflates to exactly the expected byte count but never reaches the
+    zlib end marker (d.eof False, empty flush)."""
+    import struct
+    import zlib
+
+    from certified_dogs_and_cats_spark.extensions.minipng import (
+        _chunk,
+        _SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    # bit_depth=0 for grayscale: expected = 3 rows * (1 + 0) = 3 bytes.
+    zero_depth = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 0, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 3))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="illegal bit depth"):
+        decode_png(zero_depth)
+
+    # bit_depth=4 is legal for grayscale/palette but NOT for RGB.
+    with pytest.raises(ValueError, match="illegal bit depth"):
+        decode_png(
+            _SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+            + _chunk(b"IEND", b"")
+        )
+
+    # Truncated stream: compress the exact raw scanlines, then chop the
+    # zlib end marker + adler32 off. decompress() still yields exactly
+    # `expected` bytes, but eof never fires -> must be rejected.
+    raw = b"".join(b"\x00" + bytes(2) for _ in range(2))  # 2x2 L, 8-bit
+    full = zlib.compress(raw)
+    truncated = full[:-5]
+    d = zlib.decompressobj()
+    assert d.decompress(truncated) == raw and not d.eof  # forgery premise
+    bad = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", truncated)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT length"):
+        decode_png(bad)
+
+    # The honest equivalents still decode.
+    assert decode_png(encode_png(2, 2, bytes(4), mode="L")) == (2, 2, "L")
