@@ -319,36 +319,46 @@ def main() -> None:
         f.write(json.dumps(base) + "\n")
     # The driver records only the LAST ~2000 chars of stdout, so the
     # printed line must parse whole within that window. Compact
-    # separators + 2-decimal values first; if the named per-query map
-    # still doesn't fit, swap it for "q" — per-query seconds as an array
-    # in BENCH_QUERIES order (the roster is committed in this file), with
-    # the full named map in BENCH_local.json.
+    # separators + 2-decimal values first; when the full named map does
+    # not fit (a 203-query roster is ~5.7 KB of names alone — no
+    # encoding of every name fits the window), the fallback stays
+    # SELF-ATTRIBUTING: every inline number keeps its query name — the
+    # slowest queries named individually (the ones a reader diffs),
+    # the remainder as one explicit rest_subtotal — rather than a
+    # positional array whose order lives in code the artifact can't see.
+    # The full named map is always in the committed BENCH_local.json,
+    # tied to this line by roster_sha.
     payload = json.dumps(
         {**base, "queries": {k: round(v, 2) for k, v in timings.items()}},
         separators=(",", ":"),
     )
     if len(payload) > 1900:
-        slim = dict(base)
-        del slim["queries"]
-        slim["q"] = [round(timings[k], 2) for k in BENCH_QUERIES]
-        slim["q_order"] = "bench.py:BENCH_QUERIES"
-        slim["queries_full"] = "BENCH_local.json"
-        payload = json.dumps(slim, separators=(",", ":"))
-    if len(payload) > 1900:
-        # Roster outgrew even the positional array (driver records only
-        # the last ~2000 chars of stdout): keep the aggregate metrics +
-        # the r01-comparable per-query array (fixed 21 entries) inline,
-        # full named map in BENCH_local.json.
+        import hashlib
+
         slim = dict(base)
         del slim["queries"]
         slim["n_queries"] = len(BENCH_QUERIES)
-        slim["q_r01"] = [
-            round(timings[k], 2)
-            for k in sorted(r01)
-            if k in timings
-        ]
-        slim["q_r01_order"] = "sorted(r01) in bench.py"
+        slim["roster_sha"] = hashlib.sha256(
+            json.dumps(sorted(BENCH_QUERIES)).encode()
+        ).hexdigest()[:12]
         slim["queries_full"] = "BENCH_local.json"
+        # Fill the remaining window with the slowest queries, named; the
+        # untruncated remainder is one explicit aggregate.
+        slow = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        top: dict[str, float] = {}
+        for k, v in slow:
+            top[k] = round(v, 2)
+            slim["slowest"] = top
+            slim["rest_subtotal"] = round(
+                total - sum(timings[n] for n in top), 2
+            )
+            if len(json.dumps(slim, separators=(",", ":"))) > 1820:
+                del top[k]
+                break
+        slim["slowest"] = top
+        slim["rest_subtotal"] = round(
+            total - sum(timings[n] for n in top), 2
+        )
         payload = json.dumps(slim, separators=(",", ":"))
     # Print the JSON line STRICTLY LAST: silence the JVM's log4j appender
     # (shutdown WARN stacks — e.g. StateStore maintenance — otherwise land
