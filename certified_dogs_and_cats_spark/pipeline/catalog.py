@@ -146,11 +146,34 @@ class TableSpec:
         return self.properties.get("delta.columnMapping.mode") == "name"
 
 
+def _ranges(versions) -> list[str]:
+    """Compact "a..b" spans of a sorted int iterable, for error text."""
+    out: list[str] = []
+    start = prev = None
+    for v in versions:
+        if start is None:
+            start = prev = v
+        elif v == prev + 1:
+            prev = v
+        else:
+            out.append(f"{start}..{prev}" if prev > start else str(start))
+            start = prev = v
+    if start is not None:
+        out.append(f"{start}..{prev}" if prev > start else str(start))
+    return out
+
+
 @dataclass
 class Catalog:
     spark: SparkSession
     root: str
     tables: dict[str, TableSpec] = field(default_factory=dict)
+    #: Write a full-state checkpoint every N commits (Delta's
+    #: checkpointInterval). Commit-time log work is then bounded by N
+    #: plus in-flight writers, not by table history; per-version commit
+    #: files keep the full history for time travel until vacuum's
+    #: retention window ages them out (Delta's log cleanup).
+    checkpoint_interval: int = 100
 
     def register(
         self,
@@ -560,23 +583,56 @@ class Catalog:
     def _commits_dir(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "commits")
 
-    def _load_log(self, name: str) -> list[dict]:
-        """The committed log AS STORED: the ``manifest.json`` checkpoint
-        plus any per-version commit files a writer claimed but has not
-        yet merged into the checkpoint (crash window, or a concurrent
-        committer) — the commit files are the source of truth, the
-        checkpoint is a derived read optimization, exactly Delta's
-        log/checkpoint split. Entries are in the DELTA form ``_commit``
-        writes (``add``/``remove`` file deltas vs the predecessor), so
-        the log's on-disk size is O(total files ever touched), never
-        O(versions x table size); legacy full-``files`` entries (older
-        logs, or externally crafted commit files) pass through and are
-        handled by :meth:`_load_manifest`'s replay as snapshot resets."""
+    def _ckpt_dir(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "checkpoints")
+
+    def _latest_checkpoint(self, name: str) -> dict | None:
+        """Newest periodic checkpoint entry (snapshot form: full
+        ``files`` list + ``txn_high`` idempotent-writer high-water), or
+        None for tables that have not crossed ``checkpoint_interval``
+        commits yet (and for pre-checkpoint-era logs)."""
+        cdir = self._ckpt_dir(name)
+        if not os.path.isdir(cdir):
+            return None
+        names = sorted(fn for fn in os.listdir(cdir) if fn.endswith(".json"))
+        if not names:
+            return None
+        with open(os.path.join(cdir, names[-1])) as f:
+            return json.load(f)
+
+    def _load_log(self, name: str, full: bool = False) -> list[dict]:
+        """The committed log AS STORED, replay-ready.
+
+        The hot view (``full=False`` — what every commit/head-read/txn
+        check pays) is BOUNDED BY ``checkpoint_interval``, not by table
+        history: the newest periodic checkpoint (a snapshot-form entry)
+        plus ``manifest.json`` (which holds only POST-checkpoint
+        entries) plus any per-version commit files a writer claimed but
+        has not yet merged (crash window, or a concurrent committer).
+        The commit files are the source of truth, the merged manifest a
+        derived read optimization — exactly Delta's log/checkpoint
+        split, including the json-log/parquet-checkpoint replay rule.
+
+        ``full=True`` additionally reads EVERY retained per-version
+        commit file — the cold view time travel, history and the change
+        feed replay; O(retained versions) file reads, pruned by
+        :meth:`vacuum`'s retention window like Delta's log cleanup.
+
+        Entries are in the DELTA form ``_commit`` writes (``add``/
+        ``remove`` file deltas vs the predecessor), so on-disk size is
+        O(total files ever touched), never O(versions x table size);
+        legacy full-``files`` entries (older logs, checkpoints, or
+        externally crafted commit files) pass through and are handled
+        by :meth:`_load_manifest`'s replay as snapshot resets."""
+        ckpt = self._latest_checkpoint(name)
+        floor = ckpt["version"] if ckpt and not full else 0
         path = self._manifest_path(name)
         entries: list[dict] = []
         if os.path.isfile(path):
             with open(path) as f:
-                entries = json.load(f)
+                entries = [
+                    e for e in json.load(f) if e["version"] > floor
+                ]
         cdir = self._commits_dir(name)
         if os.path.isdir(cdir):
             known = {e["version"] for e in entries}
@@ -584,14 +640,28 @@ class Catalog:
                 if not fn.endswith(".json"):
                     continue
                 v = int(fn[: -len(".json")])
-                if v in known:
+                if v in known or v <= floor:
                     continue
                 with open(os.path.join(cdir, fn)) as f:
                     entries.append(json.load(f))
-            entries.sort(key=lambda e: e["version"])
+        if ckpt is not None:
+            have = {e["version"] for e in entries}
+            if full and all(
+                v in have for v in range(1, ckpt["version"] + 1)
+            ):
+                # Full retained history still grounds the chain: keep
+                # the original per-version entries (actions, txn
+                # markers, CDF attribution stay byte-identical); the
+                # checkpoint is only a replay shortcut, not a record.
+                pass
+            else:
+                entries = [
+                    e for e in entries if e["version"] != ckpt["version"]
+                ] + [ckpt]
+        entries.sort(key=lambda e: e["version"])
         return entries
 
-    def _load_manifest(self, name: str) -> list[dict]:
+    def _load_manifest(self, name: str, full: bool = False) -> list[dict]:
         """The committed log with each version's FULL file list
         materialized: replays :meth:`_load_log`'s add/remove deltas
         forward, attaching ``files`` to a COPY of every entry (the raw
@@ -600,21 +670,42 @@ class Catalog:
         the disk pays only deltas. A legacy entry already carrying
         ``files`` resets the replay set (snapshot semantics), which also
         grandfathers pre-delta logs byte-for-byte."""
-        return self._replay(self._load_log(name))
+        return self._replay(self._load_log(name, full=full))
 
     @staticmethod
     def _replay(log: list[dict]) -> list[dict]:
+        """Attach full file lists to a COPY of every replayable entry.
+
+        A delta-form entry is replayable only when its predecessor chain
+        is GROUNDED — reaches back to version 1 or to a snapshot-form
+        entry (a checkpoint, or a legacy full-``files`` commit). After
+        vacuum has aged pre-checkpoint commit files out of the log, the
+        surviving delta entries between the truncation point and the
+        checkpoint have no grounded base; attaching file lists replayed
+        from an empty set would be silently WRONG, so those entries are
+        dropped — their versions read as nonexistent, matching the fact
+        that their data files are already past retention."""
         out: list[dict] = []
         running: set[str] = set()
+        grounded = False
+        prev_version = 0
         for raw in log:
             e = dict(raw)
             if "files" in e:
                 running = set(e["files"])
+                grounded = True
             else:
+                if e["version"] == 1:
+                    running, grounded = set(), True
+                elif e["version"] != prev_version + 1 or not grounded:
+                    grounded = False
+                    prev_version = e["version"]
+                    continue
                 running = (running | set(e.pop("add", ()))) - set(
                     e.pop("remove", ())
                 )
                 e["files"] = sorted(running)
+            prev_version = e["version"]
             out.append(e)
         return out
 
@@ -745,18 +836,44 @@ class Catalog:
                     ) from None
                 continue
             os.unlink(tmp)
-            # Merge the derived checkpoint (in DELTA form — the raw log
-            # plus this commit's delta entry). Racing checkpoint writers
+            log.append(entry)
+            # Periodic full-state checkpoint (Delta's checkpointInterval):
+            # snapshot-form entry carrying the head file list, live DV
+            # sidecars, and the per-stream txn high-water, so every
+            # later hot read replays from here instead of from v1.
+            floor = max(
+                (
+                    e["version"]
+                    for e in log
+                    if e.get("action") == "checkpoint"
+                ),
+                default=0,
+            )
+            if (
+                self.checkpoint_interval
+                and version - floor >= self.checkpoint_interval
+            ):
+                self._write_checkpoint(name, log, version, files, dvs)
+                floor = version
+            # Merge the derived manifest (in DELTA form — the raw log
+            # plus this commit's delta entry), truncated to entries the
+            # newest checkpoint does not already subsume: per-version
+            # commit files retain the pre-checkpoint history for time
+            # travel until vacuum ages them out. Racing manifest writers
             # are benign: each writes its own full merged view
             # atomically, the commit files cover whatever the loser's
             # view misses.
-            log.append(entry)
+            merged = [
+                e
+                for e in log
+                if e.get("action") != "checkpoint" and e["version"] > floor
+            ]
             ctmp = (
                 self._manifest_path(name)
                 + f".tmp-{os.getpid()}-{time.time_ns()}"
             )
             with open(ctmp, "w") as f:
-                json.dump(log, f)
+                json.dump(merged, f)
             os.replace(ctmp, self._manifest_path(name))
             return version
         raise ConcurrentWriteConflict(
@@ -769,12 +886,58 @@ class Catalog:
         exists — the exactly-once check for idempotent streaming writers
         (Delta's txn/appId+version mechanism). Scans the RAW delta log:
         txn markers never need the per-version file lists, so the check
-        costs O(versions) tiny entries, not a full replay (measured 23x
-        growth per 4x commits before; flat-per-entry after)."""
-        return any(
-            e.get("txn") == {"stream_id": stream_id, "batch_id": batch_id}
-            for e in self._load_log(name)
-        )
+        costs O(checkpoint_interval) tiny entries, not a full replay.
+
+        Markers older than the newest checkpoint are subsumed by its
+        per-stream ``txn_high`` high-water — Delta's checkpoint keeps
+        only the LATEST txn version per appId for the same reason. This
+        relies on the structured-streaming batch contract: batch ids per
+        stream are assigned monotonically and a batch is not started
+        until every earlier one committed, so ``batch_id <= high`` is
+        exactly "already committed"."""
+        for e in self._load_log(name):
+            if e.get("txn") == {"stream_id": stream_id, "batch_id": batch_id}:
+                return True
+            high = e.get("txn_high")
+            if high is not None and batch_id <= high.get(stream_id, -1):
+                return True
+        return False
+
+    def _write_checkpoint(
+        self,
+        name: str,
+        log: list[dict],
+        version: int,
+        files: list[str],
+        dvs: list[str],
+    ) -> None:
+        """Write ``checkpoints/<version>.json``: the full head state
+        (file list + DV sidecars) plus the per-stream txn high-water
+        folded from the previous checkpoint and every marker since."""
+        txn_high: dict[str, int] = {}
+        for e in log:
+            if e.get("action") == "checkpoint":
+                txn_high.update(e.get("txn_high", {}))
+            t = e.get("txn")
+            if t is not None:
+                sid, bid = t["stream_id"], t["batch_id"]
+                if bid > txn_high.get(sid, -1):
+                    txn_high[sid] = bid
+        ckpt = {
+            "version": version,
+            "action": "checkpoint",
+            "ts_ns": time.time_ns(),
+            "files": list(files),
+            "txn_high": txn_high,
+        }
+        if dvs:
+            ckpt["dv"] = list(dvs)
+        cdir = self._ckpt_dir(name)
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{time.time_ns()}")
+        with open(tmp, "w") as f:
+            json.dump(ckpt, f)
+        os.replace(tmp, os.path.join(cdir, f"{version:012d}.json"))
 
     def _copy_into_log_path(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "copy_into.json")
@@ -1143,7 +1306,7 @@ class Catalog:
         unexpected full rewrite."""
         out = []
         prev: set[str] = set()
-        for e in self._load_manifest(name):
+        for e in self._load_manifest(name, full=True):
             files = set(e["files"])
             out.append(
                 {
@@ -1176,7 +1339,7 @@ class Catalog:
         )
         candidates = [
             e["version"]
-            for e in self._load_manifest(name)
+            for e in self._load_manifest(name, full=True)
             if e["ts_ns"] <= cutoff_ns
         ]
         if not candidates:
@@ -1209,7 +1372,7 @@ class Catalog:
         defeat the reproducibility point)."""
         v = self.current_version(name) if version is None else version
         if not any(
-            e["version"] == v for e in self._load_manifest(name)
+            e["version"] == v for e in self._load_manifest(name, full=True)
         ):
             raise ValueError(f"{name}: no committed version {v} to tag")
         cur = self.tags(name)
@@ -1243,12 +1406,27 @@ class Catalog:
         return manifest[-1]["version"] if manifest else 0
 
     def _read_version(self, spec: TableSpec, version: int) -> DataFrame:
-        manifest = self._load_manifest(spec.name)
+        manifest = self._load_manifest(spec.name, full=True)
         entry = next((e for e in manifest if e["version"] == version), None)
         if entry is None:
+            first = manifest[0]["version"] if manifest else 0
+            last = manifest[-1]["version"] if manifest else 0
+            if manifest and version <= last:
+                # Versions are claimed contiguously, so an absent
+                # version at or below the head was vacuumed away (or
+                # sits in a hole between a tagged pin and the retained
+                # tail) — distinct from never having existed.
+                retained = ", ".join(
+                    _ranges(e["version"] for e in manifest)
+                )
+                raise ValueError(
+                    f"{spec.name}: version {version} is no longer "
+                    f"replayable — its log entries were vacuumed past the "
+                    f"retention window (retained history: {retained})"
+                )
             raise ValueError(
                 f"{spec.name}: version {version} does not exist "
-                f"(history: 1..{manifest[-1]['version'] if manifest else 0})"
+                f"(history: {first}..{last})"
             )
         return self._resolve_and_read(
             spec, entry["files"], version, dvs=entry.get("dv", [])
@@ -1392,7 +1570,7 @@ class Catalog:
         from pyspark.sql import functions as F
 
         spec = self.tables[name]
-        manifest = self._load_manifest(name)
+        manifest = self._load_manifest(name, full=True)
         current = manifest[-1]["version"] if manifest else 0
         to_version = current if to_version is None else to_version
         if not 0 <= from_version <= to_version <= current:
@@ -1401,6 +1579,20 @@ class Catalog:
                 f"(history: 1..{current})"
             )
         by_version = {e["version"]: e for e in manifest}
+        # The replay needs every version in the range, plus from_version
+        # itself as the diff base when it is not the table's birth.
+        # After checkpoint truncation + vacuum, versions below the
+        # retained window are gone — fail loudly, never silently skip.
+        needed = set(range(max(1, from_version), to_version + 1))
+        missing = sorted(needed - by_version.keys())
+        if missing:
+            first = manifest[0]["version"] if manifest else 0
+            raise ValueError(
+                f"{name}: change range ({from_version}, {to_version}] "
+                f"needs version {missing[0]}, which is no longer "
+                f"replayable — its log entries were vacuumed past the "
+                f"retention window (retained history: {first}..{current})"
+            )
         typed = T.StructType(
             [
                 *spec.schema.fields,
@@ -2419,7 +2611,7 @@ class Catalog:
         # Tagged versions are PROTECTED: retention never deletes a file a
         # named ref still needs (Iceberg's expire-snapshots contract) —
         # a trash stamp survives while it holds any tagged version's file.
-        manifest = self._load_manifest(name)
+        manifest = self._load_manifest(name, full=True)
         tagged = set(self.tags(name).values())
         needed: set[str] = set()
         for e in manifest:
@@ -2450,21 +2642,66 @@ class Catalog:
         if dry_run:
             return removed
         cdir = self._commits_dir(name)
+        ckpt = self._latest_checkpoint(name)
+        ckpt_version = ckpt["version"] if ckpt else 0
         if os.path.isdir(cdir):
-            checkpointed: set[int] = set()
+            merged: set[int] = set()
             if os.path.isfile(self._manifest_path(name)):
                 with open(self._manifest_path(name)) as f:
-                    checkpointed = {e["version"] for e in json.load(f)}
+                    merged = {e["version"] for e in json.load(f)}
+            # A TAGGED pre-checkpoint version must stay readable after
+            # its delta predecessors are pruned: pin it by rewriting its
+            # commit file in snapshot form (full `files` list) first, so
+            # the replay re-grounds at the tag (Iceberg keeps a tagged
+            # snapshot's manifest for the same reason).
+            by_v = {
+                e["version"]: e for e in self._load_manifest(name, full=True)
+            }
+            for tv in sorted(tagged):
+                e = by_v.get(tv)
+                if e is None or tv > ckpt_version:
+                    continue
+                pin = {
+                    k: v
+                    for k, v in e.items()
+                    if k not in ("add", "remove")
+                }
+                ptmp = os.path.join(
+                    cdir, f".tmp-pin-{os.getpid()}-{time.time_ns()}"
+                )
+                with open(ptmp, "w") as f:
+                    json.dump(pin, f)
+                os.replace(ptmp, os.path.join(cdir, f"{tv:012d}.json"))
             for fn in sorted(os.listdir(cdir)):
                 if not fn.endswith(".json"):
                     continue
                 full = os.path.join(cdir, fn)
                 with open(full) as f:
                     entry = json.load(f)
+                # Prunable when past retention AND subsumed — merged
+                # into the manifest (whose entries are themselves only
+                # dropped once a periodic checkpoint covers them) or at
+                # or below the newest checkpoint. Tagged pins are kept.
                 if (
-                    entry["version"] in checkpointed
-                    and entry["ts_ns"] < cutoff_ns
+                    entry["ts_ns"] < cutoff_ns
+                    and (
+                        entry["version"] in merged
+                        or entry["version"] <= ckpt_version
+                    )
+                    and entry["version"] not in tagged
                 ):
+                    os.unlink(full)
+        # Superseded checkpoints past retention: only the newest one is
+        # ever read; older files are pure disk debt.
+        ckdir = self._ckpt_dir(name)
+        if os.path.isdir(ckdir):
+            for fn in sorted(os.listdir(ckdir))[:-1]:
+                if not fn.endswith(".json"):
+                    continue
+                full = os.path.join(ckdir, fn)
+                with open(full) as f:
+                    entry = json.load(f)
+                if entry["ts_ns"] < cutoff_ns:
                     os.unlink(full)
         # Deletion-vector sidecars expire when NO version committed
         # inside the retention window references them (a sidecar's own
@@ -2474,7 +2711,7 @@ class Catalog:
         # it by birth date would break in-retention time travel).
         dvdir = self._dv_dir(name)
         if name in self.tables and os.path.isdir(dvdir):
-            manifest = self._load_manifest(name)
+            manifest = self._load_manifest(name, full=True)
             referenced: set[str] = set()
             for e in manifest:
                 if e is manifest[-1] or e["ts_ns"] >= cutoff_ns:

@@ -99,6 +99,9 @@ def drive(spark, n_commits: int) -> dict[str, float]:
                 cat.txn_committed("p.t", "probe", i) for i in range(100)
             ]
         ) / 100
+        out["load_log_s"] = timed(
+            lambda: [cat._load_log("p.t") for _ in range(100)]
+        ) / 100
         # --- stacked deletion vectors ----------------------------------
         for i in range(10):
             cat.delete_where("p.t", f"k = {i}")
@@ -120,13 +123,30 @@ def drive(spark, n_commits: int) -> dict[str, float]:
             cat.append("p.t", batch)
         out["mv_refresh_10_commits_s"] = timed(mv.refresh)
         # --- log size on disk -------------------------------------------
-        meta = cat._meta_dir("p.t")
-        total = 0
-        for dirpath, _dirs, files in os.walk(meta):
-            total += sum(
-                os.path.getsize(os.path.join(dirpath, f)) for f in files
-            )
-        out["log_bytes"] = total
+        def _meta_bytes() -> int:
+            total = 0
+            for dirpath, _dirs, files in os.walk(cat._meta_dir("p.t")):
+                total += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in files
+                )
+            return total
+
+        out["log_bytes"] = _meta_bytes()
+        # --- checkpoint-bounded hot paths after retention expiry --------
+        # Once vacuum ages the pre-checkpoint commit files out, the hot
+        # log view (commit claiming, head reads, txn checks) is bounded
+        # by checkpoint_interval, not history — the Delta checkpoint +
+        # log-cleanup contract.
+        cat.vacuum("p.t", 0)
+        out["load_log_post_vacuum_s"] = timed(
+            lambda: [cat._load_log("p.t") for _ in range(100)]
+        ) / 100
+        out["txn_check_post_vacuum_s"] = timed(
+            lambda: [
+                cat.txn_committed("p.t", "probe", i) for i in range(100)
+            ]
+        ) / 100
+        out["log_bytes_post_vacuum"] = _meta_bytes()
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -156,14 +176,18 @@ def main() -> None:
         "cdf_tail10_s",
         "cdf_full_s",
         "txn_check_s",
+        "load_log_s",
         "read_10_dvs_s",
         "mv_refresh_10_commits_s",
         "log_bytes",
+        "load_log_post_vacuum_s",
+        "txn_check_post_vacuum_s",
+        "log_bytes_post_vacuum",
     ):
         ratio = b[key] / a[key] if a[key] else float("inf")
         fmt = (
             (lambda x: f"{x:,.0f}")
-            if key == "log_bytes"
+            if key.startswith("log_bytes")
             else (lambda x: f"{x:.4f}")
         )
         print(f"| {key} | {fmt(a[key])} | {fmt(b[key])} | {ratio:.2f}x |")

@@ -1,0 +1,169 @@
+"""Commit-log checkpointing (Delta checkpointInterval parity): every
+``checkpoint_interval`` commits the catalog writes a full-state snapshot
+(file list, DV sidecars, per-stream txn high-water) and truncates the
+merged manifest to post-checkpoint entries. Hot reads (head state,
+commit claiming, txn checks) are then bounded by the interval, not by
+table history; per-version commit files retain the full history for
+time travel until vacuum ages them out — after which reads below the
+retained window fail LOUDLY, never return wrong rows."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from certified_dogs_and_cats_spark.pipeline.catalog import Catalog
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _mk(spark, tmp_path, interval=5):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.checkpoint_interval = interval
+    cat.register("core.t", SCHEMA)
+    return cat
+
+
+def _append_n(spark, cat, n, start=0, txn_stream=None):
+    for i in range(start, start + n):
+        txn = (
+            {"stream_id": txn_stream, "batch_id": i}
+            if txn_stream is not None
+            else None
+        )
+        cat.append(
+            "core.t", spark.createDataFrame([(i, f"r{i}")], SCHEMA), txn=txn
+        )
+
+
+def _rows(cat, version=None):
+    return sorted(
+        r.k for r in cat.table("core.t", version=version).collect()
+    )
+
+
+def test_checkpoint_written_and_manifest_truncated(spark, tmp_path):
+    cat = _mk(spark, tmp_path, interval=5)
+    _append_n(spark, cat, 12)
+    ckdir = cat._ckpt_dir("core.t")
+    assert sorted(os.listdir(ckdir)) == [
+        "000000000005.json",
+        "000000000010.json",
+    ]
+    with open(cat._manifest_path("core.t")) as f:
+        manifest = json.load(f)
+    # Only post-checkpoint entries remain in the merged manifest.
+    assert [e["version"] for e in manifest] == [11, 12]
+    # The hot log view is checkpoint + tail, bounded by the interval.
+    hot = cat._load_log("core.t")
+    assert [e["version"] for e in hot] == [10, 11, 12]
+    assert hot[0]["action"] == "checkpoint"
+    # Head reads are exactly the full corpus.
+    assert _rows(cat) == list(range(12))
+    assert cat.current_version("core.t") == 12
+
+
+def test_full_history_stays_readable_until_vacuum(spark, tmp_path):
+    cat = _mk(spark, tmp_path, interval=5)
+    _append_n(spark, cat, 12)
+    # Per-version commit files keep pre-checkpoint history replayable.
+    assert _rows(cat, version=3) == [0, 1, 2]
+    assert _rows(cat, version=10) == list(range(10))
+    assert [e["version"] for e in cat.history("core.t")] == list(
+        range(1, 13)
+    )
+    # ... and the original actions survive (the checkpoint is a replay
+    # shortcut, not a rewrite of history).
+    assert {e["action"] for e in cat.history("core.t")} == {"append"}
+    # CDF over the whole history still attributes per-commit.
+    feed = cat.changes("core.t", from_version=0)
+    got = sorted((r.k, r._commit_version) for r in feed.collect())
+    assert got == [(i, i + 1) for i in range(12)]
+
+
+def test_vacuum_truncates_and_reads_fail_loudly(spark, tmp_path):
+    cat = _mk(spark, tmp_path, interval=5)
+    _append_n(spark, cat, 12)
+    cat.vacuum("core.t", 0)
+    # With zero retention every commit file is subsumed (below the
+    # checkpoint, or merged into the manifest) and pruned.
+    cdir = cat._commits_dir("core.t")
+    left = sorted(
+        int(fn[:-5]) for fn in os.listdir(cdir) if fn.endswith(".json")
+    )
+    assert left == []
+    # Head and post-checkpoint history still work — the manifest keeps
+    # the post-checkpoint tail until the NEXT checkpoint covers it, and
+    # appends never retire data files, so every row is still live.
+    assert _rows(cat) == list(range(12))
+    assert _rows(cat, version=11) == list(range(11))
+    assert _rows(cat, version=10) == list(range(10))  # the checkpoint
+    # Below the retained window: loud failure, never wrong rows.
+    with pytest.raises(ValueError, match="no longer replayable"):
+        cat.table("core.t", version=7)
+    with pytest.raises(ValueError, match="no longer replayable"):
+        cat.changes("core.t", from_version=3).collect()
+    # CDF from the checkpoint forward is fine.
+    feed = cat.changes("core.t", from_version=10)
+    assert sorted(r.k for r in feed.collect()) == [10, 11]
+
+
+def test_txn_high_water_survives_truncation(spark, tmp_path):
+    cat = _mk(spark, tmp_path, interval=5)
+    _append_n(spark, cat, 12, txn_stream="ingest")
+    cat.vacuum("core.t", 0)
+    # Markers below the checkpoint are subsumed by its high-water;
+    # markers in the tail are still explicit; unseen batches are new.
+    for b in range(12):
+        assert cat.txn_committed("core.t", "ingest", b)
+    assert not cat.txn_committed("core.t", "ingest", 12)
+    assert not cat.txn_committed("core.t", "other", 0)
+
+
+def test_tagged_version_pinned_across_truncation(spark, tmp_path):
+    cat = _mk(spark, tmp_path, interval=5)
+    _append_n(spark, cat, 12)
+    cat.set_tag("core.t", "baseline", version=3)
+    cat.vacuum("core.t", 0)
+    # The tag's commit file was rewritten in snapshot form, so the
+    # replay re-grounds at it even though versions 1-2 and 4-10 are gone.
+    assert _rows(cat, version="baseline") == [0, 1, 2]
+    assert _rows(cat, version=3) == [0, 1, 2]
+    with pytest.raises(ValueError, match="no longer replayable"):
+        cat.table("core.t", version=4)
+
+
+def test_hot_log_bounded_as_history_grows(spark, tmp_path):
+    cat = _mk(spark, tmp_path, interval=5)
+    sizes = []
+    for step in range(4):
+        _append_n(spark, cat, 5, start=step * 5)
+        sizes.append(len(cat._load_log("core.t")))
+    # Bounded by the interval (+1 for the checkpoint entry), however
+    # long the history gets.
+    assert max(sizes) <= 6
+    assert cat.current_version("core.t") == 20
+    assert _rows(cat) == list(range(20))
+
+
+def test_checkpoint_after_overwrite_resets_state(spark, tmp_path):
+    cat = _mk(spark, tmp_path, interval=4)
+    _append_n(spark, cat, 3)
+    cat.overwrite(
+        "core.t", spark.createDataFrame([(99, "z")], SCHEMA)
+    )  # v4 -> checkpoint at 4
+    _append_n(spark, cat, 2, start=100)
+    assert _rows(cat) == [99, 100, 101]
+    assert _rows(cat, version=4) == [99]
+    cat.vacuum("core.t", 0)
+    assert _rows(cat) == [99, 100, 101]
+    with pytest.raises(ValueError, match="no longer replayable"):
+        cat.table("core.t", version=2)
