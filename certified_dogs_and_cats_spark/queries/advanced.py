@@ -1458,3 +1458,611 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+# --- round-9 tail: window/band analytics, sketch calibration, ---------
+# --- log-domain divergence ---------------------------------------------
+
+
+@query(
+    "pareto_frontier_brand",
+    oracle="""
+    WITH s AS (
+      SELECT p_brand, p_partkey, p_size, p_retailprice,
+             max(p_size) OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM part
+    )
+    SELECT p_brand AS brand, p_partkey AS partkey,
+           CAST(p_size AS INTEGER) AS size, p_retailprice AS price
+    FROM s WHERE prev_max IS NULL OR p_size > prev_max
+    """,
+)
+def pareto_frontier_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per brand: parts not dominated on
+    (cheaper, bigger) by any other part of the brand. The naive skyline
+    is a quadratic NOT EXISTS self-join; the scalable form is ONE
+    partitioned window pass — sort by (price asc, size desc, key asc)
+    and keep a row iff its size beats the running max of everything
+    cheaper (ties resolved by the sort itself: at equal price the
+    bigger part precedes and dominates). One shuffle on the partition
+    key, no self-join at any scale."""
+    p = t(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(
+            F.col("p_retailprice").asc(),
+            F.col("p_size").desc(),
+            F.col("p_partkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_size").cast("int").alias("size"),
+        F.col("p_retailprice").alias("price"),
+        F.max("p_size").over(w).alias("prev_max"),
+    )
+    return s.filter(
+        F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max"))
+    ).drop("prev_max")
+
+
+@query(
+    "running_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS hour
+      FROM events GROUP BY 1
+    ),
+    per_hour AS (
+      SELECT hour, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT hour, new_users,
+           CAST(sum(new_users) OVER (
+             ORDER BY hour ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM per_hour
+    """,
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per hour — the growth curve every
+    product dashboard wants, which a naive COUNT(DISTINCT) OVER
+    cumulative frame cannot express scalably (per-day re-dedup of all
+    history). The linear form: distinct collapses to each user's FIRST
+    hour (one hash aggregate on the user key), then a running sum over
+    the tiny hour-level series — the only unpartitioned window sits
+    above an aggregate, per the repo's global-window convention."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("hour")
+    )
+    per_hour = first_seen.groupBy("hour").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.orderBy(F.col("hour").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_hour.select(
+        "hour",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@query(
+    "winsorized_mean_prices",
+    oracle="""
+    WITH r AS (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice ASC, p_partkey ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY p_brand) AS n
+      FROM part
+    ),
+    b AS (
+      SELECT p_brand,
+             max(CASE WHEN rn = greatest(CAST(1 AS BIGINT),
+                        CAST(ceil(n * 5e-2) AS BIGINT))
+                      THEN p_retailprice END) AS lo,
+             max(CASE WHEN rn = CAST(ceil(n * 95e-2) AS BIGINT)
+                      THEN p_retailprice END) AS hi,
+             CAST(min(n) AS BIGINT) AS n_parts
+      FROM r GROUP BY 1
+    )
+    SELECT r.p_brand AS brand, b.n_parts, b.lo AS p05, b.hi AS p95,
+           round(CAST(sum(CAST(least(greatest(r.p_retailprice, b.lo), b.hi)
+                               AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(b.n_parts AS DOUBLE), 6) AS winsorized_mean
+    FROM r JOIN b ON r.p_brand = b.p_brand
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def winsorized_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean price per brand (the outlier-robust mean every
+    pricing/quality report wants): clamp to the in-group 5th/95th
+    discrete percentiles, then average. DISC selection (an existing
+    value at a rank), not interpolation — selection is bit-exact
+    cross-engine where interpolated percentiles hit engine-specific
+    float expressions. The rank pass is one partitioned window; the
+    bound lookup collapses to a per-brand aggregate re-joined (tiny,
+    broadcast); the clamped mean is an exact DECIMAL sum with one IEEE
+    division."""
+    p = t(spark, sf_dir, "part")
+    wo = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    wall = Window.partitionBy("p_brand")
+    r = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.col("n") * F.lit(0.05)).cast("bigint"),
+    )
+    hi_rank = F.ceil(F.col("n") * F.lit(0.95)).cast("bigint")
+    b = r.groupBy("p_brand").agg(
+        F.max(
+            F.when(F.col("rn") == lo_rank, F.col("p_retailprice"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == hi_rank, F.col("p_retailprice"))
+        ).alias("hi"),
+        F.min("n").cast("bigint").alias("n_parts"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("p_retailprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        r.join(F.broadcast(b), "p_brand")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            "n_parts",
+            F.col("lo").alias("p05"),
+            F.col("hi").alias("p95"),
+        )
+        .agg(
+            F.round(
+                F.sum(clamped.cast("decimal(18,2)")).cast("double")
+                / F.col("n_parts").cast("double"),
+                6,
+            ).alias("winsorized_mean")
+        )
+        .select("brand", "n_parts", "p05", "p95", "winsorized_mean")
+    )
+
+
+@query(
+    "ntile_spend_bands",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment AS segment,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT segment, c_custkey, spend,
+             ntile(4) OVER (
+               PARTITION BY segment
+               ORDER BY spend DESC, c_custkey ASC
+             ) AS band
+      FROM spend
+    )
+    SELECT segment, CAST(band AS INTEGER) AS band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           min(spend) AS min_spend, max(spend) AS max_spend,
+           CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS band_spend
+    FROM banded GROUP BY 1, 2
+    """,
+)
+def ntile_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles per market segment (NTILE banding — the
+    missing member of the repo's window-rank family): per-customer spend
+    rollup, NTILE(4) under a TOTAL ordering (spend desc, unique custkey),
+    then band-level stats. Scale posture: the window partitions by
+    segment so band assignment parallelizes; its input is already the
+    per-customer aggregate, never raw orders; spends are exact 2-decimal
+    values so the band re-sum stays in DECIMAL."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("spend").desc(), F.col("c_custkey").asc()
+    )
+    banded = spend.withColumn("band", F.ntile(4).over(w))
+    return banded.groupBy("segment", F.col("band").cast("int").alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.min("spend").alias("min_spend"),
+        F.max("spend").alias("max_spend"),
+        F.sum(F.col("spend").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("band_spend"),
+    )
+
+
+@query(
+    "mode_order_priority",
+    oracle="""
+    WITH cnt AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, priority, n,
+             CAST(sum(n) OVER (PARTITION BY segment) AS BIGINT) AS total,
+             row_number() OVER (
+               PARTITION BY segment ORDER BY n DESC, priority ASC
+             ) AS rn
+      FROM cnt
+    )
+    SELECT segment, priority AS modal_priority, n AS n_orders,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal order priority per market segment — the MODE() aggregate,
+    expressed portably as count + rank (engines disagree on native
+    mode()'s tie rules; count desc + value asc is a pinned total
+    order). Scale posture: one hash aggregate over the fact, then the
+    window runs on the tiny (segment x priority) rollup."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cnt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wt = Window.partitionBy("segment")
+    wr = Window.partitionBy("segment").orderBy(
+        F.col("n").desc(), F.col("priority").asc()
+    )
+    return (
+        cnt.withColumn("total", F.sum("n").over(wt).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+KMV_K = 256
+
+
+@query(
+    "kmv_user_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT md5(concat(CAST(user_id AS VARCHAR), '_',
+                                 CAST(CAST(ts AS DATE) AS VARCHAR))) AS h
+      FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT DISTINCT md5(concat(CAST(user_id AS VARCHAR), '_',
+                                 CAST(CAST(ts AS DATE) AS VARCHAR))) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ska AS (SELECT h FROM a ORDER BY h ASC LIMIT {KMV_K}),
+    skb AS (SELECT h FROM b ORDER BY h ASC LIMIT {KMV_K}),
+    sku AS (
+      SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      ORDER BY h ASC LIMIT {KMV_K}
+    ),
+    hits AS (
+      SELECT count(*) AS m FROM sku
+      WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+    ),
+    exact AS (
+      SELECT CAST((SELECT count(*) FROM a WHERE h IN (SELECT h FROM b))
+                  AS BIGINT) AS inter,
+             CAST((SELECT count(*)
+                   FROM (SELECT h FROM a UNION SELECT h FROM b))
+                  AS BIGINT) AS uni
+    )
+    SELECT CAST({KMV_K} AS INTEGER) AS k,
+           round(CAST(hits.m AS DOUBLE) / CAST({KMV_K} AS DOUBLE), 6)
+             AS est_jaccard,
+           round(CAST(exact.inter AS DOUBLE) / CAST(exact.uni AS DOUBLE), 6)
+             AS exact_jaccard,
+           CAST(abs(CAST(hits.m AS DOUBLE) / CAST({KMV_K} AS DOUBLE)
+                    - CAST(exact.inter AS DOUBLE) / CAST(exact.uni AS DOUBLE))
+                <= 2e-1 AS BOOLEAN) AS within_bound
+    FROM hits, exact
+    """,
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch Jaccard between the (user, day)
+    activity sets of two event types, calibrated against the exact
+    answer — the mergeable bottom-k sketch a warehouse keeps per
+    partition so cross-corpus overlap never joins the full key sets.
+    Determinism: the 'hash' is md5 of the canonical key string (both
+    engines emit identical lowercase hex), the sketch is the k
+    lexicographically-smallest hashes (a total order — no RNG), and the
+    estimate |minK(A u B) ^ minK(A) ^ minK(B)| / k is integer/k. Scale
+    posture: each sketch is a TakeOrdered(k) over a hash-distinct
+    stream (k rows cross the wire per side); only the exactness
+    calibration — the thing this query exists to measure — touches the
+    full sets."""
+    e = t(spark, sf_dir, "events")
+
+    def hashes(ev: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == ev)
+            .select(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("_"),
+                        F.col("ts").cast("date").cast("string"),
+                    ).cast("binary")
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    a, b = hashes("view"), hashes("purchase")
+    ska = a.orderBy(F.col("h").asc()).limit(KMV_K)
+    skb = b.orderBy(F.col("h").asc()).limit(KMV_K)
+    sku = (
+        ska.union(skb).distinct().orderBy(F.col("h").asc()).limit(KMV_K)
+    )
+    m = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count("*").alias("m"))
+    )
+    exact = (
+        a.join(b, "h", "left_semi")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+        .crossJoin(
+            a.union(b)
+            .distinct()
+            .agg(F.count("*").cast("bigint").alias("uni"))
+        )
+    )
+    est = F.col("m").cast("double") / F.lit(float(KMV_K))
+    ex = F.col("inter").cast("double") / F.col("uni").cast("double")
+    return m.crossJoin(F.broadcast(exact)).select(
+        F.lit(KMV_K).cast("int").alias("k"),
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(ex, 6).alias("exact_jaccard"),
+        (F.abs(est - ex) <= F.lit(0.2)).alias("within_bound"),
+    )
+
+
+@query(
+    "spend_gini_by_segment",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sp
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, sp,
+             CAST(row_number() OVER (
+               PARTITION BY segment ORDER BY sp ASC, c_custkey ASC
+             ) AS BIGINT) AS i
+      FROM spend
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(sp) AS DOUBLE) AS total_spend,
+           round(2e0 * CAST(sum(i * sp) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * CAST(sum(sp) AS DOUBLE))
+                 - (CAST(count(*) AS DOUBLE) + 1e0)
+                   / CAST(count(*) AS DOUBLE), 6) AS gini
+    FROM ranked GROUP BY 1
+    """,
+)
+def spend_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    inequality index (0 = equal, ->1 = concentrated) computed by the
+    rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over spends
+    sorted ascending. Scale posture: the window ranks the per-customer
+    AGGREGATE (never raw orders) partitioned by segment; i*x_i stays in
+    exact DECIMAL so both aggregate sums are order-independent, and the
+    final Gini is one fixed IEEE expression on identical inputs."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("sp").asc(), F.col("c_custkey").asc()
+    )
+    ranked = spend.select(
+        "segment", "sp", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    n = F.count("*").cast("bigint")
+    nd = F.count("*").cast("double")
+    s0 = F.sum("sp")
+    s1 = F.sum(F.col("i") * F.col("sp"))
+    return ranked.groupBy("segment").agg(
+        n.alias("n_customers"),
+        s0.cast("double").alias("total_spend"),
+        F.round(
+            F.lit(2.0) * s1.cast("double") / (nd * s0.cast("double"))
+            - (nd + F.lit(1.0)) / nd,
+            6,
+        ).alias("gini"),
+    )
+
+
+def _js_term_sql(dialect: str) -> tuple[str, str]:
+    """SQL for the two quantized Jensen-Shannon contributions over the
+    BIGINT columns (c, d, p_tot, q_tot): with p_i = c/P and q_i = d/Q,
+    the mixture ratio p_i/m_i = 2cQ/(cQ+dP) and q_i/m_i = 2dP/(cQ+dP)
+    are INTEGER rationals, so each ln goes through the deterministic
+    series (functions/detln.py — bit-identical cross-engine), is
+    quantized to a 1e9-scaled BIGINT, and weighted by the integer count
+    — the same log-domain idiom token_entropy_by_source proved. Ratios
+    below 1 swap-and-negate (the series needs num >= den >= 1)."""
+
+    def signed_ln(num: str, den: str) -> str:
+        pos = _series_ln_sql(num, den, dialect)
+        neg = _series_ln_sql(den, num, dialect)
+        return (
+            f"(CASE WHEN {num} >= {den} THEN {pos} ELSE -({neg}) END)"
+        )
+
+    den = "(c * q_tot + d * p_tot)"
+    t_p = (
+        "(CASE WHEN c > 0 THEN c * CAST(floor("
+        + signed_ln("(2 * c * q_tot)", den)
+        + " * 1e9 + 0.5e0) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    t_q = (
+        "(CASE WHEN d > 0 THEN d * CAST(floor("
+        + signed_ln("(2 * d * p_tot)", den)
+        + " * 1e9 + 0.5e0) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return t_p, t_q
+
+
+_JS_P_SPARK, _JS_Q_SPARK = _js_term_sql("spark")
+_JS_P_DUCK, _JS_Q_DUCK = _js_term_sql("duck")
+
+#: Final JS score from the two DECIMAL term sums — ONE textual formula
+#: so both engines execute the identical IEEE sequence.
+_JS_SCORE = (
+    "round((CAST({sp} AS DOUBLE) / (2e0 * CAST({p} AS DOUBLE))"
+    " + CAST({sq} AS DOUBLE) / (2e0 * CAST({q} AS DOUBLE))) / 1e9, 6)"
+)
+
+
+@query(
+    "token_js_divergence_by_source",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+    g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM cnt GROUP BY 1),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS p_tot
+            FROM cnt GROUP BY 1),
+    gt AS (SELECT CAST(sum(gc) AS BIGINT) AS g_tot FROM g),
+    rows_ AS (
+      SELECT tot.source, tot.p_tot,
+             gt.g_tot - tot.p_tot AS q_tot,
+             coalesce(cnt.c, CAST(0 AS BIGINT)) AS c,
+             g.gc - coalesce(cnt.c, CAST(0 AS BIGINT)) AS d
+      FROM tot CROSS JOIN gt CROSS JOIN g
+      LEFT JOIN cnt ON cnt.source = tot.source AND cnt.tok = g.tok
+      WHERE gt.g_tot > tot.p_tot
+    ),
+    terms AS (
+      SELECT source, p_tot, q_tot,
+             {_JS_P_DUCK} AS tp, {_JS_Q_DUCK} AS tq
+      FROM rows_
+    )
+    SELECT source, CAST(min(p_tot) AS BIGINT) AS n_tokens,
+           {_JS_SCORE.format(
+               sp="sum(CAST(tp AS DECIMAL(38,0)))",
+               sq="sum(CAST(tq AS DECIMAL(38,0)))",
+               p="min(p_tot)", q="min(q_tot)")} AS js_divergence
+    FROM terms GROUP BY 1
+    """,
+)
+def token_js_divergence_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between each source's unigram
+    distribution and the REST of the corpus — the symmetric, bounded
+    drift score curation pipelines use to flag a source whose text
+    stopped looking like the rest (JS, unlike KL, tolerates tokens the
+    other side lacks). Every logarithm is the deterministic series over
+    an integer rational, quantized to 1e9-scaled BIGINTs and summed in
+    DECIMAL — associative, so partitioning-independent — with the final
+    score one fixed IEEE formula (see token_entropy_by_source). Scale
+    posture: one token hash-aggregate, a vocab-sized global rollup, and
+    a (sources x vocab) enumeration joined on (source, tok) — the
+    corpus text itself is read once and never re-shuffles; BIGINT
+    products c*Q hold to ~1e18 (past that the quantized contributions
+    move to DECIMAL, same plan)."""
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = tk.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    g = cnt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("gc"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("p_tot")
+    )
+    g_tot = g.agg(F.sum("gc").cast("bigint").alias("g_tot"))
+    rows = (
+        tot.crossJoin(F.broadcast(g_tot))
+        .filter(F.col("g_tot") > F.col("p_tot"))
+        .crossJoin(g)
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "p_tot",
+            (F.col("g_tot") - F.col("p_tot")).alias("q_tot"),
+            F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("c"),
+            (
+                F.col("gc")
+                - F.coalesce(F.col("c"), F.lit(0).cast("bigint"))
+            ).alias("d"),
+        )
+    )
+    terms = rows.select(
+        "source",
+        "p_tot",
+        "q_tot",
+        F.expr(_JS_P_SPARK).alias("tp"),
+        F.expr(_JS_Q_SPARK).alias("tq"),
+    )
+    return terms.groupBy("source").agg(
+        F.min("p_tot").cast("bigint").alias("n_tokens"),
+        F.expr(
+            _JS_SCORE.format(
+                sp="sum(CAST(tp AS DECIMAL(38,0)))",
+                sq="sum(CAST(tq AS DECIMAL(38,0)))",
+                p="min(p_tot)",
+                q="min(q_tot)",
+            )
+        ).alias("js_divergence"),
+    )
