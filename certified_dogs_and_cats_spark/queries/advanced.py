@@ -2175,13 +2175,12 @@ def second_max_price_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "label_norm_anova",
+    "label_feature_anova",
     oracle="""
     WITH v AS (
       SELECT label,
-             CAST(floor(sqrt(list_dot_product(
-               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-               * 1e9 + 0.5e0) AS BIGINT) AS x
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e9 + 0.5e0)
+                  AS BIGINT) AS x
       FROM embeddings
     ),
     g AS (
@@ -2222,11 +2221,13 @@ def second_max_price_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM parts
     """,
 )
-def label_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-way ANOVA of embedding norms across labels — the screening
-    statistic for "does this scalar feature separate the classes at
-    all" (F >> 1 = between-label variance dominates). Cross-engine
-    determinism: norms quantize to 1e9-scaled BIGINTs, group means
+def label_feature_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of a scalar embedding feature (the first
+    dimension; the norm is degenerate on unit-normalized vectors)
+    across labels — the screening statistic for "does this feature
+    separate the classes at all" (F >> 1 = between-label variance
+    dominates). Cross-engine determinism: values quantize to
+    1e9-scaled BIGINTs, group means
     quantize to the integer grid via one identical floor(double)
     division, and BOTH sums of squares are then pure integer (DECIMAL)
     arithmetic — associative, partitioning-independent — where the
@@ -2240,14 +2241,7 @@ def label_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "label",
         F.floor(
-            F.sqrt(
-                dot(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("embedding").cast("array<double>"),
-                )
-            )
-            * F.lit(1e9)
-            + F.lit(0.5)
+            F.col("embedding")[0].cast("double") * F.lit(1e9) + F.lit(0.5)
         )
         .cast("bigint")
         .alias("x"),
