@@ -113,6 +113,20 @@ HEAVY = [
     # round-8 rewrite: sorted-neighborhood record linkage (was the
     # steepest sf0.01->0.1 entry at 7.8x under the quadratic block join).
     "record_linkage_scores",
+    # round-9 tail: the new corpus-scale shapes — fact-fact TPC-H joins,
+    # the 8-band simhash candidate join (looser pigeonhole = more
+    # candidates), the (sources x vocab) JS-divergence enumeration, and
+    # the KMV bottom-k sketch path.
+    "top_unshipped_orders",
+    "market_share_by_year",
+    "large_volume_customers",
+    "supplier_return_blame",
+    "small_quantity_revenue",
+    "simhash_hamming_histogram",
+    "token_js_divergence_by_source",
+    "kmv_user_overlap",
+    "spend_gini_by_segment",
+    "pareto_frontier_brand",
 ]
 REPEATS = 2
 
