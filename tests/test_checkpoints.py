@@ -167,3 +167,26 @@ def test_checkpoint_after_overwrite_resets_state(spark, tmp_path):
     assert _rows(cat) == [99, 100, 101]
     with pytest.raises(ValueError, match="no longer replayable"):
         cat.table("core.t", version=2)
+
+
+def test_targeted_range_load_is_bounded(spark, tmp_path):
+    """Time travel and CDF replay load O(checkpoint_interval) entries
+    grounded at the nearest checkpoint at or below the range — never
+    the whole history (the full-view draft measured ~10x time-travel
+    growth per 4x commits from opening every commit file ever
+    written)."""
+    cat = _mk(spark, tmp_path, interval=5)
+    _append_n(spark, cat, 23)
+    # mid-history target 12 grounds at the v10 checkpoint (the newest
+    # one at or below it), loading only (10, 12].
+    rng = cat._load_log_range("core.t", 12, 12)
+    assert [e["version"] for e in rng] == [10, 11, 12]
+    assert rng[0]["action"] == "checkpoint"
+    assert _rows(cat, version=12) == list(range(12))
+    # early target with no checkpoint below: grounds at v1.
+    rng = cat._load_log_range("core.t", 3, 3)
+    assert [e["version"] for e in rng] == [1, 2, 3]
+    # CDF over a mid-history window replays only that window.
+    feed = cat.changes("core.t", from_version=11, to_version=14)
+    got = sorted((r.k, r._commit_version) for r in feed.collect())
+    assert got == [(i, i + 1) for i in range(11, 14)]
