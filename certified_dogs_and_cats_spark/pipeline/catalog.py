@@ -1431,9 +1431,15 @@ class Catalog:
         re-pointing an existing tag raises (drop it first — silent moves
         defeat the reproducibility point)."""
         v = self.current_version(name) if version is None else version
-        if not any(
-            e["version"] == v for e in self._load_manifest(name, full=True)
-        ):
+        entry = next(
+            (
+                e
+                for e in self._replay(self._load_log_range(name, v, v))
+                if e["version"] == v
+            ),
+            None,
+        )
+        if entry is None:
             raise ValueError(f"{name}: no committed version {v} to tag")
         cur = self.tags(name)
         if tag in cur and cur[tag] != v:
@@ -1445,7 +1451,30 @@ class Catalog:
         os.makedirs(self._meta_dir(name), exist_ok=True)
         with open(self._tags_path(name), "w") as fh:
             json.dump(cur, fh, indent=1)
+        # Snapshot-pin the tagged version's commit file IMMEDIATELY (not
+        # only at vacuum time): if the delta commit file was already
+        # pruned while the version survived in the manifest tail, the
+        # next checkpoint truncation would otherwise lose the only
+        # replayable record of a version a named ref still points at.
+        self._pin_snapshot(name, entry)
         return v
+
+    def _pin_snapshot(self, name: str, entry: dict) -> None:
+        """Rewrite a REPLAYED entry (full ``files`` attached) as a
+        snapshot-form commit file, so the log re-grounds at it after its
+        delta predecessors are pruned (Iceberg keeps a tagged snapshot's
+        manifest for the same reason)."""
+        pin = {k: v for k, v in entry.items() if k not in ("add", "remove")}
+        cdir = self._commits_dir(name)
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(
+            cdir, f".tmp-pin-{os.getpid()}-{time.time_ns()}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(pin, f)
+        os.replace(
+            tmp, os.path.join(cdir, f"{entry['version']:012d}.json")
+        )
 
     def drop_tag(self, name: str, tag: str) -> None:
         cur = self.tags(name)
@@ -2740,17 +2769,7 @@ class Catalog:
                 e = by_v.get(tv)
                 if e is None or tv > ckpt_version:
                     continue
-                pin = {
-                    k: v
-                    for k, v in e.items()
-                    if k not in ("add", "remove")
-                }
-                ptmp = os.path.join(
-                    cdir, f".tmp-pin-{os.getpid()}-{time.time_ns()}"
-                )
-                with open(ptmp, "w") as f:
-                    json.dump(pin, f)
-                os.replace(ptmp, os.path.join(cdir, f"{tv:012d}.json"))
+                self._pin_snapshot(name, e)
             for fn in sorted(os.listdir(cdir)):
                 if not fn.endswith(".json"):
                     continue

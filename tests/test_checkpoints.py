@@ -190,3 +190,27 @@ def test_targeted_range_load_is_bounded(spark, tmp_path):
     feed = cat.changes("core.t", from_version=11, to_version=14)
     got = sorted((r.k, r._commit_version) for r in feed.collect())
     assert got == [(i, i + 1) for i in range(11, 14)]
+
+
+def test_set_tag_pins_immediately(spark, tmp_path):
+    """A tag set AFTER its version's delta commit file was pruned (but
+    while the manifest tail still holds the entry) must survive the
+    next checkpoint truncation: set_tag snapshot-pins the commit file
+    at tag time, not only at vacuum time."""
+    cat = _mk(spark, tmp_path, interval=10)
+    _append_n(spark, cat, 4)
+    # Prune v1-4 commit files while they are only manifest-merged
+    # (no checkpoint yet): the old-era rule.
+    cat.vacuum("core.t", 0)
+    assert sorted(
+        fn
+        for fn in os.listdir(cat._commits_dir("core.t"))
+        if fn.endswith(".json")
+    ) == []
+    cat.set_tag("core.t", "snap3", version=3)
+    # Cross the checkpoint boundary: manifest truncates to (10, ...].
+    _append_n(spark, cat, 7, start=4)
+    assert _rows(cat, version="snap3") == [0, 1, 2]
+    # Survives a later vacuum too.
+    cat.vacuum("core.t", 0)
+    assert _rows(cat, version="snap3") == [0, 1, 2]
