@@ -146,6 +146,10 @@ class TableSpec:
         return self.properties.get("delta.columnMapping.mode") == "name"
 
 
+#: (path, mtime_ns) -> parsed checkpoint entry (see Catalog._read_checkpoint).
+_CKPT_CACHE: dict[tuple[str, int], dict] = {}
+
+
 def _ranges(versions) -> list[str]:
     """Compact "a..b" spans of a sorted int iterable, for error text."""
     out: list[str] = []
@@ -598,10 +602,22 @@ class Catalog:
         )
 
     def _read_checkpoint(self, name: str, version: int) -> dict:
-        with open(
-            os.path.join(self._ckpt_dir(name), f"{version:012d}.json")
-        ) as f:
-            return json.load(f)
+        """Parse a checkpoint file through the (path, mtime) cache: the
+        file is immutable once written (new versions get new files),
+        but its SIZE is O(table file count) — without the cache every
+        hot log read (every commit claim, txn check, head read)
+        re-parses it. Callers treat the returned dict as read-only
+        (:meth:`_replay` copies before mutating)."""
+        path = os.path.join(self._ckpt_dir(name), f"{version:012d}.json")
+        key = (path, os.stat(path).st_mtime_ns)
+        hit = _CKPT_CACHE.get(key)
+        if hit is None:
+            with open(path) as f:
+                hit = json.load(f)
+            if len(_CKPT_CACHE) > 64:
+                _CKPT_CACHE.clear()
+            _CKPT_CACHE[key] = hit
+        return hit
 
     def _latest_checkpoint(self, name: str) -> dict | None:
         """Newest periodic checkpoint entry (snapshot form: full
