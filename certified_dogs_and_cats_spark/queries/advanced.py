@@ -2070,7 +2070,7 @@ def token_js_divergence_by_source(
 
 from .dedup import _SIMHASH_SIG_CTE  # noqa: E402
 
-SIMHASH_HIST_BANDS = 8  # 8-bit bands -> pigeonhole up to hamming 7
+SIMHASH_HIST_BANDS = 4  # 16-bit bands -> pigeonhole up to hamming 3
 
 
 @query(
@@ -2078,7 +2078,7 @@ SIMHASH_HIST_BANDS = 8  # 8-bit bands -> pigeonhole up to hamming 7
     oracle=f"""
     WITH {_SIMHASH_SIG_CTE},
     bands AS (
-      SELECT doc_id, b AS band_idx, substr(simhash, b*2 + 1, 2) AS band_val,
+      SELECT doc_id, b AS band_idx, substr(simhash, b*4 + 1, 4) AS band_val,
              simhash
       FROM sig, UNNEST(range(0, {SIMHASH_HIST_BANDS})) AS u(b)
     ),
