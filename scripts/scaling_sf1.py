@@ -127,6 +127,18 @@ HEAVY = [
     "kmv_user_overlap",
     "spend_gini_by_segment",
     "pareto_frontier_brand",
+    # round-9 second TPC-H batch: every corpus-scale shape pinned — the
+    # 6-way same-nation join (Q5), the scan-local aggregate (Q6), the
+    # quarter top-k fact-fact join (Q10), the non-pushable join-time
+    # lateness predicate (Q12), the outer-join histogram (Q13), the
+    # decimal tie-set max (Q15), and the disjunctive-pushdown join (Q19).
+    "local_supplier_revenue",
+    "forecast_revenue_change",
+    "returned_item_customers",
+    "late_shipment_priority_mix",
+    "customer_order_count_distribution",
+    "top_quarter_supplier",
+    "brand_size_band_revenue",
 ]
 REPEATS = 2
 

@@ -190,3 +190,227 @@ def test_js_divergence_bounded_and_matches_float_reference(spark):
                 js += 0.5 * q * math.log(q / m)
         assert row.js_divergence == pytest.approx(js, rel=1e-4, abs=1e-6)
         assert row.n_tokens == p_tot
+
+
+# --- second TPC-H batch (Q5/Q6/Q10/Q12/Q13/Q15/Q19 shapes) ---------------
+
+
+def _rev(price, disc):
+    from decimal import Decimal
+
+    p = Decimal(str(price)).quantize(Decimal("0.01"))
+    d = Decimal(str(disc)).quantize(Decimal("0.01"))
+    return p * (1 - d)
+
+
+def test_local_supplier_revenue_requires_same_nation(spark):
+    """Every (nation, revenue) row equals a brute recomputation that
+    keeps ONLY lines whose supplier nation == customer nation inside
+    ASIA — the Q5 twist the join condition must encode."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        local_supplier_revenue,
+    )
+
+    got = {
+        r.nation: (r.n_lines, r.revenue)
+        for r in local_supplier_revenue(spark, SF).collect()
+    }
+    n = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    asia = {
+        r.r_regionkey
+        for r in spark.read.parquet(f"{SF}/region.parquet").collect()
+        if r.r_name == "ASIA"
+    }
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    supp = {
+        r.s_suppkey: r.s_nationkey
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+        if "1996-01-01" <= str(r.o_orderdate) < "1997-01-01"
+    }
+    exp: dict[str, list] = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        ck = orders.get(r.l_orderkey)
+        if ck is None:
+            continue
+        cn = cust[ck]
+        if supp[r.l_suppkey] != cn or n[cn][1] not in asia:
+            continue
+        e = exp.setdefault(n[cn][0], [0, 0])
+        e[0] += 1
+        e[1] += _rev(r.l_extendedprice, r.l_discount)
+    assert set(got) == set(exp)
+    for nation, (cnt, rev) in exp.items():
+        assert got[nation][0] == cnt
+        assert got[nation][1] == pytest.approx(float(rev), rel=1e-12)
+
+
+def test_forecast_revenue_change_matches_brute_decimal(spark):
+    """The Q6 aggregate equals an exact-decimal brute sum over the raw
+    rows satisfying the scan-local predicate."""
+    from decimal import Decimal
+
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        forecast_revenue_change,
+    )
+
+    row = forecast_revenue_change(spark, SF).collect()[0]
+    n = 0
+    total = Decimal(0)
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if not ("1997-01-01" <= str(r.l_shipdate) < "1998-01-01"):
+            continue
+        if not (0.04 <= r.l_discount <= 0.06) or not (r.l_quantity < 24):
+            continue
+        n += 1
+        total += Decimal(str(r.l_extendedprice)).quantize(
+            Decimal("0.01")
+        ) * Decimal(str(r.l_discount)).quantize(Decimal("0.01"))
+    assert row.n_lines == n > 0
+    assert row.discount_revenue == pytest.approx(float(total), rel=1e-12)
+
+
+def test_returned_item_customers_topk_is_total_ordered(spark):
+    """Q10: at most 20 unique customers, ordered by (lost_revenue desc,
+    custkey asc), and each row's revenue equals the brute per-customer
+    returned-line sum for the quarter."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        returned_item_customers,
+    )
+
+    rows = returned_item_customers(spark, SF).collect()
+    assert len(rows) <= 20
+    keys = [r.custkey for r in rows]
+    assert len(set(keys)) == len(keys)
+    for a, b in zip(rows, rows[1:]):
+        assert (a.lost_revenue, -a.custkey) >= (b.lost_revenue, -b.custkey)
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+        if "1998-01-01" <= str(r.o_orderdate) < "1998-04-01"
+    }
+    exp: dict[int, object] = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if r.l_returnflag != "R" or r.l_orderkey not in orders:
+            continue
+        ck = orders[r.l_orderkey]
+        exp[ck] = exp.get(ck, 0) + _rev(r.l_extendedprice, r.l_discount)
+    for r in rows:
+        assert r.lost_revenue == pytest.approx(
+            float(exp[r.custkey]), rel=1e-12
+        )
+    # the cutoff is correct: nothing omitted beats the last returned row
+    if len(rows) == 20:
+        floor = (rows[-1].lost_revenue, -rows[-1].custkey)
+        for ck, rev in exp.items():
+            if ck not in set(keys):
+                assert (float(rev), -ck) <= floor
+
+
+def test_late_shipment_priority_mix_partition_counts(spark):
+    """Q12 adaptation: per linestatus, high+low == total late lines and
+    the high bucket counts exactly the URGENT/HIGH orders' lines."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        late_shipment_priority_mix,
+    )
+
+    got = {
+        r.linestatus: (r.high_line_count, r.low_line_count)
+        for r in late_shipment_priority_mix(spark, SF).collect()
+    }
+    import datetime
+
+    orders = {
+        r.o_orderkey: (r.o_orderdate, r.o_orderpriority)
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    exp: dict[str, list] = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if not ("1998-01-01" <= str(r.l_shipdate) < "1999-01-01"):
+            continue
+        odate, prio = orders[r.l_orderkey]
+        if r.l_shipdate < odate + datetime.timedelta(days=60):
+            continue
+        e = exp.setdefault(r.l_linestatus, [0, 0])
+        e[prio not in ("1-URGENT", "2-HIGH")] += 1
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    assert sum(h + lo for h, lo in got.values()) > 0
+
+
+def test_customer_order_count_distribution_conserves_mass(spark):
+    """Q13: the histogram's customer mass equals the customer table and
+    its order mass equals the qualifying-order count — the two identities
+    a broken LEFT OUTER (dropped 0-bucket / duplicated matches) breaks."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        customer_order_count_distribution,
+    )
+
+    rows = customer_order_count_distribution(spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    qualifying = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert sum(r.n_orders * r.n_customers for r in rows) == qualifying
+
+
+def test_top_quarter_supplier_returns_every_tie(spark):
+    """Q15: the result is EXACTLY the argmax set of the brute
+    per-supplier quarter revenue (every tie present, nothing else)."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        top_quarter_supplier,
+    )
+
+    rows = top_quarter_supplier(spark, SF).collect()
+    exp: dict[int, object] = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if not ("1997-01-01" <= str(r.l_shipdate) < "1997-04-01"):
+            continue
+        exp[r.l_suppkey] = exp.get(r.l_suppkey, 0) + _rev(
+            r.l_extendedprice, r.l_discount
+        )
+    mx = max(exp.values())
+    winners = {k for k, v in exp.items() if v == mx}
+    assert {r.suppkey for r in rows} == winners
+    for r in rows:
+        assert r.total_rev == pytest.approx(float(mx), rel=1e-12)
+
+
+def test_brand_size_band_revenue_matches_brute_disjunction(spark):
+    """Q19: the aggregate equals a brute evaluation of the full
+    OR-of-conjunctions on raw rows (so Catalyst's factoring of the
+    pushable envelope changed the PLAN, not the predicate)."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        brand_size_band_revenue,
+    )
+
+    row = brand_size_band_revenue(spark, SF).collect()[0]
+    part = {
+        r.p_partkey: (r.p_brand, r.p_size)
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    n = 0
+    total = 0
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        brand, size = part[r.l_partkey]
+        q = r.l_quantity
+        if (
+            (brand == "Brand#12" and 1 <= size <= 5 and 1 <= q <= 11)
+            or (brand == "Brand#23" and 1 <= size <= 10 and 10 <= q <= 20)
+            or (brand == "Brand#3" and 1 <= size <= 15 and 20 <= q <= 30)
+        ):
+            n += 1
+            total += _rev(r.l_extendedprice, r.l_discount)
+    assert row.n_lines == n > 0
+    assert row.revenue == pytest.approx(float(total), rel=1e-12)
