@@ -414,3 +414,227 @@ def test_brand_size_band_revenue_matches_brute_disjunction(spark):
             total += _rev(r.l_extendedprice, r.l_discount)
     assert row.n_lines == n > 0
     assert row.revenue == pytest.approx(float(total), rel=1e-12)
+
+
+# --- first TPC-H batch, brute-force properties (Q3/Q8/Q14/Q17/Q18/Q22) ---
+
+
+def test_top_unshipped_orders_cutoff_and_values(spark):
+    """Q3: every returned order's revenue equals the brute sum of its
+    qualifying lines, and no omitted qualifying order beats the cutoff
+    under the total (revenue, orderdate, orderkey) order."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        top_unshipped_orders,
+    )
+
+    rows = top_unshipped_orders(spark, SF).collect()
+    assert len(rows) <= 10
+    orders = {
+        r.o_orderkey: (r.o_orderdate, r.o_custkey)
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+        if str(r.o_orderdate) < "1997-01-01"
+    }
+    building = {
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+        if r.c_mktsegment == "BUILDING"
+    }
+    exp: dict[int, object] = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if str(r.l_shipdate) <= "1997-01-01 00:00:00":
+            continue
+        od = orders.get(r.l_orderkey)
+        if od is None or od[1] not in building:
+            continue
+        exp[r.l_orderkey] = exp.get(r.l_orderkey, 0) + _rev(
+            r.l_extendedprice, r.l_discount
+        )
+    for r in rows:
+        assert r.revenue == pytest.approx(float(exp[r.orderkey]), rel=1e-12)
+    if len(rows) == 10:
+        kept = {r.orderkey for r in rows}
+        last = rows[-1]
+        floor = (last.revenue, str(last.orderdate), last.orderkey)
+        for ok, rev in exp.items():
+            if ok not in kept:
+                od = str(orders[ok][0])[:10]
+                # omitted must NOT sort strictly before the cutoff row
+                # under (revenue DESC, orderdate ASC, orderkey ASC)
+                beats_cutoff = float(rev) > floor[0] or (
+                    float(rev) == floor[0]
+                    and (od, ok) < (str(floor[1]), floor[2])
+                )
+                assert not beats_cutoff, (ok, rev, floor)
+
+
+def test_market_share_is_a_share(spark):
+    """Q8: 0 <= share <= 1 per year, and the numerator/denominator
+    reconstruction from raw rows matches total_volume."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        market_share_by_year,
+    )
+
+    rows = market_share_by_year(spark, SF).collect()
+    assert rows, "EUROPE volume exists in the fixture"
+    nat = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    europe = {
+        r.r_regionkey
+        for r in spark.read.parquet(f"{SF}/region.parquet").collect()
+        if r.r_name == "EUROPE"
+    }
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    supp = {
+        r.s_suppkey: r.s_nationkey
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    orders = {
+        r.o_orderkey: (int(str(r.o_orderdate)[:4]), r.o_custkey)
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    tot: dict[int, object] = {}
+    num: dict[int, object] = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        year, ck = orders[r.l_orderkey]
+        if nat[cust[ck]][1] not in europe:
+            continue
+        v = _rev(r.l_extendedprice, r.l_discount)
+        tot[year] = tot.get(year, 0) + v
+        if nat[supp[r.l_suppkey]][0] == "NATION_3":
+            num[year] = num.get(year, 0) + v
+    assert {r.o_year for r in rows} == set(tot)
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.total_volume == pytest.approx(
+            float(tot[r.o_year]), rel=1e-12
+        )
+        share = float(num.get(r.o_year, 0)) / float(tot[r.o_year])
+        assert r.mkt_share == pytest.approx(round(share, 6), abs=5e-7)
+
+
+def test_promo_revenue_share_bounds_and_brute(spark):
+    """Q14: the percent is in [0, 100] and matches the brute promo/total
+    split for the month."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        promo_revenue_share,
+    )
+
+    row = promo_revenue_share(spark, SF).collect()[0]
+    part = {
+        r.p_partkey: r.p_type
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    n = 0
+    promo = 0
+    total = 0
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if not ("1998-03-01" <= str(r.l_shipdate) < "1998-04-01"):
+            continue
+        n += 1
+        v = _rev(r.l_extendedprice, r.l_discount)
+        total += v
+        if part[r.l_partkey] == "PROMO":
+            promo += v
+    assert row.n_lines == n > 0
+    assert 0.0 <= row.promo_pct <= 100.0
+    assert row.promo_pct == pytest.approx(
+        round(100.0 * float(promo) / float(total), 6), abs=5e-7
+    )
+
+
+def test_small_quantity_revenue_threshold_semantics(spark):
+    """Q17: counted lines are exactly those below 80% of their part's
+    average quantity, within the two target brands."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        small_quantity_revenue,
+    )
+
+    got = {
+        r.brand: (r.n_lines, r.revenue)
+        for r in small_quantity_revenue(spark, SF).collect()
+    }
+    part = {
+        r.p_partkey: r.p_brand
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    lines = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    qsum: dict[int, list] = {}
+    for r in lines:
+        e = qsum.setdefault(r.l_partkey, [0, 0])
+        e[0] += float(r.l_quantity)
+        e[1] += 1
+    from decimal import Decimal
+
+    exp: dict[str, list] = {}
+    for r in lines:
+        brand = part[r.l_partkey]
+        if brand not in ("Brand#3", "Brand#4"):
+            continue
+        s, c = qsum[r.l_partkey]
+        if float(r.l_quantity) < 0.8 * (s / c):
+            e = exp.setdefault(brand, [0, Decimal(0)])
+            e[0] += 1
+            e[1] += Decimal(str(r.l_extendedprice)).quantize(
+                Decimal("0.01")
+            )
+    assert set(got) == set(exp)
+    for brand, (cnt, rev) in exp.items():
+        assert got[brand][0] == cnt
+        assert got[brand][1] == pytest.approx(float(rev), rel=1e-12)
+
+
+def test_large_volume_customers_have_threshold_quantity(spark):
+    """Q18: exactly the orders whose total quantity exceeds 250 qualify,
+    and the returned top-20 total_qty values match brute sums."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        large_volume_customers,
+    )
+
+    rows = large_volume_customers(spark, SF).collect()
+    qty: dict[int, float] = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        qty[r.l_orderkey] = qty.get(r.l_orderkey, 0.0) + float(r.l_quantity)
+    qualifying = {k: v for k, v in qty.items() if v > 250}
+    assert len(rows) == min(20, len(qualifying))
+    for r in rows:
+        assert r.total_qty == pytest.approx(qualifying[r.orderkey])
+    top = sorted(qualifying.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r.orderkey for r in rows] == [k for k, _ in top[: len(rows)]]
+
+
+def test_idle_rich_customers_partition(spark):
+    """Q22: counted customers are above the positive-balance average AND
+    have no orders on/after the cutoff — reconstructed exactly."""
+    from certified_dogs_and_cats_spark.queries.tpch import (
+        idle_rich_customers,
+    )
+
+    got = {
+        r.segment: (r.n_customers, r.total_acctbal)
+        for r in idle_rich_customers(spark, SF).collect()
+    }
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    pos = [c.c_acctbal for c in cust if c.c_acctbal > 0]
+    avg = sum(pos) / len(pos)
+    recent = {
+        r.o_custkey
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+        if str(r.o_orderdate) >= "2000-08-01"
+    }
+    from decimal import Decimal
+
+    exp: dict[str, list] = {}
+    for c in cust:
+        if c.c_acctbal > avg and c.c_custkey not in recent:
+            e = exp.setdefault(c.c_mktsegment, [0, Decimal(0)])
+            e[0] += 1
+            e[1] += Decimal(str(c.c_acctbal)).quantize(Decimal("0.01"))
+    assert set(got) == set(exp)
+    for seg, (cnt, bal) in exp.items():
+        assert got[seg][0] == cnt
+        assert got[seg][1] == pytest.approx(float(bal), rel=1e-12)
