@@ -214,3 +214,92 @@ def test_set_tag_pins_immediately(spark, tmp_path):
     # Survives a later vacuum too.
     cat.vacuum("core.t", 0)
     assert _rows(cat, version="snap3") == [0, 1, 2]
+
+
+# --- randomized differential property: checkpointing must be invisible ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 9)),
+    st.tuples(st.just("delete"), st.integers(0, 9)),
+    st.tuples(st.just("update"), st.integers(0, 9)),
+    st.tuples(st.just("overwrite"), st.integers(0, 9)),
+    st.tuples(st.just("compact"), st.just(0)),
+)
+
+
+def _apply(spark, cat, ops):
+    """Run the op sequence; ops that would commit nothing are skipped
+    identically on both catalogs (pure function of prior ops). Txn batch
+    ids are consecutive per stream — the structured-streaming contract
+    txn_committed's high-water subsumption is documented against (gapped
+    ids would legitimately diverge: a checkpoint keeps only the
+    high-water, exactly like Delta's per-appId latest txn version)."""
+    batch = 0
+    for i, (kind, k) in enumerate(ops):
+        if kind == "append":
+            cat.append(
+                "core.t",
+                spark.createDataFrame([(k, f"r{i}")], SCHEMA),
+                txn={"stream_id": "s", "batch_id": batch},
+            )
+            batch += 1
+        elif kind == "delete":
+            cat.delete_where("core.t", f"k = {k}")
+        elif kind == "update":
+            cat.update_where("core.t", {"v": "concat(v, '+')"}, f"k = {k}")
+        elif kind == "overwrite":
+            cat.overwrite(
+                "core.t", spark.createDataFrame([(k, f"o{i}")], SCHEMA)
+            )
+        elif kind == "compact":
+            cat.compact("core.t")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=3, max_size=8))
+def test_checkpointed_log_is_equivalent_to_plain_replay(
+    spark, tmp_path_factory, ops
+):
+    """Differential property: an aggressive checkpoint interval (2) must
+    be observationally IDENTICAL to an effectively checkpoint-free log
+    (interval 10**6) across random append / DV-delete / DV-update /
+    overwrite / compact sequences — same head rows, same rows at every
+    retained version, same change feed, same txn high-water. Any
+    checkpoint-grounding bug (dropped DV sidecar, wrong replay base,
+    missed txn marker) breaks one side of the comparison."""
+    base = tmp_path_factory.mktemp("ckeq")
+    cats = []
+    for label, interval in (("ck", 2), ("plain", 10**6)):
+        cat = Catalog(spark, str(base / label))
+        cat.checkpoint_interval = interval
+        cat.register("core.t", SCHEMA)
+        _apply(spark, cat, ops)
+        cats.append(cat)
+    ck, plain = cats
+    assert ck.current_version("core.t") == plain.current_version("core.t")
+    head = plain.current_version("core.t")
+    for v in range(1, head + 1):
+        got = sorted(
+            (r.k, r.v) for r in ck.table("core.t", version=v).collect()
+        )
+        want = sorted(
+            (r.k, r.v) for r in plain.table("core.t", version=v).collect()
+        )
+        assert got == want, f"version {v} diverged"
+    feed = lambda c: sorted(  # noqa: E731
+        (r.k, r.v, r["_change_type"], r["_commit_version"])
+        for r in c.changes("core.t", 0).collect()
+    )
+    assert feed(ck) == feed(plain)
+    n_appends = sum(1 for kind, _ in ops if kind == "append")
+    for b in range(n_appends + 2):
+        assert ck.txn_committed("core.t", "s", b) == plain.txn_committed(
+            "core.t", "s", b
+        ) == (b < n_appends)
