@@ -638,3 +638,48 @@ def test_idle_rich_customers_partition(spark):
     for seg, (cnt, bal) in exp.items():
         assert got[seg][0] == cnt
         assert got[seg][1] == pytest.approx(float(bal), rel=1e-12)
+
+
+def test_tpch_suite_is_partition_layout_independent(spark):
+    """Every TPC-H-shape query returns IDENTICAL rows at different
+    shuffle-partition settings — the guarantee that the exact-DECIMAL
+    money idiom and total top-k orderings exist to provide (a
+    partitioning-dependent result would be nondeterministic on a real
+    cluster where layout is not chosen by the query)."""
+    from certified_dogs_and_cats_spark.queries import tpch
+
+    names = [
+        "top_unshipped_orders",
+        "market_share_by_year",
+        "promo_revenue_share",
+        "small_quantity_revenue",
+        "large_volume_customers",
+        "supplier_return_blame",
+        "idle_rich_customers",
+        "local_supplier_revenue",
+        "forecast_revenue_change",
+        "returned_item_customers",
+        "late_shipment_priority_mix",
+        "customer_order_count_distribution",
+        "top_quarter_supplier",
+        "brand_size_band_revenue",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = getattr(tpch, n)(spark, SF).collect()
+                # ordered queries compare as sequences, the rest as sets
+                key = (
+                    list
+                    if n in ("top_unshipped_orders", "returned_item_customers",
+                             "large_volume_customers")
+                    else sorted
+                )
+                results.setdefault(n, []).append(key(map(tuple, rows)))
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} depends on partition layout"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
