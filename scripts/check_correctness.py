@@ -141,7 +141,9 @@ def main() -> int:
             json.dump(results, f, indent=2)
         print(f"full-registry artifact: CORRECTNESS_local.json "
               f"({len(results)} entries)")
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} queries pass")
+    checked = len(results) if only else len(QUERIES)
+    scope = "checked queries" if only else "queries"
+    print(f"\n{checked - len(failures)}/{checked} {scope} pass")
     return 1 if failures else 0
 
 
