@@ -195,6 +195,44 @@ def F_col(name):
     return F.col(name)
 
 
+def simhash_incidence(sf_dir: str) -> int:
+    """Measured candidate volume of the simhash band family: 16-bit band
+    collisions — sum over (band, value) of C(docs, 2) — i.e. exactly the
+    candidate pairs the (band_idx, band_val) equi-join emits before the
+    popcount verify. Uses the package's own signature function."""
+    from pyspark.sql import functions as F
+
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        simhash64_text,
+    )
+
+    spark = get_probe_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash64_text(docs, "doc_id", "text")
+    sig_col = next(c for c in sig.columns if c != "doc_id")
+    # signatures are 16-hex-char strings; a 16-bit band is 4 hex chars
+    bands = sig.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col(sig_col), 1 + 4 * b, 4)
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val")
+    )
+    (n,) = (
+        bands.groupBy("band_idx", "band_val")
+        .count()
+        .agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("bigint")
+        )
+        .collect()[0]
+    )
+    return int(n or 0)
+
+
 def main() -> None:
     names = auditable(QUERIES)
     small = sweep(SMALL, names)
@@ -308,6 +346,7 @@ def main() -> None:
         "| B/incidence 0.01 | B/incidence 0.1 |"
     )
     print("|---|---|---|---|---|---|")
+    sm_s, sm_l = simhash_incidence(SMALL), simhash_incidence(LARGE)
     fam = [
         ("3-shingle exact (`dedup_ngram_jaccard`, `dedup_threshold_sweep`, "
          "`dedup_containment_pairs`)", sh_s, sh_l,
@@ -315,6 +354,9 @@ def main() -> None:
           "dedup_containment_pairs"]),
         ("winnow decontamination (`decontaminate_eval_split`)", wn_s, wn_l,
          ["decontaminate_eval_split"]),
+        ("simhash 16-bit band collisions (`dedup_simhash_pairs`, "
+         "`simhash_hamming_histogram`)", sm_s, sm_l,
+         ["dedup_simhash_pairs", "simhash_hamming_histogram"]),
     ]
     for label, inc_s, inc_l, members in fam:
         b_s = sum(
