@@ -683,3 +683,181 @@ def test_tpch_suite_is_partition_layout_independent(spark):
             assert a == b, f"{n} depends on partition layout"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# --- OLAP/sketch round-9 additions: brute-force semantic properties -----
+
+
+def test_running_distinct_users_is_true_cumulative_distinct(spark):
+    """Each hour's cum_users equals |distinct users seen up to that
+    hour| — the quantity the linear first-seen form claims to equal —
+    and the curve is monotone, ending at the total distinct count."""
+    from certified_dogs_and_cats_spark.queries.advanced import (
+        running_distinct_users,
+    )
+
+    rows = sorted(
+        running_distinct_users(spark, SF).collect(), key=lambda r: r.hour
+    )
+    events = spark.read.parquet(f"{SF}/events.parquet").collect()
+    import datetime
+
+    def hour(ts):
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    for r in rows:
+        seen = {e.user_id for e in events if hour(e.ts) <= r.hour}
+        assert r.cum_users == len(seen), r.hour
+    cums = [r.cum_users for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == len({e.user_id for e in events})
+
+
+def test_winsorized_mean_bounds_and_robustness(spark):
+    """The winsorized mean lies within [p05, p95], the bounds are real
+    in-group prices at the DISC ranks, and the mean equals a brute clamp
+    over raw prices."""
+    from certified_dogs_and_cats_spark.queries.advanced import (
+        winsorized_mean_prices,
+    )
+
+    import math
+    from decimal import Decimal
+
+    got = {r.brand: r for r in winsorized_mean_prices(spark, SF).collect()}
+    parts: dict[str, list] = {}
+    for p in spark.read.parquet(f"{SF}/part.parquet").collect():
+        parts.setdefault(p.p_brand, []).append(
+            (p.p_retailprice, p.p_partkey)
+        )
+    assert set(got) == set(parts)
+    for brand, rows in parts.items():
+        rows.sort()
+        n = len(rows)
+        lo = rows[max(1, math.ceil(n * 0.05)) - 1][0]
+        hi = rows[math.ceil(n * 0.95) - 1][0]
+        r = got[brand]
+        assert (r.p05, r.p95, r.n_parts) == (lo, hi, n)
+        clamped = sum(
+            Decimal(str(min(max(price, lo), hi))).quantize(Decimal("0.01"))
+            for price, _ in rows
+        )
+        assert r.winsorized_mean == pytest.approx(
+            round(float(clamped) / n, 6), abs=5e-7
+        )
+        assert lo <= r.winsorized_mean <= hi
+
+
+def test_mode_order_priority_is_the_argmax(spark):
+    """Each segment's modal priority has the strictly-highest count (or
+    wins the pinned priority-ascending tiebreak), with the exact share."""
+    from certified_dogs_and_cats_spark.queries.advanced import (
+        mode_order_priority,
+    )
+
+    got = {r.segment: r for r in mode_order_priority(spark, SF).collect()}
+    cust = {
+        c.c_custkey: c.c_mktsegment
+        for c in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    counts: dict[str, dict[str, int]] = {}
+    for o in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        seg = cust[o.o_custkey]
+        d = counts.setdefault(seg, {})
+        d[o.o_orderpriority] = d.get(o.o_orderpriority, 0) + 1
+    assert set(got) == set(counts)
+    for seg, d in counts.items():
+        winner = min(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[seg]
+        assert (r.modal_priority, r.n_orders) == winner
+        assert r.share == pytest.approx(
+            round(winner[1] / sum(d.values()), 6), abs=5e-7
+        )
+
+
+def test_spend_gini_bounds_and_formula(spark):
+    """Gini lies in [0, 1) and equals the rank formula over brute
+    per-customer spends; a constant-spend segment would read 0."""
+    from certified_dogs_and_cats_spark.queries.advanced import (
+        spend_gini_by_segment,
+    )
+
+    from decimal import Decimal
+
+    got = {r.segment: r for r in spend_gini_by_segment(spark, SF).collect()}
+    cust = {
+        c.c_custkey: c.c_mktsegment
+        for c in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    spend: dict[str, dict[int, Decimal]] = {}
+    for o in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        seg = cust[o.o_custkey]
+        d = spend.setdefault(seg, {})
+        d[o.o_custkey] = d.get(o.o_custkey, Decimal(0)) + Decimal(
+            str(o.o_totalprice)
+        ).quantize(Decimal("0.01"))
+    for seg, d in spend.items():
+        xs = sorted((v, k) for k, v in d.items())
+        n = len(xs)
+        tot = sum(v for v, _ in xs)
+        acc = sum((i + 1) * v for i, (v, _) in enumerate(xs))
+        gini = 2.0 * float(acc) / (n * float(tot)) - (n + 1.0) / n
+        r = got[seg]
+        assert 0.0 <= r.gini < 1.0
+        assert r.gini == pytest.approx(round(gini, 6), abs=5e-7)
+        assert r.n_customers == n
+        assert r.total_spend == pytest.approx(float(tot), rel=1e-12)
+
+
+def test_second_max_price_gap_semantics(spark):
+    """top_price is the true brand max, runner_up the max strictly
+    below it, and only brands with two distinct prices appear."""
+    from certified_dogs_and_cats_spark.queries.advanced import (
+        second_max_price_gap,
+    )
+
+    got = {r.brand: r for r in second_max_price_gap(spark, SF).collect()}
+    prices: dict[str, list] = {}
+    for p in spark.read.parquet(f"{SF}/part.parquet").collect():
+        prices.setdefault(p.p_brand, []).append(p.p_retailprice)
+    for brand, ps in prices.items():
+        top = max(ps)
+        below = [x for x in ps if x < top]
+        if not below:
+            assert brand not in got
+            continue
+        r = got[brand]
+        assert (r.top_price, r.runner_up) == (top, max(below))
+        assert float(r.gap) == pytest.approx(
+            round(top - max(below), 2), abs=5e-3
+        )
+
+
+def test_simhash_histogram_pigeonhole_is_lossless(spark):
+    """The banded histogram equals a BRUTE all-pairs hamming histogram
+    over the package's own signatures for every distance <= 3 — the
+    4-band pigeonhole guarantee (a pair within 3 flips shares >= 1 of 4
+    bands) measured, not assumed."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        simhash64_text,
+    )
+    from certified_dogs_and_cats_spark.queries.advanced import (
+        simhash_hamming_histogram,
+    )
+
+    got = {
+        r.hamming: r.n_pairs
+        for r in simhash_hamming_histogram(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = [
+        int(r.simhash, 16)
+        for r in simhash64_text(docs, "doc_id", "text").collect()
+    ]
+    brute: dict[int, int] = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin(sigs[i] ^ sigs[j]).count("1")
+            if h <= 3:
+                brute[h] = brute.get(h, 0) + 1
+    assert got == brute
