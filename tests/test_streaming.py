@@ -339,3 +339,81 @@ def test_stateful_topk_tws_dependency_gate(spark):
             stateful_topk(stream, "_id", "value", impl="tws")
     with pytest.raises(ValueError, match="unknown impl"):
         stateful_topk(stream, "_id", "value", impl="magic")
+
+
+def test_state_store_tracks_keys_not_rows(spark):
+    """State-size contract (the STREAMING_STATE.md property, enforced):
+    a watermarked tumbling aggregate's state rows equal its GROUP count
+    (windows x types — stream-length independent) and streaming dedup's
+    state rows equal its distinct KEY count — neither tracks raw input
+    rows."""
+    import json
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from certified_dogs_and_cats_spark.queries.streaming import (
+        _events_stream,
+        _with_nanos_conf,
+    )
+    from certified_dogs_and_cats_spark.streaming import (
+        dedup_stream,
+        windowed_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def drain(df, mode):
+        name = "st_" + uuid.uuid4().hex
+        ck = tempfile.mkdtemp(prefix="ck_statetest_")
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progs = [json.loads(p.json) for p in q.recentProgress]
+        finally:
+            spark.catalog.dropTempView(name)
+            shutil.rmtree(ck, ignore_errors=True)
+        inp = sum(p.get("numInputRows", 0) for p in progs)
+        ops = [p["stateOperators"] for p in progs if p.get("stateOperators")]
+        return inp, sum(int(o.get("numRowsTotal", 0)) for o in ops[-1])
+
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    n_rows = batch.count()
+    n_groups = (
+        batch.select(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").start,
+            "event_type",
+        )
+        .distinct()
+        .count()
+    )
+    n_users = batch.select("user_id").distinct().count()
+
+    def run():
+        agg = windowed_counts(
+            _events_stream(spark, sf),
+            "ts",
+            window_duration="1 hour",
+            watermark_delay="1 hour",
+            group_cols=["event_type"],
+        )
+        inp, state = drain(agg, "complete")
+        assert inp == n_rows
+        assert state == n_groups < n_rows
+        ids = dedup_stream(
+            _events_stream(spark, sf).select("user_id"), ["user_id"]
+        )
+        inp2, state2 = drain(ids, "append")
+        assert inp2 == n_rows
+        assert state2 == n_users < n_rows
+
+    _with_nanos_conf(spark, run, sf)
