@@ -1,0 +1,95 @@
+"""A-ES weighted reservoir (extensions/reservoir.py): exact replay
+against a Python model, layout independence, weight-proportional
+inclusion, and the exclusion rule for non-positive weights."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from certified_dogs_and_cats_spark.extensions.reservoir import (
+    weighted_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _model_key(ident: str, w: float) -> float:
+    h = int(hashlib.md5(ident.encode()).hexdigest()[:15], 16)
+    u = (h + 0.5) / float(1 << 60)
+    return math.log(u) / w
+
+
+def test_matches_python_model_exactly(spark):
+    """The selected ids and their order equal a full Python replay of
+    the key derivation — the determinism the oracle registration relies
+    on."""
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    got = [
+        r.c_custkey
+        for r in weighted_sample(c, "c_custkey", "c_acctbal", 25).collect()
+    ]
+    rows = [
+        (r.c_custkey, float(r.c_acctbal))
+        for r in c.collect()
+        if r.c_acctbal is not None and r.c_acctbal > 0
+    ]
+    want = [
+        k
+        for k, _ in sorted(
+            ((k, _model_key(str(k), w)) for k, w in rows),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:25]
+    ]
+    assert got == want
+
+
+def test_layout_independent(spark):
+    """Identical sample at different shuffle-partition settings."""
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    got = []
+    try:
+        for parts in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got.append(
+                [
+                    r.c_custkey
+                    for r in weighted_sample(
+                        c.repartition(int(parts)),
+                        "c_custkey",
+                        "c_acctbal",
+                        20,
+                    ).collect()
+                ]
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert got[0] == got[1]
+
+
+def test_inclusion_tracks_weight(spark):
+    """Across many salts, an item with 9x the weight of its peers is
+    drawn into a 1-of-n sample roughly 9x more often (loose band — the
+    A-ES inclusion-probability property, not a tight statistical
+    test)."""
+    rows = [(i, 9.0 if i == 0 else 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    wins = 0
+    trials = 120
+    for s in range(trials):
+        top = weighted_sample(df, "id", "w", 1, salt=f"s{s}").collect()
+        wins += top[0].id == 0
+    # expected inclusion 9/18 = 0.5; band [0.3, 0.7] at n=120
+    assert 0.3 <= wins / trials <= 0.7, wins
+
+
+def test_nonpositive_weights_excluded_and_k_capped(spark):
+    """Zero/negative/NULL weights can never be drawn; k larger than the
+    eligible population returns exactly the eligible rows."""
+    rows = [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 1.0)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r.id for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {1, 5}
