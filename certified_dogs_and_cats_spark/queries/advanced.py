@@ -2140,8 +2140,9 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT m1.p_brand AS brand, m1.top_price, m2.runner_up,
-           round(CAST(m1.top_price AS DECIMAL(18,2))
-                 - CAST(m2.runner_up AS DECIMAL(18,2)), 2) AS gap
+           CAST(round(CAST(m1.top_price AS DECIMAL(18,2))
+                      - CAST(m2.runner_up AS DECIMAL(18,2)), 2)
+                AS DOUBLE) AS gap
     FROM m1 JOIN m2 ON m1.p_brand = m2.p_brand
     """,
 )
@@ -2170,7 +2171,9 @@ def second_max_price_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("top_price").cast("decimal(18,2)")
                 - F.col("runner_up").cast("decimal(18,2)"),
                 2,
-            ).alias("gap"),
+            )
+            .cast("double")
+            .alias("gap"),
         )
     )
 

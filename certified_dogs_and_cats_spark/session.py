@@ -59,4 +59,10 @@ def configure_for_queries(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Runtime-mutable and decisive for stateful streaming: the state-store
+    # partition count is fixed at plan time from shuffle.partitions, so a
+    # driver session left at the 200 default runs 200 Python-worker state
+    # partitions per micro-batch on a 32-core box (batch queries are rescued
+    # by AQE coalescing; streaming is not). Pin to the local core count.
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
     return spark
