@@ -16,13 +16,13 @@ can compute md5 and the same arithmetic. Rank ties (astronomically
 unlikely beyond identical (u, w) pairs) break on the id, keeping the
 selection total. We rank by the monotone-equivalent ``ln(u)/w``
 (descending) instead of ``u^(1/w)`` — one transcendental instead of
-two. Cross-engine float caveat, documented for the round-10 oracle
-registration: JVM and DuckDB ``ln`` may differ in final ulps; for a
-hash-green oracle row either accept the ~1e-16-relative tie window
-(2^-60-grid u values make a cross-engine rank flip need two keys within
-ulps — not observed on the fixtures) or swap ``F.log`` for the repo's
-``functions.detln`` series-ln, which both engines evaluate as one
-identical IEEE DAG.
+two — and that one transcendental is the repo's ``functions.detln``
+series-ln, NOT the engine's ``ln``: JVM and libm ``log`` can differ in
+the final ulp, which would make the selection engine-dependent near a
+rank boundary. With ``u = (2h+1)/2^61`` for the 60-bit md5 prefix
+``h``, ``ln u = -series_ln(2^61, 2h+1)`` is a pure integer-argument
+call, so every engine (Spark, DuckDB, a Python replay) computes the
+IDENTICAL double key. Pinned by tests/test_reservoir.py.
 
 Weights must be positive; rows with ``w <= 0`` or NULL are excluded
 (they cannot be drawn — matching the A-ES definition).
@@ -33,21 +33,46 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: 60-bit hash grid: md5's first 15 hex chars, exactly representable in
-#: a DOUBLE (< 2^53 after the division's rounding is irrelevant — the
-#: VALUE only needs to be a deterministic point of (0,1), not exact).
-_GRID = float(1 << 60)
+from ..functions.detln import series_ln_sql
+
+#: 60-bit hash grid: md5's first 15 hex chars. u = (2h + 1) / 2^61 in
+#: the open interval (0,1) — the odd numerator keeps u away from both
+#: endpoints (u = 0 would send ln(u) to -inf; u = 1 would zero the key).
+GRID_BITS = 60
+
+
+def hash60(id_col: Column, salt: str | None = None) -> Column:
+    """Deterministic 60-bit BIGINT hash of the row identity.
+
+    The salt is joined with a ``|`` delimiter so distinct (id, salt)
+    pairs can never collide by concatenation (id='1', salt='2x' vs
+    id='12', salt='x'); unsalted hashes use the bare id, so they are
+    stable whether or not a caller ever salts."""
+    ident = id_col.cast("string")
+    if salt is not None:
+        ident = F.concat(ident, F.lit("|"), F.lit(salt))
+    return F.conv(F.substring(F.md5(ident), 1, 15), 16, 10).cast("bigint")
 
 
 def unit_uniform(id_col: Column, salt: str | None = None) -> Column:
-    """Deterministic u in (0,1): (md5_60bit(id [, salt]) + 0.5) / 2^60.
+    """Deterministic u in (0,1): (2 * md5_60bit(id [, salt]) + 1) / 2^61."""
+    h2 = 2 * hash60(id_col, salt) + 1
+    return h2.cast("double") / F.lit(float(1 << (GRID_BITS + 1)))
 
-    The +0.5 keeps u strictly inside the open interval (u = 0 would send
-    ln(u) to -inf — a legal but degenerate key; u = 1 would make every
-    weight identical)."""
-    ident = F.concat(id_col.cast("string"), F.lit(salt or ""))
-    h = F.conv(F.substring(F.md5(ident), 1, 15), 16, 10).cast("double")
-    return (h + F.lit(0.5)) / F.lit(_GRID)
+
+def aes_key(id_col: Column, weight: Column, salt: str | None = None) -> Column:
+    """The A-ES rank key ``ln(u)/w`` as a cross-engine-exact double.
+
+    ``ln u = -series_ln(2^61, 2h+1)`` — integer arguments into the
+    detln IEEE DAG, then one correctly-rounded division by ``w``; every
+    intermediate double is identical on Spark, DuckDB, and the Python
+    replay. Larger keys are preferred (keys are negative; heavier
+    weights pull them toward zero)."""
+    df_expr = series_ln_sql(str(1 << (GRID_BITS + 1)), "(2 * _h60 + 1)", "spark")
+    # The caller projects _h60 first (weighted_sample does); building
+    # the expression against a named column keeps the md5 evaluated
+    # once instead of once per series term.
+    return -F.expr(df_expr) / weight
 
 
 def weighted_sample(
@@ -66,9 +91,9 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     keyed = (
         df.filter(w > 0)
-        .withColumn(
-            "sample_key", F.log(unit_uniform(F.col(id_col), salt)) / w
-        )
+        .withColumn("_h60", hash60(F.col(id_col), salt))
+        .withColumn("sample_key", aes_key(F.col(id_col), w, salt))
+        .drop("_h60")
     )
     return keyed.orderBy(
         F.col("sample_key").desc(), F.col(id_col).asc()

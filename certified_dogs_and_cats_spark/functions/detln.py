@@ -79,3 +79,23 @@ def series_ln_sql(num: str, den: str, dialect: str) -> str:
     # both dialects because only the placeholder text differs.
     lnm = lnm.replace("Z2", "(Z * Z)").replace("Z", z)
     return f"((CAST({e} AS DOUBLE) * {LN2_LITERAL}) + {lnm})"
+
+
+def series_ln_py(num: int, den: int) -> float:
+    """Python replay of the EXACT IEEE-754 operation DAG emitted by
+    :func:`series_ln_sql` — CPython floats are the same C doubles, and
+    +, -, *, / are correctly rounded there too, so this is bit-identical
+    to what Spark and DuckDB compute (unlike ``math.log``, whose final
+    ulp is libm-dependent). Lets tests and oracles replay engine keys
+    without a tolerance."""
+    if not (num >= den >= 1):
+        raise ValueError(f"series_ln_py requires num >= den >= 1, got {num}/{den}")
+    e = num.bit_length() - den.bit_length()
+    m = (float(num) / float(den)) / float(1 << e)
+    z = (m - 1.0) / (m + 1.0)
+    horner = 1.0 / float(SERIES_TERMS[0])
+    for c in SERIES_TERMS[1:]:
+        horner = (1.0 / float(c)) + ((z * z) * horner)
+    horner = 1.0 + ((z * z) * horner)
+    lnm = 2.0 * (z * horner)
+    return (float(e) * float(LN2_LITERAL)) + lnm

@@ -1,0 +1,315 @@
+"""Round-10 registrations (SURVEY §7.5a queue): A-ES weighted
+reservoir sampling, the mergeable KMV sketch rollup round-trip,
+incremental-arrival decontamination, and the fill-forward gap report.
+
+Each follows the repo's cross-engine determinism conventions: hashes
+from the md5 60-bit grid, transcendentals through functions.detln (one
+IEEE DAG both engines execute identically), timestamps at microsecond
+precision (``unix_micros`` / ``epoch_us``), and every computed column
+aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..extensions.reservoir import GRID_BITS, weighted_sample
+from ..extensions.sampling import hash_split
+from ..extensions.sketches import kmv_rollup
+from ..extensions.text import winnow_fingerprints
+from ..functions.detln import series_ln_sql
+from .common import t
+from .registry import query
+from .winnow import _FP_CTE, K, MIN_SHARED, W
+
+RESERVOIR_K = 25
+
+#: DuckDB replay of extensions.reservoir.aes_key: h = md5-60bit(id),
+#: u = (2h+1)/2^61, key = ln(u)/w = -series_ln(2^61, 2h+1)/w — the same
+#: detln IEEE DAG Spark executes, so the double keys are bit-identical.
+_DUCK_KEY = (
+    "-("
+    + series_ln_sql(str(1 << (GRID_BITS + 1)), "_den", "duck")
+    + ") / weight"
+)
+
+
+@query(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS weight,
+             (2 * ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                  1, 15))::BIGINT + 1) AS _den
+      FROM customer WHERE c_acctbal > 0
+    ),
+    keyed AS (
+      SELECT c_custkey, weight, {_DUCK_KEY} AS sample_key FROM h
+    )
+    SELECT c_custkey AS custkey, weight, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, c_custkey ASC
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling without replacement (Efraimidis-Spirtakis):
+    keep the k largest ``ln(u)/w`` keys, u a deterministic md5-grid
+    uniform per row. The distributed plan is the whole point: the key is
+    a pure per-row projection and top-k is TakeOrdered — per-partition
+    partial top-k, driver-side merge of k rows per partition — NO corpus
+    shuffle, no reservoir state, identical output at any partitioning
+    (pinned by tests/test_reservoir.py). The key's one transcendental is
+    the detln series-ln, so the double keys — not just the selection —
+    hash-match DuckDB bit-for-bit."""
+    c = t(spark, sf_dir, "customer")
+    return weighted_sample(
+        c, "c_custkey", "c_acctbal", RESERVOIR_K
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").cast("double").alias("weight"),
+        "sample_key",
+    )
+
+
+KMV_K = 256
+KMV_SHARDS = 16
+#: 2^60 and (k-1)*2^60 are exact doubles (mantissa k-1, exponent 60).
+_KMV_EST = (
+    f"CAST(floor({KMV_K - 1}e0 * {float(1 << GRID_BITS)!r} "
+    f"/ CAST(kth AS DOUBLE)) AS BIGINT)"
+)
+
+
+@query(
+    "kmv_distinct_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY h ASC) AS rn
+      FROM h
+    ),
+    agg AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             max(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+      FROM r GROUP BY 1
+    ),
+    est AS (
+      SELECT o_orderpriority,
+             CASE WHEN n_distinct < {KMV_K} THEN n_distinct
+                  ELSE {_KMV_EST} END AS kmv_estimate,
+             n_distinct AS exact_distinct
+      FROM agg
+    )
+    SELECT o_orderpriority AS priority, kmv_estimate, exact_distinct,
+           CAST(round(CAST(kmv_estimate - exact_distinct AS DOUBLE)
+                      * 1000e0 / CAST(exact_distinct AS DOUBLE))
+                AS BIGINT) AS err_permille
+    FROM est
+    """,
+)
+def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch round-trip, self-verified against
+    exact: per-shard KMV sketches (k smallest md5-grid hashes of
+    o_custkey per priority, 16 hash-derived shards standing in for
+    per-partition/per-day builders), serialized to BINARY and decoded
+    back (the state-table wire format), merged losslessly, estimated
+    with the (k-1)*2^60/h_(k) estimator. The oracle computes the SAME
+    estimate directly from the k-th smallest distinct hash — a green
+    row therefore proves the shard/serialize/decode/merge pipeline is
+    exactly the identity KMV theory says it is. Unlike the engine's HLL
+    (tests/test_sketches.py), the sketch state itself is
+    engine-portable. Scale shape: one distinct on (group, hash) — map-
+    side combinable — then k rows per (group, shard) onward."""
+    o = t(spark, sf_dir, "orders")
+    return kmv_rollup(
+        o, ["o_orderpriority"], "o_custkey", k=KMV_K, n_shards=KMV_SHARDS
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        "kmv_estimate",
+        "exact_distinct",
+        "err_permille",
+    )
+
+
+DECON_BATCHES = 4
+DECON_CURRENT_BATCH = 3
+#: Arrival-batch assignment: salted md5 bucket, independent of the
+#: train/eval split hash (different preimage prefix).
+_BATCH_SQL = (
+    "(('0x' || substr(md5('b|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {DECON_BATCHES})"
+)
+
+
+@query(
+    "incremental_decontamination",
+    oracle=f"""
+    WITH
+    {_FP_CTE},
+    split AS (
+      SELECT doc_id,
+             CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 100) < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ),
+    tfp AS (
+      SELECT fp.fingerprint, fp.doc_id FROM fp
+      JOIN split USING (doc_id) WHERE split = 'train'
+    ),
+    arriving AS (
+      SELECT doc_id FROM split
+      WHERE split <> 'train'
+        AND {_BATCH_SQL} = {DECON_CURRENT_BATCH}
+    ),
+    efp AS (
+      SELECT fp.fingerprint, fp.doc_id FROM fp
+      JOIN arriving USING (doc_id)
+    ),
+    hits AS (
+      SELECT e.doc_id AS eval_doc_id,
+             count(DISTINCT e.fingerprint) AS n_shared,
+             count(DISTINCT t.doc_id) AS n_train_docs
+      FROM efp e JOIN tfp t USING (fingerprint)
+      GROUP BY 1
+    )
+    SELECT eval_doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_train_docs AS BIGINT) AS n_train_docs
+    FROM hits WHERE n_shared >= {MIN_SHARED}
+    """,
+)
+def incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-arrival decontamination: the NEWEST eval batch only,
+    checked against the frozen train fingerprint index — the production
+    cadence where eval suites arrive over time but the train corpus is
+    fixed at cut time. The arriving batch is filtered BEFORE
+    fingerprinting, so per-batch cost is proportional to the BATCH (the
+    train index is built once and materialized in production; its
+    recomputation here stands in for a table scan of that index). Same
+    fingerprint machinery and thresholds as decontaminate_eval_split
+    (queries/winnow.py) — the delta is the arrival semantics."""
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(docs.select("doc_id"), "doc_id")
+    batch = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("b|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(DECON_BATCHES),
+    )
+    train_ids = split.filter(F.col("split") == "train").select("doc_id")
+    arriving_ids = (
+        split.filter(F.col("split") != "train")
+        .filter(batch == DECON_CURRENT_BATCH)
+        .select("doc_id")
+    )
+    tfp = winnow_fingerprints(
+        docs.join(train_ids, "doc_id"), "doc_id", "text", k=K, w=W
+    ).select("fingerprint", F.col("doc_id").alias("train_doc_id"))
+    efp = winnow_fingerprints(
+        docs.join(arriving_ids, "doc_id"), "doc_id", "text", k=K, w=W
+    ).select("fingerprint", F.col("doc_id").alias("eval_doc_id"))
+    return (
+        efp.join(tfp, "fingerprint")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count_distinct("fingerprint").alias("n_shared"),
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+        )
+        .filter(F.col("n_shared") >= MIN_SHARED)
+    )
+
+
+GAP_US = 6 * 3600 * 1_000_000  # fill-forward audit threshold: 6 hours
+
+
+@query(
+    "ffill_gap_report",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'view'
+    ),
+    d AS (
+      SELECT user_id, ts_us,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us ASC, event_id ASC)
+               AS gap_us
+      FROM r
+    ),
+    g AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_readings,
+             CAST(count(CASE WHEN gap_us > {GAP_US} THEN 1 END)
+                  AS BIGINT) AS n_gaps,
+             CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us,
+             CAST(coalesce(sum(CASE WHEN gap_us > {GAP_US}
+                                    THEN gap_us END), 0)
+                  AS BIGINT) AS total_gap_us,
+             max(ts_us) - min(ts_us) AS span_us
+      FROM d GROUP BY 1
+    )
+    SELECT user_id, n_readings, n_gaps, max_gap_us, total_gap_us,
+           CAST(CASE WHEN span_us > 0
+                     THEN (total_gap_us * 1000) // span_us
+                     ELSE 0 END AS BIGINT) AS gap_permille
+    FROM g
+    """,
+)
+def ffill_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-forward audit over sensor-style readings ('view' events as
+    the reading stream): per series, how many inter-reading intervals
+    exceed the carry threshold, the worst interval, and what share of
+    the series span a forward-fill (resample_ffill_6h) would fabricate
+    rather than measure — the data-quality report that must accompany
+    any ffill-resampled export. Microsecond-exact integer arithmetic
+    end-to-end (no floats), one window pass partitioned by the series
+    key, one hash aggregate: linear, shuffle bounded by the reading
+    count."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    r = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    d = r.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+    over = F.when(F.col("gap_us") > GAP_US, F.col("gap_us"))
+    g = d.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_readings"),
+        F.count(over).cast("bigint").alias("n_gaps"),
+        F.coalesce(F.max("gap_us"), F.lit(0)).cast("bigint").alias("max_gap_us"),
+        F.coalesce(F.sum(over), F.lit(0)).cast("bigint").alias("total_gap_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+    )
+    return g.select(
+        "user_id",
+        "n_readings",
+        "n_gaps",
+        "max_gap_us",
+        "total_gap_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.expr("(total_gap_us * 1000) div span_us"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("gap_permille"),
+    )

@@ -50,6 +50,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from certified_dogs_and_cats_spark.cache import release_cached  # noqa: E402
 from certified_dogs_and_cats_spark.queries import QUERIES  # noqa: E402
@@ -162,52 +163,68 @@ def shingle_incidence(sf_dir: str) -> int:
     return int(n or 0)
 
 
-def winnow_incidence(sf_dir: str) -> int:
-    """Measured candidate volume of the decontamination check: eval x
-    train shared-fingerprint incidences — the join rows its
+def winnow_incidence(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Measured candidate volume of the decontamination checks: eval x
+    train shared-fingerprint incidences — the join rows the
     count-distinct aggregate must shuffle (no partial combine under
-    DISTINCT). Uses the package's own winnowing + hash split."""
+    DISTINCT) — for the full eval split AND for the single arriving
+    batch the incremental variant checks. Uses the package's own
+    winnowing + hash split + batch assignment."""
     from certified_dogs_and_cats_spark.extensions.sampling import hash_split
     from certified_dogs_and_cats_spark.extensions.text import (
         winnow_fingerprints,
     )
+    from certified_dogs_and_cats_spark.queries.roundten import (
+        DECON_BATCHES,
+        DECON_CURRENT_BATCH,
+    )
     from certified_dogs_and_cats_spark.queries.winnow import K, W
 
-    spark = get_probe_spark()  # fresh after the sweeps' stop()
-    spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     split = hash_split(docs.select("doc_id"), "doc_id")
     fps = winnow_fingerprints(docs, "doc_id", "text", k=K, w=W).join(
         split, "doc_id"
     )
     train = fps.filter("split = 'train'").select(
-        "fingerprint", F_col("doc_id").alias("t_id")
+        "fingerprint", F.col("doc_id").alias("t_id")
     )
     ev = fps.filter("split <> 'train'").select(
-        "fingerprint", F_col("doc_id").alias("e_id")
+        "fingerprint", F.col("doc_id").alias("e_id")
     )
-    return ev.join(train, "fingerprint").count()
+    incidences = ev.join(train, "fingerprint")
+    batch = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("b|"), F.col("e_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(DECON_BATCHES),
+    )
+    full, batch_n = (
+        incidences.agg(
+            F.count("*").alias("full"),
+            F.count(
+                F.when(batch == DECON_CURRENT_BATCH, F.lit(1))
+            ).alias("batch"),
+        )
+        .collect()[0]
+    )
+    return int(full), int(batch_n)
 
 
-def F_col(name):
-    from pyspark.sql import functions as F
-
-    return F.col(name)
-
-
-def simhash_incidence(sf_dir: str) -> int:
+def simhash_incidence(spark: SparkSession, sf_dir: str) -> int:
     """Measured candidate volume of the simhash band family: 16-bit band
     collisions — sum over (band, value) of C(docs, 2) — i.e. exactly the
     candidate pairs the (band_idx, band_val) equi-join emits before the
     popcount verify. Uses the package's own signature function."""
-    from pyspark.sql import functions as F
-
     from certified_dogs_and_cats_spark.extensions.dedup import (
         simhash64_text,
     )
 
-    spark = get_probe_spark()
-    spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sig = simhash64_text(docs, "doc_id", "text")
     sig_col = next(c for c in sig.columns if c != "doc_id")
@@ -267,7 +284,17 @@ def main() -> None:
             else (float("inf") if l["shuffleWriteBytes"] else 0.0)
         )
         rows.append((name, s, l, ratio))
-    rows.sort(key=lambda r: -(r[3] if r[3] != float("inf") else -1.0))
+    # Finite ratios sort by ratio (the growth story); AQE
+    # broadcast-to-shuffle flips (ratio = inf) form their OWN block
+    # at the end, sorted by the absolute sf0.1 volume the prose
+    # directs readers to — not interleaved below ratio~1 rows.
+    rows.sort(
+        key=lambda r: (
+            (1, -r[2]["shuffleWriteBytes"])
+            if r[3] == float("inf")
+            else (0, -r[3])
+        )
+    )
     flagged, became_shuffle = [], []
     for name, s, l, ratio in rows:
         spill = l["memoryBytesSpilled"] + l["diskBytesSpilled"]
@@ -323,7 +350,12 @@ def main() -> None:
     # --- candidate-incidence accounting for the exact-overlap family ----
     by_name = {name: (s, l) for name, s, l, _ in rows}
     sh_s, sh_l = shingle_incidence(SMALL), shingle_incidence(LARGE)
-    wn_s, wn_l = winnow_incidence(SMALL), winnow_incidence(LARGE)
+    probe = get_probe_spark()  # one shared session for incidence probes
+    probe.sparkContext.setLogLevel("ERROR")
+    (wn_s, wb_s), (wn_l, wb_l) = (
+        winnow_incidence(probe, SMALL),
+        winnow_incidence(probe, LARGE),
+    )
     print()
     print("## Candidate-incidence accounting (exact-overlap family)")
     print()
@@ -346,7 +378,11 @@ def main() -> None:
         "| B/incidence 0.01 | B/incidence 0.1 |"
     )
     print("|---|---|---|---|---|---|")
-    sm_s, sm_l = simhash_incidence(SMALL), simhash_incidence(LARGE)
+    sm_s, sm_l = (
+        simhash_incidence(probe, SMALL),
+        simhash_incidence(probe, LARGE),
+    )
+    probe.stop()
     fam = [
         ("3-shingle exact (`dedup_ngram_jaccard`, `dedup_threshold_sweep`, "
          "`dedup_containment_pairs`)", sh_s, sh_l,
@@ -354,6 +390,8 @@ def main() -> None:
           "dedup_containment_pairs"]),
         ("winnow decontamination (`decontaminate_eval_split`)", wn_s, wn_l,
          ["decontaminate_eval_split"]),
+        ("winnow arriving batch (`incremental_decontamination`)", wb_s, wb_l,
+         ["incremental_decontamination"]),
         ("simhash 16-bit band collisions (`dedup_simhash_pairs`, "
          "`simhash_hamming_histogram`)", sm_s, sm_l,
          ["dedup_simhash_pairs", "simhash_hamming_histogram"]),

@@ -96,6 +96,16 @@ def drain_progress(spark, df, mode):
     )
 
 
+#: Single source of probe names — probes() zips builders against this
+#: and main() renders the table from it, so the two can never drift.
+LABELS = (
+    "tumbling_1h_by_type",
+    "session_4h_gap_by_user",
+    "dedup_user_ids",
+    "join_view_purchase_4h",
+)
+
+
 def probes(spark, sf_dir):
     def tumbling():
         return windowed_counts(
@@ -154,12 +164,9 @@ def probes(spark, sf_dir):
             ),
         ), "append"
 
-    return [
-        ("tumbling_1h_by_type", tumbling),
-        ("session_4h_gap_by_user", session),
-        ("dedup_user_ids", dedup),
-        ("join_view_purchase_4h", ssjoin),
-    ]
+    builders = (tumbling, session, dedup, ssjoin)
+    assert len(builders) == len(LABELS)
+    return list(zip(LABELS, builders))
 
 
 def sweep(sf_dir):
@@ -199,7 +206,7 @@ def main() -> None:
         "| state growth | state/input 0.1 |"
     )
     print("|---|---|---|---|---|---|---|")
-    for label in (k for k, _ in probes_spec()):
+    for label in LABELS:
         i_s, ops_s, _ = small[label]
         i_l, ops_l, _ = large[label]
         st_s = sum(r for _, r, _ in ops_s)
@@ -225,15 +232,6 @@ def main() -> None:
         "drain; the time-range predicate, not stream length, sizes "
         "this buffer on a live feed."
     )
-
-
-def probes_spec():
-    return [
-        ("tumbling_1h_by_type", None),
-        ("session_4h_gap_by_user", None),
-        ("dedup_user_ids", None),
-        ("join_view_purchase_4h", None),
-    ]
 
 
 if __name__ == "__main__":

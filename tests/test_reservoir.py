@@ -1,6 +1,8 @@
 """A-ES weighted reservoir (extensions/reservoir.py): exact replay
-against a Python model, layout independence, weight-proportional
-inclusion, and the exclusion rule for non-positive weights."""
+against a Python model (bit-identical — the key is the detln series,
+not libm log), layout independence, weight-proportional inclusion,
+salt-delimiter collision safety, and the exclusion rule for
+non-positive weights."""
 
 from __future__ import annotations
 
@@ -10,25 +12,30 @@ import math
 from pyspark.sql import functions as F
 
 from certified_dogs_and_cats_spark.extensions.reservoir import (
+    GRID_BITS,
+    unit_uniform,
     weighted_sample,
 )
+from certified_dogs_and_cats_spark.functions.detln import series_ln_py
 
 SF = "/root/testdata/sf0.001"
 
 
 def _model_key(ident: str, w: float) -> float:
+    """Bit-exact replay of aes_key: CPython floats are IEEE doubles and
+    series_ln_py executes the same operation DAG the engines do, so no
+    tolerance is needed (math.log would differ in final ulps)."""
     h = int(hashlib.md5(ident.encode()).hexdigest()[:15], 16)
-    u = (h + 0.5) / float(1 << 60)
-    return math.log(u) / w
+    return -series_ln_py(1 << (GRID_BITS + 1), 2 * h + 1) / w
 
 
 def test_matches_python_model_exactly(spark):
-    """The selected ids and their order equal a full Python replay of
-    the key derivation — the determinism the oracle registration relies
-    on."""
+    """The selected ids, their order, AND their double keys equal a full
+    Python replay of the key derivation — the determinism the oracle
+    registration relies on."""
     c = spark.read.parquet(f"{SF}/customer.parquet")
     got = [
-        r.c_custkey
+        (r.c_custkey, r.sample_key)
         for r in weighted_sample(c, "c_custkey", "c_acctbal", 25).collect()
     ]
     rows = [
@@ -36,14 +43,27 @@ def test_matches_python_model_exactly(spark):
         for r in c.collect()
         if r.c_acctbal is not None and r.c_acctbal > 0
     ]
-    want = [
-        k
-        for k, _ in sorted(
-            ((k, _model_key(str(k), w)) for k, w in rows),
-            key=lambda kv: (-kv[1], kv[0]),
-        )[:25]
-    ]
-    assert got == want
+    want = sorted(
+        ((k, _model_key(str(k), w)) for k, w in rows),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:25]
+    assert got == want  # bit-exact, including the keys
+
+
+def test_key_is_finite_and_close_to_libm(spark):
+    """The series ln(u) tracks libm to ~1e-11 ABSOLUTE (the detln tail
+    bound; relative error is unbounded as u -> 1 where ln u -> 0) —
+    close enough that the A-ES distribution is unchanged, while staying
+    engine-exact."""
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    for r in weighted_sample(c, "c_custkey", "c_acctbal", 25).collect():
+        h = int(
+            hashlib.md5(str(r.c_custkey).encode()).hexdigest()[:15], 16
+        )
+        u = (2 * h + 1) / float(1 << (GRID_BITS + 1))
+        series_ln_u = r.sample_key * float(r.c_acctbal)
+        assert math.isfinite(r.sample_key)
+        assert abs(series_ln_u - math.log(u)) <= 1e-10
 
 
 def test_layout_independent(spark):
@@ -84,6 +104,25 @@ def test_inclusion_tracks_weight(spark):
         wins += top[0].id == 0
     # expected inclusion 9/18 = 0.5; band [0.3, 0.7] at n=120
     assert 0.3 <= wins / trials <= 0.7, wins
+
+
+def test_salt_delimiter_prevents_identity_collisions(spark):
+    """(id='1', salt='2x') and (id='12', salt='x') must draw INDEPENDENT
+    uniforms — without the | delimiter both would hash md5('12x')."""
+    df = spark.createDataFrame([("1",), ("12",)], ["id"])
+    u1 = df.filter(F.col("id") == "1").select(
+        unit_uniform(F.col("id"), "2x").alias("u")
+    ).collect()[0].u
+    u2 = df.filter(F.col("id") == "12").select(
+        unit_uniform(F.col("id"), "x").alias("u")
+    ).collect()[0].u
+    assert u1 != u2
+    # And the unsalted path hashes the bare id (no trailing delimiter).
+    u3 = df.filter(F.col("id") == "1").select(
+        unit_uniform(F.col("id")).alias("u")
+    ).collect()[0].u
+    h = int(hashlib.md5(b"1").hexdigest()[:15], 16)
+    assert u3 == (2 * h + 1) / float(1 << (GRID_BITS + 1))
 
 
 def test_nonpositive_weights_excluded_and_k_capped(spark):
