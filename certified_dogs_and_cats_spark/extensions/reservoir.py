@@ -98,3 +98,36 @@ def weighted_sample(
     return keyed.orderBy(
         F.col("sample_key").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str | None = None,
+) -> DataFrame:
+    """Stratified A-ES: an independent k-item weighted sample WITHIN
+    each group (the per-language / per-source quota draw a corpus mix
+    needs). Same per-row key as :func:`weighted_sample`; selection is a
+    rank window partitioned by the group key — one shuffle on the
+    group key, k rows per group out, no global ordering anywhere. Adds
+    ``sample_rank`` (1 = most preferred draw in its group)."""
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"sample size k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        df.filter(w > 0)
+        .withColumn("_h60", hash60(F.col(id_col), salt))
+        .withColumn("sample_key", aes_key(F.col(id_col), w, salt))
+        .drop("_h60")
+    )
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("sample_key").desc(), F.col(id_col).asc()
+    )
+    return keyed.withColumn(
+        "sample_rank", F.row_number().over(win)
+    ).filter(F.col("sample_rank") <= k)

@@ -127,10 +127,14 @@ def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the (k-1)*2^60/h_(k) estimator. The oracle computes the SAME
     estimate directly from the k-th smallest distinct hash — a green
     row therefore proves the shard/serialize/decode/merge pipeline is
-    exactly the identity KMV theory says it is. Unlike the engine's HLL
-    (tests/test_sketches.py), the sketch state itself is
-    engine-portable. Scale shape: one distinct on (group, hash) — map-
-    side combinable — then k rows per (group, shard) onward."""
+    exactly the identity KMV theory says it is. Complements the two
+    existing sketch registrations: sketch_union_rollup (queries/core.py)
+    merges the engine's HLL but can only hash-pin a VERDICT (HLL state
+    is engine-private), and kmv_user_overlap (queries/advanced.py) is a
+    global string-ordered bottom-k for Jaccard — this one pins the
+    grouped integer ESTIMATOR and the BINARY wire format themselves.
+    Scale shape: one distinct on (group, hash) — map-side combinable —
+    then k rows per (group, shard) onward."""
     o = t(spark, sf_dir, "orders")
     return kmv_rollup(
         o, ["o_orderpriority"], "o_custkey", k=KMV_K, n_shards=KMV_SHARDS
@@ -312,4 +316,55 @@ def ffill_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("gap_permille"),
+    )
+
+
+STRAT_K = 5
+
+
+@query(
+    "stratified_weighted_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT c_mktsegment AS segment, c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS weight,
+             (2 * ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                  1, 15))::BIGINT + 1) AS _den
+      FROM customer WHERE c_acctbal > 0
+    ),
+    keyed AS (
+      SELECT segment, c_custkey, weight, {_DUCK_KEY} AS sample_key FROM h
+    ),
+    ranked AS (
+      SELECT segment, c_custkey, weight, sample_key,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY sample_key DESC,
+                                         c_custkey ASC) AS sample_rank
+      FROM keyed
+    )
+    SELECT segment, c_custkey AS custkey, weight, sample_key,
+           CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked WHERE sample_rank <= {STRAT_K}
+    """,
+)
+def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified A-ES: an independent weighted sample per market
+    segment — the per-stratum quota draw a corpus-mixing pipeline runs
+    per language/source. One rank window partitioned by the stratum (no
+    global order, k rows per stratum out); keys through the same detln
+    DAG as weighted_reservoir_sample, so even the double keys
+    hash-match across engines."""
+    from ..extensions.reservoir import weighted_sample_per_group
+
+    c = t(spark, sf_dir, "customer").withColumn(
+        "segment", F.col("c_mktsegment")
+    )
+    return weighted_sample_per_group(
+        c, ["segment"], "c_custkey", "c_acctbal", STRAT_K
+    ).select(
+        "segment",
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").cast("double").alias("weight"),
+        "sample_key",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
     )

@@ -132,3 +132,35 @@ def test_nonpositive_weights_excluded_and_k_capped(spark):
     df = spark.createDataFrame(rows, ["id", "w"])
     got = {r.id for r in weighted_sample(df, "id", "w", 10).collect()}
     assert got == {1, 5}
+
+
+def test_per_group_sample_matches_global_keys(spark):
+    """Stratified selection uses the SAME keys as the global sampler:
+    each group's sample equals the Python model restricted to that
+    group, independent across groups."""
+    from certified_dogs_and_cats_spark.extensions.reservoir import (
+        weighted_sample_per_group,
+    )
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    got = {}
+    for r in weighted_sample_per_group(
+        c, ["c_mktsegment"], "c_custkey", "c_acctbal", 3
+    ).collect():
+        got.setdefault(r.c_mktsegment, []).append((r.sample_rank, r.c_custkey))
+    rows = [
+        (r.c_mktsegment, r.c_custkey, float(r.c_acctbal))
+        for r in c.collect()
+        if r.c_acctbal is not None and r.c_acctbal > 0
+    ]
+    segs = {s for s, _, _ in rows}
+    assert set(got) == segs
+    for seg in segs:
+        pool = [(k, _model_key(str(k), w)) for s, k, w in rows if s == seg]
+        want = [
+            (i + 1, k)
+            for i, (k, _) in enumerate(
+                sorted(pool, key=lambda kv: (-kv[1], kv[0]))[:3]
+            )
+        ]
+        assert sorted(got[seg]) == want
