@@ -173,9 +173,8 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import memoized_build
     from ..extensions.similarity import build_ivf_index, ivf_topk
 
-    lists = _ivf_lists(
-        t(spark, sf_dir, "embeddings").count()  # metadata-sized
-    )
+    n_vecs = t(spark, sf_dir, "embeddings").count()  # metadata-sized
+    lists = _ivf_lists(n_vecs)
 
     def _build():
         v = _vectors(spark, sf_dir)
@@ -201,7 +200,9 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (consumers clearCache after the plan runs).
     indexed = tracked_persist(frames["indexed"])
     q = indexed.filter(F.expr(QUERY_PRED)).select("vec_id", "e")
-    approx = ivf_topk(indexed, centroids, q, k=K, nprobe=4)
+    approx = ivf_topk(
+        indexed, centroids, q, k=K, nprobe=4, corpus_rows=n_vecs
+    )
     exact = exact_topk_memo(spark, sf_dir)
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id"),

@@ -349,3 +349,45 @@ def test_value_hash_sample_selects_expected_share(spark):
     assert kept[0] == kept[1]
     n = len(kept[0])
     assert abs(n - 400) < 3 * (2000 * 0.2 * 0.8) ** 0.5 + 1
+
+
+def test_prune_gate_small_corpus_same_rows(spark):
+    """ivf_topk with corpus_rows below the prune floor must return the
+    SAME rows as the pruned path — the gate changes the plan, never the
+    result."""
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        IVF_PRUNE_MIN_ROWS,
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    indexed, cents = build_ivf_index(v, n_centroids=4, max_iter=4)
+    q = indexed.limit(5).select("vec_id", "e")
+    a = sorted(
+        map(tuple, ivf_topk(indexed, cents, q, k=3, nprobe=2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                indexed, cents, q, k=3, nprobe=2, corpus_rows=100
+            ).collect(),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                indexed,
+                cents,
+                q,
+                k=3,
+                nprobe=2,
+                corpus_rows=IVF_PRUNE_MIN_ROWS + 1,
+            ).collect(),
+        )
+    )
+    assert a == b == c
