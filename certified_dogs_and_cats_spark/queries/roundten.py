@@ -368,3 +368,120 @@ def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_key",
         F.col("sample_rank").cast("int").alias("sample_rank"),
     )
+
+
+RRF_N = 20  # per-list depth
+RRF_K = 10  # fused output depth
+RRF_C = 60  # the standard RRF constant (Cormack et al., SIGIR'09)
+
+
+def _rrf_oracle() -> str:
+    from .common import VEC_CTE
+    from .terms import _BM25_CTES
+
+    return f"""
+    WITH {_BM25_CTES},{VEC_CTE},
+    la AS (
+      SELECT doc_id, CAST(rnk AS INTEGER) AS bm25_rnk
+      FROM r WHERE rnk <= {RRF_N}
+    ),
+    qv AS (
+      SELECT v.e AS qe, v.nrm AS qnrm
+      FROM v JOIN la ON v.vec_id = la.doc_id WHERE la.bm25_rnk = 1
+    ),
+    cos AS (
+      SELECT v.vec_id AS doc_id,
+             round(list_dot_product(v.e, qv.qe) / (v.nrm * qv.qnrm), 6)
+               AS cs
+      FROM v CROSS JOIN qv
+    ),
+    lb0 AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cs DESC, doc_id ASC)
+                  AS INTEGER) AS cos_rnk
+      FROM cos
+    ),
+    lb AS (SELECT doc_id, cos_rnk FROM lb0 WHERE cos_rnk <= {RRF_N}),
+    f AS (
+      SELECT doc_id, bm25_rnk, cos_rnk,
+             coalesce(1e0 / ({RRF_C} + bm25_rnk), 0e0)
+             + coalesce(1e0 / ({RRF_C} + cos_rnk), 0e0) AS rrf_score
+      FROM la FULL JOIN lb USING (doc_id)
+    ),
+    rk AS (
+      SELECT doc_id, bm25_rnk, cos_rnk, rrf_score,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                  AS INTEGER) AS fused_rank
+      FROM f
+    )
+    SELECT doc_id, bm25_rnk, cos_rnk, rrf_score, fused_rank
+    FROM rk WHERE fused_rank <= {RRF_K}
+    """
+
+
+@query("reciprocal_rank_fusion", oracle=_rrf_oracle())
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion of a lexical and a dense retrieval list —
+    the OTHER standard hybrid-retrieval combiner next to
+    hybrid_bm25_rerank's two-stage rerank: both lists retrieve
+    independently and scores fuse as sum 1/(60 + rank) (Cormack et al.,
+    SIGIR'09), so a document strong in either modality surfaces without
+    score calibration between BM25 points and cosine values. Lists: the
+    BM25 top-20 (single corpus scan, TakeOrdered) and the cosine top-20
+    to the pseudo-relevance query vector (embedding of the lexical
+    top-1 — deterministic, no model in the loop; one broadcast
+    cross-join over the corpus, TakeOrdered). The fusion itself touches
+    2 x 20 rows regardless of corpus size; ranks through the repo's
+    round-6 cosine convention, the RRF terms are exact integer-rational
+    divisions — bit-identical cross-engine."""
+    from ..cache import tracked_persist
+    from ..extensions.similarity import as_double_vec, dot, with_norm
+    from .terms import _bm25_scored
+
+    # Two consumers (list A + the anchor's query vector): one BM25 pass.
+    la = tracked_persist(
+        _bm25_scored(spark, sf_dir, RRF_N).select(
+            "doc_id", F.col("rnk").cast("int").alias("bm25_rnk")
+        )
+    )
+    v = with_norm(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        "e",
+        "nrm",
+    )
+    qv = F.broadcast(
+        v.join(
+            F.broadcast(la.filter(F.col("bm25_rnk") == 1)),
+            v.vec_id == F.col("doc_id"),
+        ).select(F.col("e").alias("qe"), F.col("nrm").alias("qnrm"))
+    )
+    cos = v.crossJoin(qv).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm")), 6
+        ).alias("cs"),
+    )
+    top = cos.orderBy(F.col("cs").desc(), F.col("doc_id").asc()).limit(RRF_N)
+    w_cos = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
+    lb = top.withColumn(
+        "cos_rnk", F.row_number().over(w_cos).cast("int")
+    ).select("doc_id", "cos_rnk")
+    f = la.join(lb, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rnk",
+        "cos_rnk",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("bm25_rnk")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("cos_rnk")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w_f = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return f.withColumn(
+        "fused_rank", F.row_number().over(w_f).cast("int")
+    ).filter(F.col("fused_rank") <= RRF_K)
