@@ -353,15 +353,25 @@ def supplier_return_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier's lines were returned, blame that supplier; count blames
     per supplier. The textbook formulation is EXISTS + NOT EXISTS over
     correlated lineitem pairs; the scalable Spark form is two hash
-    aggregates — per (order, supplier) then per order — with the
-    exactly-one condition as plain aggregate arithmetic, so the fact
-    shuffles twice on its own keys and never self-joins."""
+    aggregates — per (order, supplier) then per order — never a
+    self-join. The fact is repartitioned ONCE by l_orderkey: hash
+    clustering on the prefix key satisfies BOTH aggregates' required
+    distributions, so the narrow 3-column projection crosses the wire
+    exactly once and the second aggregate runs exchange-free (the
+    round-9 two-exchange form shuffled the per-(order,supplier)
+    partials AGAIN keyed by order, with partial-combine duplication
+    that floated with AQE's coalesce count — the 15.4x SHUFFLE flag)."""
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
-    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(
-            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).alias("has_r")
+    per_os = (
+        l.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_r")
+        )
     )
     blamed = (
         per_os.groupBy("l_orderkey")
