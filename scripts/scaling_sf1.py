@@ -133,6 +133,16 @@ HEAVY = [
     # lateness predicate (Q12), the outer-join histogram (Q13), the
     # decimal tie-set max (Q15), and the disjunctive-pushdown join (Q19).
     "local_supplier_revenue",
+    # round-10 tail: the arriving-batch winnow join, the grouped KMV
+    # distinct/window path, the dual-list RRF retrieval (bm25 scan +
+    # corpus cosine scan), the per-series gap window, and the two A-ES
+    # samplers (TakeOrdered / per-stratum rank window).
+    "incremental_decontamination",
+    "kmv_distinct_rollup",
+    "reciprocal_rank_fusion",
+    "ffill_gap_report",
+    "weighted_reservoir_sample",
+    "stratified_weighted_sample",
     "forecast_revenue_change",
     "returned_item_customers",
     "late_shipment_priority_mix",
