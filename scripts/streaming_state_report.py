@@ -7,7 +7,7 @@ windows, or time-bound horizon will eventually evict, spill, or OOM on
 an unbounded feed no matter how big the cluster is. Wall-clock at toy
 scale says nothing about that; the state-store row counts do.
 
-Method: four probe streams built from the package's own streaming
+Method: five probe streams built from the package's own streaming
 building blocks (the same constructions the registered
 `streaming_*` queries drain), run AvailableNow at sf0.01 and sf0.1 with
 a progress-capturing memory sink; the report records total input rows
@@ -23,7 +23,11 @@ holds the SAME 30-day span at both scales (10x rows = 10x density, not
 - streaming dedup: state = distinct keys, not rows;
 - stream-stream time-bound join: state = both sides' buffers awaiting
   the other watermark — the 4-hour TIME-BOUND (not stream history) is
-  what the final numbers must reflect.
+  what the final numbers must reflect;
+- custom applyInPandasWithState running totals (streaming/stateful.py,
+  the machinery behind streaming_running_totals): state = one O(1) row
+  per distinct KEY — must track the key count (10x denser users in this
+  fixture), never raw rows.
 
 Usage: python scripts/streaming_state_report.py > STREAMING_STATE.md
 """
@@ -50,6 +54,9 @@ from certified_dogs_and_cats_spark.session import get_spark  # noqa: E402
 from certified_dogs_and_cats_spark.streaming import (  # noqa: E402
     dedup_stream,
     windowed_counts,
+)
+from certified_dogs_and_cats_spark.streaming.stateful import (  # noqa: E402
+    running_totals,
 )
 
 SMALL = "/root/testdata/sf0.01"
@@ -103,6 +110,7 @@ LABELS = (
     "session_4h_gap_by_user",
     "dedup_user_ids",
     "join_view_purchase_4h",
+    "custom_running_totals_apws",
 )
 
 
@@ -164,7 +172,14 @@ def probes(spark, sf_dir):
             ),
         ), "append"
 
-    builders = (tumbling, session, dedup, ssjoin)
+    def custom_totals():
+        return running_totals(
+            _events_stream(spark, sf_dir).select("user_id", "value"),
+            "user_id",
+            "value",
+        ), "update"
+
+    builders = (tumbling, session, dedup, ssjoin, custom_totals)
     assert len(builders) == len(LABELS)
     return list(zip(LABELS, builders))
 
@@ -224,8 +239,10 @@ def main() -> None:
         f"Tumbling-window state held {st_tum:,} rows against "
         f"{tum[0]:,} inputs — windows x group keys, INDEPENDENT of "
         "stream length: the shape an unbounded 100 TB feed needs. "
-        "Dedup and open-session state track distinct USERS (10x denser "
-        "in this fixture by construction), never raw rows. The "
+        "Dedup, open-session, and the custom applyInPandasWithState "
+        "running-totals state track distinct USERS (10x denser in "
+        "this fixture by construction) at O(1) per key, never raw "
+        "rows. The "
         f"stream-stream join finished with {st_jn:,} buffered rows "
         f"against {jn[0]:,} inputs — the watermark reclaimed both "
         "sides down to the 4-hour join bound even within the bounded "
