@@ -60,8 +60,11 @@ def unit_uniform(id_col: Column, salt: str | None = None) -> Column:
     return h2.cast("double") / F.lit(float(1 << (GRID_BITS + 1)))
 
 
-def aes_key(id_col: Column, weight: Column, salt: str | None = None) -> Column:
-    """The A-ES rank key ``ln(u)/w`` as a cross-engine-exact double.
+def aes_key(weight: Column) -> Column:
+    """The A-ES rank key ``ln(u)/w`` as a cross-engine-exact double,
+    computed from a pre-projected 60-bit hash column named ``_h60``
+    (:func:`_keyed` provides it — the series expression references the
+    hash ~30 times, so projecting it once keeps md5 out of every term).
 
     ``ln u = -series_ln(2^61, 2h+1)`` — integer arguments into the
     detln IEEE DAG, then one correctly-rounded division by ``w``; every
@@ -69,10 +72,24 @@ def aes_key(id_col: Column, weight: Column, salt: str | None = None) -> Column:
     replay. Larger keys are preferred (keys are negative; heavier
     weights pull them toward zero)."""
     df_expr = series_ln_sql(str(1 << (GRID_BITS + 1)), "(2 * _h60 + 1)", "spark")
-    # The caller projects _h60 first (weighted_sample does); building
-    # the expression against a named column keeps the md5 evaluated
-    # once instead of once per series term.
     return -F.expr(df_expr) / weight
+
+
+def _keyed(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str | None
+) -> DataFrame:
+    """Shared sampler front half: validate k, drop non-positive/NULL
+    weights, project the A-ES key. Both samplers select from THIS frame
+    so their keys can never drift apart."""
+    if k <= 0:
+        raise ValueError(f"sample size k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("_h60", hash60(F.col(id_col), salt))
+        .withColumn("sample_key", aes_key(w))
+        .drop("_h60")
+    )
 
 
 def weighted_sample(
@@ -86,18 +103,11 @@ def weighted_sample(
     in (id, salt). Returns the sampled rows plus their ``sample_key``
     (ln(u)/w — larger is more preferred), ordered by the selection
     order. Rows with non-positive or NULL weight are excluded."""
-    if k <= 0:
-        raise ValueError(f"sample size k must be positive, got {k}")
-    w = F.col(weight_col).cast("double")
-    keyed = (
-        df.filter(w > 0)
-        .withColumn("_h60", hash60(F.col(id_col), salt))
-        .withColumn("sample_key", aes_key(F.col(id_col), w, salt))
-        .drop("_h60")
+    return (
+        _keyed(df, id_col, weight_col, k, salt)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
     )
-    return keyed.orderBy(
-        F.col("sample_key").desc(), F.col(id_col).asc()
-    ).limit(k)
 
 
 def weighted_sample_per_group(
@@ -116,18 +126,11 @@ def weighted_sample_per_group(
     ``sample_rank`` (1 = most preferred draw in its group)."""
     from pyspark.sql.window import Window
 
-    if k <= 0:
-        raise ValueError(f"sample size k must be positive, got {k}")
-    w = F.col(weight_col).cast("double")
-    keyed = (
-        df.filter(w > 0)
-        .withColumn("_h60", hash60(F.col(id_col), salt))
-        .withColumn("sample_key", aes_key(F.col(id_col), w, salt))
-        .drop("_h60")
-    )
     win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         F.col("sample_key").desc(), F.col(id_col).asc()
     )
-    return keyed.withColumn(
-        "sample_rank", F.row_number().over(win)
-    ).filter(F.col("sample_rank") <= k)
+    return (
+        _keyed(df, id_col, weight_col, k, salt)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -47,12 +47,15 @@ def kmv_sketch(
     n_shards: int | None = None,
 ) -> DataFrame:
     """Per-(group [, shard]) KMV sketch: sorted array of the k smallest
-    distinct item hashes plus the count of distinct hashes seen (needed
-    for the exact-below-k short-circuit). With ``n_shards``, the hash
+    distinct item hashes plus ``n_seen`` = min(distinct hashes, k) —
+    the sketch's own cardinality, which equals the exact distinct count
+    only while it is below k (exactly the short-circuit
+    :func:`kmv_estimate` needs; it is NOT an uncapped distinct count).
+    With ``n_shards``, the hash
     domain is partitioned by ``h mod n_shards`` and one sketch is built
     per (group, shard) — the deterministic stand-in for independent
     per-partition/per-day builders (hash-derived, so shards partition
-    the DISTINCT domain and n_seen stays additive)."""
+    the DISTINCT domain — no hash ever appears in two shards)."""
     if k <= 1:
         raise ValueError(f"KMV needs k >= 2, got {k}")
     keys = [F.col(c) for c in group_cols]
@@ -109,9 +112,9 @@ def kmv_merge(
 ) -> DataFrame:
     """Merge per-shard sketches to one sketch per group: union the
     hash arrays (exact — hashes, not estimates, are merged) and keep
-    the k smallest. ``n_seen`` sums only when shards partition the
-    distinct domain (true when the shard key derives from the hash, as
-    kmv_rollup's does); the merged sketch is correct regardless."""
+    the k smallest. ``n_seen`` is RECOMPUTED from the merged array
+    (min(union cardinality, k)) — never summed across shards, whose
+    own n_seen values are k-capped."""
     exploded = sketches.select(
         *[F.col(c) for c in group_cols],
         F.explode("kmv").alias("_h"),

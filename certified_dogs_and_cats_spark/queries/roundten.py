@@ -86,7 +86,12 @@ _KMV_EST = (
 @query(
     "kmv_distinct_rollup",
     oracle=f"""
-    WITH h AS (
+    WITH ex AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM (SELECT DISTINCT o_orderpriority, o_custkey FROM orders)
+      GROUP BY 1
+    ),
+    h AS (
       SELECT DISTINCT o_orderpriority,
              ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
                              1, 15))::BIGINT AS h
@@ -107,15 +112,15 @@ _KMV_EST = (
     est AS (
       SELECT o_orderpriority,
              CASE WHEN n_distinct < {KMV_K} THEN n_distinct
-                  ELSE {_KMV_EST} END AS kmv_estimate,
-             n_distinct AS exact_distinct
+                  ELSE {_KMV_EST} END AS kmv_estimate
       FROM agg
     )
-    SELECT o_orderpriority AS priority, kmv_estimate, exact_distinct,
-           CAST(round(CAST(kmv_estimate - exact_distinct AS DOUBLE)
-                      * 1000e0 / CAST(exact_distinct AS DOUBLE))
+    SELECT est.o_orderpriority AS priority, kmv_estimate,
+           ex.exact_distinct,
+           CAST(round(CAST(kmv_estimate - ex.exact_distinct AS DOUBLE)
+                      * 1000e0 / CAST(ex.exact_distinct AS DOUBLE))
                 AS BIGINT) AS err_permille
-    FROM est
+    FROM est JOIN ex USING (o_orderpriority)
     """,
 )
 def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +130,9 @@ def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition/per-day builders), serialized to BINARY and decoded
     back (the state-table wire format), merged losslessly, estimated
     with the (k-1)*2^60/h_(k) estimator. The oracle computes the SAME
-    estimate directly from the k-th smallest distinct hash — a green
+    estimate directly from the k-th smallest distinct hash (and the
+    exact count from distinct raw ITEMS — the two differ if the 60-bit
+    grid ever collides, so the oracle must not conflate them) — a green
     row therefore proves the shard/serialize/decode/merge pipeline is
     exactly the identity KMV theory says it is. Complements the two
     existing sketch registrations: sketch_union_rollup (queries/core.py)
@@ -154,6 +161,22 @@ _BATCH_SQL = (
     "(('0x' || substr(md5('b|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
     f" % {DECON_BATCHES})"
 )
+
+
+def decon_batch_col(id_col) -> "F.Column":
+    """Spark twin of ``_BATCH_SQL`` — THE arrival-batch assignment,
+    shared with scripts/shuffle_report.py's incidence accounting so the
+    probe can never measure a different batch than the query checks."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("b|"), id_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(DECON_BATCHES),
+    )
 
 
 @query(
@@ -206,18 +229,7 @@ def incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries/winnow.py) — the delta is the arrival semantics."""
     docs = t(spark, sf_dir, "documents")
     split = hash_split(docs.select("doc_id"), "doc_id")
-    batch = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("b|"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(DECON_BATCHES),
-    )
+    batch = decon_batch_col(F.col("doc_id"))
     train_ids = split.filter(F.col("split") == "train").select("doc_id")
     arriving_ids = (
         split.filter(F.col("split") != "train")

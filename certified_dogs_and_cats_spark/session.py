@@ -63,6 +63,12 @@ def configure_for_queries(spark: SparkSession) -> SparkSession:
     # partition count is fixed at plan time from shuffle.partitions, so a
     # driver session left at the 200 default runs 200 Python-worker state
     # partitions per micro-batch on a 32-core box (batch queries are rescued
-    # by AQE coalescing; streaming is not). Pin to the local core count.
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    # by AQE coalescing; streaming is not). Repair ONLY the untouched
+    # default — an explicit setting (the repo's own test/script sessions
+    # pass shuffle_partitions=4/8) is a deliberate choice and must survive.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     return spark

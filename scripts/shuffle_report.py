@@ -175,8 +175,8 @@ def winnow_incidence(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
         winnow_fingerprints,
     )
     from certified_dogs_and_cats_spark.queries.roundten import (
-        DECON_BATCHES,
         DECON_CURRENT_BATCH,
+        decon_batch_col,
     )
     from certified_dogs_and_cats_spark.queries.winnow import K, W
 
@@ -192,18 +192,7 @@ def winnow_incidence(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
         "fingerprint", F.col("doc_id").alias("e_id")
     )
     incidences = ev.join(train, "fingerprint")
-    batch = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("b|"), F.col("e_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(DECON_BATCHES),
-    )
+    batch = decon_batch_col(F.col("e_id"))
     full, batch_n = (
         incidences.agg(
             F.count("*").alias("full"),

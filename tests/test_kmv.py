@@ -78,7 +78,10 @@ def test_rollup_estimate_accuracy(spark):
     o = spark.read.parquet(f"{SF}/orders.parquet")
     for r in kmv_rollup(o, ["o_orderpriority"], "o_custkey", k=256).collect():
         assert abs(r.kmv_estimate - r.exact_distinct) <= 0.2 * r.exact_distinct
-        assert (
-            r.err_permille
-            == round((r.kmv_estimate - r.exact_distinct) * 1000.0 / r.exact_distinct)
-        )
+        x = (r.kmv_estimate - r.exact_distinct) * 1000.0 / r.exact_distinct
+        # Spark F.round is HALF-AWAY-FROM-ZERO; Python round() is
+        # banker's — replay the engine's rule, not the stdlib's.
+        import math
+
+        half_away = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+        assert r.err_permille == half_away

@@ -8,10 +8,7 @@ by AQE coalescing; streaming is not, so the pin is load-bearing."""
 
 from __future__ import annotations
 
-from certified_dogs_and_cats_spark.session import (
-    configure_for_queries,
-    default_parallelism,
-)
+from certified_dogs_and_cats_spark.session import configure_for_queries
 
 
 def test_pins_shuffle_partitions_on_foreign_session(spark):
@@ -20,9 +17,22 @@ def test_pins_shuffle_partitions_on_foreign_session(spark):
         spark.conf.set("spark.sql.shuffle.partitions", "200")
         configure_for_queries(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(
-            default_parallelism()
+            spark.sparkContext.defaultParallelism
         )
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_explicit_shuffle_partitions_survive(spark):
+    """A deliberately small explicit setting (the repo's own cpus=4
+    test sessions) must NOT be stomped back up to the machine's core
+    count — only the untouched 200 default is repaired."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        configure_for_queries(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
