@@ -84,8 +84,12 @@ def _keyed(
     if k <= 0:
         raise ValueError(f"sample size k must be positive, got {k}")
     w = F.col(weight_col).cast("double")
+    # A NULL id hashes to a NULL key; under desc ordering NULLs sort
+    # last, so such rows could still surface once k exceeds the non-null
+    # eligible population. NULL ids are ineligible, same as w <= 0.
     return (
         df.filter(w > 0)
+        .filter(F.col(id_col).isNotNull())
         .withColumn("_h60", hash60(F.col(id_col), salt))
         .withColumn("sample_key", aes_key(w))
         .drop("_h60")

@@ -59,9 +59,14 @@ def kmv_sketch(
     if k <= 1:
         raise ValueError(f"KMV needs k >= 2, got {k}")
     keys = [F.col(c) for c in group_cols]
+    # NULL items hash to NULL: they would occupy a row_number rank slot
+    # (NULLs sort first ascending) and inflate n_seen while collect_list
+    # silently drops them from the array — k-1 elements with n_seen==k
+    # makes element_at(kmv, k) NULL downstream. A NULL item contributes
+    # nothing to a distinct count, so drop it before the sketch.
     sel = df.select(
         *keys, hash60(F.col(item_col)).alias("_h")
-    )
+    ).filter(F.col("_h").isNotNull())
     if n_shards is not None:
         sel = sel.withColumn(
             "_shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")

@@ -85,3 +85,18 @@ def test_rollup_estimate_accuracy(spark):
 
         half_away = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
         assert r.err_permille == half_away
+
+def test_null_items_are_ignored(spark):
+    """NULL items hash to NULL; without the pre-filter they would claim
+    a rank slot (NULLs sort first asc) and inflate n_seen while being
+    dropped from the collect_list array — k-1 elements with n_seen==k
+    makes element_at(kmv, k) NULL. A NULL item must contribute nothing
+    (ADVICE r10)."""
+    rows = [(1, None)] * 5 + [(1, f"u{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "g int, item string")
+    got = kmv_sketch(df, ["g"], "item", k=3).collect()[0]
+    assert got.kmv == sorted(_h60(f"u{i}") for i in range(3))
+    assert got.n_seen == 3
+    # All-NULL group: no sketch row at all (nothing distinct to count).
+    only_null = spark.createDataFrame([(2, None)], "g int, item string")
+    assert kmv_sketch(only_null, ["g"], "item", k=3).count() == 0

@@ -54,3 +54,34 @@ def test_merge_upsert_idempotent(catalog):
     assert counts.get("inserted", 0) == 0
     assert counts.get("updated", 0) == 1  # overwrites with identical value
     assert catalog.table("ref.breed_mapping").count() == n1
+
+
+def test_upsert_counts_reported_only_after_commit(catalog, monkeypatch):
+    """Failure injection (VERDICT r10 #8): if the overwrite commit fails,
+    upsert_mapping must raise WITHOUT returning counts, and the committed
+    table must be unchanged — bookkeeping can never diverge from storage."""
+    ensure_mapping(catalog)
+    before = {
+        r["breed_variant_key"]: r["breed_standard"]
+        for r in catalog.table("ref.breed_mapping").collect()
+    }
+
+    def boom(name, df, txn=None):
+        raise IOError("injected commit failure")
+
+    monkeypatch.setattr(catalog, "overwrite", boom)
+    updates = catalog.spark.createDataFrame(
+        [("NEWBREED", "NEW BREED")],
+        "breed_variant_key STRING, breed_standard STRING",
+    )
+    try:
+        upsert_mapping(catalog, updates)
+        raise AssertionError("expected injected commit failure to propagate")
+    except IOError:
+        pass
+    monkeypatch.undo()
+    after = {
+        r["breed_variant_key"]: r["breed_standard"]
+        for r in catalog.table("ref.breed_mapping").collect()
+    }
+    assert after == before  # nothing committed, nothing reported

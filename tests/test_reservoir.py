@@ -164,3 +164,22 @@ def test_per_group_sample_matches_global_keys(spark):
             )
         ]
         assert sorted(got[seg]) == want
+
+
+def test_null_ids_excluded(spark):
+    """A NULL id hashes to a NULL sample_key; desc ordering puts NULLs
+    last, so they could surface once k exceeds the non-null population.
+    NULL ids are ineligible outright (ADVICE r10)."""
+    rows = [(None, 5.0), (1, 1.0), (2, 1.0)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    got = {r.id for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {1, 2}
+    from certified_dogs_and_cats_spark.extensions.reservoir import (
+        weighted_sample_per_group,
+    )
+
+    g = spark.createDataFrame(
+        [("a", None, 5.0), ("a", 1, 1.0)], "grp string, id int, w double"
+    )
+    per = weighted_sample_per_group(g, ["grp"], "id", "w", 5).collect()
+    assert [r.id for r in per] == [1]
