@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import dsum
 from .common import t
-from .dedup import MAX_SHINGLE_DF, _SHINGLES_CTE
+from .dedup import MAX_SHINGLE_DF, _CAP_CTES, _SHINGLES_CTE
 from .registry import query
 
 
@@ -964,13 +964,7 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_threshold_sweep",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
-    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-    shc AS (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh JOIN freq USING (shingle)
-      WHERE freq.df <= {MAX_SHINGLE_DF}
-    ),
+    WITH {_SHINGLES_CTE},{_CAP_CTES},
     sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
     pairs AS (
       SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
@@ -998,9 +992,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision floor(j*10) is one IEEE multiply on the exact-integer
     division, identical both engines."""
     from ..extensions.dedup import jaccard_pairs
-    from .dedup import shingles3
+    from .dedup import budgeted_shingles3
 
-    sh = shingles3(spark, sf_dir)
+    sh = budgeted_shingles3(spark, sf_dir)
     pairs = jaccard_pairs(sh, "doc_id", 0.0, max_shingle_df=MAX_SHINGLE_DF)
     return pairs.groupBy(
         F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_band")

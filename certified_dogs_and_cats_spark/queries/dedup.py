@@ -15,6 +15,12 @@ from ..extensions.dedup import (
     lsh_candidate_pairs,
     word_shingles,
 )
+from ..extensions.incidence import (
+    BUDGET_DEN,
+    BUDGET_NUM,
+    budget_filter,
+    cap_ctes_sql,
+)
 from ..cache import tracked_persist
 from .common import t
 from .registry import query
@@ -56,6 +62,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounds the self-join fan-out.
 MAX_SHINGLE_DF = 1000
 
+# Adaptive incidence budget (extensions/incidence.py, VERDICT r10 #4):
+# the candidate stage may emit at most 3 candidate pairs per 4 posting
+# rows, enforced by a data-derived df cap replayed identically in the
+# oracle. At sf0.01 it does not bind (max 3-shingle df is 7); at sf0.1
+# it binds at cap~8, holding the exact-overlap family's shuffle growth
+# near the data ratio instead of the uncapped 90x incidence blow-up.
+_CAP_CTES = cap_ctes_sql(
+    "sh", "shingle", "doc_id", BUDGET_NUM, BUDGET_DEN, ceiling=MAX_SHINGLE_DF
+)
+
+
+def budgeted_shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared shingle relation with the adaptive incidence budget
+    applied — the universe every exact-overlap pair query draws from."""
+    return budget_filter(shingles3(spark, sf_dir), "shingle")
+
 
 def shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared hashed word-3-shingle relation (doc_id, shingle), built
@@ -81,13 +103,7 @@ def shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
-    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-    shc AS (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh JOIN freq USING (shingle)
-      WHERE freq.df <= {MAX_SHINGLE_DF}
-    ),
+    WITH {_SHINGLES_CTE},{_CAP_CTES},
     sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
     pairs AS (
       SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
@@ -106,8 +122,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle set is branched 4 ways downstream (freq gate, sizes, both
     # join sides); the memoized parquet build (shingles3) materializes the
     # tokenize+explode once per corpus instead of paying it 4x per branch
-    # and once more per consumer query.
-    sh = shingles3(spark, sf_dir)
+    # and once more per consumer query. The adaptive incidence budget
+    # (budgeted_shingles3) bounds the candidate stage to <=3 pairs per 4
+    # postings at any scale.
+    sh = budgeted_shingles3(spark, sf_dir)
     return jaccard_pairs(
         sh, "doc_id", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -708,13 +726,7 @@ CONTAIN_THRESHOLD = 0.6
 @query(
     "dedup_containment_pairs",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
-    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-    shc AS (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh JOIN freq USING (shingle)
-      WHERE freq.df <= {MAX_SHINGLE_DF}
-    ),
+    WITH {_SHINGLES_CTE},{_CAP_CTES},
     sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
     pairs AS (
       SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
@@ -743,10 +755,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its denominator is dominated by the long doc). Same shared-shingle
     candidate generator + df-cap skew gate as dedup_ngram_jaccard; one
     intersection count scores both directions. Containment is an
-    exact-integer division, hash-pinned."""
+    exact-integer division, hash-pinned. Candidate universe is the
+    incidence-budgeted shingle relation (see budgeted_shingles3)."""
     from ..extensions.dedup import containment_pairs
 
-    sh = shingles3(spark, sf_dir)
+    sh = budgeted_shingles3(spark, sf_dir)
     return containment_pairs(
         sh, "doc_id", CONTAIN_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
     )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..extensions.incidence import budget_filter, cap_ctes_sql
 from ..extensions.reservoir import GRID_BITS, weighted_sample
 from ..extensions.sampling import hash_split
 from ..extensions.sketches import kmv_rollup
@@ -194,7 +195,7 @@ def decon_batch_col(id_col) -> "F.Column":
     tfp AS (
       SELECT fp.fingerprint, fp.doc_id FROM fp
       JOIN split USING (doc_id) WHERE split = 'train'
-    ),
+    ),{cap_ctes_sql("tfp", "fingerprint", "doc_id", prefix="t")},
     arriving AS (
       SELECT doc_id FROM split
       WHERE split <> 'train'
@@ -208,7 +209,7 @@ def decon_batch_col(id_col) -> "F.Column":
       SELECT e.doc_id AS eval_doc_id,
              count(DISTINCT e.fingerprint) AS n_shared,
              count(DISTINCT t.doc_id) AS n_train_docs
-      FROM efp e JOIN tfp t USING (fingerprint)
+      FROM efp e JOIN tshc t USING (fingerprint)
       GROUP BY 1
     )
     SELECT eval_doc_id, CAST(n_shared AS BIGINT) AS n_shared,
@@ -238,8 +239,16 @@ def incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _build_train_index() -> DataFrame:
-        return winnow_fingerprints(
-            docs.join(train_ids, "doc_id"), "doc_id", "text", k=K, w=W
+        # Posting lists are capped at INDEX BUILD time with the adaptive
+        # incidence budget (extensions/incidence.py) — boilerplate
+        # fingerprints never enter the frozen index, so every arriving
+        # batch's join fan-out is <= cap x batch postings, linear in the
+        # batch at any corpus size (VERDICT r10 #4).
+        return budget_filter(
+            winnow_fingerprints(
+                docs.join(train_ids, "doc_id"), "doc_id", "text", k=K, w=W
+            ),
+            "fingerprint",
         ).select("fingerprint", F.col("doc_id").alias("train_doc_id"))
 
     # The frozen index is BUILD-ONCE (cache.memoized_parquet): production
@@ -251,7 +260,7 @@ def incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tfp = memoized_parquet(
         spark,
-        ("decon_train_index", sf_dir, K, W),
+        ("decon_train_index", sf_dir, K, W, "budget-3-4"),
         _build_train_index,
         "decon_train_index",
     )

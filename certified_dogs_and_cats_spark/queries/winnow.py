@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..extensions.incidence import cap_ctes_sql
 from ..extensions.text import winnow_fingerprints, winnow_shared_pairs
 from .common import t
 from .registry import query
@@ -47,6 +48,11 @@ _FP_CTE = f"""
       SELECT DISTINCT doc_id, fingerprint FROM wm WHERE p >= {W}
     )
 """
+
+# Adaptive incidence budget over the fingerprint universe (decon family
+# — VERDICT r10 #4): emits the capped postings relation `fshc`. Same
+# 3-per-4 linear budget as the shingle family (queries/dedup.py).
+_FP_CAP_CTES = cap_ctes_sql("fp", "fingerprint", "doc_id", prefix="f")
 
 
 @query(
@@ -115,7 +121,7 @@ def q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_eval_split",
     oracle=f"""
     WITH
-    {_FP_CTE},
+    {_FP_CTE},{_FP_CAP_CTES},
     split AS (
       SELECT doc_id,
              CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
@@ -124,11 +130,11 @@ def q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     tfp AS (
-      SELECT fp.fingerprint, fp.doc_id FROM fp
+      SELECT fshc.fingerprint, fshc.doc_id FROM fshc
       JOIN split USING (doc_id) WHERE split = 'train'
     ),
     efp AS (
-      SELECT fp.fingerprint, fp.doc_id FROM fp
+      SELECT fshc.fingerprint, fshc.doc_id FROM fshc
       JOIN split USING (doc_id) WHERE split <> 'train'
     ),
     hits AS (
@@ -151,7 +157,12 @@ def decontaminate_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable in SQL) with the winnowing fingerprint set; an eval doc
     with >= MIN_SHARED shared fingerprints overlaps some train doc by at
     least one guaranteed substring run and should be quarantined. Join is
-    fingerprint-keyed (train side pre-filtered), never eval x train."""
+    fingerprint-keyed (train side pre-filtered), never eval x train.
+    The fingerprint universe carries the adaptive incidence budget
+    (extensions/incidence.py): a fingerprint shared by enough docs to
+    blow the linear candidate budget is boilerplate, not leakage signal,
+    and is dropped identically in both engines."""
+    from ..extensions.incidence import budget_filter
     from ..extensions.sampling import hash_split
 
     from ..cache import tracked_persist
@@ -161,9 +172,10 @@ def decontaminate_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fingerprint frame feeds both the train and eval branches; persist
     # so the explode + window min runs once (see cache contract).
     fps = tracked_persist(
-        winnow_fingerprints(docs, "doc_id", "text", k=K, w=W).join(
-            split, "doc_id"
-        )
+        budget_filter(
+            winnow_fingerprints(docs, "doc_id", "text", k=K, w=W),
+            "fingerprint",
+        ).join(split, "doc_id")
     )
     train = fps.filter(F.col("split") == "train").select(
         "fingerprint", F.col("doc_id").alias("train_doc_id")
