@@ -36,6 +36,31 @@ from .registry import query
 # the WAL/offset fsyncs off disk.
 _CK_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
+# State-store partition count for the BOUNDED probe streams. The state
+# stage spawns one Arrow Python worker (pandas/pyarrow import and all)
+# per state partition at stream start, and shuffle.partitions-many state
+# partitions is sized for a real cluster, not a bounded local drain over
+# O(1000) keys — on a cold 32-partition session the worker spin-up
+# dominates the whole query (VERDICT r10 #2). A real deployment sizes
+# this to its executor count; the probe pins a small constant. Scoped to
+# the stream via _with_stream_partitions (plan reads the conf at start).
+_PROBE_STATE_PARTITIONS = 8
+
+
+def _with_stream_partitions(spark: SparkSession, fn):
+    """Run fn (which starts AND drains a bounded stream) with
+    shuffle.partitions pinned to the probe's state-partition count,
+    restoring the session value after. Safe because
+    run_available_now_memory blocks until the drain completes, and the
+    partition count never changes results — only where state lives."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_PROBE_STATE_PARTITIONS))
+    try:
+        return fn()
+    finally:
+        spark.conf.set(key, prev)
+
 
 def _drain(stream_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     """Run a bounded AvailableNow drain on a throwaway checkpoint and
@@ -187,7 +212,9 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.round(F.col("value") * 100).alias("value")
         )
         totals = running_totals(ev, "user_id", "value")
-        drained = _drain(totals, "ck_tot_", "update")
+        drained = _with_stream_partitions(
+            spark, lambda: _drain(totals, "ck_tot_", "update")
+        )
         # Update mode emits one row per key per batch it appears in; the
         # final state per key is the row with the largest n (monotone).
         w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
