@@ -18,9 +18,15 @@ Modes:
   pre-self-check `approx_percentile_check` floor.
 - default: check a bench JSON (arg, else BENCH_local.json) against the
   envelope. An entry FAILS at ratio > THRESHOLD (2.0, the BASELINE.md
-  envelope); queries with no recorded floor are listed as new. Exit 1
-  on any failure, so the check can gate a round close. A failing entry
-  is either a real regression (fix it) or machine drift (re-probe on an
+  envelope) AND an absolute delta above MATERIAL_DELTA — sub-second
+  entries swing 1.5-2.5x across identical-code rounds with JVM/codegen
+  session state (measured: sketch_union_rollup 0.297-0.705s over
+  r04-r11 with no code change, and a reduced-context best-of-3 probe of
+  the same query runs SLOWER than its full-bench number, so the wobble
+  is context, not code — same reasoning as SHUFFLE.md's material
+  floor). Queries with no recorded floor are listed as new. Exit 1 on
+  any failure, so the check can gate a round close. A failing entry is
+  either a real regression (fix it) or machine drift (re-probe on an
   idle box; if the floor itself was a one-off, re-base via --rebuild
   after committing the honest run and note it in BASELINE.md).
 """
@@ -35,6 +41,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENVELOPE = os.path.join(ROOT, "BENCH_ENVELOPE.json")
 THRESHOLD = 2.0
+MATERIAL_DELTA = 0.5  # seconds above floor before a ratio is a finding
 
 # BASELINE.md re-base protocol: recordings from these sources are NOT
 # honest floors for these queries and are excluded from the min.
@@ -139,7 +146,10 @@ def check(bench_path: str) -> int:
             new.append(name)
             continue
         ratio = float(sec) / max(entry["floor"], 1e-9)
-        if ratio > env.get("threshold", THRESHOLD):
+        if (
+            ratio > env.get("threshold", THRESHOLD)
+            and float(sec) - entry["floor"] > MATERIAL_DELTA
+        ):
             failures.append((name, float(sec), entry["floor"], ratio))
     if new:
         print(f"{len(new)} queries without floors yet (new since last "
