@@ -1,0 +1,262 @@
+"""Round-11 additions: contrastive hard-negative mining over the
+embedding corpus, Neyman (variance-optimal) stratified-sampling
+allocation over the document sources, and the TPC-H Q21-shaped
+sole-late-supplier blame report.
+
+Oracles replay the identical arithmetic in DuckDB (cosine rounded to
+6dp before ranking; exact-integer variance numerators with one double
+conversion before the sqrt; pure-integer lateness/count logic), per the
+package's cross-engine exactness conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..extensions.similarity import as_double_vec, dot, with_norm
+from ..operators.partitioning import spread
+from .common import VEC_CTE, t
+from .registry import query
+from .similarity import K, QUERY_PRED
+
+#: Fixed sampling budget the Neyman report allocates (documents).
+NEYMAN_BUDGET = 10_000
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {VEC_CTE},
+    lv AS (SELECT v.vec_id, v.e, v.nrm, emb.label
+           FROM v JOIN embeddings emb USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, label AS qlabel
+          FROM lv WHERE {QUERY_PRED}),
+    pairs AS (
+      SELECT q.query_id, lv.vec_id AS negative_id, lv.label AS negative_label,
+             round(list_dot_product(q.qe, lv.e) / (q.qnrm * lv.nrm), 6)
+               AS cos_sim
+      FROM q CROSS JOIN lv
+      WHERE lv.label <> q.qlabel
+    )
+    SELECT query_id, negative_id, negative_label, cos_sim, rnk FROM (
+      SELECT query_id, negative_id, negative_label, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, negative_id ASC)
+                  AS INTEGER) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each query vector, the top-k
+    most-similar vectors carrying a DIFFERENT label — the hard negatives
+    an embedding-model trainer pairs with each anchor (the easy negatives
+    are useless, the hardest ones teach the margin). Same bounded-|Q|
+    broadcast contract as similarity_cosine_topk (the corpus never
+    shuffles; the label filter rides the broadcast join), scores rounded
+    to 6dp before the rank so ties break identically cross-engine."""
+    e = t(spark, sf_dir, "embeddings")
+    lv = e.select("vec_id", as_double_vec("embedding").alias("e"), "label")
+    q = with_norm(lv.filter(F.expr(QUERY_PRED)), "e", "qnrm").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        "qnrm",
+        F.col("label").alias("qlabel"),
+    )
+    c = with_norm(spread(lv), "e", "nnrm").select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("e").alias("ne"),
+        "nnrm",
+        F.col("label").alias("negative_label"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("negative_label") != F.col("qlabel")
+    )
+    sim = F.round(
+        dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id", "negative_id", "negative_label", sim.alias("cos_sim")
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= K)
+    )
+
+
+@query(
+    "neyman_allocation",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             CAST(sum(n_tok * n_tok) AS BIGINT) AS sum_tok2
+      FROM tok GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs, sum_tok,
+             sqrt(CAST(n_docs * sum_tok2 - sum_tok * sum_tok AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) AS sd,
+             n_docs * sqrt(CAST(n_docs * sum_tok2 - sum_tok * sum_tok
+                                AS DOUBLE)
+                           / (CAST(n_docs AS DOUBLE) * (n_docs - 1)))
+               AS weight
+      FROM s WHERE n_docs > 1
+    )
+    SELECT source, n_docs,
+           round(CAST(sum_tok AS DOUBLE) / n_docs, 6) AS mean_tokens,
+           round(sd, 6) AS sd_tokens,
+           round(weight / sum(weight) OVER (), 6) AS neyman_share,
+           CAST(floor({NEYMAN_BUDGET} * round(weight / sum(weight) OVER (),
+                                              6)) AS BIGINT) AS alloc_docs
+    FROM w
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified-sampling allocation (Neyman 1934):
+    how a fixed annotation/eval budget should split across document
+    sources — n_h proportional to N_h * S_h, so high-variance strata get
+    proportionally more budget than proportional allocation would give.
+    The per-stratum moments are EXACT integer sums (count, sum tokens,
+    sum of squares) with a single double conversion feeding the sqrt
+    (IEEE-correctly-rounded, so identical cross-engine); the share is
+    rounded to 6dp before the budget multiply, the package convention
+    for double-division outputs. One corpus aggregate to |sources| rows,
+    then dimension-scale windows — the sanctioned global-window shape."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    s = tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).cast("bigint").alias("sum_tok2"),
+    )
+    var_num = (
+        F.col("n_docs") * F.col("sum_tok2") - F.col("sum_tok") * F.col("sum_tok")
+    ).cast("double")
+    sd = F.sqrt(
+        var_num / (F.col("n_docs").cast("double") * (F.col("n_docs") - F.lit(1)))
+    )
+    w = (
+        s.filter(F.col("n_docs") > 1)
+        .withColumn("sd", sd)
+        .withColumn("weight", F.col("n_docs") * F.col("sd"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.round(F.col("weight") / F.sum("weight").over(w_all), 6)
+    return w.select(
+        "source",
+        "n_docs",
+        F.round(F.col("sum_tok").cast("double") / F.col("n_docs"), 6).alias(
+            "mean_tokens"
+        ),
+        F.round("sd", 6).alias("sd_tokens"),
+        share.alias("neyman_share"),
+        F.floor(F.lit(NEYMAN_BUDGET) * share).cast("bigint").alias("alloc_docs"),
+    )
+
+
+#: A line is "late" when it shipped more than this many days after its
+#: order date (the testdata carries no commit/receipt dates; same rule
+#: family as late_shipment_priority_mix).
+LATE_DAYS = 60
+
+
+@query(
+    "sole_late_supplier_blame",
+    oracle=f"""
+    WITH ls AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate
+                           + INTERVAL {LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS was_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(*) AS n_suppliers,
+             sum(was_late) AS n_late_suppliers
+      FROM ls GROUP BY 1
+    ),
+    blamed AS (
+      SELECT ls.l_suppkey
+      FROM ls JOIN per_order USING (l_orderkey)
+      WHERE ls.was_late = 1
+        AND per_order.n_suppliers >= 2
+        AND per_order.n_late_suppliers = 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey ASC
+    LIMIT 20
+    """,
+)
+def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who SOLELY kept multi-supplier orders waiting — the
+    TPC-H Q21 semantics (EXISTS another supplier in the order, NOT
+    EXISTS another LATE supplier) re-expressed as two aggregations on
+    the same key instead of correlated subqueries: per-(order, supplier)
+    lateness flags, then per-order supplier/late-supplier counts, then
+    the blame filter. Both aggregates and the self-join all hash on
+    l_orderkey, so the exchange is planned once and reused — the
+    distributed form of Q21's double correlation, with no per-row
+    subquery execution. Lateness (shipdate > orderdate + {LATE_DAYS}d)
+    is decided join-time against the order date, exact DATE arithmetic
+    both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    sup = t(spark, sf_dir, "supplier")
+    ls = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.date_add(F.col("o_orderdate"), LATE_DAYS),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("was_late")
+        )
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("was_late").alias("n_late_suppliers"),
+    )
+    blamed = (
+        ls.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("was_late") == 1)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late_suppliers") == 1)
+        )
+        .select("l_suppkey")
+    )
+    return (
+        blamed.join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            blamed["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
