@@ -75,8 +75,22 @@ _CAP_CTES = cap_ctes_sql(
 
 def budgeted_shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared shingle relation with the adaptive incidence budget
-    applied — the universe every exact-overlap pair query draws from."""
-    return budget_filter(shingles3(spark, sf_dir), "shingle")
+    applied — the universe every exact-overlap pair query draws from.
+    Materialized once per corpus (same memo contract as shingles3):
+    jaccard_pairs/containment_pairs branch their input 4+ ways, and
+    without the materialization every branch re-plans the full
+    freq+histogram+cap chain (70 Exchange nodes in the containment
+    audit vs 17 with it — reuse would carry the runtime, but the
+    warehouse shape is to persist the post-budget universe next to the
+    shingle table anyway)."""
+    from ..cache import memoized_parquet
+
+    return memoized_parquet(
+        spark,
+        ("budgeted_shingles3", sf_dir, BUDGET_NUM, BUDGET_DEN),
+        lambda: budget_filter(shingles3(spark, sf_dir), "shingle"),
+        "budgeted_shingles3",
+    )
 
 
 def shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
