@@ -260,3 +260,75 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(20)
     )
+
+
+#: Top-k most frequent event-type trigrams reported by the miner.
+SEQ_TOP_K = 15
+
+
+@query(
+    "frequent_event_sequences",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      FROM events
+    ),
+    grams AS (
+      SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+             count(*) AS n_occurrences,
+             count(DISTINCT user_id) AS n_users
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT step1, step2, step3,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(n_users AS BIGINT) AS n_users, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY n_occurrences DESC, step1, step2, step3)
+             AS INTEGER) AS rnk
+      FROM grams
+    ) WHERE rnk <= {SEQ_TOP_K}
+    """,
+)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, contiguous-trigram tier: the top-k most
+    frequent 3-step event-type sequences across all user streams (the
+    behavioral motifs a product/curriculum designer reads before
+    defining funnels). Two lag windows over the same total (ts,
+    event_id) per-user order — ONE window sort serves both — then a hash
+    aggregate on the trigram (grows with |types|^3, dimension-scale, not
+    corpus-scale) carrying both occurrence and distinct-user support.
+    The final top-k rank runs over that dimension-scale aggregate (the
+    sanctioned global-window shape); exact integer counts, total-order
+    tiebreak, engine-identical."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    grams = (
+        seq.filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    wr = Window.orderBy(
+        F.col("n_occurrences").desc(), "step1", "step2", "step3"
+    )
+    return (
+        grams.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= SEQ_TOP_K)
+    )

@@ -149,7 +149,21 @@ HEAVY = [
     "customer_order_count_distribution",
     "top_quarter_supplier",
     "brand_size_band_revenue",
+    # round-11 tail: the Q21-shaped double aggregate + self-join on
+    # l_orderkey, the per-user double-lag trigram miner, the bounded-|Q|
+    # hard-negative broadcast scan, and the budgeted exact-overlap pair
+    # joins (adaptive incidence cap — the sf1 step must show the budget
+    # holding one more decade).
+    "sole_late_supplier_blame",
+    "frequent_event_sequences",
+    "hard_negative_mining",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_sweep",
+    "decontaminate_eval_split",
 ]
+# Guard against double-registration across the per-round blocks above
+# (a duplicate name would re-run and double-row the report).
+HEAVY = list(dict.fromkeys(HEAVY))
 REPEATS = 2
 
 

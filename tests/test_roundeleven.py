@@ -98,3 +98,37 @@ def test_sole_late_supplier_rule(spark, tmp_path):
     sup.write.parquet(f"{sf}/supplier.parquet")
     got = QUERIES["sole_late_supplier_blame"](spark, sf).collect()
     assert [(r.s_suppkey, r.numwait) for r in got] == [(10, 1)]
+
+
+def test_frequent_sequences_match_python_replay(spark):
+    """Trigram counts + user support equal a pure-Python replay of the
+    per-user (ts, event_id)-ordered streams."""
+    rows = QUERIES["frequent_event_sequences"](spark, SF).collect()
+    assert rows and len(rows) <= 15
+    from certified_dogs_and_cats_spark.queries.common import t as load
+
+    ev = (
+        load(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    from collections import Counter
+
+    occ, users = Counter(), {}
+    for u, seq in by_user.items():
+        seq.sort()
+        types = [t3 for _, _, t3 in seq]
+        for i in range(len(types) - 2):
+            g = (types[i], types[i + 1], types[i + 2])
+            occ[g] += 1
+            users.setdefault(g, set()).add(u)
+    want = sorted(
+        ((-n, *g) for g, n in occ.items())
+    )[:15]
+    got = sorted((-r.n_occurrences, r.step1, r.step2, r.step3) for r in rows)
+    assert got == want
+    for r in rows:
+        assert r.n_users == len(users[(r.step1, r.step2, r.step3)])
