@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_shared_pairs",
     "streaming_session_stats",
+    "streaming_timeout_sessions",
     "text_repetition_ratio",
     "sample_stratified_split",
     "chunk_documents_overlap",

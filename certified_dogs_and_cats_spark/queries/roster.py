@@ -62,6 +62,7 @@ EXCLUDED: dict[str, str] = {
     "streaming_stream_join": STREAM,
     "streaming_stream_join_outer": STREAM,
     "streaming_late_drop": STREAM,
+    "streaming_timeout_sessions": STREAM,
     "hopping_window_counts": STREAM,
     "bucketed_join_zero_shuffle": "bucketed temp tables",
 }

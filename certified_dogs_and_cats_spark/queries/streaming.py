@@ -715,3 +715,84 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# timeout_sessions probe constants: 4-hour inactivity gap (the session
+# family's), 2-hour watermark delay.
+_SESS_GAP_S = 4 * 3600
+_SESS_DELAY_MS = 2 * 3600 * 1000
+
+
+@query(
+    "streaming_timeout_sessions",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    mx AS (SELECT max(us) AS max_us FROM e),
+    flag AS (
+      SELECT user_id, us, cents,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_SESS_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    s AS (
+      SELECT user_id, us, cents,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS idx
+      FROM flag
+    ),
+    sess AS (
+      SELECT user_id, idx,
+             min(us) AS session_start_us, max(us) AS session_end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM s GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT sess.*, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY idx DESC) AS rk
+      FROM sess
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events, total_cents
+    FROM ranked, mx
+    WHERE rk > 1
+       OR (session_end_us + {_SESS_GAP_S * 1_000_000}) // 1000
+            < (mx.max_us // 1000) - {_SESS_DELAY_MS}
+    """,
+)
+def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom APPEND-mode session assembly with event-time-timeout
+    eviction (streaming/stateful.py:timeout_sessions) — the operator a
+    team writes when session CLOSE is the trigger for side effects,
+    where `session_window` (streaming_session_stats) only yields
+    aggregate rows in complete mode. The oracle replays BOTH emission
+    rules in closed form, pinned by boundary probes against the real
+    engine: a session followed by a later same-key session closes
+    in-batch unconditionally; each key's LAST session emits iff its
+    event-time timer fired, i.e. (last_us + gap)//1000 ms is STRICTLY
+    below the final watermark floor(max_us/1000) ms - delay. A run that
+    leaks unclosed tail sessions, or drops batch-closed ones, fails
+    rows+hash. State is one open session per key (4 longs); per
+    micro-batch cost is one key shuffle."""
+    from ..streaming.stateful import timeout_sessions
+
+    configure_for_queries(spark)
+
+    def run() -> DataFrame:
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        sess = timeout_sessions(
+            ev, "user_id", "ts", "cents", gap_seconds=_SESS_GAP_S
+        )
+        return _with_stream_partitions(
+            spark, lambda: _drain(sess, "ck_tosess_", "append")
+        )
+
+    return _with_nanos_conf(spark, run, sf_dir)

@@ -19,6 +19,7 @@ from collections.abc import Iterator
 from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -167,4 +168,105 @@ def stateful_topk(
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def timeout_sessions(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cents_col: str,
+    gap_seconds: int,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Gap-session assembly with EVENT-TIME TIMEOUT eviction — the
+    custom append-mode stateful operator ``session_window`` users write
+    when they need per-session side effects at close time (emit to a
+    feature store, price the session, fire an alert) instead of an
+    aggregate row in complete mode.
+
+    Semantics (all deterministic, oracle-replayable):
+
+    - state per key = the single OPEN session (start_us, last_us, n,
+      cents) — O(1) per key in the state store;
+    - each batch's rows fold in ascending event-time order; a row within
+      ``gap_seconds`` of the open session extends it, a later row CLOSES
+      it (emitted immediately — batch-closed sessions do not wait for
+      the watermark) and opens a new one;
+    - the still-open session arms an event-time timer at
+      ``last_us + gap``; when the watermark passes it, the timed-out
+      session is emitted and its state removed (``hasTimedOut`` branch).
+      Sessions the final watermark never passes stay buffered —
+      UNEMITTED — exactly like append-mode windows that never close.
+
+    Emission timestamps are integer MICROSECONDS and the session value
+    is integer cents, so every emitted column is exact cross-engine.
+    """
+    out_schema = (
+        f"{key_col} long, session_start_us long, session_end_us long, "
+        "n_events long, total_cents long"
+    )
+    state_schema = "start long, last long, n long, cents long"
+    gap_us = gap_seconds * 1_000_000
+
+    def assemble(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # executor-side import
+
+        def row(s):
+            return {
+                key_col: key[0],
+                "session_start_us": s[0],
+                "session_end_us": s[1],
+                "n_events": s[2],
+                "total_cents": s[3],
+            }
+
+        if state.hasTimedOut:
+            closed = [row(state.get)]
+            state.remove()
+            yield pd.DataFrame(closed)
+            return
+        events = []
+        for pdf in pdfs:
+            events.extend(
+                zip(pdf["__ts_us__"].astype("int64"), pdf[cents_col].astype("int64"))
+            )
+        events.sort()
+        open_s = list(state.get) if state.exists else None
+        closed = []
+        for ts_us, cents in events:
+            if open_s is None:
+                open_s = [ts_us, ts_us, 1, int(cents)]
+            elif ts_us <= open_s[1] + gap_us:
+                open_s[1] = max(open_s[1], ts_us)
+                open_s[0] = min(open_s[0], ts_us)
+                open_s[2] += 1
+                open_s[3] += int(cents)
+            else:
+                closed.append(row(tuple(open_s)))
+                open_s = [ts_us, ts_us, 1, int(cents)]
+        if open_s is not None:
+            state.update(tuple(open_s))
+            # Event-time timer: fire when the watermark passes the gap
+            # boundary after the session's last event (milliseconds API).
+            state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    keyed = stream.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__wm_ts__"),
+        (F.unix_micros(F.col(ts_col))).alias("__ts_us__"),
+        F.col(cents_col),
+    ).withWatermark("__wm_ts__", watermark_delay)
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        assemble,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -7,7 +7,7 @@ windows, or time-bound horizon will eventually evict, spill, or OOM on
 an unbounded feed no matter how big the cluster is. Wall-clock at toy
 scale says nothing about that; the state-store row counts do.
 
-Method: five probe streams built from the package's own streaming
+Method: six probe streams built from the package's own streaming
 building blocks (the same constructions the registered
 `streaming_*` queries drain), run AvailableNow at sf0.01 and sf0.1 with
 a progress-capturing memory sink; the report records total input rows
@@ -111,6 +111,7 @@ LABELS = (
     "dedup_user_ids",
     "join_view_purchase_4h",
     "custom_running_totals_apws",
+    "custom_timeout_sessions_apws",
 )
 
 
@@ -179,7 +180,24 @@ def probes(spark, sf_dir):
             "value",
         ), "update"
 
-    builders = (tumbling, session, dedup, ssjoin, custom_totals)
+    def custom_sessions():
+        # append mode + EventTimeTimeout eviction: state is ONE open
+        # session per key (4 longs) — closed sessions leave the store
+        # the batch they close (emitted by fold or by timer).
+        from certified_dogs_and_cats_spark.streaming.stateful import (
+            timeout_sessions,
+        )
+
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        return timeout_sessions(
+            ev, "user_id", "ts", "cents", gap_seconds=4 * 3600
+        ), "append"
+
+    builders = (tumbling, session, dedup, ssjoin, custom_totals, custom_sessions)
     assert len(builders) == len(LABELS)
     return list(zip(LABELS, builders))
 
@@ -206,7 +224,7 @@ def main() -> None:
     print()
     print(
         f"Generated by `scripts/streaming_state_report.py` "
-        f"({time.strftime('%Y-%m-%d')}): four probe streams built from the"
+        f"({time.strftime('%Y-%m-%d')}): six probe streams built from the"
     )
     print("package's streaming building blocks, drained AvailableNow with a")
     print("progress-capturing sink; `state` = final state-store rows")

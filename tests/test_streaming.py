@@ -417,3 +417,80 @@ def test_state_store_tracks_keys_not_rows(spark):
         assert state2 == n_users < n_rows
 
     _with_nanos_conf(spark, run, sf)
+
+
+def test_timeout_sessions_emit_rules_across_microbatches(spark, tmp_path):
+    """timeout_sessions (custom append-mode apws session assembly):
+    sessions closed by a later same-key event emit immediately — even
+    across micro-batch boundaries (state carry) — while each key's LAST
+    open session emits iff the final watermark strictly passes its
+    last+gap timer (ms floor), and unclosed tail sessions stay buffered.
+    Gap 1h, watermark delay 30min; file mtimes pin the batch order."""
+    import time as _time
+
+    from certified_dogs_and_cats_spark.streaming.stateful import (
+        timeout_sessions,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(fname, rows):
+        with open(os.path.join(src, fname), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["user_id", "ts", "cents"])
+            w.writerows(rows)
+
+    # batch 1: key 1 opens a session (2 events); key 2 opens one.
+    write("b1.csv", [
+        (1, "2026-01-01 10:00:00", 5),
+        (1, "2026-01-01 10:20:00", 7),
+        (2, "2026-01-01 10:00:00", 9),
+    ])
+    _time.sleep(0.05)
+    # batch 2: key 1's 13:00 event is > 1h after 10:20 -> closes the
+    # batch-1 session (STATE CARRY: the closed session's bounds come
+    # from batch 1); key 2 extends within the gap. max_ts = 13:10.
+    # Final watermark = 13:10 - 30min = 12:40.
+    #   key 1 open session last=13:00, timer 14:00 > 12:40 -> buffered.
+    #   key 2 open session last=10:40, timer 11:40 < 12:40 -> timed out.
+    write("b2.csv", [
+        (1, "2026-01-01 13:00:00", 11),
+        (2, "2026-01-01 10:40:00", 1),
+        (1, "2026-01-01 13:10:00", 2),
+    ])
+    os.utime(os.path.join(src, "b1.csv"), (1000, 1000))
+    os.utime(os.path.join(src, "b2.csv"), (2000, 2000))
+    stream = read_file_stream(
+        spark, src, schema, fmt="csv", max_files_per_trigger=1
+    )
+    sess = timeout_sessions(
+        stream, "user_id", "ts", "cents",
+        gap_seconds=3600, watermark_delay="30 minutes",
+    )
+    out = run_available_now_memory(
+        sess, str(tmp_path / "ck"), output_mode="append"
+    ).collect()
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.total_cents)
+        for r in out
+    )
+    us = lambda s: int(  # noqa: E731
+        __import__("datetime").datetime.fromisoformat(s)
+        .replace(tzinfo=__import__("datetime").timezone.utc)
+        .timestamp() * 1_000_000
+    )
+    assert got == [
+        # key 1's batch-1 session, closed by the 13:00 event in batch 2
+        (1, us("2026-01-01 10:00:00"), us("2026-01-01 10:20:00"), 2, 12),
+        # key 2's session, closed by the event-time timer
+        (2, us("2026-01-01 10:00:00"), us("2026-01-01 10:40:00"), 2, 10),
+    ]
