@@ -230,25 +230,37 @@ def timeout_sessions(
             state.remove()
             yield pd.DataFrame(closed)
             return
-        events = []
+        # Interval sessionization: the open session carried in state is
+        # just another interval on the key's timeline, merged in sorted
+        # order with the batch's events — so a cross-batch late event
+        # older than the open session's start forms (or joins) its own
+        # EARLIER session instead of wrongly stretching the open one
+        # (events sort before the state interval; the gap rule then
+        # closes theirs when the state interval arrives).
+        items = []
         for pdf in pdfs:
-            events.extend(
-                zip(pdf["__ts_us__"].astype("int64"), pdf[cents_col].astype("int64"))
+            items.extend(
+                (int(ts), int(ts), 1, int(c))
+                for ts, c in zip(
+                    pdf["__ts_us__"].astype("int64"),
+                    pdf[cents_col].astype("int64"),
+                )
             )
-        events.sort()
-        open_s = list(state.get) if state.exists else None
+        if state.exists:
+            items.append(tuple(state.get))
+        items.sort()
+        open_s = None
         closed = []
-        for ts_us, cents in events:
+        for start, last, n, cents in items:
             if open_s is None:
-                open_s = [ts_us, ts_us, 1, int(cents)]
-            elif ts_us <= open_s[1] + gap_us:
-                open_s[1] = max(open_s[1], ts_us)
-                open_s[0] = min(open_s[0], ts_us)
-                open_s[2] += 1
-                open_s[3] += int(cents)
+                open_s = [start, last, n, cents]
+            elif start <= open_s[1] + gap_us:
+                open_s[1] = max(open_s[1], last)
+                open_s[2] += n
+                open_s[3] += cents
             else:
                 closed.append(row(tuple(open_s)))
-                open_s = [ts_us, ts_us, 1, int(cents)]
+                open_s = [start, last, n, cents]
         if open_s is not None:
             state.update(tuple(open_s))
             # Event-time timer: fire when the watermark passes the gap

@@ -494,3 +494,56 @@ def test_timeout_sessions_emit_rules_across_microbatches(spark, tmp_path):
         # key 2's session, closed by the event-time timer
         (2, us("2026-01-01 10:00:00"), us("2026-01-01 10:40:00"), 2, 10),
     ]
+
+
+def test_timeout_sessions_late_event_forms_own_session(spark, tmp_path):
+    """A cross-batch event OLDER than the open session's start - gap
+    (but still above the watermark) must form its own earlier session,
+    not stretch the open one — the interval-merge rule in the fold."""
+    import time as _time
+
+    from certified_dogs_and_cats_spark.streaming.stateful import (
+        timeout_sessions,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(fname, rows):
+        with open(os.path.join(src, fname), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["user_id", "ts", "cents"])
+            w.writerows(rows)
+
+    write("b1.csv", [
+        (1, "2026-01-01 10:00:00", 5),
+        (1, "2026-01-01 10:30:00", 7),
+    ])
+    _time.sleep(0.05)
+    # 04:00 is 6h before the open session's start (gap 1h) but the
+    # 12h watermark delay keeps it above the watermark, so it reaches
+    # the fold — and must close as its OWN session, leaving the open
+    # session's bounds untouched (it stays buffered: timer 11:30 is
+    # never passed by the final watermark 10:30 - 12h).
+    write("b2.csv", [(1, "2026-01-01 04:00:00", 3)])
+    os.utime(os.path.join(src, "b1.csv"), (1000, 1000))
+    os.utime(os.path.join(src, "b2.csv"), (2000, 2000))
+    stream = read_file_stream(
+        spark, src, schema, fmt="csv", max_files_per_trigger=1
+    )
+    sess = timeout_sessions(
+        stream, "user_id", "ts", "cents",
+        gap_seconds=3600, watermark_delay="12 hours",
+    )
+    out = run_available_now_memory(
+        sess, str(tmp_path / "ck"), output_mode="append"
+    ).collect()
+    assert [(r.n_events, r.total_cents) for r in out] == [(1, 3)]
+    assert out[0].session_start_us == out[0].session_end_us
