@@ -67,10 +67,18 @@ def _drain(stream_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     remove the checkpoint afterwards (the memory-sink result is held in
     memory, not the checkpoint, so cleanup is safe once the run blocks to
     completion) — repeated bench/correctness sweeps must not accumulate
-    tmpfs checkpoints."""
+    tmpfs checkpoints. Every drain runs under the probe state-partition
+    pin (_with_stream_partitions): the plan reads shuffle.partitions at
+    stream start, and 32 state-store/Python-worker inits per bounded
+    probe is session-init cost, not query cost."""
     ck = tempfile.mkdtemp(prefix=prefix, dir=_CK_ROOT)
     try:
-        return run_available_now_memory(stream_df, ck, output_mode=output_mode)
+        return _with_stream_partitions(
+            stream_df.sparkSession,
+            lambda: run_available_now_memory(
+                stream_df, ck, output_mode=output_mode
+            ),
+        )
     finally:
         shutil.rmtree(ck, ignore_errors=True)
 
@@ -212,9 +220,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.round(F.col("value") * 100).alias("value")
         )
         totals = running_totals(ev, "user_id", "value")
-        drained = _with_stream_partitions(
-            spark, lambda: _drain(totals, "ck_tot_", "update")
-        )
+        drained = _drain(totals, "ck_tot_", "update")
         # Update mode emits one row per key per batch it appears in; the
         # final state per key is the row with the largest n (monotone).
         w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
@@ -791,8 +797,6 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess = timeout_sessions(
             ev, "user_id", "ts", "cents", gap_seconds=_SESS_GAP_S
         )
-        return _with_stream_partitions(
-            spark, lambda: _drain(sess, "ck_tosess_", "append")
-        )
+        return _drain(sess, "ck_tosess_", "append")
 
     return _with_nanos_conf(spark, run, sf_dir)
