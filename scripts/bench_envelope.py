@@ -15,7 +15,15 @@ Modes:
   exclude their dishonest early recordings: the r01 count-action
   prunes (`conditional_sum`, `json_extract_agg`, `text_fingerprint` —
   Catalyst optimized the measured expressions away entirely) and the
-  pre-self-check `approx_percentile_check` floor.
+  pre-self-check `approx_percentile_check` floor. Sources whose roster
+  is under ROSTER_COMPARABLE_FRACTION of the newest run's are skipped
+  entirely: per-query wall in a full-roster session degrades slowly
+  with roster size (committed history shows `split_contamination_
+  ngrams` at 1.13-1.16s in the 128-131-query era vs 1.6-2.3s across
+  every 200+-query run of IDENTICAL code), so a small-roster floor is
+  not an apples-to-apples target. The r01-era 21-query contract is
+  enforced separately by bench.py's `r01_comparable_subtotal` against
+  BASELINE.md — this artifact is the full-roster drift net.
 - default: check a bench JSON (arg, else BENCH_local.json) against the
   envelope. An entry FAILS at ratio > THRESHOLD (2.0, the BASELINE.md
   envelope) AND an absolute delta above MATERIAL_DELTA — sub-second
@@ -42,6 +50,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENVELOPE = os.path.join(ROOT, "BENCH_ENVELOPE.json")
 THRESHOLD = 2.0
 MATERIAL_DELTA = 0.5  # seconds above floor before a ratio is a finding
+ROSTER_COMPARABLE_FRACTION = 0.6  # floor sources need a comparable roster
 
 # BASELINE.md re-base protocol: recordings from these sources are NOT
 # honest floors for these queries and are excluded from the min.
@@ -106,6 +115,20 @@ def _bench_local_history() -> dict[str, dict[str, float]]:
 def rebuild() -> None:
     sources = _inline_rounds()
     sources.update(_bench_local_history())
+    current = max(len(q) for q in sources.values())
+    kept = {
+        src: queries
+        for src, queries in sources.items()
+        if len(queries) >= ROSTER_COMPARABLE_FRACTION * current
+    }
+    dropped = sorted(set(sources) - set(kept))
+    if dropped:
+        print(
+            f"skipped {len(dropped)} small-roster sources (<"
+            f"{ROSTER_COMPARABLE_FRACTION:.0%} of {current} queries): "
+            + ", ".join(dropped)
+        )
+    sources = kept
     floors: dict[str, dict] = {}
     for src, queries in sources.items():
         for name, sec in queries.items():
