@@ -332,3 +332,141 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= SEQ_TOP_K)
     )
+
+
+#: nprobe sweep points and the per-point recall floors the sweep
+#: asserts. The curve is deterministic per (data, build params) — the
+#: KMeans sample is value-hash-pinned — measured (0.36, 0.60, 0.80,
+#: 1.00) at sf0.01 and (0.28, 0.49, 0.78, 1.00) at sf0.1; floors sit
+#: under both with margin, and the nprobe=4 floor is
+#: similarity_ivf_ann's IVF_RECALL_BOUND.
+SWEEP_NPROBES = (1, 2, 4, 8)
+SWEEP_RECALL_FLOORS = (0.2, 0.4, 0.6, 0.6)
+
+
+@query(
+    "ivf_nprobe_sweep",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(count(*) AS BIGINT) AS nq,
+             CAST({K} * count(*) AS BIGINT) AS pairs
+      FROM embeddings WHERE {QUERY_PRED}
+    )
+    SELECT p.nprobe, q.nq AS n_queries, q.pairs AS n_exact_pairs,
+           TRUE AS recall_ok, TRUE AS full_probe_exact_ok
+    FROM (VALUES (1), (2), (4), (8)) AS p(nprobe), q
+    ORDER BY p.nprobe
+    """,
+)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve in ONE pass: recall@nprobe for every
+    sweep point from a single probe-rank computation, instead of
+    re-running the search once per candidate setting. Key fact: an
+    exact-top-k neighbor that lies in a probed list ALWAYS survives the
+    approximate search (it outranks every non-top-k candidate by
+    definition), so recall@p is exactly the fraction of exact pairs
+    whose assigned list sits within the query's first p probes — one
+    join of the exact ground-truth memo against (neighbor list
+    assignment x query probe ranks), then cumulative conditional sums.
+    Self-checks carried in-result (the KMeans fit is not
+    SQL-expressible; the oracle pins the replayable scaffold, the
+    booleans pin the curve): per-point recall floors, and the sharp
+    invariant that probing >= n_lists lists IS the exact search
+    (recall == 1.0 bit-exactly). Scale: the probe-rank frame is
+    |Q| x n_centroids (dimension-scale), the ground-truth join is
+    |Q| x k rows — nothing corpus-scale moves beyond the shared
+    build-once index assignment."""
+    from ..cache import memoized_build, tracked_persist
+    from ..extensions.similarity import build_ivf_index
+    from .similarity import (
+        ANN_TRAIN_LIMIT,
+        _ivf_lists,
+        _vectors,
+        exact_topk_memo,
+    )
+
+    n_vecs = t(spark, sf_dir, "embeddings").count()  # metadata-sized
+    lists = _ivf_lists(n_vecs)
+
+    def _build():
+        v = _vectors(spark, sf_dir)
+        indexed, centroids = build_ivf_index(
+            v, n_centroids=lists, max_iter=8, train_limit=ANN_TRAIN_LIMIT,
+            init_mode="random",
+        )
+        return {"indexed": indexed, "centroids": centroids}, None
+
+    # Same memo key as similarity_ivf_ann: the sweep tunes THAT index.
+    frames, _ = memoized_build(
+        spark,
+        ("ivf", sf_dir, lists, 8, ANN_TRAIN_LIMIT, "random"),
+        _build,
+        "ivf_index",
+    )
+    indexed = tracked_persist(frames["indexed"])
+    centroids = frames["centroids"]
+    q = indexed.filter(F.expr(QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    # Per-(query, centroid) probe rank — the identical distance + tiebreak
+    # ivf_topk uses, so the sweep measures the real search's probe order.
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_dist").asc(), F.col("centroid_id").asc()
+    )
+    ranks = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "centroid_id", dist.alias("centroid_dist")
+        )
+        .withColumn("probe_rnk", F.row_number().over(w_probe))
+        .select("query_id", "centroid_id", "probe_rnk")
+    )
+    exact = exact_topk_memo(spark, sf_dir)
+    nbr_lists = indexed.select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+    )
+    pair_rank = (
+        exact.select("query_id", "neighbor_id")
+        .join(nbr_lists, "neighbor_id")
+        .join(ranks, ["query_id", "centroid_id"])
+    )
+    hits = [
+        F.sum((F.col("probe_rnk") <= p).cast("long")).alias(f"hit_{p}")
+        for p in SWEEP_NPROBES
+    ]
+    agg = pair_rank.agg(
+        F.count("*").alias("pairs"),
+        F.count_distinct("query_id").alias("nq"),
+        *hits,
+    )
+    points = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("nprobe"),
+                (F.col(f"hit_{p}") / F.col("pairs")).alias("recall"),
+                F.lit(floor_).alias("floor"),
+            )
+            for p, floor_ in zip(SWEEP_NPROBES, SWEEP_RECALL_FLOORS)
+        ]
+    )
+    return (
+        agg.select("pairs", "nq", F.explode(points).alias("pt"))
+        .select(
+            F.col("pt.nprobe").alias("nprobe"),
+            F.col("nq").cast("bigint").alias("n_queries"),
+            F.col("pairs").cast("bigint").alias("n_exact_pairs"),
+            (F.col("pt.recall") >= F.col("pt.floor")).alias("recall_ok"),
+            (
+                (F.col("pt.nprobe") < F.lit(lists))
+                | (F.col("pt.recall") == F.lit(1.0))
+            ).alias("full_probe_exact_ok"),
+        )
+        .orderBy("nprobe")
+    )

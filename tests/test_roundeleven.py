@@ -132,3 +132,15 @@ def test_frequent_sequences_match_python_replay(spark):
     assert got == want
     for r in rows:
         assert r.n_users == len(users[(r.step1, r.step2, r.step3)])
+
+
+def test_ivf_nprobe_sweep_invariants(spark):
+    """The sweep's self-checks hold at sf0.001 and the scaffold is
+    exact: 4 rows, pairs = K * n_queries, and full-probe (nprobe >=
+    n_lists = 8) recall is bit-exactly 1.0 (probing every list IS the
+    exact search)."""
+    rows = QUERIES["ivf_nprobe_sweep"](spark, SF).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    for r in rows:
+        assert r.n_exact_pairs == K * r.n_queries
+        assert r.recall_ok and r.full_probe_exact_ok
