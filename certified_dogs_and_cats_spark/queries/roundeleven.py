@@ -212,20 +212,25 @@ LATE_DAYS = 60
 def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who SOLELY kept multi-supplier orders waiting — the
     TPC-H Q21 semantics (EXISTS another supplier in the order, NOT
-    EXISTS another LATE supplier) re-expressed as two aggregations on
-    the same key instead of correlated subqueries: per-(order, supplier)
-    lateness flags, then per-order supplier/late-supplier counts, then
-    the blame filter. Both aggregates and the self-join all hash on
-    l_orderkey, so the exchange is planned once and reused — the
-    distributed form of Q21's double correlation, with no per-row
-    subquery execution. Lateness (shipdate > orderdate + {LATE_DAYS}d)
-    is decided join-time against the order date, exact DATE arithmetic
-    both engines."""
+    EXISTS another LATE supplier) with NO self-join at all: the
+    per-order aggregate carries the blamed suppkey directly
+    (max(when(was_late, suppkey)) — well-defined exactly because the
+    blame filter demands a SINGLE late supplier; same trick as
+    supplier_return_blame). The fact pays ONE wire crossing: the
+    orderkey equi-join hash-clusters the narrow projection, and both
+    aggregates' (l_orderkey[, l_suppkey]) distributions are satisfied
+    by that orderkey clustering, so they run exchange-free above it.
+    Lateness (shipdate > orderdate + {LATE_DAYS}d) is decided join-time
+    against the order date, exact DATE arithmetic both engines."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     sup = t(spark, sf_dir, "supplier")
-    ls = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    blamed = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -236,24 +241,23 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit(0))
             ).alias("was_late")
         )
-    )
-    per_order = ls.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_suppliers"),
-        F.sum("was_late").alias("n_late_suppliers"),
-    )
-    blamed = (
-        ls.join(per_order, "l_orderkey")
-        .filter(
-            (F.col("was_late") == 1)
-            & (F.col("n_suppliers") >= 2)
-            & (F.col("n_late_suppliers") == 1)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("was_late").alias("n_late_suppliers"),
+            F.max(
+                F.when(F.col("was_late") == 1, F.col("l_suppkey"))
+            ).alias("suppkey"),
         )
-        .select("l_suppkey")
+        .filter(
+            (F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1)
+        )
+        .select("suppkey")
     )
     return (
         blamed.join(
             F.broadcast(sup.select("s_suppkey", "s_name")),
-            blamed["l_suppkey"] == F.col("s_suppkey"),
+            blamed["suppkey"] == F.col("s_suppkey"),
         )
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
