@@ -110,6 +110,14 @@ def main() -> None:
         mode = f"round-end ({kept} needy entries left unstamped)"
     for name in stale:
         fps[name] = ""
+    # Full-registry coverage invariant (r11 VERDICT ask #2): every
+    # registered query owns a key — new queries get an explicit empty
+    # stamp ("" = never proven at this code, stays needy) so
+    # tests/test_registry_window.py can mechanically detect a query
+    # that was proven but never stamped.
+    for n in QUERIES:
+        fps.setdefault(n, "")
+    fps = {n: v for n, v in fps.items() if n in QUERIES}
     with open(OUT, "w") as fh:
         json.dump(dict(sorted(fps.items())), fh, indent=1)
         fh.write("\n")

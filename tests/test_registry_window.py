@@ -126,6 +126,57 @@ def test_stale_fingerprint_reenters_window():
     ) == {"d"}
 
 
+def test_fingerprint_artifact_covers_registry_and_latest_greens():
+    """The gap that survived rounds 10 AND 11: queries proven by the
+    latest driver run were left unstamped because stamping was a manual
+    round-start step. Mechanical guard, two invariants:
+
+    1. QUERY_FINGERPRINTS.json has a key for EVERY registered query
+       (scripts/record_fingerprints.py writes "" for new/needy entries,
+       so "present but empty" is the only legal not-yet-proven state);
+    2. every query green in the NEWEST committed CORRECTNESS_r*.json
+       carries a NON-EMPTY stamp — driver evidence exists, so an empty
+       stamp means `record_fingerprints.py --sync` was skipped.
+    """
+    import glob
+    import json
+    import os
+
+    from certified_dogs_and_cats_spark.queries.fingerprints import (
+        recorded_fingerprints,
+    )
+
+    recorded = recorded_fingerprints()
+    missing_keys = sorted(set(QUERIES) - set(recorded))
+    assert not missing_keys, (
+        f"{len(missing_keys)} registered queries absent from "
+        f"QUERY_FINGERPRINTS.json — run scripts/record_fingerprints.py: "
+        f"{missing_keys[:10]}"
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        return
+    with open(files[-1]) as fh:
+        latest = json.load(fh)
+    greens = [
+        n
+        for n, row in latest.items()
+        if n in QUERIES
+        and isinstance(row, dict)
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match", True)
+        and row.get("err") in (None, "")
+    ]
+    unstamped = sorted(n for n in greens if not recorded.get(n))
+    assert not unstamped, (
+        f"driver-green queries with no recorded fingerprint — run "
+        f"scripts/record_fingerprints.py --sync: {unstamped}"
+    )
+
+
 def test_recorded_artifact_is_current_for_settled_queries():
     """QUERY_FINGERPRINTS.json must stay in sync with the tree: every
     driver-proven query not deliberately re-entered this round matches
