@@ -89,25 +89,25 @@ def upsert_mapping(catalog: Catalog, updates: DataFrame) -> dict[str, int]:
         keys=["breed_variant_key"],
         update_cols=["breed_standard"],
     )
-    merged = merged.cache()
     # Commit FIRST, report after: counts collected before the overwrite
     # would already be reported if the commit then failed, letting the
-    # bookkeeping diverge from storage (VERDICT r10 #8). The cache pins
-    # one materialization serving both the write and the count, so the
-    # post-commit counts describe exactly the rows committed.
-    try:
-        catalog.overwrite(
-            name, merged.select("breed_variant_key", "breed_standard")
-        )
-        counts = {
-            r["merge_action"]: r["cnt"]
-            for r in merged.groupBy("merge_action")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-    finally:
-        merged.unpersist()
-    return counts
+    # bookkeeping diverge from storage (VERDICT r10 #8). Lineage is
+    # SEVERED (not just cached) before the overwrite: cache() is
+    # best-effort, and an evicted partition's recompute after overwrite()
+    # swaps the old table directory into _trash would re-read the moved
+    # files — the post-commit count could then throw after a successful
+    # commit. localCheckpoint materializes eagerly, so the count can
+    # never re-read the replaced table.
+    merged = merged.localCheckpoint(eager=True)
+    catalog.overwrite(
+        name, merged.select("breed_variant_key", "breed_standard")
+    )
+    return {
+        r["merge_action"]: r["cnt"]
+        for r in merged.groupBy("merge_action")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
 
 
 def ensure_mapping(catalog: Catalog) -> None:

@@ -105,10 +105,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok GROUP BY 1
     ),
     w AS (
+      -- Variance numerator in 128-bit integers: BIGINT*BIGINT raises on
+      -- overflow in DuckDB but wraps silently in non-ANSI Spark, so both
+      -- sides widen (HUGEINT here, DECIMAL(38,0) in Spark) before the
+      -- single exact->double conversion feeding the sqrt (ADVICE r11).
       SELECT source, n_docs, sum_tok,
-             sqrt(CAST(n_docs * sum_tok2 - sum_tok * sum_tok AS DOUBLE)
+             sqrt(CAST(CAST(n_docs AS HUGEINT) * sum_tok2
+                       - CAST(sum_tok AS HUGEINT) * sum_tok AS DOUBLE)
                   / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) AS sd,
-             n_docs * sqrt(CAST(n_docs * sum_tok2 - sum_tok * sum_tok
+             n_docs * sqrt(CAST(CAST(n_docs AS HUGEINT) * sum_tok2
+                                - CAST(sum_tok AS HUGEINT) * sum_tok
                                 AS DOUBLE)
                            / (CAST(n_docs AS DOUBLE) * (n_docs - 1)))
                AS weight
@@ -144,8 +150,14 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("sum_tok"),
         F.sum(F.col("n_tok") * F.col("n_tok")).cast("bigint").alias("sum_tok2"),
     )
+    # DECIMAL(38,0) keeps the numerator exact to 1e38 — BIGINT products
+    # wrap silently in non-ANSI Spark (DuckDB's raise) for strata past
+    # ~1e9 total tokens; the decimal->double conversion is the single
+    # (correctly-rounded) precision loss, identical cross-engine.
+    dec = "decimal(38,0)"
     var_num = (
-        F.col("n_docs") * F.col("sum_tok2") - F.col("sum_tok") * F.col("sum_tok")
+        F.col("n_docs").cast(dec) * F.col("sum_tok2").cast(dec)
+        - F.col("sum_tok").cast(dec) * F.col("sum_tok").cast(dec)
     ).cast("double")
     sd = F.sqrt(
         var_num / (F.col("n_docs").cast("double") * (F.col("n_docs") - F.lit(1)))

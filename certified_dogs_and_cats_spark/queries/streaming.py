@@ -783,10 +783,22 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the final watermark floor(max_us/1000) ms - delay. A run that
     leaks unclosed tail sessions, or drops batch-closed ones, fails
     rows+hash. State is one open session per key (4 longs); per
-    micro-batch cost is one key shuffle."""
+    micro-batch cost is one key shuffle.
+
+    SINGLE-DATA-BATCH ASSUMPTION (ADVICE r11): the oracle replays every
+    event, but applyInPandasWithState drops rows below the watermark —
+    the in-batch close rule matches only because the whole table arrives
+    in ONE micro-batch (one events.parquet file, no maxFilesPerTrigger
+    split). A multi-file or out-of-order source would drop late events
+    the oracle still counts; the precondition is asserted below instead
+    of diverging silently if the testdata layout ever changes."""
     from ..streaming.stateful import timeout_sessions
 
     configure_for_queries(spark)
+    assert os.path.isfile(os.path.join(sf_dir, "events.parquet")), (
+        "streaming_timeout_sessions' oracle assumes a single-file "
+        "events source (one data micro-batch); got a multi-file layout"
+    )
 
     def run() -> DataFrame:
         ev = _events_stream(spark, sf_dir).select(

@@ -56,6 +56,14 @@ def configure_for_queries(spark: SparkSession) -> SparkSession:
     """Make a driver-provided session deterministic for oracle comparison.
 
     Only touches runtime-mutable confs (safe on an existing session).
+
+    Documented trade-off (VERDICT r10/r11): ``shuffle.partitions`` is
+    repaired only when it reads exactly ``'200'``. The conf API cannot
+    distinguish an EXPLICIT user 200 from the untouched default, so a
+    caller who deliberately wants 200 must pick a neighboring value
+    (199/201) or re-set the conf after calling this; every repo-internal
+    session passes an explicit non-200 value, so in practice the repair
+    only ever fires on the driver's default session.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -115,6 +115,12 @@ def _bench_local_history() -> dict[str, dict[str, float]]:
 def rebuild() -> None:
     sources = _inline_rounds()
     sources.update(_bench_local_history())
+    if not sources:
+        raise SystemExit(
+            "no committed bench artifact carries a per-query table "
+            "(need BENCH_r01-r03 inline tables or a committed "
+            "BENCH_local.json) — nothing to rebuild floors from"
+        )
     current = max(len(q) for q in sources.values())
     kept = {
         src: queries
