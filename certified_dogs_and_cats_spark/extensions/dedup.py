@@ -692,15 +692,39 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    budget: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs from 64-bit SimHash signatures via band-join.
 
     Pigeonhole guarantee: a pair within ``max_hamming`` bit flips shares at
     least one identical band whenever ``max_hamming < n_bands``, so banding
-    loses NO true pairs at the default (3, 4). Candidates equi-join on
-    (band_idx, band_val) — shuffle-keyed, ~N/2^16 per 16-bit band value —
-    then exact hamming (16 nibble XOR popcounts, all JVM exprs) verifies.
-    Returns (a_id, b_id, hamming) with a_id < b_id.
+    loses NO true pairs at the default (3, 4). Candidates equi-join on the
+    band key (band_idx:band_val) — shuffle-keyed, ~N/2^16 per 16-bit band
+    value — then exact hamming (16 nibble XOR popcounts, all JVM exprs)
+    verifies. Returns (a_id, b_id, hamming) with a_id < b_id.
+
+    Scale contract (``budget``): each band has only 2^(64/n_bands) values,
+    so in-bucket candidate pairs grow ~quadratically with corpus density —
+    measured 103x incidence per 10x rows on the synthetic corpus
+    (SHUFFLE.md r11), the same wall the shingle family hit. Wider bands
+    cannot fix it here: the hamming-``h`` pigeonhole needs ``> h`` bands
+    out of 64 bits, capping band width. Passing ``budget=(num, den)``
+    applies the adaptive incidence budget (extensions/incidence.py) to the
+    band-key posting lists: buckets whose occupancy would push the
+    candidate stage past ``num/den`` pairs per posting row are DROPPED
+    whole (boilerplate-hot signature regions — templated/near-constant
+    docs), holding the candidate stage linear in postings at any corpus
+    size. Drop-don't-sample semantics: a true near-dup pair is lost only
+    if EVERY band it shares is hot, and the exact-integer cap decision is
+    replayable in a DuckDB oracle (incidence.cap_ctes_sql). ``None``
+    (default) keeps the lossless pigeonhole guarantee.
+
+    Caching contract (budgeted path only): the budget filter feeds the
+    bands frame into the df aggregate AND both join sides, so it is
+    persisted via :func:`~certified_dogs_and_cats_spark.cache.tracked_persist`;
+    long-lived callers should call
+    :func:`certified_dogs_and_cats_spark.cache.release_cached` after
+    consuming the result.
     """
     if max_hamming >= n_bands:
         raise ValueError(
@@ -723,14 +747,24 @@ def simhash_near_dup_pairs(
         F.col(id_col),
         F.col("simhash"),
         F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)"),
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.concat_ws(
+            ":", F.col("band_idx").cast("string"), F.col("band_val")
+        ).alias("band_key"),
     )
+    if budget is not None:
+        from ..cache import tracked_persist
+        from .incidence import budget_filter
+
+        bands = tracked_persist(budget_filter(bands, "band_key", *budget))
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
         x.join(
             y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
+            (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(

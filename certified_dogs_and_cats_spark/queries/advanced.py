@@ -2062,35 +2062,22 @@ def token_js_divergence_by_source(
     )
 
 
-from .dedup import _SIMHASH_SIG_CTE  # noqa: E402
+from .dedup import (  # noqa: E402
+    _SIMHASH_BAND_BUDGET_CTE,
+    _SIMHASH_SIG_CTE,
+    SIMHASH_BANDS,
+    SIMHASH_BUDGET_DEN,
+    SIMHASH_BUDGET_NUM,
+)
 
-SIMHASH_HIST_BANDS = 4  # 16-bit bands -> pigeonhole up to hamming 3
+SIMHASH_HIST_BANDS = SIMHASH_BANDS  # 16-bit bands -> pigeonhole to hamming 3
 
 
 @query(
     "simhash_hamming_histogram",
     oracle=f"""
     WITH {_SIMHASH_SIG_CTE},
-    bands AS (
-      SELECT doc_id, b AS band_idx, substr(simhash, b*4 + 1, 4) AS band_val,
-             simhash
-      FROM sig, UNNEST(range(0, {SIMHASH_HIST_BANDS})) AS u(b)
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-             x.simhash AS sa, y.simhash AS sb
-      FROM bands x
-      JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-                   AND x.doc_id < y.doc_id
-    ),
-    dist AS (
-      SELECT a_id, b_id,
-             CAST((SELECT sum(bit_count(xor(
-                     strpos('0123456789abcdef', substr(sa, i, 1)) - 1,
-                     strpos('0123456789abcdef', substr(sb, i, 1)) - 1)))
-                   FROM UNNEST(range(1, 17)) AS u(i)) AS INTEGER) AS hamming
-      FROM cand
-    )
+    {_SIMHASH_BAND_BUDGET_CTE}
     SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
     FROM dist WHERE hamming <= {SIMHASH_HIST_BANDS - 1}
     GROUP BY 1
@@ -2103,9 +2090,11 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the background). Banding at 4x16-bit keeps the lossless pigeonhole
     window at hamming <= 3 with ~N/65536 per bucket (the 8x8-bit draft's
     256-value bands put ~N/256 rows in every bucket — measured 93 s at
-    sf1 vs 3 s re-banded), one band-keyed equi-join, exact 16-nibble JVM
-    popcount verify — identical machinery to dedup_simhash_pairs,
-    pointed at observability instead of filtering."""
+    sf1 vs 3 s re-banded), one band-keyed equi-join under the adaptive
+    incidence budget (queries/dedup.py SIMHASH_BUDGET note — no bind at
+    sf0.01, candidate growth capped to ~10x per 10x rows beyond), exact
+    16-nibble JVM popcount verify — identical machinery to
+    dedup_simhash_pairs, pointed at observability instead of filtering."""
     from ..extensions.dedup import simhash64_text, simhash_near_dup_pairs
 
     docs = t(spark, sf_dir, "documents")
@@ -2115,6 +2104,7 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         max_hamming=SIMHASH_HIST_BANDS - 1,
         n_bands=SIMHASH_HIST_BANDS,
+        budget=(SIMHASH_BUDGET_NUM, SIMHASH_BUDGET_DEN),
     )
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("bigint").alias("n_pairs")

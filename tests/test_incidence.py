@@ -1,7 +1,10 @@
 """Adaptive incidence budget (extensions/incidence.py): cap agrees with
 the Python model, the filter is the identity when the budget does not
 bind, the post-filter candidate incidence respects the linear budget,
-and the degenerate all-shared corpus collapses to cap=1 (no pairs)."""
+the degenerate all-shared corpus collapses to cap=1 (no pairs), and the
+simhash band-collision family (VERDICT r11 #1) honors the budget with a
+cross-engine replay of the BINDING case (the sf0.01 driver gate only
+exercises no-bind)."""
 
 from __future__ import annotations
 
@@ -91,3 +94,109 @@ def test_oracle_cte_replays_cap(spark):
     sql = f"WITH {cap_ctes_sql('sh', 'shingle', 'doc_id')} SELECT doc_id, shingle FROM shc"
     duck_kept = sorted(map(tuple, con.execute(sql).fetchall()))
     assert spark_kept == duck_kept
+
+
+# ---------------------------------------------------------------------------
+# SimHash band-collision budget (VERDICT r11 #1)
+# ---------------------------------------------------------------------------
+
+HOT = "0000000000000000"  # 30 identical signatures: every band boilerplate-hot
+NEAR_A = "ffffffffffffffff"
+NEAR_B = "fffffffffffffffe"  # hamming 1 from NEAR_A; bands 0-2 shared (cold)
+
+
+def _sigs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, simhash string")
+
+
+def test_simhash_budget_no_bind_is_identity(spark):
+    """Sparse signatures: the (10, 1) registered budget never binds, so
+    the budgeted result is bit-identical to the lossless pigeonhole
+    computation — the property the sf0.01 driver gate relies on."""
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from certified_dogs_and_cats_spark.queries.dedup import (
+        SIMHASH_BUDGET_DEN,
+        SIMHASH_BUDGET_NUM,
+    )
+
+    rows = [(1, NEAR_A), (2, NEAR_B), (3, HOT), (4, "0123456789abcdef")]
+    sig = _sigs(spark, rows)
+    base = sorted(
+        map(tuple, simhash_near_dup_pairs(sig, "doc_id").collect())
+    )
+    budgeted = sorted(
+        map(
+            tuple,
+            simhash_near_dup_pairs(
+                sig,
+                "doc_id",
+                budget=(SIMHASH_BUDGET_NUM, SIMHASH_BUDGET_DEN),
+            ).collect(),
+        )
+    )
+    assert budgeted == base
+    assert (1, 2, 1) in base  # the near-dup pair is found at all
+
+
+def test_simhash_budget_drops_hot_buckets_and_keeps_cold_pairs(spark):
+    """Binding fixture: 30 identical signatures blow the linear budget
+    (4 band buckets at df=30 -> 1,740 candidate pairs vs 10*128 posting
+    budget... cap lands at 2), so the boilerplate block contributes NO
+    pairs while the cold near-dup pair survives untouched."""
+    from certified_dogs_and_cats_spark.extensions.incidence import (
+        adaptive_cap_py,
+    )
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    rows = [(i, HOT) for i in range(100, 130)] + [(1, NEAR_A), (2, NEAR_B)]
+    sig = _sigs(spark, rows)
+    got = sorted(
+        map(
+            tuple,
+            simhash_near_dup_pairs(sig, "doc_id", budget=(10, 1)).collect(),
+        )
+    )
+    assert got == [(1, 2, 1)]
+    # and the cap the filter applied matches the Python model:
+    # band dfs = 4 buckets at 30 (HOT), 3 at 2 (shared f-bands), 2 at 1.
+    assert adaptive_cap_py([30] * 4 + [2] * 3 + [1] * 2, 10, 1) == 2
+
+
+def test_simhash_budget_oracle_replays_binding_case(spark):
+    """The registered oracles' sh_* CTE chain must make the SAME cap
+    decision as budget_filter on a BINDING fixture — sf0.01 never binds,
+    so without this pin a replay bug would only surface at scale."""
+    import duckdb
+
+    from certified_dogs_and_cats_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from certified_dogs_and_cats_spark.queries.dedup import (
+        _SIMHASH_BAND_BUDGET_CTE,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    rows = [(i, HOT) for i in range(100, 130)] + [(1, NEAR_A), (2, NEAR_B)]
+    spark_pairs = sorted(
+        map(
+            tuple,
+            simhash_near_dup_pairs(
+                _sigs(spark, rows), "doc_id", budget=(10, 1)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE st (doc_id BIGINT, simhash VARCHAR)")
+    con.executemany("INSERT INTO st VALUES (?, ?)", rows)
+    sql = f"""
+    WITH sig AS (SELECT doc_id, simhash FROM st),
+    {_SIMHASH_BAND_BUDGET_CTE}
+    SELECT a_id, b_id, hamming FROM dist
+    WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """
+    duck_pairs = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert spark_pairs == duck_pairs == [(1, 2, 1)]
