@@ -205,3 +205,26 @@ def assert_no_global_window_over_events(df: DataFrame) -> str:
             "limit/literal relation below it):\n" + "\n".join(violations)
         )
     return plan_text(df)
+
+
+def assert_partial_topk_below_shuffle(df: DataFrame, k: int) -> str:
+    """The plan must carry Spark's map-side partial top-k: a
+    ``WindowGroupLimit`` in **Partial** mode below the rank exchange
+    (InferWindowGroupLimit, SPARK-37099 — fires for a
+    ``row_number()/rank()/dense_rank() <= k`` filter adjacent to its
+    window when ``k <= spark.sql.optimizer.windowGroupLimitThreshold``).
+
+    This is THE property that makes brute-force top-k rankers
+    shuffle-safe at scale: each input partition forwards at most k rows
+    per partition key through the exchange (|partitions| * |Q| * k rows)
+    instead of the full N * |Q| scored-pair stream. The pattern is
+    fragile to refactors — an intermediate projection between the filter
+    and its window, a non-rank-family function, or a raised k all
+    silently drop back to the full-stream shuffle — so plan-pin it."""
+    plan = plan_text(df)
+    if not re.search(rf"\(\)\, {k}, Partial", plan):
+        raise PlanAssertionError(
+            f"expected a Partial-mode WindowGroupLimit with limit {k} "
+            "(map-side partial top-k) in the plan:\n" + plan
+        )
+    return plan

@@ -56,7 +56,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     are useless, the hardest ones teach the margin). Same bounded-|Q|
     broadcast contract as similarity_cosine_topk (the corpus never
     shuffles; the label filter rides the broadcast join), scores rounded
-    to 6dp before the rank so ties break identically cross-engine."""
+    to 6dp before the rank so ties break identically cross-engine. The
+    rank stage keeps the _rank_topk shuffle contract: an adjacent
+    ``rnk <= K`` row_number filter, so Spark's Partial WindowGroupLimit
+    forwards at most K rows per query per input partition through the
+    exchange (plan-pinned in tests/test_plans.py, measured in
+    SHUFFLE.md)."""
     e = t(spark, sf_dir, "embeddings")
     lv = e.select("vec_id", as_double_vec("embedding").alias("e"), "label")
     q = with_norm(lv.filter(F.expr(QUERY_PRED)), "e", "qnrm").select(

@@ -283,6 +283,43 @@ def simhash_incidence(spark: SparkSession, sf_dir: str) -> int:
     return int(n or 0)
 
 
+TOPK_PUSHDOWN_QUERIES = ("similarity_cosine_topk", "hard_negative_mining")
+_WGL_CONF = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+
+def topk_pushdown_sweep(sf_dir: str) -> dict[str, dict[str, dict[str, int]]]:
+    """Measured effect of Spark's map-side partial top-k on the
+    bounded-|Q| brute-force rankers (VERDICT r11 #4): both rank N*|Q|
+    scored pairs through Window.partitionBy(query_id), and
+    InferWindowGroupLimit (SPARK-37099) inserts a Partial-mode
+    WindowGroupLimit BELOW that exchange, so each input partition
+    forwards at most k rows per query instead of its whole scored
+    stream. Run each query with the rule on (default) and off
+    (threshold=-1) and diff the stage counters — the before/after the
+    plan-pin test (tests/test_plans.py) enforces structurally."""
+    spark = get_probe_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    out: dict[str, dict[str, dict[str, int]]] = {}
+    before = stage_totals(ui, app_id)
+    for name in TOPK_PUSHDOWN_QUERIES:
+        out[name] = {}
+        for mode, thresh in (("on", "1000"), ("off", "-1")):
+            spark.conf.set(_WGL_CONF, thresh)
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            release_cached()
+            spark.catalog.clearCache()
+            after = stage_totals(ui, app_id)
+            out[name][mode] = {m: after[m] - before[m] for m in METRICS}
+            before = after
+    spark.conf.set(_WGL_CONF, "1000")
+    spark.stop()
+    return out
+
+
 def main() -> None:
     names = auditable(QUERIES)
     small = sweep(SMALL, names)
@@ -452,6 +489,30 @@ def main() -> None:
             f"| {label} | {inc_s:,} | {inc_l:,} "
             f"| {inc_l / max(inc_s, 1):.1f}x "
             f"| {b_s / max(inc_s, 1):.1f} | {b_l / max(inc_l, 1):.1f} |"
+        )
+    print()
+    # --- map-side partial top-k accounting (brute-force ranking family) --
+    tp = topk_pushdown_sweep(LARGE)
+    print("## Map-side partial top-k (brute-force ranking family)")
+    print()
+    print("The bounded-|Q| brute-force rankers score N*|Q| pairs and rank")
+    print("them with Window.partitionBy(query_id); Spark's")
+    print("InferWindowGroupLimit (SPARK-37099) inserts a Partial-mode")
+    print("WindowGroupLimit BELOW the rank exchange so each input")
+    print("partition forwards at most k rows per query — |parts|*|Q|*k")
+    print("rows through the shuffle instead of the full scored stream,")
+    print("bit-identical results. Measured at sf0.1 with the rule on")
+    print("(default) vs off (threshold=-1); the plan shape is pinned by")
+    print("tests/test_plans.py::test_brute_force_topk_shuffles_only_k_per_partition.")
+    print()
+    print("| query | swrite on | swrite off | reduction |")
+    print("|---|---|---|---|")
+    for name, modes in tp.items():
+        on_b = modes["on"]["shuffleWriteBytes"]
+        off_b = modes["off"]["shuffleWriteBytes"]
+        print(
+            f"| `{name}` | {mb(on_b)} | {mb(off_b)} "
+            f"| {off_b / max(on_b, 1):.1f}x |"
         )
     print()
     unaccounted = [

@@ -261,3 +261,36 @@ def test_global_window_convention_good_and_bad_shapes(spark):
     lim = raw.orderBy("id").limit(10)
     topk = lim.withColumn("r", F.row_number().over(Window.orderBy("id")))
     assert global_window_violations(topk) == []
+
+
+def test_brute_force_topk_shuffles_only_k_per_partition(spark):
+    """VERDICT r11 #4: the bounded-|Q| brute-force rankers
+    (similarity_cosine_topk, hard_negative_mining) rank N*|Q| scored
+    pairs through Window.partitionBy(query_id). Spark's
+    InferWindowGroupLimit already turns that into a map-side partial
+    top-k — a Partial-mode WindowGroupLimit BELOW the exchange, so each
+    input partition forwards at most k rows per query instead of its
+    whole scored stream. Pin the shape: it silently vanishes if a
+    refactor inserts a projection between the rank filter and its
+    window, swaps row_number for a non-rank function, or raises k past
+    spark.sql.optimizer.windowGroupLimitThreshold."""
+    from certified_dogs_and_cats_spark.extensions.similarity import (
+        as_double_vec,
+        cosine_topk,
+    )
+    from certified_dogs_and_cats_spark.plans import (
+        assert_partial_topk_below_shuffle,
+    )
+    from certified_dogs_and_cats_spark.queries.roundeleven import (
+        hard_negative_mining,
+    )
+    from certified_dogs_and_cats_spark.queries.similarity import K
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    assert_partial_topk_below_shuffle(
+        cosine_topk(e, e.limit(8), K, max_queries=8), K
+    )
+    assert_partial_topk_below_shuffle(hard_negative_mining(spark, sf_dir), K)
