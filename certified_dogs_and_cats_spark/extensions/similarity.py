@@ -181,20 +181,7 @@ def _rank_topk(pairs: DataFrame, k: int, round_digits: int) -> DataFrame:
     cosine from the (qe, ne, qnrm, nnrm) pair columns, deterministic
     (score desc, id asc) tie-break, top-k filter. ONE implementation so
     rounding/tie-break semantics can never drift between the brute-force,
-    LSH, and IVF paths.
-
-    Shuffle contract: this exact shape — row_number over
-    (partitionBy query_id, orderBy score/id) with an ADJACENT
-    ``rnk <= k`` filter — triggers Spark's InferWindowGroupLimit
-    (SPARK-37099): a Partial-mode WindowGroupLimit runs BELOW the rank
-    exchange, so each input partition forwards at most k rows per query
-    (|partitions| * |Q| * k) instead of the full N * |Q| scored stream,
-    bit-identically. Keep the filter adjacent and the function in the
-    rank family (row_number/rank/dense_rank), and keep k under
-    spark.sql.optimizer.windowGroupLimitThreshold (default 1000) — the
-    pushdown vanishes silently otherwise. Plan-pinned by
-    tests/test_plans.py::test_brute_force_topk_shuffles_only_k_per_partition;
-    measured in SHUFFLE.md's map-side partial top-k section."""
+    LSH, and IVF paths."""
     cos = F.round(
         dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")),
         round_digits,

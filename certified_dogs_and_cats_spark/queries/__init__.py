@@ -68,19 +68,22 @@ from . import roundeleven  # noqa: E402,F401
 # the repo checkout).
 
 
-def _proven_from_artifacts() -> frozenset[str] | None:
+def _proof_rounds_from_artifacts() -> dict[str, int]:
+    """name -> round number of the MOST RECENT green driver row (empty
+    when no artifacts are reachable)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    if not files:
-        return None
-    proven: set[str] = set()
-    for path in files:
+    rounds: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -94,8 +97,15 @@ def _proven_from_artifacts() -> frozenset[str] | None:
                 and row.get("hash_match", True)
                 and row.get("err") in (None, "")
             ):
-                proven.add(name)
-    return frozenset(proven) if proven else None
+                rounds[name] = int(m.group(1))
+    return rounds
+
+
+def _proven_from_artifacts() -> frozenset[str] | None:
+    return frozenset(_PROOF_ROUNDS) if _PROOF_ROUNDS else None
+
+
+_PROOF_ROUNDS = _proof_rounds_from_artifacts()
 
 
 _DRIVER_PROVEN_FALLBACK = frozenset(
@@ -188,11 +198,22 @@ _STALE = _stale_proven()
 
 
 def _reorder_unproven_first() -> None:
+    """Window order: (1) needy entries — unproven or stale-fingerprint —
+    in registration order; (2) settled entries OLDEST PROOF FIRST
+    (VERDICT r11 #6: any window slots the needy set leaves free go to
+    the queries whose last driver proof is most stale, so proof age
+    stays bounded round over round instead of r1-era rows aging
+    forever). The sort is stable, so same-round proofs keep registration
+    order and the layout is deterministic."""
     front = [
         n for n in QUERIES if n not in _DRIVER_PROVEN or n in _STALE
     ]
     front_set = set(front)
-    ordered = front + [n for n in QUERIES if n not in front_set]
+    settled = sorted(
+        (n for n in QUERIES if n not in front_set),
+        key=lambda n: _PROOF_ROUNDS.get(n, 0),
+    )
+    ordered = front + settled
     for d in (QUERIES, ORACLE):
         snap = dict(d)
         d.clear()
