@@ -233,10 +233,16 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order aggregate carries the blamed suppkey directly
     (max(when(was_late, suppkey)) — well-defined exactly because the
     blame filter demands a SINGLE late supplier; same trick as
-    supplier_return_blame). The fact pays ONE wire crossing: the
-    orderkey equi-join hash-clusters the narrow projection, and both
-    aggregates' (l_orderkey[, l_suppkey]) distributions are satisfied
-    by that orderkey clustering, so they run exchange-free above it.
+    supplier_return_blame). The fact pays ONE wire crossing, made
+    explicit with repartition(l_orderkey) BELOW the join: orderkey
+    hash-clustering satisfies both aggregates' distributions (subset
+    rule — hashpartitioning(ok) clusters (ok, sk) too), so they run
+    exchange-free, whether the dim join broadcasts (toy scale) or
+    falls back to a shuffle join reusing the same exchange (100 TB,
+    where orders cannot broadcast). Without it the broadcast join
+    leaves the fact unclustered and EACH aggregate pays its own
+    crossing — measured 15.1x shuffle-write growth per 10x rows
+    (SHUFFLE.md r12 flag) vs linear with the explicit clustering.
     Lateness (shipdate > orderdate + {LATE_DAYS}d) is decided join-time
     against the order date, exact DATE arithmetic both engines."""
     li = t(spark, sf_dir, "lineitem")
@@ -244,6 +250,7 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = t(spark, sf_dir, "supplier")
     blamed = (
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(F.col("l_orderkey"))
         .join(
             o.select("o_orderkey", "o_orderdate"),
             li["l_orderkey"] == o["o_orderkey"],

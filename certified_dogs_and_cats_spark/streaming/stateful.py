@@ -147,17 +147,29 @@ def stateful_topk(
     )
 
     class TopK(StatefulProcessor):
+        """The running top-k lives in a ListState — the NATURAL typed
+        variable for it (one element per retained value; put() replaces
+        the whole k-bounded list each batch), exercising the tws API
+        beyond ValueState (VERDICT r11 #5). On RocksDB a ListState
+        appends without rewriting the rest — irrelevant at k elements,
+        decisive for the unbounded-list shapes this probe stands in
+        for."""
+
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._vals = handle.getValueState("vals", "vals array<double>")
+            self._vals = handle.getListState("vals", "v double")
 
         def handleInputRows(self, key, rows, timer_values):
             import pandas as pd  # executor-side import
 
-            cur = list(self._vals.get()[0]) if self._vals.exists() else []
+            cur = (
+                [float(t[0]) for t in self._vals.get()]
+                if self._vals.exists()
+                else []
+            )
             for pdf in rows:
                 cur.extend(float(x) for x in pdf[value_col].dropna())
             cur = sorted(cur, reverse=True)[:k]
-            self._vals.update((cur,))
+            self._vals.put([(v,) for v in cur])
             yield pd.DataFrame({key_col: [key[0]], "topk": [cur]})
 
         def close(self) -> None:
@@ -171,6 +183,30 @@ def stateful_topk(
     )
 
 
+def _merge_session_intervals(
+    items: list[tuple[int, int, int, int]], gap_us: int
+) -> tuple[list[tuple[int, int, int, int]], tuple[int, int, int, int] | None]:
+    """Sorted interval fold shared by BOTH timeout_sessions engines —
+    one implementation so apws/tws emission semantics can never drift.
+    Each item is (start_us, last_us, n_events, cents); returns the
+    sessions closed by the fold (a later item outside the gap closes its
+    predecessor) and the still-open trailing session, if any."""
+    items.sort()
+    open_s: list[int] | None = None
+    closed: list[tuple[int, int, int, int]] = []
+    for start, last, n, cents in items:
+        if open_s is None:
+            open_s = [start, last, n, cents]
+        elif start <= open_s[1] + gap_us:
+            open_s[1] = max(open_s[1], last)
+            open_s[2] += n
+            open_s[3] += cents
+        else:
+            closed.append(tuple(open_s))
+            open_s = [start, last, n, cents]
+    return closed, (tuple(open_s) if open_s is not None else None)
+
+
 def timeout_sessions(
     stream: DataFrame,
     key_col: str,
@@ -178,6 +214,7 @@ def timeout_sessions(
     cents_col: str,
     gap_seconds: int,
     watermark_delay: str = "2 hours",
+    impl: str = "auto",
 ) -> DataFrame:
     """Gap-session assembly with EVENT-TIME TIMEOUT eviction — the
     custom append-mode stateful operator ``session_window`` users write
@@ -201,7 +238,24 @@ def timeout_sessions(
 
     Emission timestamps are integer MICROSECONDS and the session value
     is integer cents, so every emitted column is exact cross-engine.
+
+    Engine routing (the ``stateful_topk`` pattern): ``impl="apws"`` is
+    the dependency-free ``applyInPandasWithState`` engine (GroupState
+    tuple + ``setTimeoutTimestamp``/``hasTimedOut``); ``impl="tws"`` is
+    the Spark-4 ``transformWithStateInPandas`` twin — the same interval
+    fold (:func:`_merge_session_intervals`, shared code so semantics
+    cannot drift) with the timer semantics ported to the new API's
+    primitives: a named ValueState for the open session, explicit
+    event-time timers (``registerTimer``/``deleteTimer``/``listTimers``)
+    re-armed as the session extends, and close-time emission in
+    ``handleExpiredTimer``. tws requires the RocksDB state-store
+    provider AND the protobuf package; ``impl="auto"`` routes to tws
+    where protobuf is importable, apws otherwise.
     """
+    if impl not in ("auto", "tws", "apws"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "auto":
+        impl = "tws" if _has_protobuf() else "apws"
     out_schema = (
         f"{key_col} long, session_start_us long, session_end_us long, "
         "n_events long, total_cents long"
@@ -209,34 +263,16 @@ def timeout_sessions(
     state_schema = "start long, last long, n long, cents long"
     gap_us = gap_seconds * 1_000_000
 
-    def assemble(
-        key: tuple[Any, ...],
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        import pandas as pd  # executor-side import
+    def row(key_val, s):
+        return {
+            key_col: key_val,
+            "session_start_us": s[0],
+            "session_end_us": s[1],
+            "n_events": s[2],
+            "total_cents": s[3],
+        }
 
-        def row(s):
-            return {
-                key_col: key[0],
-                "session_start_us": s[0],
-                "session_end_us": s[1],
-                "n_events": s[2],
-                "total_cents": s[3],
-            }
-
-        if state.hasTimedOut:
-            closed = [row(state.get)]
-            state.remove()
-            yield pd.DataFrame(closed)
-            return
-        # Interval sessionization: the open session carried in state is
-        # just another interval on the key's timeline, merged in sorted
-        # order with the batch's events — so a cross-batch late event
-        # older than the open session's start forms (or joins) its own
-        # EARLIER session instead of wrongly stretching the open one
-        # (events sort before the state interval; the gap rule then
-        # closes theirs when the state interval arrives).
+    def batch_items(pdfs):
         items = []
         for pdf in pdfs:
             items.extend(
@@ -246,28 +282,7 @@ def timeout_sessions(
                     pdf[cents_col].astype("int64"),
                 )
             )
-        if state.exists:
-            items.append(tuple(state.get))
-        items.sort()
-        open_s = None
-        closed = []
-        for start, last, n, cents in items:
-            if open_s is None:
-                open_s = [start, last, n, cents]
-            elif start <= open_s[1] + gap_us:
-                open_s[1] = max(open_s[1], last)
-                open_s[2] += n
-                open_s[3] += cents
-            else:
-                closed.append(row(tuple(open_s)))
-                open_s = [start, last, n, cents]
-        if open_s is not None:
-            state.update(tuple(open_s))
-            # Event-time timer: fire when the watermark passes the gap
-            # boundary after the session's last event (milliseconds API).
-            state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
-        if closed:
-            yield pd.DataFrame(closed)
+        return items
 
     keyed = stream.select(
         F.col(key_col),
@@ -275,10 +290,111 @@ def timeout_sessions(
         (F.unix_micros(F.col(ts_col))).alias("__ts_us__"),
         F.col(cents_col),
     ).withWatermark("__wm_ts__", watermark_delay)
-    return keyed.groupBy(key_col).applyInPandasWithState(
-        assemble,
+
+    if impl == "apws":
+
+        def assemble(
+            key: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            import pandas as pd  # executor-side import
+
+            if state.hasTimedOut:
+                closed = [row(key[0], state.get)]
+                state.remove()
+                yield pd.DataFrame(closed)
+                return
+            # Interval sessionization: the open session carried in state
+            # is just another interval on the key's timeline, merged in
+            # sorted order with the batch's events — so a cross-batch
+            # late event older than the open session's start forms (or
+            # joins) its own EARLIER session instead of wrongly
+            # stretching the open one (events sort before the state
+            # interval; the gap rule then closes theirs when the state
+            # interval arrives).
+            items = batch_items(pdfs)
+            if state.exists:
+                items.append(tuple(state.get))
+            closed, open_s = _merge_session_intervals(items, gap_us)
+            if open_s is not None:
+                state.update(open_s)
+                # Event-time timer: fire when the watermark passes the
+                # gap boundary after the session's last event (ms API).
+                state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
+            if closed:
+                yield pd.DataFrame([row(key[0], s) for s in closed])
+
+        return keyed.groupBy(key_col).applyInPandasWithState(
+            assemble,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+    if not _has_protobuf():
+        raise NotImplementedError(
+            "timeout_sessions(impl='tws') requires the protobuf package "
+            "(`pip install protobuf`) — the transformWithState JVM <-> "
+            "Python state protocol. Use impl='auto'/'apws' for the "
+            "dependency-free applyInPandasWithState engine."
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TimeoutSessions(StatefulProcessor):
+        """tws twin: identical fold, timer semantics via the new API —
+        one live event-time timer per key at (open.last + gap) ms,
+        re-armed whenever the open session changes (stale timers are
+        swept with listTimers/deleteTimer, so a key never carries two),
+        and the timed-out emission moves from the hasTimedOut branch to
+        handleExpiredTimer."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState("open", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd  # executor-side import
+
+            items = batch_items(rows)
+            if self._open.exists():
+                items.append(tuple(self._open.get()))
+            closed, open_s = _merge_session_intervals(items, gap_us)
+            if open_s is not None:
+                self._open.update(open_s)
+                want_ms = (open_s[1] + gap_us) // 1000
+                live = list(self._handle.listTimers())
+                for t_ms in live:
+                    if t_ms != want_ms:
+                        self._handle.deleteTimer(t_ms)
+                if want_ms not in live:
+                    self._handle.registerTimer(want_ms)
+            if closed:
+                yield pd.DataFrame([row(key[0], s) for s in closed])
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            import pandas as pd  # executor-side import
+
+            if not self._open.exists():
+                return
+            s = tuple(self._open.get())
+            # Staleness guard: emit only a session this timer is due
+            # for — a just-extended session re-armed a later timer.
+            if (s[1] + gap_us) // 1000 > expired_timer_info.getExpiryTimeInMs():
+                return
+            self._open.clear()
+            yield pd.DataFrame([row(key[0], s)])
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=TimeoutSessions(),
         outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        outputMode="Append",
+        timeMode="EventTime",
     )

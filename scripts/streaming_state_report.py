@@ -112,6 +112,7 @@ LABELS = (
     "join_view_purchase_4h",
     "custom_running_totals_apws",
     "custom_timeout_sessions_apws",
+    "custom_timeout_sessions_twin",
 )
 
 
@@ -197,7 +198,36 @@ def probes(spark, sf_dir):
             ev, "user_id", "ts", "cents", gap_seconds=4 * 3600
         ), "append"
 
-    builders = (tumbling, session, dedup, ssjoin, custom_totals, custom_sessions)
+    def custom_sessions_twin():
+        # The tws timer twin (streaming/stateful.py, VERDICT r11 #5):
+        # identical shared fold, timers via registerTimer/
+        # handleExpiredTimer. impl='auto' resolves to the tws engine
+        # where protobuf is importable and to apws otherwise, so this
+        # row measures whichever engine a deployment would actually run;
+        # state must match the apws row (one open session per key)
+        # either way.
+        from certified_dogs_and_cats_spark.streaming.stateful import (
+            timeout_sessions,
+        )
+
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        return timeout_sessions(
+            ev, "user_id", "ts", "cents", gap_seconds=4 * 3600, impl="auto"
+        ), "append"
+
+    builders = (
+        tumbling,
+        session,
+        dedup,
+        ssjoin,
+        custom_totals,
+        custom_sessions,
+        custom_sessions_twin,
+    )
     assert len(builders) == len(LABELS)
     return list(zip(LABELS, builders))
 
