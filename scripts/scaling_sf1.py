@@ -160,6 +160,12 @@ HEAVY = [
     "dedup_ngram_jaccard",
     "dedup_threshold_sweep",
     "decontaminate_eval_split",
+    # round-12 tail: the one-pass nprobe tuning sweep (was the single
+    # floor-less query, VERDICT r11 #3) and the re-budgeted simhash
+    # band join (the sf1 step must show the 10/1 incidence budget
+    # holding one more decade, like the shingle family's 3/4).
+    "ivf_nprobe_sweep",
+    "dedup_simhash_pairs",
 ]
 # Guard against double-registration across the per-round blocks above
 # (a duplicate name would re-run and double-row the report).
@@ -323,11 +329,75 @@ def build_dataset(spark) -> None:
         ).parquet(f"{DST}/{name}.parquet")
 
 
+def _timeout_sessions_probe(spark, sf_dir: str) -> float:
+    """Decade row for the custom stateful streaming operator (VERDICT
+    r11 #3): drain timeout_sessions (impl='auto') over the events table
+    at ``sf_dir``. Probes the OPERATOR, not the registered query: the
+    synthesized sf1 events are a 32-file directory — a genuinely
+    MULTI-batch AvailableNow run, more stream-like than the single-file
+    oracle fixture (whose closed-form oracle assumes one data batch) —
+    and what the decade step must bound is the state/emission cost, not
+    the oracle wrapper."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from certified_dogs_and_cats_spark.queries.streaming import (
+        _CK_ROOT,
+        _events_stream,
+        _with_nanos_conf,
+        _with_stream_partitions,
+    )
+    from certified_dogs_and_cats_spark.streaming import (
+        run_available_now_memory,
+    )
+    from certified_dogs_and_cats_spark.streaming.stateful import (
+        timeout_sessions,
+    )
+
+    def run():
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        sess = timeout_sessions(
+            ev, "user_id", "ts", "cents", gap_seconds=4 * 3600
+        )
+        ck = tempfile.mkdtemp(prefix="ck_sf1_tosess_", dir=_CK_ROOT)
+        try:
+            _with_stream_partitions(
+                spark,
+                lambda: run_available_now_memory(
+                    sess, ck, output_mode="append"
+                ),
+            )
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
+    t0 = _t.time()
+    _with_nanos_conf(spark, run, sf_dir)
+    return _t.time() - t0
+
+
+#: Operator-level probes that can't run through run_once (streaming
+#: drains, multi-file sources); measured alongside HEAVY each repeat.
+CUSTOM_PROBES = {
+    "streaming_timeout_sessions[operator]": _timeout_sessions_probe,
+}
+
+
 def sweep(spark, sf_dir: str) -> dict[str, float]:
-    best = {name: float("inf") for name in HEAVY}
+    best = {
+        name: float("inf") for name in list(HEAVY) + list(CUSTOM_PROBES)
+    }
     for _ in range(REPEATS):
         for name in HEAVY:
             best[name] = min(best[name], run_once(spark, name, sf_dir))
+        for name, probe in CUSTOM_PROBES.items():
+            best[name] = min(best[name], probe(spark, sf_dir))
     return best
 
 
@@ -391,7 +461,7 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     flagged = []
-    for name in sorted(HEAVY, key=lambda n: -(large[n] / small[n] if small[n] else 0)):
+    for name in sorted(small, key=lambda n: -(large[n] / small[n] if small[n] else 0)):
         r = large[name] / small[name] if small[name] else float("nan")
         mark = ""
         if r > 10.0:
