@@ -266,6 +266,28 @@ class Catalog:
 
     # --- deletion vectors (merge-on-read DELETE) -------------------------
 
+    def _live_scan(self, spec: TableSpec, manifest: list[dict]):
+        """Physical scan of exactly the manifest head's LIVE files (with
+        ``_metadata`` reachable for row-identity keying), or None when
+        the head has no files. The row-level DML paths must use this,
+        never ``load(spec.path)``: the table directory also contains
+        other writers' not-yet-committed staged files, so a directory
+        scan under concurrency matches rows that do not exist — a
+        conflicted update that retried against its own orphaned staged
+        copies doubled its match set on EVERY retry
+        (LAKEHOUSE_STRESS.md: 5 rows became 5 * 2^17). ``basePath``
+        keeps Hive partition columns derivable from explicit file
+        paths."""
+        live = manifest[-1]["files"] if manifest else []
+        if not live:
+            return None
+        return (
+            self.spark.read.format(spec.fmt)
+            .schema(spec.physical_schema())
+            .option("basePath", spec.path)
+            .load([os.path.join(spec.path, f) for f in live])
+        )
+
     def _dv_dir(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "dv")
 
@@ -328,14 +350,12 @@ class Catalog:
             self.overwrite(name, keep)
             return deleted - self.table(name).count()
         self._require_uniform_layout(spec)
-        df = (
-            self.spark.read.format(spec.fmt)
-            .schema(spec.physical_schema())
-            .load(spec.path)
-        )
         manifest = self._load_manifest(name)
         base_version = manifest[-1]["version"] if manifest else 0
         prior = manifest[-1].get("dv", []) if manifest else []
+        df = self._live_scan(spec, manifest)
+        if df is None:
+            return 0
         root = os.path.abspath(spec.path)
         # Key every row by its (relative file, row_index) identity FIRST —
         # the same columns serve to exclude already-tombstoned rows (don't
@@ -376,12 +396,24 @@ class Catalog:
         if n == 0:
             shutil.rmtree(out, ignore_errors=True)
             return 0
-        self._commit(
-            name,
-            "delete",
-            dv=prior + [dv_name],
-            expected_base=base_version,
-        )
+        try:
+            # added=[] pins the commit's file list to the PREDECESSOR's
+            # (a DV delete changes no data files) instead of snapshotting
+            # the directory — which, under concurrent writers, contains
+            # their not-yet-committed staged files and would wrongly
+            # promote them into this version's live set.
+            self._commit(
+                name,
+                "delete",
+                added=[],
+                dv=prior + [dv_name],
+                expected_base=base_version,
+            )
+        except ConcurrentWriteConflict:
+            # The sidecar was never referenced by a committed version —
+            # remove it so a retrying caller can't accumulate orphans.
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         return n
 
     def update_where(
@@ -414,14 +446,12 @@ class Catalog:
         if not self.exists(name):
             return 0
         self._require_uniform_layout(spec)
-        df = (
-            self.spark.read.format(spec.fmt)
-            .schema(spec.physical_schema())
-            .load(spec.path)
-        )
         manifest = self._load_manifest(name)
         base_version = manifest[-1]["version"] if manifest else 0
         prior = manifest[-1].get("dv", []) if manifest else []
+        df = self._live_scan(spec, manifest)
+        if df is None:
+            return 0
         root = os.path.abspath(spec.path)
         keyed = df.select(
             *[
@@ -476,14 +506,28 @@ class Catalog:
             shutil.rmtree(out, ignore_errors=True)
             return 0
         added = self._stage_files_in(spec, updated)
-        self._commit(
-            name,
-            "update",
-            added=added,
-            dv=prior + [dv_name],
-            rebase=False,
-            expected_base=base_version,
-        )
+        try:
+            self._commit(
+                name,
+                "update",
+                added=added,
+                dv=prior + [dv_name],
+                rebase=False,
+                expected_base=base_version,
+            )
+        except ConcurrentWriteConflict:
+            # Unstage: the copies and the sidecar were never committed.
+            # Leaving them in the table directory is what turned retry
+            # loops exponential before live scans were manifest-scoped
+            # (LAKEHOUSE_STRESS: 5 rows -> 5 * 2^retries matches), and
+            # they'd sit as unaccounted garbage even now.
+            for rel in added:
+                try:
+                    os.remove(os.path.join(spec.path, rel))
+                except OSError:
+                    pass
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         return n
 
     def replace_where(self, name: str, predicate: str, df: DataFrame) -> int:
@@ -522,14 +566,14 @@ class Catalog:
             self._commit(name, "replace_where", added=added)
             return 0
         self._require_uniform_layout(spec)
-        cur = (
-            self.spark.read.format(spec.fmt)
-            .schema(spec.physical_schema())
-            .load(spec.path)
-        )
         manifest = self._load_manifest(name)
         base_version = manifest[-1]["version"] if manifest else 0
         prior = manifest[-1].get("dv", []) if manifest else []
+        cur = self._live_scan(spec, manifest)
+        if cur is None:
+            added = self._stage_files_in(spec, df)
+            self._commit(name, "replace_where", added=added)
+            return 0
         root = os.path.abspath(spec.path)
         keyed = cur.select(
             *[
@@ -566,14 +610,26 @@ class Catalog:
         if n == 0:
             shutil.rmtree(out, ignore_errors=True)
         added = self._stage_files_in(spec, df)
-        self._commit(
-            name,
-            "replace_where",
-            added=added,
-            dv=dvs if dvs else None,
-            rebase=False,
-            expected_base=base_version,
-        )
+        try:
+            self._commit(
+                name,
+                "replace_where",
+                added=added,
+                dv=dvs if dvs else None,
+                rebase=False,
+                expected_base=base_version,
+            )
+        except ConcurrentWriteConflict:
+            # Unstage (same contract as update_where): nothing this call
+            # wrote was ever referenced by a committed version.
+            for rel in added:
+                try:
+                    os.remove(os.path.join(spec.path, rel))
+                except OSError:
+                    pass
+            if n:
+                shutil.rmtree(out, ignore_errors=True)
+            raise
         return n
 
     # --- versioning (Delta time-travel parity) ---------------------------
@@ -2828,7 +2884,16 @@ class Catalog:
             manifest = self._load_manifest(name, full=True)
             referenced: set[str] = set()
             for e in manifest:
-                if e is manifest[-1] or e["ts_ns"] >= cutoff_ns:
+                # Tagged versions keep their sidecars for the same
+                # reason they keep their data files: a named ref must
+                # stay readable after retention purges its neighbors —
+                # LAKEHOUSE_STRESS caught VACUUM RETAIN 0 deleting a
+                # tagged snapshot's DV and breaking its time travel.
+                if (
+                    e is manifest[-1]
+                    or e["ts_ns"] >= cutoff_ns
+                    or e["version"] in tagged
+                ):
                     referenced |= set(e.get("dv", []))
             for fn in sorted(os.listdir(dvdir)):
                 if fn in referenced:

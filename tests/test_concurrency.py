@@ -316,3 +316,123 @@ def test_threaded_appends_race_through_checkpoints(spark, tmp_path):
     )
     want = {os.path.basename(p) for p in entry["files"]}
     assert {os.path.basename(p) for p in newest["files"]} == want
+
+
+def test_dml_scans_manifest_not_directory(spark, tmp_path):
+    """Row-level DML must match against the manifest's LIVE files, never
+    the directory listing: the table dir also holds other writers'
+    not-yet-committed staged files. LAKEHOUSE_STRESS caught the
+    directory scan turning OCC retries exponential (a conflicted
+    update's orphaned copies re-matched on every retry: 5 rows became
+    5 * 2^17)."""
+    import shutil
+
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a"), (2, "b")]))
+    # Simulate another writer's in-flight staging: a valid data file in
+    # the table directory that NO committed version references.
+    spec = cat.tables["core.t"]
+    staged = str(tmp_path / "orphan")
+    _rows(spark, [(1, "orphan"), (2, "orphan")]).coalesce(1).write.parquet(
+        staged
+    )
+    for fn in os.listdir(staged):
+        if fn.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(staged, fn),
+                os.path.join(spec.path, f"orphan-{fn}"),
+            )
+    # update must see exactly ONE k=1 row (the committed one) — the
+    # orphan is invisible to a manifest-scoped scan.
+    n = cat.update_where("core.t", {"v": "'upd'"}, "k = 1")
+    assert n == 1
+    assert cat.delete_where("core.t", "k = 2") == 1
+    got = sorted((r.k, r.v) for r in cat.table("core.t").collect())
+    assert got == [(1, "upd")]
+
+
+def test_delete_commit_keeps_predecessor_file_list(spark, tmp_path):
+    """A DV delete changes no data files, so its commit must carry the
+    PREDECESSOR's file list — snapshotting the directory instead would
+    promote concurrent writers' staged (uncommitted) files into the
+    live set."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a"), (2, "b")]))
+    spec = cat.tables["core.t"]
+    # Drop an unreferenced file into the directory before the delete.
+    with open(os.path.join(spec.path, "not-data.parquet"), "wb") as f:
+        f.write(b"PAR1junk")
+    cat.delete_where("core.t", "k = 2")
+    m = cat._load_manifest("core.t")
+    assert set(m[-1]["files"]) == set(m[-2]["files"])
+    assert "not-data.parquet" not in m[-1]["files"]
+
+
+def test_conflicted_update_unstages_its_files(spark, tmp_path):
+    """An update that loses the version race must remove BOTH its staged
+    copies and its DV sidecar — they were never referenced by any
+    committed version and would otherwise accumulate as garbage."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a"), (2, "b")]))
+    spec = cat.tables["core.t"]
+    files_before = set(cat._data_files(spec.path))
+    dv_dir = cat._dv_dir("core.t")
+    dvs_before = set(os.listdir(dv_dir)) if os.path.isdir(dv_dir) else set()
+
+    real_load = cat._load_log
+
+    import inspect as _inspect
+
+    injected = []
+
+    def racing_load(name, full=False):
+        m = real_load(name, full=full)
+        in_commit = any(
+            fr.function == "_commit" for fr in _inspect.stack()[1:4]
+        )
+        if injected or not in_commit:
+            return m
+        # One racing DELTA-form append (no files touched) lands in the
+        # window between this writer's snapshot read (base_version) and
+        # its version claim — the conflict expected_base must catch.
+        v = (m[-1]["version"] + 1) if m else 1
+        marker = os.path.join(cat._commits_dir(name), f"{v:012d}.json")
+        with open(marker, "w") as f:
+            json.dump(
+                {"version": v, "action": "append", "ts_ns": 0,
+                 "add": [], "remove": []},
+                f,
+            )
+        injected.append(v)
+        return m
+
+    cat._load_log = racing_load
+    with pytest.raises(ConcurrentWriteConflict):
+        cat.update_where("core.t", {"v": "'x'"}, "k = 1")
+    cat._load_log = real_load
+    assert set(cat._data_files(spec.path)) == files_before
+    dvs_after = set(os.listdir(dv_dir)) if os.path.isdir(dv_dir) else set()
+    assert dvs_after == dvs_before
+    # And the clean retry applies exactly once.
+    assert cat.update_where("core.t", {"v": "'x'"}, "k = 1") == 1
+    got = sorted((r.k, r.v) for r in cat.table("core.t").collect())
+    assert got == [(1, "x"), (2, "b")]
+
+
+def test_vacuum_protects_tagged_versions_dv_sidecars(spark, tmp_path):
+    """A tagged version must keep its deletion-vector sidecars through
+    VACUUM RETAIN 0 — its data files were already protected, but the
+    sidecar expiry ignored tags and broke the named ref's time travel
+    (LAKEHOUSE_STRESS finding)."""
+    cat = _mk(spark, tmp_path)
+    cat.append("core.t", _rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    cat.delete_where("core.t", "k = 2")
+    tag_v = cat.current_version("core.t")
+    cat.set_tag("core.t", "audit", tag_v)
+    # Advance the head past the tag and reset the DV set via overwrite.
+    cat.overwrite("core.t", _rows(spark, [(9, "z")]))
+    cat.vacuum("core.t", 0.0)
+    got = sorted(
+        (r.k, r.v) for r in cat.table("core.t", version=tag_v).collect()
+    )
+    assert got == [(1, "a"), (3, "c")]
