@@ -52,6 +52,7 @@ from . import advanced  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import roundten  # noqa: E402,F401
 from . import roundeleven  # noqa: E402,F401
+from . import roundtwelve  # noqa: E402,F401
 
 # ORDER MATTERS for driver evidence: the driver's correctness run checks
 # only the FIRST 50 registry entries in insertion order. Entries that
