@@ -1,6 +1,6 @@
 """Round-12 additions: operating-the-suite analytics.
 
-Two capabilities the inventory lacked:
+Four capabilities the inventory lacked:
 
 - ``dedup_strategy_agreement`` — the calibration artifact for RUNNING a
   multi-strategy dedup suite: pairwise agreement (Jaccard over candidate
@@ -13,6 +13,13 @@ Two capabilities the inventory lacked:
   relevance = "document contains EVERY query term". The evaluation
   metric family (knn_label_accuracy, ivf_nprobe_sweep recall) gains the
   standard IR effectiveness measure.
+- ``cms_heavy_hitters`` — the Count-Min Sketch, completing the
+  mergeable-sketch family (HLL = cardinality, KMV = distinct overlap,
+  CMS = per-item frequency), reported against exact counts with the
+  one-sided-error invariant carried in-result.
+- ``matryoshka_recall_sweep`` — recall@k of cosine search over each
+  embedding PREFIX length vs the full-dimension exact top-k, the
+  truncation-robustness curve behind shrink-the-index decisions.
 
 Cross-engine determinism notes: agreement ratios and nDCG are
 single-rounded doubles over exact integer counts or fixed-written-order
@@ -29,8 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import memoized_parquet
+from ..extensions.similarity import as_double_vec, dot
+from .common import VEC_CTE as _SIM_VEC_CTE
 from .common import t
 from .registry import query
+from .similarity import QUERY_PRED as _SIM_QUERY_PRED
 from .dedup import (
     _CAP_CTES,
     _SHINGLES_CTE,
@@ -46,9 +57,6 @@ from .terms import BM25_B, BM25_K1, BM25_TERMS, _bm25_scored
 # ---------------------------------------------------------------------------
 # dedup_strategy_agreement
 # ---------------------------------------------------------------------------
-
-_STRATEGIES = ("exact", "jaccard", "simhash")
-
 
 @query(
     "dedup_strategy_agreement",
@@ -86,32 +94,35 @@ _STRATEGIES = ("exact", "jaccard", "simhash")
       UNION ALL SELECT 'jaccard', a_id, b_id FROM jpairs
       UNION ALL SELECT 'simhash', a_id, b_id FROM spairs
     ),
-    strat AS (
-      SELECT unnest(['exact', 'jaccard', 'simhash']) AS s
+    flags AS (
+      SELECT a_id, b_id,
+             max(CASE WHEN s = 'exact' THEN 1 ELSE 0 END) AS f_e,
+             max(CASE WHEN s = 'jaccard' THEN 1 ELSE 0 END) AS f_j,
+             max(CASE WHEN s = 'simhash' THEN 1 ELSE 0 END) AS f_s
+      FROM univ GROUP BY 1, 2
     ),
-    counts AS (
-      SELECT strat.s, CAST(coalesce(c.n, 0) AS BIGINT) AS n
-      FROM strat
-      LEFT JOIN (SELECT s, count(*) AS n FROM univ GROUP BY 1) c
-             ON c.s = strat.s
-    ),
-    overlap AS (
-      SELECT x.s AS strategy_a, y.s AS strategy_b,
-             CAST(count(*) AS BIGINT) AS n_common
-      FROM univ x
-      JOIN univ y ON x.a_id = y.a_id AND x.b_id = y.b_id AND x.s < y.s
-      GROUP BY 1, 2
+    tot AS (
+      SELECT CAST(coalesce(sum(f_e), 0) AS BIGINT) AS n_e,
+             CAST(coalesce(sum(f_j), 0) AS BIGINT) AS n_j,
+             CAST(coalesce(sum(f_s), 0) AS BIGINT) AS n_s,
+             CAST(coalesce(sum(f_e * f_j), 0) AS BIGINT) AS n_ej,
+             CAST(coalesce(sum(f_e * f_s), 0) AS BIGINT) AS n_es,
+             CAST(coalesce(sum(f_j * f_s), 0) AS BIGINT) AS n_js
+      FROM flags
     )
-    SELECT ca.s AS strategy_a, cb.s AS strategy_b,
-           ca.n AS n_a, cb.n AS n_b,
-           CAST(coalesce(o.n_common, 0) AS BIGINT) AS n_common,
-           CASE WHEN ca.n + cb.n - coalesce(o.n_common, 0) = 0 THEN NULL
-                ELSE round(CAST(coalesce(o.n_common, 0) AS DOUBLE)
-                           / (ca.n + cb.n - coalesce(o.n_common, 0)), 6)
+    SELECT strategy_a, strategy_b, n_a, n_b, n_common,
+           CASE WHEN n_a + n_b - n_common = 0 THEN NULL
+                ELSE round(CAST(n_common AS DOUBLE)
+                           / (n_a + n_b - n_common), 6)
            END AS agreement
-    FROM counts ca
-    JOIN counts cb ON ca.s < cb.s
-    LEFT JOIN overlap o ON o.strategy_a = ca.s AND o.strategy_b = cb.s
+    FROM (
+      SELECT 'exact' AS strategy_a, 'jaccard' AS strategy_b,
+             n_e AS n_a, n_j AS n_b, n_ej AS n_common FROM tot
+      UNION ALL
+      SELECT 'exact', 'simhash', n_e, n_s, n_es FROM tot
+      UNION ALL
+      SELECT 'jaccard', 'simhash', n_j, n_s, n_js FROM tot
+    )
     """,
 )
 def dedup_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,12 +134,16 @@ def dedup_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagreement mass is the gray zone whose threshold placement is an
     editorial decision, not a default.
 
-    Plan shape: the two pair generators are the ALREADY-BUDGETED
-    registered pipelines (shared shingle memo, persisted band frame), so
-    this adds only equi-joins keyed on (a_id, b_id) over candidate-pair
-    frames — linear in pairs, which the incidence budgets keep linear in
-    postings; the exact tier joins on the md5 group key. All counts are
-    exact integers; the one ratio is single-rounded."""
+    Plan shape: the three pair generators (the two ALREADY-BUDGETED
+    registered pipelines plus the exact md5 group join) are evaluated
+    exactly ONCE — the pair union flows through one groupBy(a_id, b_id)
+    into per-strategy membership flags, and one global aggregate of flag
+    products yields every set size and every pairwise intersection
+    simultaneously (no pair-set self-join, no multi-branch cache race).
+    The 3-row matrix is then a literal pivot of that single broadcast
+    row. Linear in pairs, which the incidence budgets keep linear in
+    postings. All counts are exact integers; the one ratio is
+    single-rounded."""
     docs = t(spark, sf_dir, "documents")
     eh = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.md5("text").alias("h")
@@ -144,57 +159,79 @@ def dedup_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
         )
     )
-    jc = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
-    sh = dedup_simhash_pairs(spark, sf_dir).select("a_id", "b_id")
-    univ = (
-        ex.select(F.lit("exact").alias("s"), "a_id", "b_id")
-        .unionByName(jc.select(F.lit("jaccard").alias("s"), "a_id", "b_id"))
-        .unionByName(sh.select(F.lit("simhash").alias("s"), "a_id", "b_id"))
-    )
-    raw_counts = univ.groupBy("s").agg(
-        F.count("*").cast("bigint").alias("__n")
-    )
-    # Complete strategy universe: a strategy with ZERO pairs (exact, on a
-    # corpus without identical texts) must still appear in the matrix.
-    strat = spark.createDataFrame([(s,) for s in _STRATEGIES], "s string")
-    counts = strat.join(raw_counts, "s", "left").select(
-        "s", F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n")
-    )
-    overlap = (
-        univ.alias("x")
-        .join(
-            univ.alias("y"),
-            (F.col("x.a_id") == F.col("y.a_id"))
-            & (F.col("x.b_id") == F.col("y.b_id"))
-            & (F.col("x.s") < F.col("y.s")),
+    def build_univ() -> DataFrame:
+        jc = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+        sh = dedup_simhash_pairs(spark, sf_dir).select("a_id", "b_id")
+        return (
+            ex.select(F.lit("exact").alias("s"), "a_id", "b_id")
+            .unionByName(
+                jc.select(F.lit("jaccard").alias("s"), "a_id", "b_id")
+            )
+            .unionByName(
+                sh.select(F.lit("simhash").alias("s"), "a_id", "b_id")
+            )
         )
-        .groupBy(
-            F.col("x.s").alias("strategy_a"), F.col("y.s").alias("strategy_b")
-        )
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+
+    # The labeled pair union is a deterministic per-corpus artifact (the
+    # same candidate sets every dedup consumer sees), so it goes through
+    # the build-once memo like near_dup_components: the suite pays the
+    # three generators once per corpus, and this report — run repeatedly
+    # while an operator tunes thresholds — reads the budget-bounded pair
+    # parquet. Build wall-clock lands in BUILD_SECONDS['agreement_pairs'].
+    univ = memoized_parquet(
+        spark, (sf_dir, "agreement_univ"), build_univ, "agreement_pairs"
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    common = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
-    denom = F.col("ca.n") + F.col("cb.n") - common
-    return (
-        ca.join(cb, F.col("ca.s") < F.col("cb.s"))
-        .join(
-            overlap,
-            (F.col("strategy_a") == F.col("ca.s"))
-            & (F.col("strategy_b") == F.col("cb.s")),
-            "left",
+
+    def flag(name: str):
+        return F.max(
+            F.when(F.col("s") == name, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"f_{name[0]}")
+
+    flags = univ.groupBy("a_id", "b_id").agg(
+        flag("exact"), flag("jaccard"), flag("simhash")
+    )
+
+    def total(expr, alias):
+        return F.coalesce(F.sum(expr), F.lit(0)).cast("bigint").alias(alias)
+
+    tot = flags.agg(
+        total(F.col("f_e"), "n_e"),
+        total(F.col("f_j"), "n_j"),
+        total(F.col("f_s"), "n_s"),
+        total(F.col("f_e") * F.col("f_j"), "n_ej"),
+        total(F.col("f_e") * F.col("f_s"), "n_es"),
+        total(F.col("f_j") * F.col("f_s"), "n_js"),
+    )
+    # Literal pivot of the single aggregate row: a strategy with ZERO
+    # pairs (exact, on a corpus without identical texts) still appears.
+    pairs = spark.createDataFrame(
+        [
+            ("exact", "jaccard", "n_e", "n_j", "n_ej"),
+            ("exact", "simhash", "n_e", "n_s", "n_es"),
+            ("jaccard", "simhash", "n_j", "n_s", "n_js"),
+        ],
+        "strategy_a string, strategy_b string, ka string, kb string,"
+        " kc string",
+    )
+    def pick(col: str):
+        # Resolve the row's column-name key against the aggregate row.
+        return F.coalesce(
+            *[
+                F.when(F.col(col) == k, F.col(k))
+                for k in ("n_e", "n_j", "n_s", "n_ej", "n_es", "n_js")
+            ]
         )
-        .select(
-            F.col("ca.s").alias("strategy_a"),
-            F.col("cb.s").alias("strategy_b"),
-            F.col("ca.n").alias("n_a"),
-            F.col("cb.n").alias("n_b"),
-            common.alias("n_common"),
-            F.when(denom == 0, F.lit(None).cast("double"))
-            .otherwise(F.round(common.cast("double") / denom, 6))
-            .alias("agreement"),
-        )
+
+    denom = pick("ka") + pick("kb") - pick("kc")
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "strategy_a",
+        "strategy_b",
+        pick("ka").alias("n_a"),
+        pick("kb").alias("n_b"),
+        pick("kc").alias("n_common"),
+        F.when(denom == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(pick("kc").cast("double") / denom, 6))
+        .alias("agreement"),
     )
 
 
@@ -392,4 +429,339 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("n_relevant"),
         F.round(F.col("dcg"), 6).alias("dcg"),
         F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters
+# ---------------------------------------------------------------------------
+
+#: Count-Min Sketch geometry: depth = independent hash rows (estimate =
+#: min over rows), width = buckets per row. 4x512 keeps the whole sketch
+#: at 2k counters — executor-memory metadata at ANY corpus size.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 10
+
+#: The md5-60-bit bucket hash, salted per sketch row r with the repo's
+#: `|`-delimited salt convention (extensions/reservoir.py:hash60 — the
+#: delimiter makes (tok, salt) concatenation collision-free). Inlined
+#: rather than calling hash60 because the salt is a COLUMN (the exploded
+#: row index), which hash60's static-string signature can't take.
+_CMS_BUCKET_SQL = (
+    "('0x' || substr(md5(tok || '|cms' || CAST(r AS VARCHAR)), 1, 15))"
+    f"::BIGINT % {CMS_WIDTH}"
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    a AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens FROM a),
+    hb AS (
+      SELECT tok, tf, r, {_CMS_BUCKET_SQL} AS bucket
+      FROM a, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS u(r)
+    ),
+    cells AS (
+      SELECT r, bucket, CAST(sum(tf) AS BIGINT) AS cell
+      FROM hb GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok, tf, rnk FROM (
+        SELECT tok, tf,
+               CAST(row_number() OVER (ORDER BY tf DESC, tok ASC)
+                    AS INTEGER) AS rnk
+        FROM a
+      ) WHERE rnk <= {CMS_TOPK}
+    ),
+    est AS (
+      SELECT top.tok, top.tf, top.rnk, min(cells.cell) AS cms_est
+      FROM top
+      JOIN hb ON hb.tok = top.tok
+      JOIN cells ON cells.r = hb.r AND cells.bucket = hb.bucket
+      GROUP BY 1, 2, 3
+    )
+    SELECT tok, rnk, tf AS exact_tf, cms_est,
+           cms_est - tf AS overcount,
+           cms_est >= tf AS never_undercounts,
+           round(CAST(cms_est - tf AS DOUBLE) / n.n_tokens, 6)
+             AS overcount_frac
+    FROM est CROSS JOIN n
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimates for the corpus's top-10
+    tokens, reported against their exact counts — the FREQUENCY member
+    of the mergeable-sketch family (HLL = cardinality, KMV = distinct
+    overlap, CMS = per-item frequency). Emits per heavy hitter the exact
+    tf, the sketch estimate (min over the 4 salted hash rows), the
+    overcount, the one-sided-error invariant (CMS can only OVERcount —
+    carried in-result, hash-verified), and the overcount as a fraction
+    of total token mass.
+
+    The sketch is LINEAR (cell = sum of increments), so building it from
+    the per-token aggregate is bit-identical to streaming per-token
+    increments — the plan pays the one vocabulary shuffle the corpus
+    needs anyway, then every sketch step is dimension-scale: 4x512
+    cells, a 10-row heavy-hitter probe, broadcast joins. At 100 TB the
+    cost is the token scan + vocab aggregate; the sketch itself is
+    mergeable metadata (per-partition partial cells combine by +)."""
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    # The vocabulary aggregate feeds FOUR branches (total mass, sketch
+    # cells, heavy-hitter probe, estimate join). A lazy persist still
+    # lets AQE's concurrent stages race to materialize it (measured
+    # SLOWER than no persist); the EAGER localCheckpoint completes the
+    # one token explode + shuffle — the only corpus-scale work here —
+    # before any branch plans, so every branch reads the vocab-sized
+    # checkpoint blocks.
+    a = tk.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    ).localCheckpoint(eager=True)
+    n = a.agg(F.sum("tf").cast("bigint").alias("n_tokens"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("tok"),
+                        F.lit("|cms"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+    hb = a.select(
+        "tok",
+        "tf",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+    ).withColumn("bucket", bucket)
+    cells = hb.groupBy("r", "bucket").agg(
+        F.sum("tf").cast("bigint").alias("cell")
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    top = (
+        a.orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(CMS_TOPK)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+    est = (
+        F.broadcast(top)
+        .join(hb.select("tok", "r", "bucket"), "tok")
+        .join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("tok", "tf", "rnk")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.crossJoin(F.broadcast(n)).select(
+        "tok",
+        "rnk",
+        F.col("tf").alias("exact_tf"),
+        "cms_est",
+        (F.col("cms_est") - F.col("tf")).alias("overcount"),
+        (F.col("cms_est") >= F.col("tf")).alias("never_undercounts"),
+        F.round(
+            (F.col("cms_est") - F.col("tf")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("overcount_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_recall_sweep
+# ---------------------------------------------------------------------------
+
+#: Prefix lengths to evaluate; the last MUST be the full dimension so the
+#: sweep's final point is the exact-search ground truth by construction.
+MAT_DIMS = (8, 16, 32, 64)
+MAT_K = 5
+
+
+def _mat_cos_col(qe, e, qn, vn):
+    """Prefix cosine from a PRE-COMPUTED norm pair: the pair projection
+    pays only the one q·v fold — norms are per-vector (O(N)), computed
+    once before the join, never per pair (12 folds/pair → 4, measured
+    4.5 s → ~1 s for the pair stage). Each prefix dot is its OWN
+    sequential fold — segment prefix-sums would round differently
+    across engines."""
+    den = qn * vn
+    return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        F.round(dot(qe, e) / den, 6)
+    )
+
+
+def _mat_cos_sql(d: int) -> str:
+    return (
+        f"CASE WHEN q.qn_{d} * v.nrm_{d} = 0 THEN NULL"
+        f" ELSE round(list_dot_product(q.qe[1:{d}], v.e[1:{d}])"
+        f" / (q.qn_{d} * v.nrm_{d}), 6) END AS cos_{d}"
+    )
+
+
+_MAT_NORM_SQL = ", ".join(
+    f"sqrt(list_dot_product(e[1:{d}], e[1:{d}])) AS nrm_{d}"
+    for d in MAT_DIMS
+)
+
+_MAT_RANKED_CTE = f"""
+    vv AS (SELECT vec_id, e, {_MAT_NORM_SQL} FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe,
+                 {", ".join(f"nrm_{d} AS qn_{d}" for d in MAT_DIMS)}
+          FROM vv WHERE {_SIM_QUERY_PRED}),
+    pairs AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {", ".join(_mat_cos_sql(d) for d in MAT_DIMS)}
+      FROM q CROSS JOIN vv v
+      WHERE v.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             {", ".join(
+                 f"row_number() OVER (PARTITION BY query_id"
+                 f" ORDER BY cos_{d} DESC NULLS LAST, neighbor_id ASC)"
+                 f" AS rnk_{d}"
+                 for d in MAT_DIMS
+             )}
+      FROM pairs
+    ),
+    gt AS (
+      SELECT * FROM ranked WHERE rnk_{MAT_DIMS[-1]} <= {MAT_K}
+    ),
+    tots AS (
+      SELECT CAST(count(*) AS BIGINT) AS gt_pairs,
+             {", ".join(
+                 f"CAST(coalesce(sum(CASE WHEN rnk_{d} <= {MAT_K}"
+                 f" THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_{d}"
+                 for d in MAT_DIMS
+             )}
+      FROM gt
+    )
+"""
+
+
+@query(
+    "matryoshka_recall_sweep",
+    oracle=f"""
+    WITH {_SIM_VEC_CTE},
+    {_MAT_RANKED_CTE}
+    {" UNION ALL ".join(
+        f'''SELECT {d} AS dim, {MAT_K} AS k, gt_pairs, h_{d} AS hits,
+               CASE WHEN gt_pairs = 0 THEN NULL
+                    ELSE round(CAST(h_{d} AS DOUBLE) / gt_pairs, 6)
+               END AS recall
+            FROM tots'''
+        for d in MAT_DIMS
+    )}
+    """,
+)
+def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation sweep: recall@5 of cosine
+    search over each embedding PREFIX (8, 16, 32, then the full 64 dims)
+    against the full-dimension exact top-5 — the tuning curve for
+    trading index size/compute against recall when embeddings are
+    truncation-robust. The last sweep point IS the ground truth, so its
+    recall is 1.0 by construction (a hash-verified sanity anchor, the
+    ivf_nprobe_sweep pattern).
+
+    One pass: every prefix cosine is computed per candidate pair in a
+    single projection (each prefix is its OWN sequential fold — prefix
+    sums of segment dots would round differently across engines), then
+    the four ranks share one exchange on query_id. The pair space is the
+    brute-force contract: |Q| bounded at 50 regardless of corpus size,
+    Q broadcast, the corpus streamed once — linear in N at 100 TB.
+    Zero-norm prefixes rank NULLS LAST identically in both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", as_double_vec("embedding").alias("e"))
+
+    def prefix_norm(col, d: int):
+        s = F.slice(col, 1, d)
+        return F.sqrt(dot(s, s))
+
+    v = base.select(
+        "vec_id",
+        "e",
+        *[prefix_norm(F.col("e"), d).alias(f"nrm_{d}") for d in MAT_DIMS],
+    )
+    q = v.filter(F.expr(_SIM_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        *[F.col(f"nrm_{d}").alias(f"qn_{d}") for d in MAT_DIMS],
+    )
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[
+                _mat_cos_col(
+                    F.slice("qe", 1, d),
+                    F.slice("e", 1, d),
+                    F.col(f"qn_{d}"),
+                    F.col(f"nrm_{d}"),
+                ).alias(f"cos_{d}")
+                for d in MAT_DIMS
+            ],
+        )
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col(f"cos_{d}").desc_nulls_last(),
+                    F.col("neighbor_id").asc(),
+                )
+            )
+            .alias(f"rnk_{d}")
+            for d in MAT_DIMS
+        ],
+    )
+    gt = ranked.filter(F.col(f"rnk_{MAT_DIMS[-1]}") <= MAT_K)
+    # ONE aggregate carries every per-dim hit count (a union of per-dim
+    # aggregates would re-run the pair ranking once per dim — measured
+    # 8 exchanges vs 2); the 4-row sweep is then a stack() unpivot of
+    # the single row.
+    tots = gt.agg(
+        F.count("*").cast("bigint").alias("gt_pairs"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(f"rnk_{d}") <= MAT_K, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"h_{d}")
+            for d in MAT_DIMS
+        ],
+    )
+    stack_args = ", ".join(f"{d}, h_{d}" for d in MAT_DIMS)
+    return tots.select(
+        F.expr(
+            f"stack({len(MAT_DIMS)}, {stack_args}) AS (dim, hits)"
+        ),
+        "gt_pairs",
+    ).select(
+        "dim",
+        F.lit(MAT_K).alias("k"),
+        "gt_pairs",
+        "hits",
+        F.when(F.col("gt_pairs") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("hits").cast("double") / F.col("gt_pairs"), 6)
+        )
+        .alias("recall"),
     )

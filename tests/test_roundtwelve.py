@@ -131,3 +131,78 @@ def test_ndcg_imperfect_ranking_below_one(spark, tmp_path):
     for r in rows.values():
         assert 0.0 < r.ndcg <= 1.0
     assert rows["bm25"].ndcg >= rows["tf_norm"].ndcg
+
+
+def test_cms_never_undercounts_and_ranks(spark, tmp_path):
+    """A handcrafted zipf-ish corpus: the heavy hitter is unambiguous,
+    every estimate is >= its exact count (the CMS one-sided guarantee),
+    and ranks are the exact-count ranking."""
+    from certified_dogs_and_cats_spark.queries.roundtwelve import (
+        cms_heavy_hitters,
+    )
+
+    sf = _mini_corpus(
+        spark,
+        tmp_path,
+        [
+            "alpha alpha alpha alpha alpha beta beta gamma",
+            "alpha alpha beta delta epsilon",
+            "alpha zeta eta theta",
+        ],
+    )
+    rows = sorted(cms_heavy_hitters(spark, sf).collect(), key=lambda r: r.rnk)
+    assert rows[0].tok == "alpha" and rows[0].exact_tf == 8
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.never_undercounts
+        assert r.cms_est >= r.exact_tf
+        assert r.overcount == r.cms_est - r.exact_tf
+        assert r.overcount_frac >= 0.0
+
+
+def _mini_embeddings(spark, tmp_path, rows):
+    sf = str(tmp_path / "sfe")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vec], 0) for i, vec in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    return sf
+
+
+def test_matryoshka_full_dim_anchor_and_prefix_degradation(spark, tmp_path):
+    """The last sweep point (full dim) has recall 1.0 by construction.
+    A corpus whose first 8 dims are IDENTICAL across candidates while
+    the tail separates them gives the 8-dim prefix no signal — its
+    ranking falls back to the id tie-break, and recall@8 < 1 because
+    the tail-defined true neighbors aren't the lowest ids."""
+    from certified_dogs_and_cats_spark.queries.roundtwelve import (
+        MAT_DIMS,
+        MAT_K,
+        matryoshka_recall_sweep,
+    )
+
+    def vec(tail_pos, mag):
+        # First 8 dims constant; one distinguishing coordinate later.
+        v = [1.0] * 8 + [0.0] * 56
+        v[8 + tail_pos] = mag
+        return v
+
+    rows = [(100, vec(0, 9.0)), (200, vec(5, 9.0))]
+    # Neighbors: ids 1..10; the HIGH ids are the true neighbors of 100
+    # (same tail direction), so the id tie-break at dim 8 misses them.
+    rows += [(i, vec(3, 5.0)) for i in range(1, 6)]
+    rows += [(i, vec(0, 5.0 + i)) for i in range(6, 11)]
+    sf = _mini_embeddings(spark, tmp_path, rows)
+    got = {r.dim: r for r in matryoshka_recall_sweep(spark, sf).collect()}
+    assert set(got) == set(MAT_DIMS)
+    full = got[MAT_DIMS[-1]]
+    assert full.recall == 1.0 and full.hits == full.gt_pairs
+    n_queries = 2
+    assert full.gt_pairs == n_queries * MAT_K
+    for r in got.values():
+        assert 0.0 <= r.recall <= 1.0
+        assert r.k == MAT_K and r.hits <= r.gt_pairs
+    assert got[8].recall < 1.0
