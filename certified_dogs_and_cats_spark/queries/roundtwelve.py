@@ -610,78 +610,10 @@ def _mat_cos_sql(d: int) -> str:
     )
 
 
-_MAT_NORM_SQL = ", ".join(
-    f"sqrt(list_dot_product(e[1:{d}], e[1:{d}])) AS nrm_{d}"
-    for d in MAT_DIMS
-)
-
-_MAT_RANKED_CTE = f"""
-    vv AS (SELECT vec_id, e, {_MAT_NORM_SQL} FROM v),
-    q AS (SELECT vec_id AS query_id, e AS qe,
-                 {", ".join(f"nrm_{d} AS qn_{d}" for d in MAT_DIMS)}
-          FROM vv WHERE {_SIM_QUERY_PRED}),
-    pairs AS (
-      SELECT q.query_id, v.vec_id AS neighbor_id,
-             {", ".join(_mat_cos_sql(d) for d in MAT_DIMS)}
-      FROM q CROSS JOIN vv v
-      WHERE v.vec_id != q.query_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id,
-             {", ".join(
-                 f"row_number() OVER (PARTITION BY query_id"
-                 f" ORDER BY cos_{d} DESC NULLS LAST, neighbor_id ASC)"
-                 f" AS rnk_{d}"
-                 for d in MAT_DIMS
-             )}
-      FROM pairs
-    ),
-    gt AS (
-      SELECT * FROM ranked WHERE rnk_{MAT_DIMS[-1]} <= {MAT_K}
-    ),
-    tots AS (
-      SELECT CAST(count(*) AS BIGINT) AS gt_pairs,
-             {", ".join(
-                 f"CAST(coalesce(sum(CASE WHEN rnk_{d} <= {MAT_K}"
-                 f" THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_{d}"
-                 for d in MAT_DIMS
-             )}
-      FROM gt
-    )
-"""
-
-
-@query(
-    "matryoshka_recall_sweep",
-    oracle=f"""
-    WITH {_SIM_VEC_CTE},
-    {_MAT_RANKED_CTE}
-    {" UNION ALL ".join(
-        f'''SELECT {d} AS dim, {MAT_K} AS k, gt_pairs, h_{d} AS hits,
-               CASE WHEN gt_pairs = 0 THEN NULL
-                    ELSE round(CAST(h_{d} AS DOUBLE) / gt_pairs, 6)
-               END AS recall
-            FROM tots'''
-        for d in MAT_DIMS
-    )}
-    """,
-)
-def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka-style dimension-truncation sweep: recall@5 of cosine
-    search over each embedding PREFIX (8, 16, 32, then the full 64 dims)
-    against the full-dimension exact top-5 — the tuning curve for
-    trading index size/compute against recall when embeddings are
-    truncation-robust. The last sweep point IS the ground truth, so its
-    recall is 1.0 by construction (a hash-verified sanity anchor, the
-    ivf_nprobe_sweep pattern).
-
-    One pass: every prefix cosine is computed per candidate pair in a
-    single projection (each prefix is its OWN sequential fold — prefix
-    sums of segment dots would round differently across engines), then
-    the four ranks share one exchange on query_id. The pair space is the
-    brute-force contract: |Q| bounded at 50 regardless of corpus size,
-    Q broadcast, the corpus streamed once — linear in N at 100 TB.
-    Zero-norm prefixes rank NULLS LAST identically in both engines."""
+def _mat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored candidate pairs with every prefix cosine: per-vector
+    prefix norms are computed ONCE before the join (12 folds/pair -> 4;
+    norm cost O(N), never O(N*|Q|)); Q is the bounded broadcast side."""
     e = t(spark, sf_dir, "embeddings")
     base = e.select("vec_id", as_double_vec("embedding").alias("e"))
 
@@ -699,7 +631,7 @@ def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         *[F.col(f"nrm_{d}").alias(f"qn_{d}") for d in MAT_DIMS],
     )
-    pairs = (
+    return (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -716,52 +648,145 @@ def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    ranked = pairs.select(
+
+
+def _mat_topk(pairs: DataFrame) -> DataFrame:
+    """Per-(query, dim) top-k of the long-form scored pairs.
+
+    ONE rank filter per (query_id, dim) group: Spark's
+    InferWindowGroupLimit inserts the Partial-mode WindowGroupLimit
+    below the exchange, so each input partition forwards <= k rows per
+    (query, dim) instead of the full N*|Q|*|dims| scored stream — the
+    same pinned property as the brute-force rankers (a per-dim rank
+    over the wide frame could not be pruned: only the full-dim rank had
+    a filter, the other three orderings needed every pair). Factored so
+    the plan-pin pytest can assert on the PRE-checkpoint frame (the
+    checkpoint truncates the executed plan)."""
+    stack_args = ", ".join(f"{d}, cos_{d}" for d in MAT_DIMS)
+    plong = pairs.select(
         "query_id",
         "neighbor_id",
-        *[
-            F.row_number()
-            .over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col(f"cos_{d}").desc_nulls_last(),
-                    F.col("neighbor_id").asc(),
+        F.expr(f"stack({len(MAT_DIMS)}, {stack_args}) AS (dim, score)"),
+    )
+    wd = Window.partitionBy("query_id", "dim").orderBy(
+        F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        plong.withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= MAT_K)
+        .select("query_id", "neighbor_id", "dim")
+    )
+
+
+_MAT_NORM_SQL = ", ".join(
+    f"sqrt(list_dot_product(e[1:{d}], e[1:{d}])) AS nrm_{d}"
+    for d in MAT_DIMS
+)
+
+_MAT_RANKED_CTE = f"""
+    vv AS (SELECT vec_id, e, {_MAT_NORM_SQL} FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe,
+                 {", ".join(f"nrm_{d} AS qn_{d}" for d in MAT_DIMS)}
+          FROM vv WHERE {_SIM_QUERY_PRED}),
+    pairs AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {", ".join(_mat_cos_sql(d) for d in MAT_DIMS)}
+      FROM q CROSS JOIN vv v
+      WHERE v.vec_id != q.query_id
+    ),
+    plong AS (
+      {" UNION ALL ".join(
+          f"SELECT query_id, neighbor_id, {d} AS dim, cos_{d} AS score"
+          " FROM pairs"
+          for d in MAT_DIMS
+      )}
+    ),
+    ptopk AS (
+      SELECT query_id, neighbor_id, dim FROM (
+        SELECT query_id, neighbor_id, dim,
+               row_number() OVER (PARTITION BY query_id, dim
+                                  ORDER BY score DESC NULLS LAST,
+                                           neighbor_id ASC) AS rnk
+        FROM plong
+      ) WHERE rnk <= {MAT_K}
+    ),
+    pgt AS (
+      SELECT query_id, neighbor_id FROM ptopk WHERE dim = {MAT_DIMS[-1]}
+    ),
+    phits AS (
+      SELECT t.dim, CAST(count(*) AS BIGINT) AS hits
+      FROM ptopk t JOIN pgt USING (query_id, neighbor_id)
+      GROUP BY 1
+    ),
+    pgtc AS (SELECT CAST(count(*) AS BIGINT) AS gt_pairs FROM pgt)
+"""
+
+
+@query(
+    "matryoshka_recall_sweep",
+    oracle=f"""
+    WITH {_SIM_VEC_CTE},
+    {_MAT_RANKED_CTE}
+    SELECT d.dim, {MAT_K} AS k, pgtc.gt_pairs,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CASE WHEN pgtc.gt_pairs = 0 THEN NULL
+                ELSE round(CAST(coalesce(h.hits, 0) AS DOUBLE)
+                           / pgtc.gt_pairs, 6)
+           END AS recall
+    FROM (VALUES {", ".join(f"({d})" for d in MAT_DIMS)}) AS d(dim)
+    LEFT JOIN phits h ON h.dim = d.dim
+    CROSS JOIN pgtc
+    """,
+)
+def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation sweep: recall@5 of cosine
+    search over each embedding PREFIX (8, 16, 32, then the full 64 dims)
+    against the full-dimension exact top-5 — the tuning curve for
+    trading index size/compute against recall when embeddings are
+    truncation-robust. The last sweep point IS the ground truth, so its
+    recall is 1.0 by construction (a hash-verified sanity anchor, the
+    ivf_nprobe_sweep pattern).
+
+    One pass: every prefix cosine is computed per candidate pair in a
+    single projection (each prefix is its OWN sequential fold — prefix
+    sums of segment dots would round differently across engines); the
+    long-form (query, dim) rank is k-pruned map-side (see _mat_topk).
+    The pair space is the brute-force contract: |Q| bounded at 50
+    regardless of corpus size, Q broadcast, the corpus streamed once —
+    linear in N at 100 TB. Zero-norm prefixes rank NULLS LAST
+    identically in both engines."""
+    topk = (
+        _mat_topk(_mat_pairs(spark, sf_dir))
+        # <= |Q| * |dims| * k rows; the eager checkpoint runs the corpus
+        # scan once for its three consumers (gt filter, hits join, count).
+        .localCheckpoint(eager=True)
+    )
+    gt = topk.filter(F.col("dim") == MAT_DIMS[-1]).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        topk.join(gt, ["query_id", "neighbor_id"])
+        .groupBy("dim")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    gtc = gt.agg(F.count("*").cast("bigint").alias("gt_pairs"))
+    dims = spark.createDataFrame([(d,) for d in MAT_DIMS], "dim int")
+    return (
+        dims.join(F.broadcast(hits), "dim", "left")
+        .crossJoin(F.broadcast(gtc))
+        .select(
+            "dim",
+            F.lit(MAT_K).alias("k"),
+            "gt_pairs",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.when(F.col("gt_pairs") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                    / F.col("gt_pairs"),
+                    6,
                 )
             )
-            .alias(f"rnk_{d}")
-            for d in MAT_DIMS
-        ],
-    )
-    gt = ranked.filter(F.col(f"rnk_{MAT_DIMS[-1]}") <= MAT_K)
-    # ONE aggregate carries every per-dim hit count (a union of per-dim
-    # aggregates would re-run the pair ranking once per dim — measured
-    # 8 exchanges vs 2); the 4-row sweep is then a stack() unpivot of
-    # the single row.
-    tots = gt.agg(
-        F.count("*").cast("bigint").alias("gt_pairs"),
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col(f"rnk_{d}") <= MAT_K, 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias(f"h_{d}")
-            for d in MAT_DIMS
-        ],
-    )
-    stack_args = ", ".join(f"{d}, h_{d}" for d in MAT_DIMS)
-    return tots.select(
-        F.expr(
-            f"stack({len(MAT_DIMS)}, {stack_args}) AS (dim, hits)"
-        ),
-        "gt_pairs",
-    ).select(
-        "dim",
-        F.lit(MAT_K).alias("k"),
-        "gt_pairs",
-        "hits",
-        F.when(F.col("gt_pairs") == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round(F.col("hits").cast("double") / F.col("gt_pairs"), 6)
+            .alias("recall"),
         )
-        .alias("recall"),
     )

@@ -834,30 +834,45 @@ def test_second_max_price_gap_semantics(spark):
 
 
 def test_simhash_histogram_pigeonhole_is_lossless(spark):
-    """The banded histogram equals a BRUTE all-pairs hamming histogram
-    over the package's own signatures for every distance <= 3 — the
-    4-band pigeonhole guarantee (a pair within 3 flips shares >= 1 of 4
-    bands) measured, not assumed."""
+    """The UNBUDGETED band join equals a BRUTE all-pairs hamming
+    histogram over the package's own signatures for every distance <= 3
+    — the 4-band pigeonhole guarantee (a pair within 3 flips shares
+    >= 1 of 4 bands) measured, not assumed. The REGISTERED query runs
+    under the adaptive incidence budget (round 12), which DROPS
+    boilerplate-hot band buckets on this dense sf0.001 fixture — lossy
+    by design and replayed in its oracle — so it is asserted separately
+    as a pointwise lower bound of the lossless histogram."""
+    import pyspark.sql.functions as F
+
     from certified_dogs_and_cats_spark.extensions.dedup import (
         simhash64_text,
+        simhash_near_dup_pairs,
     )
     from certified_dogs_and_cats_spark.queries.advanced import (
         simhash_hamming_histogram,
     )
 
-    got = {
-        r.hamming: r.n_pairs
-        for r in simhash_hamming_histogram(spark, SF).collect()
-    }
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    sigs = [
-        int(r.simhash, 16)
-        for r in simhash64_text(docs, "doc_id", "text").collect()
-    ]
+    sig = simhash64_text(docs, "doc_id", "text")
+    lossless = {
+        r.hamming: r.n_pairs
+        for r in simhash_near_dup_pairs(sig, "doc_id")
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .collect()
+    }
+    sigs = [int(r.simhash, 16) for r in sig.collect()]
     brute: dict[int, int] = {}
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):
             h = bin(sigs[i] ^ sigs[j]).count("1")
             if h <= 3:
                 brute[h] = brute.get(h, 0) + 1
-    assert got == brute
+    assert lossless == brute
+    budgeted = {
+        r.hamming: r.n_pairs
+        for r in simhash_hamming_histogram(spark, SF).collect()
+    }
+    assert set(budgeted) <= set(brute)
+    for h, n in budgeted.items():
+        assert 0 < n <= brute[h]

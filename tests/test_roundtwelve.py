@@ -206,3 +206,23 @@ def test_matryoshka_full_dim_anchor_and_prefix_degradation(spark, tmp_path):
         assert 0.0 <= r.recall <= 1.0
         assert r.k == MAT_K and r.hits <= r.gt_pairs
     assert got[8].recall < 1.0
+
+
+def test_matryoshka_partial_topk_plan_pin(spark):
+    """The long-form (query, dim) rank is k-pruned map-side: a
+    Partial-mode WindowGroupLimit sits below the rank exchange
+    (InferWindowGroupLimit), so each input partition forwards <= k rows
+    per (query, dim) instead of the full N*|Q|*|dims| scored stream.
+    Asserted on the pre-checkpoint frame — the checkpoint truncates the
+    executed plan."""
+    from certified_dogs_and_cats_spark.plans import (
+        assert_partial_topk_below_shuffle,
+    )
+    from certified_dogs_and_cats_spark.queries.roundtwelve import (
+        MAT_K,
+        _mat_pairs,
+        _mat_topk,
+    )
+
+    frame = _mat_topk(_mat_pairs(spark, "/root/testdata/sf0.001"))
+    assert_partial_topk_below_shuffle(frame, MAT_K)
