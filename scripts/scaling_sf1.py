@@ -346,10 +346,12 @@ def _timeout_sessions_probe(spark, sf_dir: str) -> float:
 
     from certified_dogs_and_cats_spark.queries.streaming import (
         _CK_ROOT,
+        _events_schema,
         _events_stream,
         _with_nanos_conf,
         _with_stream_partitions,
     )
+    from certified_dogs_and_cats_spark.sources.testdata import _normalize_ts
     from certified_dogs_and_cats_spark.streaming import (
         run_available_now_memory,
     )
@@ -357,8 +359,26 @@ def _timeout_sessions_probe(spark, sf_dir: str) -> float:
         timeout_sessions,
     )
 
-    def run():
-        ev = _events_stream(spark, sf_dir).select(
+    def events_src():
+        # The testdata sfs keep events.parquet as a single FILE next to
+        # the other tables, which _events_stream targets with
+        # pathGlobFilter='events.parquet'. The synthesized decade table
+        # is a DIRECTORY of part files whose names do NOT match that
+        # glob — streaming it through _events_stream silently lists
+        # ZERO files and the 'drain' measures an empty no-op (the bug
+        # this branch fixes). Point the source at the directory itself.
+        path = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(path):
+            raw = (
+                spark.readStream.schema(_events_schema(sf_dir))
+                .format("parquet")
+                .load(path)
+            )
+            return _normalize_ts(raw)
+        return _events_stream(spark, sf_dir)
+
+    def run() -> int:
+        ev = events_src().select(
             "user_id",
             F.col("ts").cast("timestamp").alias("ts"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -368,18 +388,27 @@ def _timeout_sessions_probe(spark, sf_dir: str) -> float:
         )
         ck = tempfile.mkdtemp(prefix="ck_sf1_tosess_", dir=_CK_ROOT)
         try:
-            _with_stream_partitions(
+            out = _with_stream_partitions(
                 spark,
                 lambda: run_available_now_memory(
                     sess, ck, output_mode="append"
                 ),
             )
+            # The memory-sink frame is already pinned; counting it is
+            # driver-side metadata next to the drain cost.
+            return out.count()
         finally:
             shutil.rmtree(ck, ignore_errors=True)
 
     t0 = _t.time()
-    _with_nanos_conf(spark, run, sf_dir)
-    return _t.time() - t0
+    n = _with_nanos_conf(spark, run, sf_dir)
+    elapsed = _t.time() - t0
+    if not n:
+        raise RuntimeError(
+            f"timeout_sessions probe at {sf_dir} emitted 0 sessions — "
+            "an empty drain is a source-listing bug, not a measurement"
+        )
+    return elapsed
 
 
 #: Operator-level probes that can't run through run_once (streaming
