@@ -445,21 +445,30 @@ def simhash64_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     integer shifts.
 
     NULL-text docs drop (explode semantics: no tokens -> no row).
+
+    Construction cost (r12): the expression tree is generated as SQL
+    text and submitted through three ``selectExpr`` layers — the prior
+    Column-object construction (hundreds of Py4J round-trips plus eager
+    re-analysis of the growing 64-vote tree at every chained select)
+    dominated the operator's wall clock at bench scale (1.6 s construct
+    vs 0.4 s execute). Identical expressions, parsed once in the JVM.
     """
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    # One signed 64-bit word per token carrying md5's first 64 bits
-    # (hi<<32|lo is bit-exact even when hi's top bit makes the long
-    # negative — only bit patterns matter below).
-    words = F.transform(
-        F.transform(toks, F.md5),
-        lambda h: F.shiftleft(
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), 32
-        ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")),
+    # One signed 64-bit word per DISTINCT token carrying md5's first 64
+    # bits (hi<<32|lo is bit-exact even when hi's top bit makes the long
+    # negative — only bit patterns matter below). The nested transform
+    # computes md5 ONCE per token; ``conv`` parses its hex ONCE into an
+    # integer word, replacing the exploded form's 16 string-position ops
+    # per token with constant integer shifts.
+    words = (
+        f"transform(transform(array_distinct(split({text_col}, ' ')), "
+        "__t__ -> md5(__t__)), __h__ -> "
+        "shiftleft(CAST(conv(substring(__h__, 1, 8), 16, 10) AS BIGINT), 32)"
+        " | CAST(conv(substring(__h__, 9, 8), 16, 10) AS BIGINT))"
     )
     base = (
         spread(df)
         .filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), words.alias("__hw__"))
+        .selectExpr(id_col, f"{words} AS __hw__")
     )
     # ENFORCED contract (not just a comment): the 16-bit SWAR lanes
     # below overflow into the adjacent bit-plane counter at 65536
@@ -467,22 +476,15 @@ def simhash64_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # raise with the offending doc id instead. The guard sits in the
     # data path (the value IS the guarded column), so the optimizer
     # cannot prune it away.
-    base = base.select(
-        F.col(id_col),
-        F.when(F.size("__hw__") < 65536, F.col("__hw__"))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "simhash64_text: document has >= 65536 distinct"
-                        " tokens (16-bit SWAR lane contract); chunk it"
-                        " upstream: id="
-                    ),
-                    F.col(id_col).cast("string"),
-                )
-            )
-        )
-        .alias("__hw__"),
+    guard_msg = (
+        "simhash64_text: document has >= 65536 distinct"
+        " tokens (16-bit SWAR lane contract); chunk it"
+        " upstream: id="
+    )
+    base = base.selectExpr(
+        id_col,
+        "CASE WHEN size(__hw__) < 65536 THEN __hw__ ELSE raise_error("
+        f"concat('{guard_msg}', CAST({id_col} AS STRING))) END AS __hw__",
     )
     # SWAR bit-plane counting: plane word k accumulates the ones-counts
     # of bit planes {k, k+16, k+32, k+48} in four independent 16-bit
@@ -491,53 +493,46 @@ def simhash64_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # Higher-order-function lambdas are interpreted per element, so the
     # work per element is the dominant cost. The arithmetic shift's
     # sign-extension only reaches bits > 48 for k <= 15, which the lane
-    # mask never selects. CONTRACT: < 65536 distinct tokens per doc
-    # (16-bit lanes); chunk monster docs upstream.
+    # mask never selects. ONE fold with a 16-field struct accumulator
+    # (measured ~25% faster than 16 separate folds: one traversal doing
+    # 16 adds beats 16 traversals). CONTRACT: < 65536 distinct tokens
+    # per doc (16-bit lanes); chunk monster docs upstream.
     lane_mask = 0x0001000100010001
-    # ONE fold with a 16-field struct accumulator (measured ~25% faster
-    # than 16 separate folds: higher-order lambdas are interpreted per
-    # element, so one traversal doing 16 adds beats 16 traversals).
-    init = F.struct(
-        *[F.lit(0).cast("bigint").alias(f"p{k}") for k in range(16)]
+    init = ", ".join(f"'p{k}', CAST(0 AS BIGINT)" for k in range(16))
+    steps = ", ".join(
+        f"'p{k}', __acc__.p{k} + (shiftright(__x__, {k}) & {lane_mask})"
+        for k in range(16)
     )
-    acc16 = F.aggregate(
-        F.col("__hw__"),
-        init,
-        lambda acc, x: F.struct(
-            *[
-                (
-                    acc[f"p{k}"]
-                    + F.shiftright(x, k).bitwiseAND(F.lit(lane_mask))
-                ).alias(f"p{k}")
-                for k in range(16)
-            ]
-        ),
+    planes = base.selectExpr(
+        id_col,
+        "size(__hw__) AS __n__",
+        f"aggregate(__hw__, named_struct({init}), "
+        f"(__acc__, __x__) -> named_struct({steps})) AS __P__",
     )
-    planes = base.select(
-        F.col(id_col),
-        F.size("__hw__").alias("__n__"),
-        acc16.alias("__P__"),
-    ).select(
-        F.col(id_col),
-        F.col("__n__"),
-        *[F.col("__P__")[f"p{k}"].alias(f"p{k}") for k in range(16)],
-    )
-    # Vote sum for simhash bit b = 2*ones - n; its sign is all
-    # _simhash_hex needs. Bit-numbering parity with simhash64: simhash
-    # bit b is hex char b//4+1's LSB-first offset b%4, and hex char i+1
-    # covers bits 63-4i..60-4i of the 64-bit word — so b maps to word
-    # bit m = 4*(15 - b//4) + b%4, which lives in plane m%16, lane m//16.
-    def s(b: int):
-        m = 4 * (15 - b // 4) + b % 4
+    # Vote sum for simhash bit b = 2*ones - n; only its sign matters.
+    # Bit-numbering parity with simhash64: simhash bit b is hex char
+    # b//4+1's LSB-first offset b%4, and hex char i+1 covers bits
+    # 63-4i..60-4i of the 64-bit word — so bit b=4i+j maps to word bit
+    # m = 4*(15 - i) + j, which lives in plane m%16, lane m//16. The
+    # vote and hex-digit folds are ONE generated select (struct-field
+    # reads recompute nothing).
+    def vote(i: int, j: int) -> str:
+        m = 4 * (15 - i) + j
         return (
-            F.shiftright(F.col(f"p{m % 16}"), 16 * (m // 16))
-            .bitwiseAND(F.lit(0xFFFF))
-            * 2
-            - F.col("__n__")
-        ).alias(f"s{b}")
+            f"(shiftright(__P__.p{m % 16}, {16 * (m // 16)}) & 65535)"
+            " * 2 - __n__"
+        )
 
-    votes = planes.select(F.col(id_col), *[s(b) for b in range(64)])
-    return _simhash_hex(votes, id_col)
+    digits = ", ".join(
+        f"substring('{HEX}', 1 + "
+        + " + ".join(
+            f"(CASE WHEN {vote(i, j)} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(4)
+        )
+        + ", 1)"
+        for i in range(16)
+    )
+    return planes.selectExpr(id_col, f"concat({digits}) AS simhash")
 
 
 def simhash64(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
@@ -761,7 +756,22 @@ def simhash_near_dup_pairs(
         bands = tracked_persist(budget_filter(bands, "band_key", *budget))
     x = bands.alias("x")
     y = bands.alias("y")
-    cand = (
+    nib = (
+        "(position(substr({s}, {i}, 1) IN '" + HEX + "') - 1)"
+    )
+    hamming = " + ".join(
+        f"bit_count({nib.format(s='sa', i=i)} ^ {nib.format(s='sb', i=i)})"
+        for i in range(1, 17)
+    )
+    # Verify BEFORE dedup (r12): hamming is a row-wise function of the
+    # pair, so filter-then-distinct equals distinct-then-filter — but
+    # the exact popcount verify is 16 JVM integer ops while the distinct
+    # is an exchange. Running the verify map-side on each band collision
+    # (a multi-band pair is re-verified once per shared band — bounded
+    # by n_bands) means the distinct shuffles only SURVIVING pairs
+    # (3 small columns), not every candidate with two 16-char
+    # signatures.
+    return (
         x.join(
             y,
             (F.col("x.band_key") == F.col("y.band_key"))
@@ -773,22 +783,13 @@ def simhash_near_dup_pairs(
             F.col("x.simhash").alias("sa"),
             F.col("y.simhash").alias("sb"),
         )
-        .distinct()
-    )
-    nib = (
-        "(position(substr({s}, {i}, 1) IN '" + HEX + "') - 1)"
-    )
-    hamming = " + ".join(
-        f"bit_count({nib.format(s='sa', i=i)} ^ {nib.format(s='sb', i=i)})"
-        for i in range(1, 17)
-    )
-    return (
-        cand.select(
+        .select(
             "a_id",
             "b_id",
             F.expr(f"CAST({hamming} AS INT)").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

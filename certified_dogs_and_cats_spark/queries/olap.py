@@ -2225,7 +2225,14 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import tracked_persist
 
     baskets = tracked_persist(baskets)
-    n_orders = baskets.count()
+    # The lift denominator scalar rides the plan as a broadcast 1-row
+    # aggregate (the ratio_cross_join scalar-combine pattern) instead of
+    # a driver-side count() action: one job instead of two, no count
+    # result on the driver (r12; the persisted baskets frame now feeds
+    # three consumers).
+    n_orders_df = baskets.agg(
+        F.count("*").cast("bigint").alias("__n_orders__")
+    )
     bc = (
         baskets.select(F.explode("bs").alias("brand"))
         .groupBy("brand")
@@ -2254,6 +2261,7 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("cnt").alias("n_b"))),
             "brand_b",
         )
+        .crossJoin(F.broadcast(n_orders_df))
     )
     return out.select(
         "brand_a",
@@ -2263,7 +2271,7 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("bigint").alias("n_b"),
         (
             F.col("n_pairs").cast("double")
-            * F.lit(n_orders)
+            * F.col("__n_orders__")
             / (F.col("n_a") * F.col("n_b"))
         ).alias("lift"),
     )

@@ -242,18 +242,20 @@ def _bpe_nested_replace(expr: str) -> str:
 )
 def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION with a fixed literal 20-rule merge table
-    (extensions.bpe.apply_bpe — the trained-merge replay; training itself
-    is iterative and pytest-pinned, but application with frozen rules is
-    a pure per-word JVM fold and therefore oracle-checkable). Text is
-    lowercased and restricted to [a-z ] first so the oracle's
-    delimiter-wrapped replace replay never collides with data characters.
-    Plan: zero shuffles until the per-doc reassembly aggregate — the 20
-    merge rules ride in the plan as literals and every fold is codegen;
-    at 100 TB this is the map-side tokenize stage of shard export, and
-    the broadcastable merge table is the whole model."""
+    (extensions.bpe.apply_bpe_replace — the trained-merge replay under
+    the [a-z ] charset contract; training itself is iterative and
+    pytest-pinned, but application with frozen rules is a pure JVM
+    string replay and therefore oracle-checkable). Text is lowercased
+    and restricted to [a-z ] first, which both engines' delimiter-
+    wrapped replace replay requires. Plan: ZERO shuffles — the whole
+    tokenize is one codegen'd projection per document (r12: the prior
+    per-word fold paid 20 interpreted aggregate() lambdas per word plus
+    a per-doc reassembly shuffle); the 20 merge rules ride in the plan
+    as literals; at 100 TB this is the map-side tokenize stage of shard
+    export, and the broadcastable merge table is the whole model."""
     from pyspark.sql import functions as F
 
-    from ..extensions.bpe import apply_bpe
+    from ..extensions.bpe import apply_bpe_replace
 
     docs = (
         t(spark, sf_dir, "documents")
@@ -263,7 +265,7 @@ def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^a-z ]", " ").alias("t"),
         )
     )
-    out = apply_bpe(docs, "doc_id", "t", BPE_MERGES)
+    out = apply_bpe_replace(docs, "doc_id", "t", BPE_MERGES)
     return out.select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_tokens"),

@@ -86,9 +86,32 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-session scan memo: (sf_dir, name) -> (session, DataFrame). A scan
+# DataFrame holds METADATA only (the parquet footer schema, the file
+# listing) — data is re-read from the files at every execution, so this
+# caches no results, only the ~0.1 s footer-read + Dataset-analysis cost
+# every load_table call pays through Py4J (measured 126 s aggregate
+# plan-construction time across the 270-query roster before the memo,
+# r12 — the single largest driver-side cost in the bench). Safe because
+# testdata dirs are immutable within a process (the read-only
+# /root/testdata mounts; scripts that synthesize a dir do so before
+# their first load). A different or restarted session misses the
+# identity check and reloads.
+_SCAN_MEMO: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
+    hit = _SCAN_MEMO.get((sf_dir, name))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _load_table(spark, sf_dir, name)
+    _SCAN_MEMO[(sf_dir, name)] = (spark, df)
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         path = os.path.join(sf_dir, "events.parquet")
         if events_ts_kind(sf_dir) == "nanos":

@@ -4,6 +4,8 @@ semantics, early stop, and tokenization round-trip."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from certified_dogs_and_cats_spark.extensions.bpe import (
@@ -132,3 +134,34 @@ def test_checkpointed_training_is_identical(spark):
     assert train_bpe(df, "text", n_merges=10, checkpoint_every=2) == train_bpe(
         df, "text", n_merges=10, checkpoint_every=100
     )
+
+
+def test_apply_replace_matches_fold(spark):
+    """apply_bpe_replace (nested-string-replace replay, r12) is
+    bit-identical to apply_bpe's per-word fold on charset-valid input —
+    including overlap greediness, empty-word drops, and word-boundary
+    isolation."""
+    from certified_dogs_and_cats_spark.extensions.bpe import apply_bpe_replace
+
+    corpus = CORPUS + ["aaaa aaaa  aaaa", "  padded   words  ", "x"]
+    df = _docs(spark, corpus)
+    merges = train_bpe(df, "text", n_merges=8)
+    fold = {
+        r.doc_id: list(r.tokens)
+        for r in apply_bpe(df, "doc_id", "text", merges).collect()
+    }
+    rep = {
+        r.doc_id: list(r.tokens)
+        for r in apply_bpe_replace(df, "doc_id", "text", merges).collect()
+    }
+    assert rep == fold
+
+
+def test_apply_replace_rejects_delimiter_charset(spark):
+    from certified_dogs_and_cats_spark.extensions.bpe import apply_bpe_replace
+
+    df = _docs(spark, ["ab ab"])
+    with pytest.raises(ValueError, match="charset contract"):
+        apply_bpe_replace(df, "doc_id", "text", [("a", "|")])
+    with pytest.raises(ValueError, match="charset contract"):
+        apply_bpe_replace(df, "doc_id", "text", [("a b", "c")])
