@@ -426,14 +426,26 @@ def sssp_distances(
             F.col(weight_col).cast("bigint").alias("__w__"),
         ).repartition(F.col("__src__"))
     )
-    dist = spark.createDataFrame([(source, 0)], "__n__ BIGINT, __d__ BIGINT")
+    dist = spark.createDataFrame(
+        [(source, 0, 1)], "__n__ BIGINT, __d__ BIGINT, __imp__ INT"
+    )
 
     def relax(d0: DataFrame) -> DataFrame:
         """One flagged relaxation: (n, d, imp) where d = min over the
         union of candidates and current rows, imp = strictly improved
         (current row absent or shrunk) — the flag computed inside the
-        aggregate instead of a join back onto ``d0``."""
-        cand = d0.join(ed, d0["__n__"] == ed["__src__"]).select(
+        aggregate instead of a join back onto ``d0``. Only the FRONTIER
+        (rows improved by the previous round) is joined against the
+        edge frame (r12, the SPFA refinement of Bellman-Ford): an
+        unimproved node re-emits exactly the candidates it already
+        emitted, which cannot create new minima, so the fixed point —
+        and the round count: every <=r-edge shortest path is settled
+        after round r either way — is unchanged while the per-round
+        join shrinks from ALL settled nodes to the wave that actually
+        moved (the total rows joined across a traversal drop from
+        rounds x N to ~N on wave-like graphs)."""
+        frontier = d0.filter(F.col("__imp__") == 1)
+        cand = frontier.join(ed, frontier["__n__"] == ed["__src__"]).select(
             F.col("__dst__").alias("__n__"),
             (F.col("__d__") + F.col("__w__")).alias("__d__"),
             F.lit(0).alias("__old__"),
@@ -464,9 +476,7 @@ def sssp_distances(
     done = 0
     improved = 1
     while done < max_rounds and improved:
-        flagged = ckpt(
-            relax(dist.select("__n__", "__d__") if done else dist)
-        )
+        flagged = ckpt(relax(dist))
         done += 1
         improved = flagged.agg(F.sum("__imp__")).first()[0]
         dist = flagged

@@ -63,6 +63,15 @@ def adaptive_df_cap(
     a cluster would ever materialize.
     """
     freq = postings.groupBy(key_col).agg(F.count("*").alias("df"))
+    return _cap_from_freq(freq, num, den)
+
+
+def _cap_from_freq(freq: DataFrame, num: int, den: int) -> DataFrame:
+    """:func:`adaptive_df_cap` from a pre-computed ``(key, df)`` frame —
+    split out so :func:`budget_filter` aggregates the posting frame into
+    ``freq`` ONCE and derives both the cap and the join side from it
+    (the cap decision is a pure function of the df histogram, so the
+    result is identical)."""
     hist = freq.groupBy("df").agg(F.count("*").alias("n"))
     w_cum = Window.orderBy("df").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -96,9 +105,26 @@ def budget_filter(
     adaptive cap. Same columns out as in; downstream sizes/intersections
     are computed post-filter, exactly like the fixed df-cap path. The
     1-row cap frame rides in on a broadcast scalar combine (the
-    ratio_cross_join pattern) — no driver collect, plan stays lazy."""
+    ratio_cross_join pattern) — no driver collect, plan stays lazy.
+
+    Plan shape (r12, guide §5): the posting frame is consumed by the
+    frequency aggregate AND the filter join, and its upstream is the
+    expensive part of every caller (a corpus-scale shingle explode or
+    signature projection), so it is persisted here instead of being
+    recomputed per consumer — previously the cap aggregate, the freq
+    aggregate and the join side each re-ran the upstream (three full
+    corpus passes per candidate build, visible as three identical scan
+    branches in the physical plan). The freq aggregate itself is shared
+    between the cap decision and the join (``_cap_from_freq``). Callers
+    that run many queries per session release via
+    :func:`certified_dogs_and_cats_spark.cache.release_cached`."""
+    from ..cache import tracked_persist
+
+    postings = tracked_persist(postings)
     freq = postings.groupBy(key_col).agg(F.count("*").alias("__df__"))
-    cap = adaptive_df_cap(postings, key_col, num, den)
+    cap = _cap_from_freq(
+        freq.select(F.col("__df__").alias("df")), num, den
+    )
     return (
         postings.join(freq, key_col)
         .crossJoin(F.broadcast(cap))
