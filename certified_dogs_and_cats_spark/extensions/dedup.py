@@ -1173,7 +1173,14 @@ def prefix_filter_jaccard_pairs(
     # scale bottleneck): sorting each doc's (df, token) structs yields
     # the same order distributedly.
     vocab = toks.groupBy("shingle").agg(F.count("*").alias("__df"))
-    per_id = (
+    from ..cache import tracked_persist
+
+    # per_id feeds FOUR plan branches (both prefix-explode sides of the
+    # candidate join, then both array-verify sides); without the persist
+    # the df-join + collect_list aggregation over the full shingle stream
+    # executes once per branch (4 identical subtrees in the physical
+    # plan, no exchange reuse across the differing downstream aliases).
+    per_id = tracked_persist(
         toks.join(vocab, "shingle")
         .groupBy("__id")
         .agg(

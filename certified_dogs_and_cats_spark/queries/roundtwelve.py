@@ -589,16 +589,16 @@ MAT_DIMS = (8, 16, 32, 64)
 MAT_K = 5
 
 
-def _mat_cos_col(qe, e, qn, vn):
-    """Prefix cosine from a PRE-COMPUTED norm pair: the pair projection
-    pays only the one q·v fold — norms are per-vector (O(N)), computed
-    once before the join, never per pair (12 folds/pair → 4, measured
-    4.5 s → ~1 s for the pair stage). Each prefix dot is its OWN
-    sequential fold — segment prefix-sums would round differently
-    across engines."""
-    den = qn * vn
+def _mat_cos_col(d: int):
+    """Prefix cosine from the PRE-COMPUTED norm pair and the INCREMENTAL
+    prefix dot (``__d_{d}__``, see :func:`_mat_pairs`): norms are
+    per-vector (O(N)), computed once before the join, never per pair;
+    the dots share work across prefixes. The dot column is evaluated
+    unconditionally, but a zero denominator still yields NULL — the
+    discarded dot value cannot change the output."""
+    den = F.col(f"qn_{d}") * F.col(f"nrm_{d}")
     return F.when(den == 0, F.lit(None).cast("double")).otherwise(
-        F.round(dot(qe, e) / den, 6)
+        F.round(F.col(f"__d_{d}__") / den, 6)
     )
 
 
@@ -631,22 +631,40 @@ def _mat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         *[F.col(f"nrm_{d}").alias(f"qn_{d}") for d in MAT_DIMS],
     )
-    return (
+    # Incremental prefix dots: the element products are computed ONCE per
+    # pair, and each prefix dot CONTINUES the previous prefix's fold
+    # (init = the shorter dot) — the very same left-to-right IEEE
+    # addition sequence as an independent fold over the full prefix
+    # (0 + p1 + ... + pd), so every cos_{d} is bit-identical to the
+    # per-prefix-fold form the oracle replays, at 8+8+16+32 adds per
+    # pair instead of 8+16+32+64 (and one 64-mult product array instead
+    # of four sliced re-multiplications). Each dot lands in its own
+    # chained projection so downstream prefixes REFERENCE it (two uses
+    # blocks CollapseProject from inlining the fold twice).
+    paired = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            *[
-                _mat_cos_col(
-                    F.slice("qe", 1, d),
-                    F.slice("e", 1, d),
-                    F.col(f"qn_{d}"),
-                    F.col(f"nrm_{d}"),
-                ).alias(f"cos_{d}")
-                for d in MAT_DIMS
-            ],
+        .withColumn(
+            "__prod__",
+            F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
         )
+    )
+    prev_d = 0
+    for d in MAT_DIMS:
+        init = F.lit(0.0) if prev_d == 0 else F.col(f"__d_{prev_d}__")
+        paired = paired.withColumn(
+            f"__d_{d}__",
+            F.aggregate(
+                F.slice("__prod__", prev_d + 1, d - prev_d),
+                init,
+                lambda acc, x: acc + x,
+            ),
+        )
+        prev_d = d
+    return paired.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        *[_mat_cos_col(d).alias(f"cos_{d}") for d in MAT_DIMS],
     )
 
 
