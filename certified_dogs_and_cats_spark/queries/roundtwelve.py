@@ -382,11 +382,21 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(len(BM25_TERMS))
     )
     tf_total = sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS)))
-    rel = base.select(
-        "doc_id",
-        relevant.alias("relevant"),
-        F.round(tf_total.cast("double") / F.col("dl"), 6).alias("tfn_score"),
-        hits.alias("hits"),
+    from ..cache import tracked_persist
+
+    # rel feeds THREE branches (the n_relevant aggregate, the tf-norm
+    # top-k, and the relevance join onto the BM25 ranking); without the
+    # persist each branch re-ran the corpus tokenize + per-term tf
+    # projection (three identical scan subtrees in the physical plan).
+    rel = tracked_persist(
+        base.select(
+            "doc_id",
+            relevant.alias("relevant"),
+            F.round(tf_total.cast("double") / F.col("dl"), 6).alias(
+                "tfn_score"
+            ),
+            hits.alias("hits"),
+        )
     )
     nrel = rel.agg(
         F.sum(F.when(F.col("relevant"), 1).otherwise(0))

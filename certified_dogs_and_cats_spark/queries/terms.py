@@ -248,10 +248,17 @@ def _bm25_scored(
         # F.filter as the ELEMENT INDEX, not a closure slot
         return F.size(F.filter(toks, lambda x: x == tm)).cast("bigint")
 
-    base = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("dl"),
-        *[tf_col(tm).alias(f"tf{i}") for i, tm in enumerate(terms)],
+    from ..cache import tracked_persist
+
+    # base feeds the stats aggregate AND the scoring projection; without
+    # the persist the corpus tokenize + per-term tf columns ran twice
+    # (two identical scan subtrees) in every consumer of this core.
+    base = tracked_persist(
+        t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("dl"),
+            *[tf_col(tm).alias(f"tf{i}") for i, tm in enumerate(terms)],
+        )
     )
     stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
