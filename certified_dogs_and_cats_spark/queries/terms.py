@@ -272,17 +272,29 @@ def _bm25_scored(
             for i in range(len(terms))
         ],
     )
+    # Hoist each term's idf into the 1-row stats frame: it depends only
+    # on (n_docs, df_i), yet inlined in term_score it was re-evaluated
+    # per DOCUMENT row — for the series-ln mode that is a ~40-op
+    # deterministic-ln expansion per term per row (guide §4, per-row
+    # work; the dominant exec cost of bm25_textbook_topk, r12). Computed
+    # once here, the value is bit-identical (same IEEE sequence on the
+    # same inputs) and rides the same broadcast.
+    def idf_col(i: int):
+        dfc = F.col(f"df{i}")
+        if idf_mode == "rational":
+            return (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        return F.expr(
+            series_ln_sql(f"(2 * n_docs + 2)", f"(2 * df{i} + 1)", "spark")
+        )
+
+    stats = stats.select(
+        "*", *[idf_col(i).alias(f"idf{i}") for i in range(len(terms))]
+    )
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
 
     def term_score(i: int):
         tf = F.col(f"tf{i}")
-        dfc = F.col(f"df{i}")
-        if idf_mode == "rational":
-            idf = (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
-        else:
-            idf = F.expr(
-                series_ln_sql(f"(2 * n_docs + 2)", f"(2 * df{i} + 1)", "spark")
-            )
+        idf = F.col(f"idf{i}")
         return idf * (
             (tf * (k1 + F.lit(1.0)))
             / (
