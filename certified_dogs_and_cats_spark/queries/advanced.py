@@ -276,16 +276,24 @@ def concurrent_orders_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative is |orders| * avg_duration rows — quadratic waste)."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    spans = (
-        o.join(
-            # NULL ship dates would put a NULL day into the running
-            # window, whose sort position differs across engines.
-            li.filter(F.col("l_shipdate").isNotNull()),
-            o.o_orderkey == li.l_orderkey,
-        )
-        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
+    # Pre-aggregate lineitem to its per-order max ship date BEFORE the
+    # fact-fact join (guide §2, partial/map-side aggregation): the
+    # groupBy's map-side partial max collapses the ~4 lines per order
+    # before the exchange, so the join shuffles |orders| aggregated rows
+    # instead of |lineitem| raw rows, and the old post-join re-aggregate
+    # disappears. Identical result: d0 is functionally dependent on
+    # o_orderkey (one orders row per key), so grouping the joined stream
+    # by (o_orderkey, d0) computed the same per-order max.
+    li_max = (
+        # NULL ship dates would put a NULL day into the running
+        # window, whose sort position differs across engines.
+        li.filter(F.col("l_shipdate").isNotNull())
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
     )
+    spans = o.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d0")
+    ).join(li_max, "o_orderkey")
     deltas = spans.select(
         F.col("d0").alias("day"), F.lit(1).alias("delta")
     ).unionByName(
