@@ -444,9 +444,15 @@ def bigram_fluency(
     vocab = base.select(F.explode(tarr).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
+    # Attach both counts with ONE pair-stream join: the model sides join
+    # each other first (big |><| ctx — both model-sized, vocab-scale), so
+    # the corpus-scale pair stream crosses a single equi-join instead of
+    # two (at 100 TB those are two sort-merge exchanges of every bigram
+    # occurrence; here one). Same (c12, c1) per pair — c1 is functionally
+    # dependent on w1 — so sums and the final division are unchanged.
+    model = big.join(ctx, "w1")
     scored = (
-        pairs.join(big, ["w1", "w2"])
-        .join(ctx, "w1")
+        pairs.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
