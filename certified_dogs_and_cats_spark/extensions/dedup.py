@@ -734,20 +734,40 @@ def simhash_near_dup_pairs(
             f"n_bands must divide the 16 hex digits evenly: {n_bands}"
         )
     band_w = 16 // n_bands
+    # Integer wire format (r12, guide §2.3/§4): the hex signature is
+    # parsed ONCE per document into a signed 64-bit word (two 8-hex-char
+    # conv halves — bit pattern exact even when the top bit sets), band
+    # values are constant shift+mask slices of it, and the band key is
+    # one BIGINT ((band_idx << band_bits) | band_val — a bijection of
+    # the old 'idx:hexval' string, so posting groups, the budget's df
+    # histogram, and hence the candidate set are IDENTICAL). Everything
+    # that shuffles (band key, id, signature word) is fixed-width
+    # integers instead of strings, and the exact verify is ONE
+    # bit_count(xor) per candidate instead of 16 per-nibble string
+    # position lookups — same hamming by nibble-decomposition of XOR.
+    band_bits = 4 * band_w
+    word = (
+        "shiftleft(CAST(conv(substring(simhash, 1, 8), 16, 10) AS BIGINT),"
+        " 32) | CAST(conv(substring(simhash, 9, 8), 16, 10) AS BIGINT)"
+    )
     stack_args = ", ".join(
-        f"{b}, substr(simhash, {b * band_w + 1}, {band_w})"
+        # n_bands=1 degenerates to the whole word (the mask literal
+        # 2^64-1 would not fit a BIGINT).
+        "__w__"
+        if band_bits >= 64
+        else (
+            f"CAST({(b << band_bits)} AS BIGINT) + "
+            f"(shiftright(__w__, {64 - band_bits * (b + 1)})"
+            f" & {(1 << band_bits) - 1})"
+        )
         for b in range(n_bands)
     )
-    bands = signatures.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)"),
-    ).select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.concat_ws(
-            ":", F.col("band_idx").cast("string"), F.col("band_val")
-        ).alias("band_key"),
+    bands = signatures.selectExpr(
+        id_col, f"({word}) AS __w__"
+    ).selectExpr(
+        id_col,
+        "__w__",
+        f"explode(array({stack_args})) AS band_key",
     )
     if budget is not None:
         from ..cache import tracked_persist
@@ -756,21 +776,13 @@ def simhash_near_dup_pairs(
         bands = tracked_persist(budget_filter(bands, "band_key", *budget))
     x = bands.alias("x")
     y = bands.alias("y")
-    nib = (
-        "(position(substr({s}, {i}, 1) IN '" + HEX + "') - 1)"
-    )
-    hamming = " + ".join(
-        f"bit_count({nib.format(s='sa', i=i)} ^ {nib.format(s='sb', i=i)})"
-        for i in range(1, 17)
-    )
     # Verify BEFORE dedup (r12): hamming is a row-wise function of the
     # pair, so filter-then-distinct equals distinct-then-filter — but
-    # the exact popcount verify is 16 JVM integer ops while the distinct
-    # is an exchange. Running the verify map-side on each band collision
-    # (a multi-band pair is re-verified once per shared band — bounded
-    # by n_bands) means the distinct shuffles only SURVIVING pairs
-    # (3 small columns), not every candidate with two 16-char
-    # signatures.
+    # the exact popcount verify is one JVM xor+popcount while the
+    # distinct is an exchange. Running the verify map-side on each band
+    # collision (a multi-band pair is re-verified once per shared band —
+    # bounded by n_bands) means the distinct shuffles only SURVIVING
+    # pairs (3 narrow columns), never candidate signatures.
     return (
         x.join(
             y,
@@ -780,13 +792,9 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"x.{id_col}").alias("a_id"),
             F.col(f"y.{id_col}").alias("b_id"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
-        )
-        .select(
-            "a_id",
-            "b_id",
-            F.expr(f"CAST({hamming} AS INT)").alias("hamming"),
+            F.expr("CAST(bit_count(x.__w__ ^ y.__w__) AS INT)").alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
