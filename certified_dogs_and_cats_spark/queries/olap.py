@@ -2217,10 +2217,45 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("okey"), "l_partkey"
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Bitmask baskets (r12, guide §2.3): the brand vocabulary is tiny
+    # (25 values), so each order's brand SET is one 64-bit word — a
+    # ``bit_or`` of per-line one-hot masks. The per-order aggregate then
+    # shuffles 16-byte (okey, mask) rows instead of partial string
+    # arrays, stays fully map-combinable, and set/pair expansion
+    # downstream works on integer bit indices. The bit index is assigned
+    # by brand sort order (row_number over the 25-row distinct — an
+    # aggregate-scale window), so index order IS lexicographic brand
+    # order and the (i < j) pair enumeration replays brand_a < brand_b
+    # exactly; the mask width contract (< 64 distinct brands) is
+    # ENFORCED in the data path via raise_error, not assumed.
+    bmap = F.broadcast(
+        p.select("p_brand")
+        .distinct()
+        .select(
+            "p_brand",
+            (
+                F.row_number().over(Window.orderBy("p_brand")) - 1
+            ).alias("__bidx__"),
+        )
+    )
+    onehot = F.expr(
+        "CASE WHEN __bidx__ < 64 THEN shiftleft(CAST(1 AS BIGINT), __bidx__)"
+        " ELSE raise_error(concat('basket_brand_affinity: brand vocabulary"
+        " exceeds the 64-bit basket mask: ', CAST(__bidx__ AS STRING)))"
+        " END"
+    )
     baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(bmap, "p_brand")
+        .select("okey", onehot.alias("__m__"))
         .groupBy("okey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .agg(F.expr("bit_or(__m__)").alias("mask"))
+        .select(
+            F.expr(
+                "filter(sequence(0, 63),"
+                " i -> (shiftright(mask, i) & 1) = 1)"
+            ).alias("bs")
+        )
     )
     from ..cache import tracked_persist
 
@@ -2234,33 +2269,40 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("__n_orders__")
     )
     bc = (
-        baskets.select(F.explode("bs").alias("brand"))
-        .groupBy("brand")
+        baskets.select(F.explode("bs").alias("bidx"))
+        .groupBy("bidx")
         .agg(F.count("*").alias("cnt"))
     )
     pair_expr = F.expr(
         "flatten(transform(bs, (x, i) -> "
         "transform(slice(bs, i + 2, size(bs)), "
-        "y -> struct(x AS brand_a, y AS brand_b))))"
+        "y -> struct(x AS ia, y AS ib))))"
     )
     pairs = (
         baskets.select(F.explode(pair_expr).alias("pr"))
-        .select("pr.brand_a", "pr.brand_b")
-        .groupBy("brand_a", "brand_b")
+        .select("pr.ia", "pr.ib")
+        .groupBy("ia", "ib")
         .agg(F.count("*").alias("n_pairs"))
         .filter(F.col("n_pairs") >= BASKET_MIN_PAIRS)
     )
+    names = F.broadcast(
+        bmap.select(F.col("__bidx__"), F.col("p_brand"))
+    )
     out = (
         pairs.join(
-            F.broadcast(bc.select(F.col("brand").alias("brand_a"),
+            F.broadcast(bc.select(F.col("bidx").alias("ia"),
                                   F.col("cnt").alias("n_a"))),
-            "brand_a",
+            "ia",
         )
         .join(
-            F.broadcast(bc.select(F.col("brand").alias("brand_b"),
+            F.broadcast(bc.select(F.col("bidx").alias("ib"),
                                   F.col("cnt").alias("n_b"))),
-            "brand_b",
+            "ib",
         )
+        .join(names.select(F.col("__bidx__").alias("ia"),
+                           F.col("p_brand").alias("brand_a")), "ia")
+        .join(names.select(F.col("__bidx__").alias("ib"),
+                           F.col("p_brand").alias("brand_b")), "ib")
         .crossJoin(F.broadcast(n_orders_df))
     )
     return out.select(
