@@ -37,10 +37,20 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 
 def release_cached() -> int:
-    """Unpersist every tracked frame; returns how many were released."""
+    """Unpersist every tracked frame; returns how many were released.
+
+    Defensive per frame: a caller that runs several sessions in one
+    process (the report scripts) may stop a session while its tracked
+    frames are still registered — unpersisting those raises from a dead
+    BlockManagerMaster, and the storage is already gone with the
+    context, so the failure carries no information. Never let one dead
+    frame block releasing the live ones."""
     n = len(_TRACKED)
     for df in _TRACKED:
-        df.unpersist()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — dead context; storage is gone
+            pass
     _TRACKED.clear()
     return n
 

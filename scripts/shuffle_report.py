@@ -460,6 +460,11 @@ def main() -> None:
         simhash_incidence(probe, SMALL),
         simhash_incidence(probe, LARGE),
     )
+    # The incidence probes go through budget_filter, which registers
+    # tracked persists (r12): release them while their session is alive,
+    # or the next release_cached() in topk_pushdown_sweep unpersists
+    # frames of a stopped context (NPE in BlockManagerMaster).
+    release_cached()
     probe.stop()
     fam = [
         ("3-shingle exact (`dedup_ngram_jaccard`, `dedup_threshold_sweep`, "
