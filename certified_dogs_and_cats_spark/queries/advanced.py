@@ -2029,7 +2029,11 @@ def token_js_divergence_by_source(
     cnt = tk.groupBy("source", "tok").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    g = cnt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("gc"))
+    from ..cache import tracked_persist
+
+    g = tracked_persist(
+        cnt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("gc"))
+    )
     tot = cnt.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("p_tot")
     )
