@@ -363,25 +363,27 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-scale aggregates — at 100 TB the cost is the scan."""
     scored = _bm25_scored(spark, sf_dir, k=NDCG_K)
     docs = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-
-    def tf_col(tm: str):
-        return F.size(F.filter(toks, lambda x: x == tm)).cast("bigint")
-
-    base = docs.select(
+    # Generated SQL text throughout (r12, the simhash64_text treatment):
+    # the Column-object form of the tf/relevance/DCG trees paid one Py4J
+    # round-trip per node and dominated this query's CONSTRUCTION wall
+    # (2.1 s construct vs 0.9 s exec measured); the parsed trees are the
+    # same expressions with the same literals, so every value is
+    # bit-identical.
+    n = len(BM25_TERMS)
+    base = docs.selectExpr(
         "doc_id",
-        F.size(toks).cast("bigint").alias("dl"),
-        *[tf_col(tm).alias(f"tf{i}") for i, tm in enumerate(BM25_TERMS)],
+        "CAST(size(split(text, ' ')) AS BIGINT) AS dl",
+        *[
+            "CAST(size(filter(split(text, ' '),"
+            f" x -> x = '{tm}')) AS BIGINT) AS tf{i}"
+            for i, tm in enumerate(BM25_TERMS)
+        ],
     )
-    relevant = None
-    for i in range(len(BM25_TERMS)):
-        c = F.col(f"tf{i}") > 0
-        relevant = c if relevant is None else (relevant & c)
-    hits = sum(
-        F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
-        for i in range(len(BM25_TERMS))
+    relevant_sql = " AND ".join(f"tf{i} > 0" for i in range(n))
+    hits_sql = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(n)
     )
-    tf_total = sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS)))
+    tf_total_sql = " + ".join(f"tf{i}" for i in range(n))
     from ..cache import tracked_persist
 
     # rel feeds THREE branches (the n_relevant aggregate, the tf-norm
@@ -389,13 +391,11 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist each branch re-ran the corpus tokenize + per-term tf
     # projection (three identical scan subtrees in the physical plan).
     rel = tracked_persist(
-        base.select(
+        base.selectExpr(
             "doc_id",
-            relevant.alias("relevant"),
-            F.round(tf_total.cast("double") / F.col("dl"), 6).alias(
-                "tfn_score"
-            ),
-            hits.alias("hits"),
+            f"({relevant_sql}) AS relevant",
+            f"round(CAST({tf_total_sql} AS DOUBLE) / dl, 6) AS tfn_score",
+            f"({hits_sql}) AS hits",
         )
     )
     nrel = rel.agg(
@@ -417,28 +417,18 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = bm25_ranked.unionByName(tfn_ranked).filter(
         F.col("rnk") <= NDCG_K
     )
-    dcg_expr = None
-    for i, d in enumerate(_DISCOUNTS):
-        term = F.max(
-            F.when(
-                (F.col("rnk") == i + 1) & F.col("relevant"), F.lit(d)
-            ).otherwise(F.lit(0.0))
-        )
-        dcg_expr = term if dcg_expr is None else (dcg_expr + term)
-    dcg = ranked.groupBy("ranker").agg(dcg_expr.alias("dcg"))
-    # IDCG CASE in descending-r order, exactly like the SQL.
-    idcg = None
-    for r in range(NDCG_K, 0, -1):
-        if idcg is None:
-            idcg = F.when(F.col("r") >= r, F.lit(_IDCG[r - 1]))
-        else:
-            idcg = idcg.when(F.col("r") >= r, F.lit(_IDCG[r - 1]))
-    idcg = idcg.otherwise(F.lit(None))
-    return dcg.crossJoin(F.broadcast(nrel)).select(
+    # The 10 DCG terms and the descending-r IDCG CASE reuse the same
+    # generated text the oracle runs (_dcg_terms_sql/_idcg_case_sql emit
+    # engine-neutral SQL; exponent-form literals parse as the exact
+    # Python doubles in both engines).
+    dcg = ranked.groupBy("ranker").agg(
+        F.expr(_dcg_terms_sql()).alias("dcg")
+    )
+    return dcg.crossJoin(F.broadcast(nrel)).selectExpr(
         "ranker",
-        F.col("r").alias("n_relevant"),
-        F.round(F.col("dcg"), 6).alias("dcg"),
-        F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
+        "r AS n_relevant",
+        "round(dcg, 6) AS dcg",
+        f"round(dcg / ({_idcg_case_sql('r')}), 6) AS ndcg",
     )
 
 

@@ -241,34 +241,37 @@ def _bm25_scored(
     if idf_mode not in ("rational", "series_ln"):
         raise ValueError(f"unknown idf_mode {idf_mode!r}")
     terms = list(BM25_TERMS if terms is None else terms)
-    toks = F.split("text", " ")
-
-    def tf_col(tm: str):
-        # single-arg lambda only: a second parameter would be read by
-        # F.filter as the ELEMENT INDEX, not a closure slot
-        return F.size(F.filter(toks, lambda x: x == tm)).cast("bigint")
 
     from ..cache import tracked_persist
 
     # base feeds the stats aggregate AND the scoring projection; without
     # the persist the corpus tokenize + per-term tf columns ran twice
     # (two identical scan subtrees) in every consumer of this core.
+    # The projection/aggregate expressions are generated SQL text parsed
+    # once in the JVM (r12, the simhash64_text treatment): the Column-
+    # object form paid one Py4J round-trip per node of every tf/score
+    # tree, which dominated this family's CONSTRUCTION wall clock. The
+    # parsed trees are the same expressions (same literals, same
+    # left-associated operator order), so every score is bit-identical.
     base = tracked_persist(
-        t(spark, sf_dir, "documents").select(
+        t(spark, sf_dir, "documents").selectExpr(
             "doc_id",
-            F.size(toks).cast("bigint").alias("dl"),
-            *[tf_col(tm).alias(f"tf{i}") for i, tm in enumerate(terms)],
+            "CAST(size(split(text, ' ')) AS BIGINT) AS dl",
+            *[
+                "CAST(size(filter(split(text, ' '),"
+                f" x -> x = '{tm}')) AS BIGINT) AS tf{i}"
+                for i, tm in enumerate(terms)
+            ],
         )
     )
     stats = base.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(*)").alias("avgdl"),
         *[
-            F.sum(
-                F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias(f"df{i}")
+            F.expr(
+                f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"df{i}")
             for i in range(len(terms))
         ],
     )
@@ -279,45 +282,37 @@ def _bm25_scored(
     # work; the dominant exec cost of bm25_textbook_topk, r12). Computed
     # once here, the value is bit-identical (same IEEE sequence on the
     # same inputs) and rides the same broadcast.
-    def idf_col(i: int):
-        dfc = F.col(f"df{i}")
+    def idf_sql(i: int) -> str:
         if idf_mode == "rational":
-            return (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
-        return F.expr(
-            series_ln_sql(f"(2 * n_docs + 2)", f"(2 * df{i} + 1)", "spark")
-        )
+            return f"(n_docs - df{i} + 0.5E0) / (df{i} + 0.5E0)"
+        return series_ln_sql(f"(2 * n_docs + 2)", f"(2 * df{i} + 1)", "spark")
 
-    stats = stats.select(
-        "*", *[idf_col(i).alias(f"idf{i}") for i in range(len(terms))]
+    stats = stats.selectExpr(
+        "*", *[f"{idf_sql(i)} AS idf{i}" for i in range(len(terms))]
     )
-    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    # Literals in exponent form parse as DOUBLE (plain decimals parse as
+    # DECIMAL); repr round-trips the exact Python float, so the parsed
+    # constants equal the old F.lit values bit-for-bit.
+    k1, b = f"{BM25_K1!r}E0", f"{BM25_B!r}E0"
 
-    def term_score(i: int):
-        tf = F.col(f"tf{i}")
-        idf = F.col(f"idf{i}")
-        return idf * (
-            (tf * (k1 + F.lit(1.0)))
-            / (
-                tf
-                + k1
-                * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
-            )
+    def term_score_sql(i: int) -> str:
+        return (
+            f"idf{i} * ((tf{i} * ({k1} + 1.0E0))"
+            f" / (tf{i} + {k1} * (1.0E0 - {b} + {b} * dl / avgdl)))"
         )
 
-    hits = sum(
-        F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+    hits_sql = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
         for i in range(len(terms))
     )
-    score = term_score(0)
-    for i in range(1, len(terms)):
-        score = score + term_score(i)
+    score_sql = " + ".join(term_score_sql(i) for i in range(len(terms)))
     scored = (
         base.crossJoin(F.broadcast(stats))
-        .filter(hits > 0)
-        .select(
+        .filter(F.expr(f"({hits_sql}) > 0"))
+        .selectExpr(
             "doc_id",
-            hits.cast("int").alias("n_terms_hit"),
-            F.round(score, 6).alias("score"),
+            f"CAST({hits_sql} AS INT) AS n_terms_hit",
+            f"round({score_sql}, 6) AS score",
         )
     )
     top = scored.orderBy(
