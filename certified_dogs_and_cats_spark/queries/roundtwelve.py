@@ -589,19 +589,6 @@ MAT_DIMS = (8, 16, 32, 64)
 MAT_K = 5
 
 
-def _mat_cos_col(d: int):
-    """Prefix cosine from the PRE-COMPUTED norm pair and the INCREMENTAL
-    prefix dot (``__d_{d}__``, see :func:`_mat_pairs`): norms are
-    per-vector (O(N)), computed once before the join, never per pair;
-    the dots share work across prefixes. The dot column is evaluated
-    unconditionally, but a zero denominator still yields NULL — the
-    discarded dot value cannot change the output."""
-    den = F.col(f"qn_{d}") * F.col(f"nrm_{d}")
-    return F.when(den == 0, F.lit(None).cast("double")).otherwise(
-        F.round(F.col(f"__d_{d}__") / den, 6)
-    )
-
-
 def _mat_cos_sql(d: int) -> str:
     return (
         f"CASE WHEN q.qn_{d} * v.nrm_{d} = 0 THEN NULL"
@@ -613,23 +600,34 @@ def _mat_cos_sql(d: int) -> str:
 def _mat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scored candidate pairs with every prefix cosine: per-vector
     prefix norms are computed ONCE before the join (12 folds/pair -> 4;
-    norm cost O(N), never O(N*|Q|)); Q is the bounded broadcast side."""
+    norm cost O(N), never O(N*|Q|)); Q is the bounded broadcast side.
+
+    All expression trees are generated SQL text parsed once in the JVM
+    (r12, the simhash64_text treatment — the Column-object form paid one
+    Py4J round-trip per node of the norm/product/fold trees and
+    dominated this query's construction wall). The parsed folds are the
+    same expressions with the same double literals and fold order, so
+    every cosine is bit-identical."""
     e = t(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", as_double_vec("embedding").alias("e"))
+    base = e.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+    )
 
-    def prefix_norm(col, d: int):
-        s = F.slice(col, 1, d)
-        return F.sqrt(dot(s, s))
+    def prefix_norm_sql(d: int) -> str:
+        return (
+            f"sqrt(aggregate(zip_with(slice(e, 1, {d}), slice(e, 1, {d}),"
+            " (x, y) -> x * y), 0.0E0, (acc, x) -> acc + x))"
+        )
 
-    v = base.select(
+    v = base.selectExpr(
         "vec_id",
         "e",
-        *[prefix_norm(F.col("e"), d).alias(f"nrm_{d}") for d in MAT_DIMS],
+        *[f"{prefix_norm_sql(d)} AS nrm_{d}" for d in MAT_DIMS],
     )
-    q = v.filter(F.expr(_SIM_QUERY_PRED)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        *[F.col(f"nrm_{d}").alias(f"qn_{d}") for d in MAT_DIMS],
+    q = v.filter(F.expr(_SIM_QUERY_PRED)).selectExpr(
+        "vec_id AS query_id",
+        "e AS qe",
+        *[f"nrm_{d} AS qn_{d}" for d in MAT_DIMS],
     )
     # Incremental prefix dots: the element products are computed ONCE per
     # pair, and each prefix dot CONTINUES the previous prefix's fold
@@ -644,27 +642,26 @@ def _mat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "__prod__",
-            F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
-        )
+        .selectExpr("*", "zip_with(qe, e, (x, y) -> x * y) AS __prod__")
     )
     prev_d = 0
     for d in MAT_DIMS:
-        init = F.lit(0.0) if prev_d == 0 else F.col(f"__d_{prev_d}__")
-        paired = paired.withColumn(
-            f"__d_{d}__",
-            F.aggregate(
-                F.slice("__prod__", prev_d + 1, d - prev_d),
-                init,
-                lambda acc, x: acc + x,
-            ),
+        init = "0.0E0" if prev_d == 0 else f"__d_{prev_d}__"
+        paired = paired.selectExpr(
+            "*",
+            f"aggregate(slice(__prod__, {prev_d + 1}, {d - prev_d}),"
+            f" {init}, (acc, x) -> acc + x) AS __d_{d}__",
         )
         prev_d = d
-    return paired.select(
+    return paired.selectExpr(
         "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        *[_mat_cos_col(d).alias(f"cos_{d}") for d in MAT_DIMS],
+        "vec_id AS neighbor_id",
+        *[
+            f"CASE WHEN qn_{d} * nrm_{d} = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE round(__d_{d}__ / (qn_{d} * nrm_{d}), 6)"
+            f" END AS cos_{d}"
+            for d in MAT_DIMS
+        ],
     )
 
 
