@@ -309,33 +309,27 @@ def lsh_candidate_pairs(
             " trailing hashes would silently drop out of the S-curve"
         )
     n_bands = num_hashes // band_size
-    # Integer band keys (r12, guide §2.3): the join keys are the raw
-    # (band_idx, mh...) BIGINT columns — the old '|'-joined decimal
-    # string was an injective encoding of exactly these values, so the
-    # collision groups are identical, but each posting row shuffles
-    # band_size+1 fixed-width integers instead of an up-to-80-char
-    # string (and never pays the per-row concat).
     stack_args = []
     for b in range(n_bands):
-        cols = [f"mh{b * band_size + r}" for r in range(band_size)]
-        stack_args.append(f"{b}, {', '.join(cols)}")
-    vcols = [f"v{r}" for r in range(band_size)]
+        cols = [
+            f"cast(mh{b * band_size + r} as string)"
+            for r in range(band_size)
+        ]
+        stack_args.append(f"{b}, concat_ws('|', {', '.join(cols)})")
     bands = signatures.select(
         F.col(id_col),
         F.expr(
-            f"stack({n_bands}, {', '.join(stack_args)})"
-            f" AS (band_idx, {', '.join(vcols)})"
+            f"stack({n_bands}, {', '.join(stack_args)}) AS (band_idx, band_val)"
         ),
-    ).select(id_col, "band_idx", *vcols)
+    ).select(id_col, "band_idx", "band_val")
     x = bands.alias("x")
     y = bands.alias("y")
-    key_eq = (F.col("x.band_idx") == F.col("y.band_idx"))
-    for v in vcols:
-        key_eq = key_eq & (F.col(f"x.{v}") == F.col(f"y.{v}"))
     return (
         x.join(
             y,
-            key_eq & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
             F.col(f"x.{id_col}").alias("a_id"), F.col(f"y.{id_col}").alias("b_id")
