@@ -321,14 +321,14 @@ def main() -> None:
     # The driver records only the LAST ~2000 chars of stdout, so the
     # printed line must parse whole within that window. Compact
     # separators + 2-decimal values first; when the full named map does
-    # not fit (a 203-query roster is ~5.7 KB of names alone — no
-    # encoding of every name fits the window), the fallback stays
-    # SELF-ATTRIBUTING: every inline number keeps its query name — the
-    # slowest queries named individually (the ones a reader diffs),
-    # the remainder as one explicit rest_subtotal — rather than a
-    # positional array whose order lives in code the artifact can't see.
-    # The full named map is always in the committed BENCH_local.json,
-    # tied to this line by roster_sha.
+    # not fit (a 244-query roster is ~5.7 KB of names alone — no
+    # encoding of every name fits the window), the fallback keeps the
+    # PER-QUERY timings as a positional 2-decimal array "q" ordered by
+    # sorted(BENCH_QUERIES) — exactly the list roster_sha hashes, so the
+    # artifact itself pins the order — with the full named map in the
+    # committed BENCH_local.json (VERDICT r12 #2: the r11/r12 slim line
+    # dropped per-query data entirely, leaving PERF without per_query,
+    # geomean or scaling; this restores it within the stdout window).
     payload = json.dumps(
         {**base, "queries": {k: round(v, 2) for k, v in timings.items()}},
         separators=(",", ":"),
@@ -343,24 +343,34 @@ def main() -> None:
             json.dumps(sorted(BENCH_QUERIES)).encode()
         ).hexdigest()[:12]
         slim["queries_full"] = "BENCH_local.json"
-        # Fill the remaining window with the slowest queries, named; the
-        # untruncated remainder is one explicit aggregate.
-        slow = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-        top: dict[str, float] = {}
-        for k, v in slow:
-            top[k] = round(v, 2)
+        # Positional per-query array: q[i] is the timing of the i-th
+        # name in sorted(BENCH_QUERIES) — the very list roster_sha
+        # hashes — so dict(zip(sorted(BENCH_local["queries"]), q))
+        # reconstructs the named map and roster_sha verifies the order.
+        names_sorted = sorted(BENCH_QUERIES)
+        slim["q_order"] = "sorted(BENCH_QUERIES)"
+        slim["q"] = [round(timings[n], 2) for n in names_sorted]
+        payload = json.dumps(slim, separators=(",", ":"))
+        if len(payload) > 1900:
+            # Last resort (roster far larger than today): slowest-named
+            # + explicit remainder, as in r11/r12.
+            del slim["q"], slim["q_order"]
+            slow = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+            top: dict[str, float] = {}
+            for k, v in slow:
+                top[k] = round(v, 2)
+                slim["slowest"] = top
+                slim["rest_subtotal"] = round(
+                    total - sum(timings[n] for n in top), 2
+                )
+                if len(json.dumps(slim, separators=(",", ":"))) > 1820:
+                    del top[k]
+                    break
             slim["slowest"] = top
             slim["rest_subtotal"] = round(
                 total - sum(timings[n] for n in top), 2
             )
-            if len(json.dumps(slim, separators=(",", ":"))) > 1820:
-                del top[k]
-                break
-        slim["slowest"] = top
-        slim["rest_subtotal"] = round(
-            total - sum(timings[n] for n in top), 2
-        )
-        payload = json.dumps(slim, separators=(",", ":"))
+            payload = json.dumps(slim, separators=(",", ":"))
     # Print the JSON line STRICTLY LAST: silence the JVM's log4j appender
     # (shutdown WARN stacks — e.g. StateStore maintenance — otherwise land
     # after the JSON and break line-oriented parsers), stop the session,

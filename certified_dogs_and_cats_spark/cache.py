@@ -44,13 +44,24 @@ def release_cached() -> int:
     frames are still registered — unpersisting those raises from a dead
     BlockManagerMaster, and the storage is already gone with the
     context, so the failure carries no information. Never let one dead
-    frame block releasing the live ones."""
+    frame block releasing the live ones — but surface the FIRST failure
+    on stderr (ADVICE r12: a live-context unpersist error would indicate
+    a real bug and must not vanish silently)."""
     n = len(_TRACKED)
+    first_err: Exception | None = None
     for df in _TRACKED:
         try:
             df.unpersist()
-        except Exception:  # noqa: BLE001 — dead context; storage is gone
-            pass
+        except Exception as exc:  # noqa: BLE001 — usually a dead context
+            if first_err is None:
+                first_err = exc
+    if first_err is not None:
+        import sys
+
+        print(
+            f"release_cached: suppressed unpersist failure: {first_err!r}",
+            file=sys.stderr,
+        )
     _TRACKED.clear()
     return n
 

@@ -199,22 +199,26 @@ _STALE = _stale_proven()
 
 
 def _reorder_unproven_first() -> None:
-    """Window order: (1) needy entries — unproven or stale-fingerprint —
-    in registration order; (2) settled entries OLDEST PROOF FIRST
-    (VERDICT r11 #6: any window slots the needy set leaves free go to
-    the queries whose last driver proof is most stale, so proof age
-    stays bounded round over round instead of r1-era rows aging
-    forever). The sort is stable, so same-round proofs keep registration
-    order and the layout is deterministic."""
-    front = [
-        n for n in QUERIES if n not in _DRIVER_PROVEN or n in _STALE
-    ]
-    front_set = set(front)
+    """Window order: (1) NEVER-driver-proven entries in registration
+    order — a query with zero driver rows anywhere outranks every
+    re-proof (VERDICT r12 #1: the four never-proven roundtwelve queries
+    sat behind ~66 stale re-proofs, sorted by registration order, and
+    missed the window); (2) stale-fingerprint proven entries, OLDEST
+    PROOF FIRST; (3) settled entries OLDEST PROOF FIRST (VERDICT r11
+    #6: free window slots go to the queries whose proof age is
+    greatest). Sorts are stable, so ties keep registration order and
+    the layout is deterministic."""
+    never = [n for n in QUERIES if n not in _DRIVER_PROVEN]
+    stale = sorted(
+        (n for n in QUERIES if n in _DRIVER_PROVEN and n in _STALE),
+        key=lambda n: _PROOF_ROUNDS.get(n, 0),
+    )
+    front_set = set(never) | set(stale)
     settled = sorted(
         (n for n in QUERIES if n not in front_set),
         key=lambda n: _PROOF_ROUNDS.get(n, 0),
     )
-    ordered = front + settled
+    ordered = never + stale + settled
     for d in (QUERIES, ORACLE):
         snap = dict(d)
         d.clear()

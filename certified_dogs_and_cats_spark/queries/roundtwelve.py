@@ -52,7 +52,7 @@ from .dedup import (
     dedup_ngram_jaccard,
     dedup_simhash_pairs,
 )
-from .terms import BM25_B, BM25_K1, BM25_TERMS, _bm25_scored
+from .terms import BM25_B, BM25_K1, BM25_TERMS, _bm25_scored, _dlit
 
 # ---------------------------------------------------------------------------
 # dedup_strategy_agreement
@@ -254,22 +254,24 @@ _IDCG = tuple(
 
 
 def _idcg_case_sql(r_expr: str) -> str:
-    # `e0` exponent form: DuckDB parses plain decimal literals as
-    # DECIMAL (width-truncating!), but exponent-form via strtod as the
+    # Exponent form: DuckDB parses plain decimal literals as DECIMAL
+    # (width-truncating!), but exponent-form via strtod as the
     # correctly-rounded DOUBLE — the exact Python float, as required.
+    # _dlit (shared with the BM25 scorer, ADVICE r12 #2) appends the
+    # exponent only when repr lacks one.
     branches = " ".join(
-        f"WHEN {r_expr} >= {r} THEN {_IDCG[r - 1]!r}e0"
+        f"WHEN {r_expr} >= {r} THEN {_dlit(_IDCG[r - 1])}"
         for r in range(NDCG_K, 0, -1)
     )
     return f"CASE {branches} ELSE NULL END"
 
 
 def _dcg_terms_sql() -> str:
-    """Fixed-written-order sum of max(CASE rnk=i AND relevant); `e0`
+    """Fixed-written-order sum of max(CASE rnk=i AND relevant);
     exponent form parses as DOUBLE in DuckDB (see _idcg_case_sql)."""
     return "\n           + ".join(
-        f"max(CASE WHEN rnk = {i + 1} AND relevant THEN {d!r}e0"
-        " ELSE 0.0e0 END)"
+        f"max(CASE WHEN rnk = {i + 1} AND relevant THEN {_dlit(d)}"
+        " ELSE 0.0E0 END)"
         for i, d in enumerate(_DISCOUNTS)
     )
 

@@ -22,6 +22,26 @@ LIFT_MIN_COUNT = 5
 LIFT_K = 20
 
 
+def _slit(s: str) -> str:
+    """SQL single-quoted-string body for ``s``: double any embedded
+    quote. The module's own term constants are plain lowercase words,
+    but ``_bm25_scored`` accepts caller-supplied terms (ADVICE r12 #1 —
+    a quote in a term must not break parsing or inject SQL)."""
+    return s.replace("'", "''")
+
+
+def _dlit(x: float) -> str:
+    """Canonical DOUBLE literal for a Python float, shared by every
+    generated-SQL scorer (ADVICE r12 #2): repr round-trips the exact
+    value; an explicit exponent is appended only when repr carries none
+    (plain decimal literals parse as DECIMAL, not DOUBLE, in both
+    Spark and DuckDB), so ``1e-05`` stays ``1e-05`` instead of the
+    unparseable ``1e-05E0``, and an int input is pinned to double via
+    ``float()`` first."""
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else f"{r}E0"
+
+
 @query(
     "tfidf_top_terms",
     oracle=f"""
@@ -259,7 +279,7 @@ def _bm25_scored(
             "CAST(size(split(text, ' ')) AS BIGINT) AS dl",
             *[
                 "CAST(size(filter(split(text, ' '),"
-                f" x -> x = '{tm}')) AS BIGINT) AS tf{i}"
+                f" x -> x = '{_slit(tm)}')) AS BIGINT) AS tf{i}"
                 for i, tm in enumerate(terms)
             ],
         )
@@ -293,7 +313,7 @@ def _bm25_scored(
     # Literals in exponent form parse as DOUBLE (plain decimals parse as
     # DECIMAL); repr round-trips the exact Python float, so the parsed
     # constants equal the old F.lit values bit-for-bit.
-    k1, b = f"{BM25_K1!r}E0", f"{BM25_B!r}E0"
+    k1, b = _dlit(BM25_K1), _dlit(BM25_B)
 
     def term_score_sql(i: int) -> str:
         return (

@@ -135,6 +135,16 @@ def main() -> int:
         repo_root = os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))
         )
+        # Bind the artifact to the CODE it proved (ADVICE r12 #3): the
+        # registry-window escape hatch trusts this file, so each row
+        # carries the query's implementation fingerprint at gate time —
+        # a later edit makes the row visibly stale without any reliance
+        # on git state or mtimes.
+        from certified_dogs_and_cats_spark.queries.fingerprints import (
+            current_fingerprints,
+        )
+
+        results["_fingerprints"] = current_fingerprints()
         with open(
             os.path.join(repo_root, "CORRECTNESS_local.json"), "w"
         ) as f:

@@ -42,6 +42,28 @@ def test_unproven_queries_fill_driver_window():
     ], "overflowed queries must be the last-registered ones"
 
 
+def test_never_proven_queries_lead_the_window():
+    """VERDICT r12 #1: a query with ZERO driver rows anywhere must sit
+    ahead of every stale re-proof — registration order used to leave
+    last-registered never-proven queries behind ~66 re-proofs, outside
+    the 50-row window."""
+    from certified_dogs_and_cats_spark.queries import _PROOF_ROUNDS
+
+    if not _PROOF_ROUNDS:
+        return  # fresh checkout: no artifacts, ordering is registration
+    names = list(QUERIES)
+    never_pos = [i for i, n in enumerate(names) if n not in _PROOF_ROUNDS]
+    stale_pos = [i for i, n in enumerate(names) if n in _STALE]
+    if never_pos and stale_pos:
+        assert max(never_pos) < min(stale_pos), (
+            "never-driver-proven queries must precede stale re-proofs"
+        )
+    # and every never-proven query is inside the driver window
+    assert all(i < DRIVER_WINDOW for i in never_pos[:DRIVER_WINDOW]), (
+        "never-proven queries pushed out of the 50-row window"
+    )
+
+
 def test_every_query_has_oracle_and_unique_name():
     assert set(ORACLE) <= set(QUERIES)
     # Every registered query carries a DuckDB oracle — the round-8
@@ -206,6 +228,9 @@ def test_recorded_artifact_is_current_for_settled_queries():
     # CORRECTNESS_local.json) has re-proven every needy entry on the
     # current code: the alarm below then fires only for needy queries
     # with no current local proof — the genuinely unaccounted ones.
+    # "Current code" is enforced, not trusted (ADVICE r12 #3): the gate
+    # stamps each run with per-query fingerprints, and a local green
+    # counts only when that stamp matches the query's fingerprint NOW.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     local: dict = {}
     try:
@@ -213,6 +238,12 @@ def test_recorded_artifact_is_current_for_settled_queries():
             local = json.load(fh)
     except (OSError, ValueError):
         pass
+    gate_fps = local.pop("_fingerprints", {})
+    from certified_dogs_and_cats_spark.queries.fingerprints import (
+        current_fingerprints,
+    )
+
+    now_fps = current_fingerprints()
 
     def _green(row: object) -> bool:
         return (
@@ -225,7 +256,13 @@ def test_recorded_artifact_is_current_for_settled_queries():
 
     full_local_gate = set(QUERIES) <= set(local)
     unaccounted = [
-        n for n in needy if not (full_local_gate and _green(local.get(n)))
+        n
+        for n in needy
+        if not (
+            full_local_gate
+            and _green(local.get(n))
+            and gate_fps.get(n) == now_fps.get(n)
+        )
     ]
     assert not unaccounted, (
         f"{len(needy)} queries need (re-)proving — more than a round's "
